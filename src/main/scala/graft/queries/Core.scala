@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Core relational operators over the star schema: scan, filter,
+  * projection, shuffle/broadcast joins, aggregation, grouping sets,
+  * windows, top-k. All money aggregates are decimal-exact (see
+  * [[graft.functions.Exact]]) so results are partition-order
+  * independent — required at cluster scale and for the oracle gate. */
+object Core {
+
+  val q1Agg: Q = Q(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount"))
+          * factor(lit(1) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        (sum(factor(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Projection + predicate pushdown: both the filter and the 3-column
+    * read schema reach the parquet scan (verified in PlanSpec). */
+  val qFilterProject: Q = Q(
+    "q_filter_project",
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part WHERE p_type = 'PROMO' AND p_size >= 25
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO" && col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q3 shape: shuffle join orders⋈lineitem with the filtered
+    * customer side broadcast; deterministic global top-10
+    * (TakeOrderedAndProject — no full sort at scale). */
+  val q3JoinTopk: Q = Q(
+    "q3_join_topk",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cutoff = lit("1998-03-15 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q5 shape: fact-to-fact shuffle join with every dimension
+    * (region→nation→customer/supplier) broadcast. */
+  val q5MultiJoin: Q = Q(
+    "q5_multijoin",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val nation = Tables.nation(s, dir)
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = broadcast(
+      nation.join(region, col("n_regionkey") === col("r_regionkey")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(asiaNations,
+        col("c_nationkey") === col("n_nationkey") &&
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-3 orders per customer by price: partitioned window, no
+    * global sort. */
+  val qWindowRank: Q = Q(
+    "q_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** EXISTS as a left-semi join (no fact-side duplication). */
+  val qSemiJoin: Q = Q(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS as a left-anti join. */
+  val qAntiJoin: Q = Q(
+    "q_anti_join",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP grouping sets; NULL group markers normalized to 'ALL' so
+    * both engines emit identical strings. */
+  val qRollup: Q = Q(
+    "q_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** CUBE over two dims, decimal-exact measures. */
+  val qCube: Q = Q(
+    "q_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sumMoney(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+  }
+
+  /** Exact linear-interpolated percentiles per group, rounded to 4dp
+    * (both engines interpolate in double; rounding absorbs ulp noise). */
+  val qPercentiles: Q = Q(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Global top-100 with deterministic tiebreak: planner compiles the
+    * sort+limit to TakeOrderedAndProject (per-partition heaps, no full
+    * shuffle sort). */
+  val qTopkGlobal: Q = Q(
+    "q_topk_global",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DOUBLE) AS net
+      |FROM lineitem ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("net"))
+      .orderBy(col("net").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** Pivot events by type → one row per user bucket (conditional
+    * aggregation; single shuffle). */
+  val qPivot: Q = Q(
+    "q_pivot",
+    """SELECT user_id % 10 AS user_bucket,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+      |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        sum(when(col("event_type") === "purchase", money(col("value"))))
+          .cast(DoubleType).as("purchase_value"))
+      .orderBy(col("user_bucket"))
+  }
+
+  /** Exact distinct counting per group (shuffle-dedup + agg). */
+  val qDistinct: Q = Q(
+    "q_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
+    qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct)
+}
