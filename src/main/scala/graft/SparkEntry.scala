@@ -7,7 +7,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   /** Every operator in the engine, one entry per SURVEY §2 row. */
-  private def registry: Seq[Q] = Core.all
+  private def registry: Seq[Q] =
+    Core.all ++ Events.all ++ Text.all ++ Dedup.all ++ Vectors.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

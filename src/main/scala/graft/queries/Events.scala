@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Time-series operators over the events table. The batch expressions
+  * here are written in the same shape their Structured Streaming
+  * twins use (see graft.streaming.StreamOps / StreamingSpec):
+  * `window()` tumbling aggregation and gap-based sessionization. */
+object Events {
+
+  /** Tumbling 1-hour window aggregation — epoch-aligned, identical to
+    * DuckDB date_trunc. Streaming twin: readStream + watermark. */
+  val windowAgg: Q = Q(
+    "events_window_agg",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** 30-minute-gap sessionization: one shuffle on user_id, then two
+    * window passes (lag → gap flags, running sum → session ids) and a
+    * partial-aggregating groupBy. No driver-side state; scales to any
+    * number of users. */
+  val sessionize: Q = Q(
+    "events_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+            > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of join without a theta join: union events + orders tagged by
+    * kind, one window pass per user carries the latest order date
+    * forward. O(n log n) per user partition — the 100 TB-safe plan
+    * (a naive join-then-filter would fan out events × orders). */
+  val asofJoin: Q = Q(
+    "q_asof_join",
+    """SELECT event_id, user_id,
+      |  (SELECT MAX(o_orderdate) FROM orders
+      |    WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_orderdate,
+      |  (SELECT COUNT(*) FROM orders
+      |    WHERE o_custkey = user_id AND o_orderdate <= ts) AS n_prior_orders
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), lit(1).as("kind"),
+      lit(null).cast("timestamp").as("odate"), col("event_id"))
+    val ord = Tables.orders(s, dir).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(0).as("kind"), col("o_orderdate").as("odate"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(ord)
+      .withColumn("last_orderdate", max(col("odate")).over(w))
+      .withColumn("n_prior_orders",
+        sum(when(col("kind") === 0, 1).otherwise(0)).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("last_orderdate"),
+        col("n_prior_orders"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin)
+}

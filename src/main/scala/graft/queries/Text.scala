@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language-ID, fixed-width chunking, ingestion
+  * stats. Everything is built from codegen'd `functions._` columns —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen. */
+object Text {
+
+  /** Lowercased alphanumeric tokens — the shared tokenizer. */
+  private def toks(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  val tokens: Q = Q(
+    "text_tokens",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+      |  len(text) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      size(array_distinct(toks(col("text")))).as("n_distinct"),
+      length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: alpha ratio, stopword ratio, length saturation,
+    * composite score. Identical double expression trees on both
+    * engines; ROUND(,4) absorbs nothing — the doubles are equal — but
+    * documents the contract. */
+  val quality: Q = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val stopsSql = stops.map(w => s"'$w'").mkString(", ")
+    Q(
+      "text_quality",
+      s"""WITH t AS (
+        |  SELECT doc_id, len(text) AS n_chars_m,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+        |    len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x IN ($stopsSql))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_words,
+        |  ROUND(n_alnum / n_words, 4) AS mean_word_len,
+        |  ROUND(n_alnum / n_chars_m, 4) AS alpha_ratio,
+        |  ROUND(n_stop / n_words, 4) AS stop_ratio,
+        |  ROUND(0.3 * (n_stop / n_words) + 0.4 * LEAST(1.0, n_words / 100.0)
+        |    + 0.3 * (n_alnum / n_chars_m), 4) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(toks(col("text"))).as("n_words"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),
+        countIn(toks(col("text")), stops).as("n_stop"))
+      base.select(
+        col("doc_id"), col("n_chars_m"), col("n_words"),
+        round(col("n_alnum") / col("n_words"), 4).as("mean_word_len"),
+        round(col("n_alnum") / col("n_chars_m"), 4).as("alpha_ratio"),
+        round(col("n_stop") / col("n_words"), 4).as("stop_ratio"),
+        round(lit(0.3) * (col("n_stop") / col("n_words"))
+          + lit(0.4) * least(lit(1.0), col("n_words") / lit(100.0))
+          + lit(0.3) * (col("n_alnum") / col("n_chars_m")), 4).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Language-ID by stopword-profile hit counts with a deterministic
+    * priority tiebreak (de > en > es > fr alphabetical). A real
+    * deployment swaps the profiles for char-n-gram models; the
+    * operator shape (per-doc scoring + argmax) is the same. */
+  val langid: Q = {
+    val profiles = Seq(
+      "de" -> Seq("und", "der", "die", "das", "ist", "nicht"),
+      "en" -> Seq("the", "and", "of", "to", "is", "in"),
+      "es" -> Seq("el", "la", "de", "los", "y", "es"),
+      "fr" -> Seq("le", "la", "les", "de", "et", "est"))
+    val scoreSql = profiles.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ($in))) AS c_$l"
+    }.mkString(",\n        |    ")
+    Q(
+      "text_langid",
+      s"""WITH t AS (
+        |  SELECT doc_id, $scoreSql
+        |  FROM documents)
+        |SELECT doc_id, c_de, c_en, c_es, c_fr,
+        |  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir).select(
+        col("doc_id") +: profiles.map { case (l, ws) =>
+          countIn(toks(col("text")), ws).as(s"c_$l")
+        }: _*)
+      t.select(col("doc_id"), col("c_de"), col("c_en"), col("c_es"), col("c_fr"),
+        when(col("c_de") >= col("c_en") && col("c_de") >= col("c_es")
+          && col("c_de") >= col("c_fr"), "de")
+          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_fr"), "es")
+          .otherwise("fr").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Fixed-width chunking, chunk_size=200 overlap=30 (stride 170) —
+    * the distributed equivalent of the reference's
+    * CharacterTextSplitter (conversadocs/bones.py:67). One row per
+    * chunk via sequence+explode; no data leaves the executor. */
+  val chunkFixed: Q = Q(
+    "chunk_fixed",
+    """SELECT doc_id, i AS chunk_id, i * 170 + 1 AS char_start,
+      |  substr(text, i * 170 + 1, 200) AS chunk
+      |FROM documents CROSS JOIN generate_series(0, 1000) t(i)
+      |WHERE i * 170 < len(text)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 170).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        (col("i").cast("long") * 170 + 1).as("char_start"),
+        col("text").substr(col("i") * 170 + 1, lit(200)).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Ingestion stats per language partition (the load_db ledger:
+    * what got loaded, from how many sources, how big). */
+  val docStats: Q = Q(
+    "doc_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  SUM(n_chars) AS total_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Document fingerprinting: 64-bit-ish (40-bit) polynomial rolling
+    * hash over md5 token hashes — whole-doc fingerprint plus a
+    * winnowing-style min over rolling 8-token windows. The hash is
+    * re-expressed identically in DuckDB (md5-prefix token hash +
+    * list_reduce fold), so it is fully oracle-checked. */
+  val fingerprint: Q = {
+    val TW = 1099511627776L // 2^40 keeps a*1000003+h under 2^63 (ANSI-safe)
+    Q(
+      "text_fingerprint",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(hs, (a, h) -> (a * 1000003 + h) % $TW) AS fp,
+        |  CASE WHEN len(hs) >= 8 THEN
+        |    list_min(list_transform(range(0, len(hs) - 7),
+        |      i -> list_reduce(hs[i+1:i+8], (a, h) -> (a * 1000003 + h) % $TW)))
+        |  ELSE NULL END AS winnow_fp
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hs = transform(toks(col("text")),
+        t => conv(substring(md5(t), 1, 10), 16, 10).cast("long"))
+      def fold(arr: Column): Column =
+        aggregate(arr, lit(0L), (a, h) => (a * 1000003L + h) % TW)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(
+          col("doc_id"),
+          fold(col("hs")).as("fp"),
+          when(size(col("hs")) >= 8,
+            array_min(transform(sequence(lit(0), size(col("hs")) - 8),
+              i => fold(slice(col("hs"), i + 1, lit(8))))))
+            .otherwise(lit(null).cast("long")).as("winnow_fp"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, docStats, fingerprint)
+}
