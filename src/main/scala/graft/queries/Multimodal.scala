@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Binary
+import graft.sources.Tables
+
+/** Multimodal-column queries. Document text stands in for the binary
+  * payload (UTF-8 encode), exercising the real plumbing: binary
+  * columns, batched per-partition decode, frame sampling by byte
+  * stride. md5 exists in both engines, so the feature outputs are
+  * fully oracle-checked even though the "decoder" is a stub. */
+object Multimodal {
+
+  /** Binary ingestion + batched stub decode + checksum. */
+  val binaryFeatures: Q = Q(
+    "mm_binary_features",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+    val decoded = Binary.decodeBatch(s, payloads)
+    decoded.toDF()
+      .join(payloads.select(col("doc_id"), md5(col("data")).as("checksum")),
+        "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame/patch sampling: fixed-stride byte windows per payload (the
+    * video-frame / audio-window access pattern), one stub feature per
+    * frame. Distributed explode — frames never leave the executor. */
+  val frameSample: Q = Q(
+    "mm_frame_sample",
+    """SELECT doc_id, i AS frame_id,
+      |  len(substr(text, i * 64 + 1, 64)) AS frame_len,
+      |  md5(substr(text, i * 64 + 1, 64)) AS frame_sig
+      |FROM documents CROSS JOIN generate_series(0, 1000) t(i)
+      |WHERE i * 64 < len(text)
+      |ORDER BY doc_id, frame_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 64).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("frame_id"),
+        length(col("text").substr(col("i") * 64 + 1, lit(64))).as("frame_len"),
+        md5(col("text").substr(col("i") * 64 + 1, lit(64)).cast("binary"))
+          .as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_id"))
+  }
+
+  val all: Seq[Q] = Seq(binaryFeatures, frameSample)
+}

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The ConversaDocs retrieval surface, Spark-first.
+  *
+  * Reference flow (conversadocs/bones.py:47-87): load → split → embed
+  * → vector store → as_retriever(top-k) → "stuff" context → LLM.
+  * Here: retrieval is a scored join + windowed top-k; context
+  * assembly is an ordered aggregation; the embedder is a
+  * deterministic hashing projection (the LLM/embedding-model calls
+  * are the only stubbed steps — everything around them is real and
+  * distributed). Queries = documents with doc_id < 5, a stand-in for
+  * a broadcast query batch.
+  */
+object Retrieval {
+
+  private def toks(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Shared BM25 oracle CTEs (k1=1.2, b=0.75, Lucene-style idf). */
+  private val bm25Cte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE dl FROM tok GROUP BY 1),
+      |df AS (SELECT t, COUNT(DISTINCT doc_id)::DOUBLE df FROM tok GROUP BY 1),
+      |stats AS (
+      |  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) n,
+      |    (SELECT AVG(dl) FROM dl) avgdl),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, t
+      |  FROM tok WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+      |      AS score
+      |  FROM qt JOIN tf ON qt.t = tf.t
+      |  JOIN df ON tf.t = df.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  WHERE tf.doc_id <> qt.query_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) rn
+      |  FROM scored)""".stripMargin
+
+  /** Spark side of the shared BM25 top-3 (query_id, doc_id, score, rn). */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val df = tok.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val stats = tok.agg(
+      countDistinct(col("doc_id")).cast("double").as("n"),
+      (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    val qt = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val termScore = idf * col("tf") * 2.2 /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = broadcast(qt).join(tf, "t")
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(termScore).as("score"))
+    scored.withColumn("rn", row_number().over(Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))))
+  }
+
+  /** avgdl parity note: Spark computes avgdl as total_tokens /
+    * n_docs; the oracle's AVG(dl) over per-doc counts is the same
+    * value because every document has >= 1 token. */
+  val bm25: Q = Q(
+    "retrieval_bm25",
+    s"""WITH $bm25Cte
+      |SELECT query_id, rn AS rank, doc_id, ROUND(score, 4) AS score
+      |FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    bm25Ranked(s, dir)
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** "Stuff"-chain context assembly (bones.py:80-87): the top-k
+    * retrieved documents concatenated in rank order, one context
+    * string per query — ordered aggregation after the retrieval join. */
+  val context: Q = Q(
+    "retrieval_context",
+    s"""WITH $bm25Cte
+      |SELECT r.query_id,
+      |  string_agg(d.text, ' | ' ORDER BY r.rn) AS context
+      |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      |WHERE r.rn <= 3 GROUP BY r.query_id ORDER BY r.query_id""".stripMargin) { (s, dir) =>
+    val top = bm25Ranked(s, dir).filter(col("rn") <= 3)
+    top.join(Tables.documents(s, dir), "doc_id")
+      .groupBy(col("query_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("text")))),
+          x => x("text")), " | ").as("context"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Map-reduce extractive summarization skeleton (bones.py:146-169):
+    * map = score every chunk by how many globally-rare distinct terms
+    * it contains (integer-exact, so fully oracle-checkable);
+    * reduce = keep top-2 chunks per document. An LLM map-reduce chain
+    * swaps the scorer for a model call; the distribution shape —
+    * per-chunk map, per-doc top-k reduce — is identical. */
+  val summarize: Q = Q(
+    "summarize_extractive",
+    """WITH ch AS (
+      |  SELECT doc_id, i AS chunk_id, substr(text, i * 170 + 1, 200) AS chunk
+      |  FROM documents CROSS JOIN generate_series(0, 1000) t(i)
+      |  WHERE i * 170 < len(text)),
+      |tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |df AS (SELECT t, COUNT(DISTINCT doc_id) df FROM tok GROUP BY 1),
+      |ndocs AS (SELECT COUNT(*) n FROM documents),
+      |rare AS (
+      |  SELECT ct.doc_id, ct.chunk_id, COUNT(DISTINCT ct.t) AS n_rare
+      |  FROM (SELECT doc_id, chunk_id, unnest(list_distinct(
+      |      regexp_extract_all(lower(chunk), '[a-z0-9]+'))) t
+      |    FROM ch) ct
+      |  JOIN df ON ct.t = df.t
+      |  CROSS JOIN ndocs
+      |  WHERE df.df <= ndocs.n / 10
+      |  GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT ch.doc_id, ch.chunk_id, ch.chunk, COALESCE(r.n_rare, 0) AS n_rare
+      |  FROM ch LEFT JOIN rare r
+      |    ON ch.doc_id = r.doc_id AND ch.chunk_id = r.chunk_id),
+      |r AS (
+      |  SELECT doc_id, chunk_id, chunk, n_rare, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY n_rare DESC, chunk_id) rn
+      |  FROM cs)
+      |SELECT doc_id, rn AS rank, chunk_id, n_rare, chunk
+      |FROM r WHERE rn <= 2 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val ch = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 170).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        col("text").substr(col("i") * 170 + 1, lit(200)).as("chunk"))
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val df = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val ct = ch.select(col("doc_id"), col("chunk_id"),
+      explode(array_distinct(toks(col("chunk")))).as("t"))
+    val rare = ct.join(broadcast(df), "t")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n") / 10)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(countDistinct(col("t")).as("n_rare"))
+    val cs = ch.join(rare, Seq("doc_id", "chunk_id"), "left")
+      .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
+    cs.withColumn("rn", row_number().over(Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("n_rare").desc, col("chunk_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("doc_id"), col("rn").as("rank"), col("chunk_id"),
+        col("n_rare"), col("chunk"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Conversational state machine over the events log (bones.py:
+    * 123-144, 275-277): chat history accrues per user in timestamp
+    * order; a 'signup' event clears it (clr_history). history_len is
+    * the number of messages since the last clear — one window pass,
+    * no driver state, any number of users. */
+  val conversationReplay: Q = Q(
+    "conversation_replay",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS epoch
+      |  FROM events)
+      |SELECT user_id, event_id, ts, event_type,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch
+      |    ORDER BY ts, event_id) - 1 AS history_len
+      |FROM x ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("epoch",
+        sum(when(col("event_type") === "signup", 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("history_len", row_number().over(Window
+        .partitionBy(col("user_id"), col("epoch"))
+        .orderBy(col("ts"), col("event_id"))) - 1)
+      .drop("epoch")
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Deterministic hashing embedder (the batch stand-in for bones.py:71
+    * HuggingFaceEmbeddings): token -> bucket pmod(xxhash64(t), 64),
+    * sign from bit 6, counts accumulated then L2-normalized. Pure
+    * column expressions; a real model swaps in via mapPartitions with
+    * the same (id, Array[Float]) contract. Rows-only: the seeded hash
+    * has no DuckDB twin; RetrievalSpec checks norm/determinism. */
+  val embedHashing: Q = Q.rowsOnly("embed_hashing") { (s, dir) =>
+    embeddedDocs(s, dir, Tables.documents(s, dir))
+  }
+
+  /** (doc_id, vec: array<double> L2-normalized) for any (doc_id, text) DF. */
+  private[queries] def embeddedDocs(
+      s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val buckets = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("t")), lit(64)).cast("int").as("idx"),
+        when(shiftright(xxhash64(col("t")), 6).bitwiseAND(1) === 1, 1.0)
+          .otherwise(-1.0).as("sgn"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("w"))
+    val asMap = buckets.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+        .as("m"))
+    val raw = transform(sequence(lit(0), lit(63)),
+      i => coalesce(try_element_at(col("m"), i), lit(0.0)))
+    val nrm = sqrt(aggregate(transform(raw, x => x * x),
+      lit(0.0), (a, x) => a + x))
+    asMap.select(col("doc_id"),
+      when(nrm > 0, transform(raw, x => x / nrm))
+        .otherwise(raw).as("vec"))
+  }
+
+  /** End-to-end vector retrieval (load → embed → top-k cosine), the
+    * as_retriever(search_type="similarity", k=3) equivalent
+    * (bones.py:77-87). Query docs and corpus share the embedder;
+    * query side broadcast. Rows-only; RetrievalSpec asserts sanity
+    * (self-similarity, k, rank order). */
+  val retrievalVector: Q = Q.rowsOnly("retrieval_vector") { (s, dir) =>
+    val emb = embeddedDocs(s, dir, Tables.documents(s, dir))
+    def n2(v: Column): Column =
+      aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+    val q = emb.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("vec").as("vq"))
+      .withColumn("nq", n2(col("vq")))
+    val c = emb.select(col("doc_id").as("hit_id"), col("vec").as("vc"))
+      .withColumn("nc", n2(col("vc")))
+    val cos = aggregate(zip_with(col("vq"), col("vc"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x) / sqrt(col("nq") * col("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("hit_id"))
+    broadcast(q).join(c, col("hit_id") =!= col("query_id"))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("rank"), col("hit_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
+    embedHashing, retrievalVector)
+}

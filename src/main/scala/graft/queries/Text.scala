@@ -189,5 +189,21 @@ object Text {
     }
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, docStats, fingerprint)
+  /** Recursive separator-hierarchy splitting (bones.py:67,160-164) —
+    * imperative string logic as a typed flatMap (one doc in, N chunks
+    * out, fully parallel). Rows-only; semantics spec'd in ChunkerSpec. */
+  val chunkRecursive: Q = Q.rowsOnly("chunk_recursive") { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.operators.Chunker.split(text, 200, 30).zipWithIndex
+          .map { case (c, i) => (id, i.toLong, c) }
+      }
+      .toDF("doc_id", "chunk_id", "chunk")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
+    docStats, fingerprint)
 }
