@@ -153,14 +153,16 @@ object Core {
       .orderBy(col("c_custkey"))
   }
 
-  /** NOT EXISTS as a left-anti join. */
+  /** NOT EXISTS as a left-anti join: customers without any big order. */
   val qAntiJoin: Q = Q(
     "q_anti_join",
     """SELECT c_custkey, c_acctbal FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming twins of the batch time-series operators.
+  *
+  * The transforms are written against a generic events DataFrame
+  * (ts timestamp, user_id long, event_type string, value double), so
+  * the same code runs on `readStream` (with watermark-driven state
+  * eviction — the 100 TB/day ingest path) and on batch frames (as in
+  * StreamingSpec, which asserts stream == batch).
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour aggregation — streaming twin of
+    * Events.windowAgg. Watermark bounds state: late events beyond
+    * 1 hour are dropped and closed windows are evicted. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 30-minute-gap sessions via the native session_window — merging
+    * windowed state per user, evicted by watermark in streaming. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  final case class Msg(user_id: Long, event_id: Long, tsMicros: Long,
+      event_type: String)
+  final case class HistoryOut(user_id: Long, event_id: Long,
+      history_len: Int)
+
+  /** Custom conversational state (bones.py:123-144): per-user chat
+    * history length, cleared by 'signup' — flatMapGroupsWithState
+    * carrying (epoch, count) per user across batches. Demonstrates
+    * arbitrary stateful processing where session_window semantics
+    * don't fit. */
+  def historyState(s: SparkSession, events: Dataset[Msg]): Dataset[HistoryOut] = {
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, HistoryOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, msgs: Iterator[Msg], state: GroupState[Int]) =>
+          // n = events in the current epoch, signup starts a new epoch;
+          // history_len = position within the epoch (matches the batch
+          // conversation_replay: row_number within (user, epoch) - 1).
+          var n = state.getOption.getOrElse(0)
+          val out = msgs.toSeq.sortBy(m => (m.tsMicros, m.event_id)).map { m =>
+            if (m.event_type == "signup") n = 1 else n += 1
+            HistoryOut(user, m.event_id, n - 1)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Retrieval, Text}
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("hashing embedder emits unit-norm 64-dim vectors, deterministically") {
+    val a = Retrieval.embedHashing.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.nonEmpty)
+    a.values.foreach { v =>
+      assert(v.length == 64)
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"norm2 $n2")
+    }
+    val b = Retrieval.embedHashing.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+  }
+
+  test("vector retrieval returns k=3 ranked hits; near-dups rank first") {
+    val rows = Retrieval.retrievalVector.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 3)))
+    // scores within [-1, 1] and descending
+    byQ.values.foreach { rs =>
+      val sc = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sc.forall(s => s <= 1.0001 && s >= -1.0001))
+      assert(sc.zip(sc.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("bm25 ranks are dense and scores descend") {
+    val rows = Retrieval.bm25.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rs =>
+      val sc = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("context assembly concatenates exactly the top-3 in rank order") {
+    val ctx = Retrieval.context.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ctx.keySet == (0L until 5L).toSet)
+    ctx.values.foreach(c => assert(c.split(" \\| ").length == 3))
+  }
+
+  test("recursive chunking covers every document") {
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    val chunked = Text.chunkRecursive.run(spark, sf)
+    assert(chunked.select("doc_id").distinct().count() == docs)
+    // chunk bound: size 200 + overlap 30
+    assert(chunked.filter("length(chunk) > 230").count() == 0)
+  }
+}

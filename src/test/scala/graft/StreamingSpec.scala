@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Events, Retrieval}
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Streaming twins == batch results, driven by a file-source replay of
+  * the events table through a memory sink. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** events re-staged as micros-timestamp parquet for readStream. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runStream(name: String, streamed: DataFrame): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private lazy val streamEvents: DataFrame = {
+    val schema = Tables.events(spark, sf).schema
+    spark.readStream.schema(schema).parquet(stagedDir)
+  }
+
+  test("windowed aggregation: stream == batch") {
+    val got = runStream("win_agg", StreamOps.windowAgg(streamEvents))
+    val want = Events.windowAgg.run(spark, sf)
+      .select("window_start", "event_type", "n_events", "sum_value")
+    assert(asSet(got) == asSet(want))
+  }
+
+  test("session windows: stream == batch gap sessionization") {
+    val got = runStream("sess", StreamOps.sessionAgg(streamEvents))
+    // batch twin aggregated to the same shape
+    val want = Events.sessionize.run(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value"))
+    assert(asSet(got) == asSet(want))
+  }
+
+  test("stateful history replay: flatMapGroupsWithState == batch window") {
+    import spark.implicits._
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[StreamOps.Msg]
+    val got = StreamOps.historyState(spark, msgs).toDF()
+      .select("user_id", "event_id", "history_len")
+    val want = Retrieval.conversationReplay.run(spark, sf)
+      .select("user_id", "event_id", "history_len")
+    assert(asSet(got) == asSet(want))
+  }
+}
