@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session tuning. Verify/Bench/tests all
+  * build through here so the settings the operators rely on (UTC,
+  * AQE, right-sized shuffle partitions) are uniform.
+  *
+  * On a real cluster the same settings apply with
+  * `spark.sql.shuffle.partitions` sized to ~2-3x total cores and AQE
+  * coalescing handling the rest; nothing in the engine assumes local
+  * mode.
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** local[n] with matching shuffle width. */
+  def local(cpus: Int): SparkSession = build(s"local[$cpus]", cpus)
+}

@@ -1,0 +1,163 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Custom sketch aggregates.
+  *
+  * MinHash/SimHash signatures as N parallel `min(...)`/`sum(...)`
+  * aggregate columns blow past codegen limits (128 independent
+  * buffers, interpreted updates — 26 s at sf0.1). A
+  * TypedImperativeAggregate keeps ONE primitive array buffer per
+  * group and a tight while-loop per row: single-pass, merge-friendly
+  * (map-side partial aggregation works), constant-size state — the
+  * shape that scales to 100 TB shingle streams.
+  */
+object Sketches {
+  @inline final def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** minhash_sketch(hash64): Array[Long] of `n` min-values, where
+    * hash function i is splitmix64(x + i * GOLDEN). */
+  def minhash(hash64: Column, n: Int): Column =
+    GraftBridge.column(
+      MinHashAgg(GraftBridge.expression(hash64), n)
+        .toAggregateExpression())
+
+  /** simhash64(hash64, weight): 64-bit SimHash of the weighted token
+    * hash multiset per group. */
+  def simhash(hash64: Column, weight: Column): Column =
+    GraftBridge.column(
+      SimHashAgg(GraftBridge.expression(hash64), GraftBridge.expression(weight))
+        .toAggregateExpression())
+
+  private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(a.length * 8)
+    a.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[functions] def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getLong())
+  }
+}
+
+/** One-pass MinHash signature aggregate over pre-hashed inputs. */
+case class MinHashAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sketch"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val h = Sketches.splitmix64(x + i * 0x9E3779B97F4A7C15L)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    Sketches.longsToBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Sketches.bytesToLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MinHashAgg = copy(child = c.head)
+}
+
+/** 64-bit SimHash over (tokenHash, weight) pairs; emits the signed-sum
+  * sign bits as one long. */
+case class SimHashAgg(
+    hash: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(hash, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h = hash.eval(input)
+    val w = weight.eval(input)
+    if (h != null && w != null) {
+      val x = h.asInstanceOf[Long]
+      val c = w.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        if (((x >>> j) & 1L) == 1L) buf(j) += c else buf(j) -= c
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    Sketches.longsToBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Sketches.bytesToLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SimHashAgg =
+    copy(hash = c(0), weight = c(1))
+}

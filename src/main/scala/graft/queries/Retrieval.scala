@@ -250,16 +250,16 @@ object Retrieval {
     * query side broadcast. Rows-only; RetrievalSpec asserts sanity
     * (self-similarity, k, rank order). */
   val retrievalVector: Q = Q.rowsOnly("retrieval_vector") { (s, dir) =>
-    val emb = embeddedDocs(s, dir, Tables.documents(s, dir))
-    def n2(v: Column): Column =
-      aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+    // cache: both the query side and the corpus side read the embedded
+    // docs; uncached, the full embed pipeline runs twice
+    val emb = embeddedDocs(s, dir, Tables.documents(s, dir)).cache()
+    import graft.functions.VectorExprs.{dot, norm2}
     val q = emb.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("vec").as("vq"))
-      .withColumn("nq", n2(col("vq")))
+      .withColumn("nq", norm2(col("vq")))
     val c = emb.select(col("doc_id").as("hit_id"), col("vec").as("vc"))
-      .withColumn("nc", n2(col("vc")))
-    val cos = aggregate(zip_with(col("vq"), col("vc"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x) / sqrt(col("nq") * col("nc"))
+      .withColumn("nc", norm2(col("vc")))
+    val cos = dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("hit_id"))
     broadcast(q).join(c, col("hit_id") =!= col("query_id"))

@@ -22,11 +22,11 @@ object Vectors {
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("n2", graft.functions.VectorExprs.norm2(col("v")))
 
+  // native codegen'd dot — same left-fold order as the HOF form
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot(a, b)
 
   private val oracleEmb =
     """e AS (
