@@ -273,7 +273,20 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** HyperLogLog++ approximate distinct per group — the sketch that
+    * replaces exact COUNT(DISTINCT) at 100 TB (mergeable, constant
+    * memory). Rows-only: DuckDB's HLL differs bit-wise; QueriesSpec
+    * and the q_distinct exact twin bound the error. */
+  val qApproxDistinct: Q = Q.rowsOnly("q_approx_distinct") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
-    qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct)
+    qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
+    qApproxDistinct)
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Lake source/sink round-trips: every query writes a table out in a
+  * different format/layout to scratch space, reads it back, and
+  * aggregates the read-back copy — so the oracle (which aggregates
+  * the original) proves the write+read path is lossless.
+  *
+  * The reference's loader registry (conversadocs/bones.py:32-44) maps
+  * one-to-one onto DataFrameReader formats; writers are the half a
+  * batch engine adds.
+  */
+object Sinks {
+
+  private def scratch(s: SparkSession, dir: String, tag: String): String = {
+    val id = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_sinks/$id/$tag"
+  }
+
+  /** Hive-style partitioned parquet lake write (partitionBy lang):
+    * the layout that gives partition pruning on the read side. */
+  val partitionedParquet: Q = Q(
+    "sink_partitioned_parquet",
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "docs_by_lang")
+    Tables.documents(s, dir).write
+      .mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** CSV round-trip with explicit schema on re-read. */
+  val csvRoundtrip: Q = Q(
+    "sink_csv_roundtrip",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "orders_csv")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        // fixed 2-dp text so the double->text->double trip is exact
+        format_number(col("o_totalprice"), 2).as("o_totalprice_s"))
+    orders.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    s.read.option("header", "true").csv(out)
+      .select(col("o_orderstatus"),
+        regexp_replace(col("o_totalprice_s"), ",", "")
+          .cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines round-trip (the interchange format of data pipelines). */
+  val jsonRoundtrip: Q = Q(
+    "sink_json_roundtrip",
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "events_json")
+    Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).json(out)
+    s.read.json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ORC round-trip — the other columnar lake format. */
+  val orcRoundtrip: Q = Q(
+    "sink_orc_roundtrip",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "lineitem_orc")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
+    orcRoundtrip)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Core, Vectors}
+
+/** Physical-plan audit: the properties that matter at 100 TB —
+  * pushdown to the scan, broadcast of small sides, no full sort for
+  * global top-k — asserted on the executed plans. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // cached plans from other suites would swap parquet scans for
+    // InMemoryTableScan and hide the pushdown strings
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val p = plan(Core.qFilterProject.run(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), IsNotNull(p_size), " +
+      "EqualTo(p_type,PROMO), GreaterThanOrEqual(p_size,25)]"))
+    // read schema is pruned to the referenced columns only
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string," +
+      "p_type:string,p_size:int,p_retailprice:double>"))
+    assert(!p.contains("p_name"))
+  }
+
+  test("q5 joins every dimension via broadcast, no shuffle joins") {
+    val p = plan(Core.q5MultiJoin.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the fact table scan reads only the 4 needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(Core.qTopkGlobal.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject(limit=100"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("kNN broadcasts the query side") {
+    val p = plan(Vectors.knnBrute.run(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"))
+  }
+
+  test("q1 aggregation is partial (map-side combine) + final") {
+    val p = plan(Core.q1Agg.run(spark, sf))
+    // two HashAggregate layers around one exchange = partial agg works
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"))
+  }
+}
