@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (GraftSession sets
+  * it), then:
+  *
+  * {{{
+  *   SELECT graft_dot(a.v, b.v)                 -- codegen'd dot product
+  *   SELECT minhash_sketch(xxhash64(s), 128)    -- MinHash signature agg
+  *   SELECT simhash64(xxhash64(t), cnt)         -- weighted SimHash agg
+  *   SELECT topk_by(score, id, 10)              -- bounded top-k agg
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (args: Seq[Expression]) =>
+        MinHashAgg(args(0), litInt(args(1), "minhash_sketch"))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64"),
+      (args: Seq[Expression]) =>
+        SimHashAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_by"),
+      (args: Seq[Expression]) =>
+        TopKAgg(args(0), args(1), litInt(args(2), "topk_by"))
+          .toAggregateExpression()))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k-per-group aggregate.
+  *
+  * The window-function form (`row_number() over (partition by k order
+  * by v) <= n`) must shuffle and fully sort every row of every group.
+  * This aggregate keeps a bounded k-element buffer per group, gets
+  * map-side partial aggregation for free, and ships at most k rows
+  * per group per partition through the shuffle — the difference
+  * between sorting 100 TB and sorting k x |groups| rows.
+  *
+  * Ordering: score descending, then id ascending (deterministic
+  * tiebreak). Emits array<struct<score double, id bigint>> sorted in
+  * rank order.
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_by"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(
+      buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {
+    if (buf.length < k || better(e, buf.last)) {
+      var i = buf.length
+      buf += e // placeholder slot
+      while (i > 0 && better(e, buf(i - 1))) { buf(i) = buf(i - 1); i -= 1 }
+      buf(i) = e
+      if (buf.length > k) buf.remove(buf.length - 1)
+    }
+  }
+
+  override def update(
+      buf: ArrayBuffer[(Double, Long)],
+      input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      b1: ArrayBuffer[(Double, Long)],
+      b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
+    new GenericArrayData(buf.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+    bb.putInt(buf.length)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < n) { buf += ((bb.getDouble(), bb.getLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopKAgg = copy(score = c(0), id = c(1))
+}
+
+object TopK {
+  /** topk_by(score, id, k): bounded per-group top-k, rank order. */
+  def topkBy(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKAgg(GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+}

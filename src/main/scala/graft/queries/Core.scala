@@ -273,6 +273,29 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** Top-3 per customer again — but via the bounded TopKAgg custom
+    * aggregate instead of a window: map-side partial top-k, at most k
+    * rows per group per partition enter the shuffle, no per-group
+    * full sort. Same oracle as q_window_rank proves equivalence. */
+  val qTopkPerKey: Q = Q(
+    "q_topk_per_key",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopK.topkBy(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), col("e.id").as("o_orderkey"),
+        col("e.score").as("o_totalprice"),
+        (col("pos") + 1).as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** HyperLogLog++ approximate distinct per group — the sketch that
     * replaces exact COUNT(DISTINCT) at 100 TB (mergeable, constant
     * memory). Rows-only: DuckDB's HLL differs bit-wise; QueriesSpec
@@ -288,5 +311,5 @@ object Core {
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
-    qApproxDistinct)
+    qTopkPerKey, qApproxDistinct)
 }

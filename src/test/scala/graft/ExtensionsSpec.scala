@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions are usable from plain SQL once
+  * graft.GraftExtensions is active (TestSpark builds through
+  * GraftSession, which sets spark.sql.extensions). */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_dot from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("topk_by from SQL matches window top-k") {
+    spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .createOrReplaceTempView("orders_v")
+    val viaAgg = spark.sql(
+      """SELECT o_custkey, e.id AS o_orderkey
+        |FROM (SELECT o_custkey, topk_by(o_totalprice, o_orderkey, 3) t
+        |      FROM orders_v GROUP BY o_custkey)
+        |LATERAL VIEW explode(t) AS e""".stripMargin)
+      .collect().map(_.mkString("|")).toSet
+    val viaWindow = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders_v) WHERE rn <= 3""".stripMargin)
+      .collect().map(_.mkString("|")).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("simhash64 and minhash_sketch from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64(xxhash64(t), 1L) AS sh,
+        |  minhash_sketch(xxhash64(t), 8) AS mh
+        |FROM (SELECT explode(array('a','b','c')) t)""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](1).length == 8)
+    // deterministic across invocations
+    val r2 = spark.sql(
+      """SELECT simhash64(xxhash64(t), 1L) AS sh
+        |FROM (SELECT explode(array('a','b','c')) t)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == r2.getLong(0))
+  }
+}
