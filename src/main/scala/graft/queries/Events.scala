@@ -99,5 +99,42 @@ object Events {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin)
+  /** Semi-structured extraction: the props JSON column parsed in the
+    * engine (get_json_object) and aggregated — the ubiquitous
+    * event-payload pattern. */
+  val jsonExtract: Q = Q(
+    "events_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Deterministic argmax: each order's highest-quantity line item via
+    * a single max(struct(...)) aggregation — no join-back, no window,
+    * ties broken by line number inside the struct ordering. */
+  val argmaxJoin: Q = Q(
+    "q_argmax",
+    """SELECT o_orderkey, best_qty, best_line FROM (
+      |  SELECT l_orderkey AS o_orderkey, l_quantity AS best_qty,
+      |    l_linenumber AS best_line, ROW_NUMBER() OVER (
+      |      PARTITION BY l_orderkey
+      |      ORDER BY l_quantity DESC, l_linenumber DESC) rn
+      |  FROM lineitem) WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(struct(col("l_quantity"), col("l_linenumber"))).as("m"))
+      .select(col("o_orderkey"), col("m.l_quantity").as("best_qty"),
+        col("m.l_linenumber").as("best_line"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract, argmaxJoin)
 }

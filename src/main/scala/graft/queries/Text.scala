@@ -50,12 +50,18 @@ object Text {
         |      x -> x IN ($stopsSql))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars_m, n_words,
-        |  ROUND(n_alnum / n_words, 4) AS mean_word_len,
-        |  ROUND(n_alnum / n_chars_m, 4) AS alpha_ratio,
-        |  ROUND(n_stop / n_words, 4) AS stop_ratio,
-        |  ROUND(0.3 * (n_stop / n_words) + 0.4 * LEAST(1.0, n_words / 100.0)
-        |    + 0.3 * (n_alnum / n_chars_m), 4) AS quality_score
+        |  FLOOR((n_alnum / n_words) * 10000 + 0.5) / 10000 AS mean_word_len,
+        |  FLOOR((n_alnum / n_chars_m) * 10000 + 0.5) / 10000 AS alpha_ratio,
+        |  FLOOR((n_stop / n_words) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  FLOOR((0.3 * (n_stop / n_words) + 0.4 * LEAST(1.0, n_words / 100.0)
+        |    + 0.3 * (n_alnum / n_chars_m)) * 10000 + 0.5) / 10000 AS quality_score
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // floor(x*1e4 + 0.5)/1e4 instead of round(): these ratios hit
+      // EXACT 4-dp half-boundaries (e.g. 0.3*13/16 terms -> 0.31375)
+      // where Spark's decimal HALF_UP and DuckDB's float rint
+      // disagree; an identical floor expression on the identical
+      // double cannot diverge.
+      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
       val base = Tables.documents(s, dir).select(
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
@@ -64,12 +70,12 @@ object Text {
         countIn(toks(col("text")), stops).as("n_stop"))
       base.select(
         col("doc_id"), col("n_chars_m"), col("n_words"),
-        round(col("n_alnum") / col("n_words"), 4).as("mean_word_len"),
-        round(col("n_alnum") / col("n_chars_m"), 4).as("alpha_ratio"),
-        round(col("n_stop") / col("n_words"), 4).as("stop_ratio"),
-        round(lit(0.3) * (col("n_stop") / col("n_words"))
+        r4(col("n_alnum") / col("n_words")).as("mean_word_len"),
+        r4(col("n_alnum") / col("n_chars_m")).as("alpha_ratio"),
+        r4(col("n_stop") / col("n_words")).as("stop_ratio"),
+        r4(lit(0.3) * (col("n_stop") / col("n_words"))
           + lit(0.4) * least(lit(1.0), col("n_words") / lit(100.0))
-          + lit(0.3) * (col("n_alnum") / col("n_chars_m")), 4).as("quality_score"))
+          + lit(0.3) * (col("n_alnum") / col("n_chars_m"))).as("quality_score"))
         .orderBy(col("doc_id"))
     }
   }
@@ -204,6 +210,45 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** TF-IDF top-3 terms per document — the classic weighting, ranked
+    * with a deterministic tiebreak. df/idf stats are tiny and
+    * broadcast; the per-doc ranking is a partitioned window. */
+  val tfidf: Q = Q(
+    "text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, COUNT(DISTINCT doc_id)::DOUBLE df FROM tok GROUP BY 1),
+      |nd AS (SELECT COUNT(*)::DOUBLE n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf * ln(nd.n / df.df) AS score
+      |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN nd),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, t) rn
+      |  FROM sc)
+      |SELECT doc_id, rn AS rank, t AS term, ROUND(score, 4) AS score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tok.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+    tf.join(broadcast(df), "t")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", col("tf") * log(col("n") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").as("rank"), col("t").as("term"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
-    docStats, fingerprint)
+    docStats, fingerprint, tfidf)
 }

@@ -101,45 +101,12 @@ object Vectors {
     * probes a small fraction of the data. Rows-only (KMeans has no
     * SQL twin); recall vs knnBrute asserted in VectorSpec. */
   val knnIvf: Q = Q.rowsOnly("knn_ivf") { (s, dir) =>
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     val e = emb(s, dir).cache()
-    val feat = e.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(feat)
-    val centers = model.clusterCenters.map(_.toArray)
-
-    // assignment + probe lists from broadcast centroids, pure columns
-    val centArr = array(centers.zipWithIndex.map { case (ctr, i) =>
-      struct(lit(i).as("cid"), array(ctr.map(lit(_)): _*).as("cv"))
-    }: _*)
-    def dist2(v: Column, cv: Column): Column =
-      aggregate(zip_with(v, cv, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // vectors: nearest centroid; queries: nprobe=4 nearest centroids
-    val withDists = e.withColumn("cd",
-      transform(centArr, c => struct(dist2(col("v"), c("cv")).as("d"),
-        c("cid").as("cid"))))
-    val assigned = withDists
-      .withColumn("cid", array_min(col("cd"))("cid")).drop("cd")
-    val probes = withDists.filter(col("vec_id") < 50)
-      .withColumn("probe", transform(
-        slice(array_sort(col("cd")), 1, 4), p => p("cid")))
-      .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        col("n2").as("nq"), explode(col("probe")).as("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probes)
-      .join(assigned.select(col("vec_id").as("neighbor_id"),
-        col("v").as("vc"), col("n2").as("nc"), col("cid")), Seq("cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
+    val idx = "/tmp/graft_ivf/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.IvfIndex.build(s, e, idx, k = 16)
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    graft.operators.IvfIndex.query(s, idx, q, topK = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 
