@@ -136,5 +136,28 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract, argmaxJoin)
+  /** The same as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy +
+    * physical merge): one linear pass over co-partitioned sorted
+    * sides, versus the composed union+window. Same oracle family as
+    * q_asof_join proves the operator. */
+  val asofNative: Q = Q(
+    "q_asof_native",
+    """SELECT event_id, user_id,
+      |  (SELECT MAX(o_orderdate) FROM orders
+      |    WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_orderdate
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    // distinct (key, date) pairs: the only payload is the date itself,
+    // so tie-order among same-date orders cannot leak into the output
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate")).distinct()
+    graft.operators.AsOf.join(ev, ord, "user_id", "ts", "o_custkey", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
+    argmaxJoin, asofNative)
 }
