@@ -271,6 +271,41 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-format file ingestion (bones.py:32-64): loads the
+    * reference's own demo_docs directory through the
+    * extension-dispatched DocLoader. Rows-only (file-system input,
+    * not a lake table); format handling spec'd in RetrievalSpec. */
+  val docLoadFiles: Q = Q.rowsOnly("doc_load_files") { (s, _) =>
+    graft.sources.DocLoader.load(s, "/root/reference/demo_docs")
+      .orderBy(col("source"))
+  }
+
+  /** The whole conversational QA pipeline in one plan (bones.py:
+    * 123-144 convchain): question per query doc → BM25 retrieve →
+    * stuff top-2 context → extractive answer stub from the top hit
+    * (the LLM call is the only stubbed step). Rows-only; shape
+    * asserted in RetrievalSpec. */
+  val qaPipeline: Q = Q.rowsOnly("qa_pipeline") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val questions = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(toks(col("text")), 1, 10)).as("question"))
+    val ranked = bm25Ranked(s, dir).filter(col("rn") <= 2)
+    val withText = ranked.join(docs, "doc_id")
+    val ctx = withText.groupBy(col("query_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("text")))),
+          x => x("text")), " | ").as("context"))
+    val answer = withText.filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id").as("top_doc"),
+        substring(col("text"), 1, 120).as("answer"))
+    broadcast(questions)
+      .join(ctx, "query_id").join(answer, "query_id")
+      .select(col("query_id"), col("question"), col("top_doc"),
+        col("answer"), col("context"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
-    embedHashing, retrievalVector)
+    embedHashing, retrievalVector, docLoadFiles, qaPipeline)
 }

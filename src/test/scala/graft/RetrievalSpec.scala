@@ -52,6 +52,42 @@ class RetrievalSpec extends AnyFunSuite {
     ctx.values.foreach(c => assert(c.split(" \\| ").length == 3))
   }
 
+  test("file loader ingests the reference demo corpus") {
+    val rows = Retrieval.docLoadFiles.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val demo = rows.find(_.getAs[String]("source").endsWith("demo.txt"))
+    assert(demo.isDefined)
+    assert(demo.get.getAs[String]("format") == "txt")
+    assert(demo.get.getAs[Long]("n_chars") > 1000) // demo.txt is ~3.4 KB
+    assert(demo.get.getAs[String]("text").nonEmpty)
+  }
+
+  test("file loader dispatches by extension: text, html strip, binary stub") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-docs").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"), "plain text body")
+    Files.writeString(Paths.get(s"$dir/b.html"),
+      "<html><body><h1>Title</h1><p>para &amp; more</p></body></html>")
+    Files.write(Paths.get(s"$dir/c.pdf"), Array[Byte](0x25, 0x50, 0x44, 0x46))
+    val rows = graft.sources.DocLoader.load(spark, dir).collect()
+      .map(r => r.getAs[String]("format") -> r.getAs[String]("text")).toMap
+    assert(rows.keySet == Set("txt", "html", "pdf"))
+    assert(rows("txt") == "plain text body")
+    assert(!rows("html").contains("<") && rows("html").contains("Title")
+      && rows("html").contains("para") && !rows("html").contains("&amp;"))
+    assert(rows("pdf") == "[unparsed pdf document, 4 bytes]")
+  }
+
+  test("qa pipeline returns question/context/answer per query") {
+    val rows = Retrieval.qaPipeline.run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 5L).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[String]("question").nonEmpty)
+      assert(r.getAs[String]("answer").nonEmpty)
+      assert(r.getAs[String]("context").split(" \\| ").length == 2)
+    }
+  }
+
   test("recursive chunking covers every document") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val chunked = Text.chunkRecursive.run(spark, sf)

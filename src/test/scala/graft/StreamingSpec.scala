@@ -54,6 +54,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(got) == asSet(want))
   }
 
+  test("streaming dedup: first event per user == batch distinct users") {
+    val deduped = streamEvents
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val gotUsers = spark.table("dedup_s").select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    val wantUsers = Tables.events(spark, sf).select("user_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gotUsers == wantUsers)
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
