@@ -42,7 +42,9 @@ object IvfIndex {
     val assigned = emb.withColumn("cid",
       array_min(transform(centArr,
         c => struct(dist2(col("v"), c("cv")).as("d"), c("cid").as("cid"))))("cid"))
-    assigned.write.mode(SaveMode.Overwrite)
+    // repartition on cid first: otherwise every task writes a file
+    // into every cid directory (tasks x k tiny files)
+    assigned.repartition(col("cid")).write.mode(SaveMode.Overwrite)
       .partitionBy("cid").parquet(s"$indexDir/vectors")
     val centRows = centers.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }
     import spark.implicits._

@@ -308,8 +308,88 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** Running (cumulative) revenue per supplier over ship dates —
+    * the prefix-sum window pattern. */
+  val qRunningSum: Q = Q(
+    "q_running_sum",
+    """SELECT l_suppkey, l_shipdate,
+      |  CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+      |FROM lineitem GROUP BY l_suppkey, l_shipdate
+      |ORDER BY l_suppkey, l_shipdate""".stripMargin) { (s, dir) =>
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(money(col("l_extendedprice"))).as("rev"))
+    daily.withColumn("running_rev",
+      sum(col("rev")).over(Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"))
+        .rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType))
+      .select(col("l_suppkey"), col("l_shipdate"), col("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"))
+  }
+
+  /** NTILE quartiles over customer balances (deterministic tiebreak). */
+  val qNtile: Q = Q(
+    "q_ntile",
+    """SELECT c_custkey, NTILE(4) OVER (
+      |  ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), ntile(4).over(Window
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))).as("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set operations: urgent-order customers INTERSECT building-segment,
+    * EXCEPT big-balance — distinct set semantics end to end. */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val rich = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"))
+    urgent.intersect(building).except(rich).orderBy(col("custkey"))
+  }
+
+  /** Above-segment-average filter (the correlated-subquery pattern,
+    * decorrelated to a broadcast join). The comparison is the
+    * decimal-exact bal * n > sum form — a float average would make
+    * the threshold partition-order dependent. */
+  val qCorrelated: Q = Q(
+    "q_correlated",
+    """WITH s AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+      |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      |  FROM customer GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      |FROM customer JOIN s ON c_mktsegment = seg
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val stats = c.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(money(col("c_acctbal"))).as("total"))
+    c.join(broadcast(stats), col("c_mktsegment") === col("seg"))
+      .filter(money(col("c_acctbal")) * col("cnt") > col("total"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        money(col("c_acctbal")).cast(DoubleType).as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
-    qTopkPerKey, qApproxDistinct)
+    qTopkPerKey, qApproxDistinct, qRunningSum, qNtile, qSetOps, qCorrelated)
 }
