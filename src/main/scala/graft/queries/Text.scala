@@ -249,6 +249,29 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Suffix-strip stemming (porter-lite): vocabulary compression
+    * measured per doc. The token array is materialized before the
+    * per-element regex (HOF argument re-evaluation pitfall). */
+  val stem: Q = Q(
+    "text_stem",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(list_distinct(ts)) AS n_distinct_raw,
+      |  len(list_distinct(list_transform(ts,
+      |    w -> regexp_replace(w, '(ing|ed|ly|es|s)$', '')))) AS n_distinct_stems
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(array_distinct(col("ts"))).as("n_distinct_raw"),
+        size(array_distinct(transform(col("ts"),
+          w => regexp_replace(w, "(ing|ed|ly|es|s)$", ""))))
+          .as("n_distinct_stems"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
-    docStats, fingerprint, tfidf)
+    docStats, fingerprint, tfidf, stem)
 }

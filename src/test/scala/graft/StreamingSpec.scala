@@ -68,6 +68,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotUsers == wantUsers)
   }
 
+  test("stream-stream interval self-join == batch equivalent") {
+    // purchases joined to the same user's clicks within the previous
+    // 10 minutes — the canonical stream-stream interval join
+    val clicks = streamEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = streamEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = asSet(spark.table("ss_join"))
+
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val want = asSet(bp.join(bc,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id")))
+    assert(got == want)
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
