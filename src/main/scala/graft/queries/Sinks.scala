@@ -89,6 +89,27 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Small-file management: re-write a fragmented table into
+    * size-bounded files (maxRecordsPerFile + repartition) — the
+    * compaction job every 100 TB lake runs; the read-back aggregate
+    * proves losslessness, FileSpec asserts the file layout. */
+  val compaction: Q = Q(
+    "sink_compaction",
+    """SELECT COUNT(*) AS n_rows, SUM(n_chars) AS total_chars
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val frag = scratch(s, dir, "docs_fragmented")
+    val compact = scratch(s, dir, "docs_compact")
+    val docs = Tables.documents(s, dir)
+    docs.repartition(64).write.mode(SaveMode.Overwrite).parquet(frag) // 64 shards
+    s.read.parquet(frag)
+      .repartition(2)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 1000)
+      .parquet(compact)
+    s.read.parquet(compact)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip)
+    orcRoundtrip, compaction)
 }

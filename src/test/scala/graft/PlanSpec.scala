@@ -49,6 +49,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"))
   }
 
+  test("join strategy hints are honored") {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val hinted = li.join(o.hint("shuffle_hash"),
+      li("l_orderkey") === o("o_orderkey"))
+    assert(plan(hinted).contains("ShuffledHashJoin"))
+    val merged = li.join(o.hint("merge"),
+      li("l_orderkey") === o("o_orderkey"))
+    assert(plan(merged).contains("SortMergeJoin"))
+  }
+
+  test("compaction output respects maxRecordsPerFile") {
+    graft.queries.Sinks.compaction.run(spark, sf).collect()
+    val dir = new java.io.File(
+      "/tmp/graft_sinks/_root_testdata_sf0_001/docs_compact")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // 500 docs, 2 partitions, cap 1000 → no file over the cap
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 1000)
+    }
+  }
+
   test("q1 aggregation is partial (map-side combine) + final") {
     val p = plan(Core.q1Agg.run(spark, sf))
     // two HashAggregate layers around one exchange = partial agg works
