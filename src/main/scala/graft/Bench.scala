@@ -16,7 +16,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache() // per-query caches must not leak forward
+      // per-query caches must not leak forward; unpersist is async, so
+      // nudge the JVM before the next query times itself
+      spark.catalog.clearCache()
+      System.gc()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
