@@ -43,8 +43,8 @@ object Events {
       |      THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |y AS (
-      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -105,7 +105,7 @@ object Events {
   val jsonExtract: Q = Q(
     "events_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)

@@ -211,48 +211,111 @@ object Retrieval {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Shared oracle CTEs for the hashing embedder: raw (unnormalized)
+    * bucket weights per doc. Portable md5-prefix token hash (same
+    * engine-pair trick as text_fingerprint, Text.scala): 40-bit
+    * non-negative, so `%` / `>>` / `&` agree between engines and the
+    * weights are exact integers. */
+  private val embedCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |hh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h FROM tok),
+      |wts AS (
+      |  SELECT doc_id, CAST(h % 64 AS INT) AS idx,
+      |    CAST(SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |  FROM hh GROUP BY 1, 2)""".stripMargin
+
   /** Deterministic hashing embedder (the batch stand-in for bones.py:71
-    * HuggingFaceEmbeddings): token -> bucket pmod(xxhash64(t), 64),
-    * sign from bit 6, counts accumulated then L2-normalized. Pure
-    * column expressions; a real model swaps in via mapPartitions with
-    * the same (id, Array[Float]) contract. Rows-only: the seeded hash
-    * has no DuckDB twin; RetrievalSpec checks norm/determinism. */
-  val embedHashing: Q = Q.rowsOnly("embed_hashing") { (s, dir) =>
-    embeddedDocs(s, dir, Tables.documents(s, dir))
+    * HuggingFaceEmbeddings): token -> bucket h % 64, sign from bit 6,
+    * signed counts accumulated per bucket. Emitted long-form
+    * (doc_id, idx, w) — exact integers, fully DuckDB-oracle-checked;
+    * the dense L2-normalized array contract lives in embeddedDocs
+    * (RetrievalSpec). A real model swaps in via mapPartitions with the
+    * same (id, Array[Float]) contract. */
+  val embedHashing: Q = Q(
+    "embed_hashing",
+    s"""WITH $embedCte
+      |SELECT doc_id, idx, w FROM wts ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+    rawBuckets(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  /** Long-form raw bucket weights (doc_id, idx, w: bigint). */
+  private def rawBuckets(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("t")), 1, 10), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(64)).cast("int").as("idx"),
+        when(shiftright(col("h"), 6).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("w"))
+  }
+
+  /** (doc_id, vec: array<double>) dense 64-dim RAW weights — exact
+    * integers, so dot products and norms are order-independent. */
+  private[graft] def embeddedDocsRaw(docs: DataFrame): DataFrame = {
+    val asMap = rawBuckets(docs).groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("idx"), col("w").cast("double")))).as("m"))
+    asMap.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => coalesce(try_element_at(col("m"), i), lit(0.0))).as("vec"))
   }
 
   /** (doc_id, vec: array<double> L2-normalized) for any (doc_id, text) DF. */
-  private[queries] def embeddedDocs(
+  private[graft] def embeddedDocs(
       s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val buckets = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("t")), lit(64)).cast("int").as("idx"),
-        when(shiftright(xxhash64(col("t")), 6).bitwiseAND(1) === 1, 1.0)
-          .otherwise(-1.0).as("sgn"))
-      .groupBy(col("doc_id"), col("idx"))
-      .agg(sum(col("sgn")).as("w"))
-    val asMap = buckets.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
-        .as("m"))
-    val raw = transform(sequence(lit(0), lit(63)),
-      i => coalesce(try_element_at(col("m"), i), lit(0.0)))
-    val nrm = sqrt(aggregate(transform(raw, x => x * x),
+    val raws = embeddedDocsRaw(docs)
+    // materialize vec as an attribute first: HOF lambdas re-evaluate
+    // their argument expression per element
+    val nrm = sqrt(aggregate(transform(col("vec"), x => x * x),
       lit(0.0), (a, x) => a + x))
-    asMap.select(col("doc_id"),
-      when(nrm > 0, transform(raw, x => x / nrm))
-        .otherwise(raw).as("vec"))
+    raws.select(col("doc_id"),
+      when(nrm > 0, transform(col("vec"), x => x / nrm))
+        .otherwise(col("vec")).as("vec"))
   }
 
   /** End-to-end vector retrieval (load → embed → top-k cosine), the
     * as_retriever(search_type="similarity", k=3) equivalent
     * (bones.py:77-87). Query docs and corpus share the embedder;
-    * query side broadcast. Rows-only; RetrievalSpec asserts sanity
-    * (self-similarity, k, rank order). */
-  val retrievalVector: Q = Q.rowsOnly("retrieval_vector") { (s, dir) =>
+    * query side broadcast. Cosine = exact integer dot / sqrt of exact
+    * integer norms — bit-stable across engines, so fully
+    * oracle-checked (the half-up rounding uses FLOOR(x*1e4+0.5), not
+    * round(), to dodge decimal-vs-float rint divergence). */
+  val retrievalVector: Q = Q(
+    "retrieval_vector",
+    s"""WITH $embedCte,
+      |n2 AS (SELECT doc_id, SUM(w * w) AS n2 FROM wts GROUP BY 1),
+      |pairs AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS hit_id
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 5) q
+      |  CROSS JOIN (SELECT doc_id FROM documents) c
+      |  WHERE c.doc_id <> q.doc_id),
+      |dots0 AS (
+      |  SELECT a.doc_id AS query_id, b.doc_id AS hit_id, SUM(a.w * b.w) AS dt
+      |  FROM wts a JOIN wts b ON a.idx = b.idx
+      |  WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT p.query_id, p.hit_id,
+      |    COALESCE(d.dt, 0) / sqrt(na.n2 * nb.n2) AS cos
+      |  FROM pairs p
+      |  LEFT JOIN dots0 d ON p.query_id = d.query_id AND p.hit_id = d.hit_id
+      |  JOIN n2 na ON na.doc_id = p.query_id
+      |  JOIN n2 nb ON nb.doc_id = p.hit_id),
+      |r AS (
+      |  SELECT query_id, hit_id, cos, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, hit_id) rn FROM cs)
+      |SELECT query_id, rn AS rank, hit_id,
+      |  FLOOR(cos * 10000 + 0.5) / 10000 AS cos_sim
+      |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     // cache: both the query side and the corpus side read the embedded
     // docs; uncached, the full embed pipeline runs twice
-    val emb = embeddedDocs(s, dir, Tables.documents(s, dir)).cache()
+    val emb = embeddedDocsRaw(Tables.documents(s, dir)).cache()
     import graft.functions.VectorExprs.{dot, norm2}
     val q = emb.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("vec").as("vq"))
@@ -267,7 +330,7 @@ object Retrieval {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn").as("rank"), col("hit_id"),
-        round(col("cos"), 4).as("cos_sim"))
+        (floor(col("cos") * 10000 + 0.5) / 10000).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -25,7 +25,8 @@ object Sinks {
     * the layout that gives partition pruning on the read side. */
   val partitionedParquet: Q = Q(
     "sink_partitioned_parquet",
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     val out = scratch(s, dir, "docs_by_lang")
     Tables.documents(s, dir).write
@@ -95,7 +96,7 @@ object Sinks {
     * proves losslessness, FileSpec asserts the file layout. */
   val compaction: Q = Q(
     "sink_compaction",
-    """SELECT COUNT(*) AS n_rows, SUM(n_chars) AS total_chars
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin) { (s, dir) =>
     val frag = scratch(s, dir, "docs_fragmented")
     val compact = scratch(s, dir, "docs_compact")

@@ -146,7 +146,7 @@ object Text {
     "doc_stats",
     """SELECT lang, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT source) AS n_sources,
-      |  SUM(n_chars) AS total_chars, MAX(n_chars) AS max_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .groupBy(col("lang"))

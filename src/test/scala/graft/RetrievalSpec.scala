@@ -9,7 +9,13 @@ class RetrievalSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
 
   test("hashing embedder emits unit-norm 64-dim vectors, deterministically") {
-    val a = Retrieval.embedHashing.run(spark, sf).collect()
+    // registered query: exact long-form (doc_id, idx, w) weights
+    val lf = Retrieval.embedHashing.run(spark, sf).collect()
+    assert(lf.nonEmpty)
+    assert(lf.forall { r => val i = r.getInt(1); i >= 0 && i < 64 })
+    // dense array contract (what downstream consumers embed with)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = Retrieval.embeddedDocs(spark, sf, docs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(a.nonEmpty)
     a.values.foreach { v =>
@@ -17,7 +23,7 @@ class RetrievalSpec extends AnyFunSuite {
       val n2 = v.map(x => x * x).sum
       assert(math.abs(n2 - 1.0) < 1e-9, s"norm2 $n2")
     }
-    val b = Retrieval.embedHashing.run(spark, sf).collect()
+    val b = Retrieval.embeddedDocs(spark, sf, docs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(a == b)
   }
