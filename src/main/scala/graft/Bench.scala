@@ -16,11 +16,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // capture elapsed BEFORE cache teardown: clearCache + GC belong
+      // to inter-query hygiene, not to the measured query
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // per-query caches must not leak forward; unpersist is async, so
       // nudge the JVM before the next query times itself
       spark.catalog.clearCache()
       System.gc()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -44,8 +44,13 @@ case class TopKAgg(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
-  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare gives a TOTAL order (NaN > +Inf, -0 < 0):
+  // with </==, a NaN score would never compare better-or-equal, park at
+  // the buffer tail while under k, and block every later eviction
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(
       buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {

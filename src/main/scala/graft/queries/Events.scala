@@ -30,16 +30,37 @@ object Events {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** 30-minute-gap sessionization: one shuffle on user_id, then two
-    * window passes (lag → gap flags, running sum → session ids) and a
-    * partial-aggregating groupBy. No driver-side state; scales to any
-    * number of users. */
+  /** Gap sessionization over any (user_id, ts, value) frame: one
+    * shuffle on user_id, then two window passes (lag → gap flags,
+    * running sum → session ids) and a partial-aggregating groupBy.
+    * A gap of EXACTLY the threshold starts a new session (>=), the
+    * same boundary as Structured Streaming's session_window, whose
+    * window end is exclusive — StreamingSpec pins the boundary. */
+  private[graft] def sessionizeDf(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+            >= 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+  }
+
+  /** 30-minute-gap sessionization. No driver-side state; scales to
+    * any number of users. */
   val sessionize: Q = Q(
     "events_sessionize",
     """WITH x AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |      THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |y AS (
@@ -50,20 +71,7 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM y GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("value"))
-      .withColumn("new_sess",
-        when(lag(col("ts"), 1).over(byUser).isNull ||
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-            > 1800000000L, 1).otherwise(0))
-      .withColumn("session_id",
-        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+    sessionizeDf(Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")))
       .orderBy(col("user_id"), col("session_id"))
   }
 

@@ -36,10 +36,21 @@ object Vectors {
       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) n2
       |  FROM e)""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (cosine >= 0.5). The checkable
-    * query verifies ALL pairs exactly (the corpus max off-pair cosine
-    * is ~0.6, so 0.5 exercises the operator); at 100 TB the same
-    * verify step runs on annLsh candidates instead of all pairs. */
+  /** Embedding-cosine near-dup pairs (cosine >= 0.5), EXACT — and the
+    * corpus forces exactness the hard way: qualifying pairs sit at
+    * cos 0.50-0.60 with background right below (0.513 vs 0.493 at
+    * sf0.01), so no LSH/IVF candidate scheme is lossless at this
+    * threshold (hyperplane agreement at cos 0.5 is only 2/3 per bit).
+    * Exact all-pairs is inherently O(n²) FLOPs; what MUST NOT be
+    * O(n²) is the data movement. This plan is the replicated block
+    * join (triangle join): vectors land in B blocks by id, the
+    * B(B+1)/2 unordered block pairs drive two equi-joins, so each
+    * vector is replicated ~B/2 times instead of the whole table being
+    * broadcast through a BroadcastNestedLoopJoin, and the FLOPs
+    * spread evenly over the block-pair tasks (PlanSpec asserts no
+    * BNLJ/CartesianProduct). When the threshold has a real gap
+    * (near-1 dups), swap candidate generation for annLsh bands and
+    * keep the same exact verify. */
   val embeddingNearDup: Q = Q(
     "dedup_embedding",
     s"""WITH $oracleEmb,
@@ -50,14 +61,27 @@ object Vectors {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT da AS doc_a, db AS doc_b, ROUND(cos, 4) AS cos_sim
       |FROM p WHERE cos >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val e = emb(s, dir)
-    val a = e.select(col("vec_id").as("da"), col("v").as("va"), col("n2").as("na"))
-    val b = e.select(col("vec_id").as("db"), col("v").as("vb"), col("n2").as("nb"))
+    val nBlocks = 32
+    val e = emb(s, dir).cache() // scanned by both join sides
+    val withBlk = e.withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+    val blockPairs = s.range(nBlocks.toLong * nBlocks)
+      .select((col("id") / nBlocks).cast("int").as("ba"),
+        pmod(col("id"), lit(nBlocks)).cast("int").as("bb"))
+      .filter(col("ba") <= col("bb"))
+    val a = withBlk.select(col("vec_id").as("da"), col("v").as("va"),
+      col("n2").as("na"), col("blk").as("ba"))
+    val b = withBlk.select(col("vec_id").as("db"), col("v").as("vb"),
+      col("n2").as("nb"), col("blk").as("bb"))
     val cos = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
-    a.join(b, col("da") < col("db"))
+    a.join(broadcast(blockPairs), "ba")
+      .join(b, "bb")
+      // each unordered pair appears once: distinct block pairs are
+      // unique by construction; within a block order by id
+      .filter(col("ba") < col("bb") || col("da") < col("db"))
       .withColumn("cos", cos)
       .filter(col("cos") >= 0.5)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -118,33 +142,38 @@ object Vectors {
 
   /** Random-hyperplane LSH ANN: 16-bit signature, 4x4-bit bands;
     * candidates share a band bucket, then exact cosine re-rank.
-    * Rows-only; recall vs knnBrute asserted in VectorSpec. */
+    * Candidate dedup runs on 16-byte (query_id, neighbor_id) id pairs
+    * ONLY — the full vectors re-join after the distinct (dedup on
+    * rows carrying two 64-double vectors shuffled ~1 KB/row; ids
+    * shuffle 60x less). Rows-only; recall vs knnBrute asserted in
+    * VectorSpec. */
   val annLsh: Q = Q.rowsOnly("ann_lsh") { (s, dir) =>
     val planes = hyperplanes(64, 16)
-    val e = emb(s, dir)
+    val e = emb(s, dir).cache() // banded ids + both scoring sides
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(col("v"), array(p.map(lit(_)): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(col("v"), array(p.map(lit(_)): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val sig = e.withColumn("sig", sigBits)
     val bandArr = array((0 until 4).map(k =>
       shiftright(col("sig"), 4 * k).bitwiseAND(0xFL)
         .bitwiseOR(lit(k.toLong << 32))): _*)
-    val banded = sig.select(col("vec_id"), col("v"), col("n2"),
-      explode(bandArr).as("bucket"))
-    val q = banded.filter(col("vec_id") < 50).select(
-      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"),
-      col("bucket"))
-    val c = banded.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
-      col("n2").as("nc"), col("bucket"))
+    val banded = e.withColumn("sig", sigBits)
+      .select(col("vec_id"), explode(bandArr).as("bucket"))
+    val qb = banded.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = broadcast(qb)
+      .join(banded.select(col("vec_id").as("neighbor_id"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qv = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+      col("n2").as("nc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("vq"), col("nq"),
-        col("vc"), col("nc")).distinct()
+    cand.join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

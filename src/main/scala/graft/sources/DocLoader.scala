@@ -10,30 +10,42 @@ import org.apache.spark.sql.functions._
   *
   * Text-bearing formats go through the text source (wholetext, one
   * row per file); HTML additionally strips tags/entities in the
-  * engine. Binary formats (pdf/doc/epub/...) go through binaryFile
-  * and a STUB extractor — the real parsers aren't in this container,
-  * so the text is a clearly-marked placeholder while the schema,
-  * file metadata, and distribution shape are real.
+  * engine. Binary formats go through binaryFile + the pluggable
+  * `BinaryExtractor` registry (rtf/enex have REAL pure-JVM
+  * extractors); formats whose parsers aren't in this container
+  * (pdf/doc/...) fall back to a clearly-marked placeholder while the
+  * schema, file metadata, and distribution shape stay real.
+  *
+  * Each pass is restricted by pathGlobFilter so binaries are never
+  * UTF-8-decoded by the wholetext reader (and text files never load
+  * as bytes) — without it every file is read twice, once per pass.
   */
 object DocLoader {
 
   val textExtensions: Set[String] = Set("txt", "md")
   val htmlExtensions: Set[String] = Set("html", "htm")
-  val binaryExtensions: Set[String] = Set(
-    "pdf", "doc", "docx", "enex", "epub", "odt", "ppt", "pptx")
+  /** binary formats with a real extractor */
+  val extractedExtensions: Set[String] = Extractors.byExtension.keySet
+  /** binary formats stubbed until their parser is available */
+  val stubExtensions: Set[String] = Set(
+    "pdf", "doc", "docx", "epub", "odt", "ppt", "pptx")
+  val binaryExtensions: Set[String] = stubExtensions ++ extractedExtensions
 
   private def ext(pathCol: org.apache.spark.sql.Column) =
     lower(regexp_extract(pathCol, "\\.([A-Za-z0-9]+)$", 1))
+
+  private def glob(exts: Set[String]): String =
+    s"*.{${exts.toSeq.sorted.mkString(",")}}"
 
   /** Load every supported file under `dir` into
     * (source, format, text, n_chars). */
   def load(spark: SparkSession, dir: String): DataFrame = {
     val text = spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", glob(textExtensions ++ htmlExtensions))
       .textFile(s"$dir/*")
       .select(col("value").as("raw"),
         col("_metadata.file_path").as("source"))
       .withColumn("format", ext(col("source")))
-      .filter(col("format").isin((textExtensions ++ htmlExtensions).toSeq: _*))
       .withColumn("text",
         when(col("format").isin(htmlExtensions.toSeq: _*),
           // tag and entity strip — a real pipeline would use a parser
@@ -42,15 +54,23 @@ object DocLoader {
           .otherwise(col("raw")))
       .select(col("source"), col("format"), col("text"))
 
+    import spark.implicits._
     val binary = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob(binaryExtensions))
       .load(s"$dir/*")
-      .withColumn("format", ext(col("path")))
-      .filter(col("format").isin(binaryExtensions.toSeq: _*))
-      .select(col("path").as("source"), col("format"),
-        // STUB: a pdf/doc parser plugs in here (mapPartitions, like
-        // graft.multimodal.Binary.decodeBatch)
-        concat(lit("[unparsed "), col("format"), lit(" document, "),
-          length(col("content")), lit(" bytes]")).as("text"))
+      .select(col("path").as("source"), ext(col("path")).as("format"),
+        col("content"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (src, fmt, bytes) =>
+          Extractors.byExtension.get(fmt) match {
+            case Some(ex) => (src, fmt, ex.extract(bytes))
+            case None =>
+              (src, fmt, s"[unparsed $fmt document, ${bytes.length} bytes]")
+          }
+        }
+      }
+      .toDF("source", "format", "text")
 
     text.unionByName(binary)
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding is a block equi-join, not an all-pairs nested loop") {
+    val p = plan(Vectors.embeddingNearDup.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ntile has no single-partition global window exchange") {
+    val p = plan(Core.qNtile.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q1 aggregation is partial (map-side combine) + final") {
     val p = plan(Core.q1Agg.run(spark, sf))
     // two HashAggregate layers around one exchange = partial agg works

@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(got) == asSet(want))
   }
 
+  test("exactly-30-minute gap sessionizes the same in stream and batch") {
+    // events 0 and 1800s apart: session_window's end is EXCLUSIVE, so
+    // the second event opens a new session; the batch predicate is >=
+    // to match. A third event 1799s later stays in session 2.
+    val base = 1700000000000000L // micros
+    val ev = spark.range(3).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(base) +
+        when(col("id") === 0, 0L).when(col("id") === 1, 1800L * 1000000L)
+          .otherwise((1800L + 1799L) * 1000000L)).as("ts"),
+      lit(1.0).as("value"))
+    val batch = Events.sessionizeDf(ev)
+      .select(col("session_start"), col("n_events")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    val stream = StreamOps.sessionAgg(ev) // session_window works on batch DF
+      .select(col("session_start"), col("n_events")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    assert(batch == stream)
+    assert(batch.size == 2) // boundary gap split; sub-boundary gap did not
+    assert(batch.map(_._2) == Set(1L, 2L))
+  }
+
   test("streaming dedup: first event per user == batch distinct users") {
     val deduped = streamEvents
       .withWatermark("ts", "1 hour")
