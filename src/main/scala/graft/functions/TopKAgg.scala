@@ -68,8 +68,13 @@ case class TopKAgg(
       input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      // NaN scores are unrankable — drop them here so the total-order
+      // comparator (NaN > +Inf) never promotes them into top-k slots;
+      // the comparator itself stays total for buffer maintenance
+      if (!java.lang.Double.isNaN(sv)) insert(buf, (sv, i.asInstanceOf[Long]))
+    }
     buf
   }
 

@@ -358,17 +358,22 @@ object Core {
     val local = base.withColumn("lr", row_number().over(Window
       .partitionBy(col("pid"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))))
-    // NTILE(k): the first n%k tiles hold ceil(n/k) rows, the rest floor
+    // NTILE(k): the first n%k tiles hold ceil(n/k) rows, the rest floor;
+    // when n < k every row is its own tile (tile = rank), handled
+    // explicitly — a clamped divisor would wrongly merge rows.
     val k = 4L
-    val qSize = math.max(n / k, 1L)
-    val rem = n % k
-    val big = qSize + 1
     val r = col("lr").cast("long") + col("off")
-    local.join(broadcast(offDf), "pid")
-      .select(col("c_custkey"),
+    val tile =
+      if (n < k) r
+      else {
+        val qSize = n / k
+        val rem = n % k
+        val big = qSize + 1
         when(r <= rem * big, floor((r - 1) / big) + 1)
           .otherwise(lit(rem) + floor((r - 1 - rem * big) / qSize) + 1)
-          .cast("int").as("quartile"))
+      }
+    local.join(broadcast(offDf), "pid")
+      .select(col("c_custkey"), tile.cast("int").as("quartile"))
       .orderBy(col("c_custkey"))
   }
 

@@ -33,9 +33,13 @@ object Events {
   /** Gap sessionization over any (user_id, ts, value) frame: one
     * shuffle on user_id, then two window passes (lag → gap flags,
     * running sum → session ids) and a partial-aggregating groupBy.
-    * A gap of EXACTLY the threshold starts a new session (>=), the
-    * same boundary as Structured Streaming's session_window, whose
-    * window end is exclusive — StreamingSpec pins the boundary. */
+    * Boundary contract: a gap of EXACTLY the threshold MERGES (only
+    * a strictly-greater gap starts a new session). That is Structured
+    * Streaming's empirical session_window behavior — an event landing
+    * exactly at prev_ts + gap extends the session — so batch, the
+    * DuckDB oracle below, and the streaming twin (StreamOps
+    * .sessionAgg) all encode strictly-greater; StreamingSpec pins the
+    * boundary on both sides (== merges, +1s splits). */
   private[graft] def sessionizeDf(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -43,7 +47,7 @@ object Events {
       .withColumn("new_sess",
         when(lag(col("ts"), 1).over(byUser).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-            >= 1800000000L, 1).otherwise(0))
+            > 1800000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
@@ -60,7 +64,7 @@ object Events {
     """WITH x AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |      THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |y AS (

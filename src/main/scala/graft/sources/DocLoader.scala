@@ -34,8 +34,15 @@ object DocLoader {
   private def ext(pathCol: org.apache.spark.sql.Column) =
     lower(regexp_extract(pathCol, "\\.([A-Za-z0-9]+)$", 1))
 
-  private def glob(exts: Set[String]): String =
-    s"*.{${exts.toSeq.sorted.mkString(",")}}"
+  /** pathGlobFilter globs are case-sensitive: match either case per
+    * letter so uppercase extensions (.TXT, .PDF) still load. The
+    * post-read `ext()` column lowercases, so dispatch stays uniform. */
+  private def glob(exts: Set[String]): String = {
+    val alts = exts.toSeq.sorted.map(_.map { c =>
+      if (c.isLetter) s"[${c.toLower}${c.toUpper}]" else c.toString
+    }.mkString)
+    s"*.{${alts.mkString(",")}}"
+  }
 
   /** Load every supported file under `dir` into
     * (source, format, text, n_chars). */
@@ -63,11 +70,12 @@ object DocLoader {
       .as[(String, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (src, fmt, bytes) =>
-          Extractors.byExtension.get(fmt) match {
-            case Some(ex) => (src, fmt, ex.extract(bytes))
-            case None =>
-              (src, fmt, s"[unparsed $fmt document, ${bytes.length} bytes]")
-          }
+          // a malformed file must degrade to the placeholder, not
+          // crash the whole load job inside mapPartitions
+          val text = Extractors.byExtension.get(fmt)
+            .flatMap(ex => scala.util.Try(ex.extract(bytes)).toOption)
+            .getOrElse(s"[unparsed $fmt document, ${bytes.length} bytes]")
+          (src, fmt, text)
         }
       }
       .toDF("source", "format", "text")

@@ -29,7 +29,15 @@ object StreamOps {
         col("n_events"), col("sum_value"))
 
   /** 30-minute-gap sessions via the native session_window — merging
-    * windowed state per user, evicted by watermark in streaming. */
+    * windowed state per user, evicted by watermark in streaming.
+    *
+    * Boundary contract: a gap of EXACTLY 30 minutes MERGES — an event
+    * landing exactly at prev_ts + gap extends the session (empirical
+    * session_window behavior; its window end is prev_ts + gap and the
+    * merge test is `start <= prev_end`). The batch twin
+    * (Events.sessionizeDf) and its DuckDB oracle encode the same
+    * strictly-greater split predicate; StreamingSpec pins both sides
+    * of the boundary (== merges, +1s splits). */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -49,7 +57,13 @@ object StreamOps {
     * history length, cleared by 'signup' — flatMapGroupsWithState
     * carrying (epoch, count) per user across batches. Demonstrates
     * arbitrary stateful processing where session_window semantics
-    * don't fit. */
+    * don't fit.
+    *
+    * Boundary contract: events are ordered by (tsMicros, event_id) —
+    * an event with the SAME timestamp as a signup but a higher
+    * event_id lands in the new epoch; a lower event_id lands in the
+    * old one. The batch twin (conversation_replay) row_numbers on the
+    * same (ts, event_id) key, so ties resolve identically. */
   def historyState(s: SparkSession, events: Dataset[Msg]): Dataset[HistoryOut] = {
     import s.implicits._
     events

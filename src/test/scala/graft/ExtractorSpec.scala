@@ -9,14 +9,17 @@ import graft.sources.{DocLoader, EnexExtractor, RtfExtractor}
 class ExtractorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // NB: scalac consumes \uXXXX escapes even in triple-quoted strings, so
+  // the RTF \uN escape is assembled via replace() to keep the literal
+  // backslash-u text intact at runtime (8212 decimal = U+2014 em-dash).
   private val rtfDoc =
     """{\rtf1\ansi\deff0{\fonttbl{\f0 Times New Roman;}}
       |{\colortbl;\red0\green0\blue0;}
       |{\*\generator Acme Writer 1.0;}
       |\f0\fs24 Hello \b bold\b0  world\'e9!\par
       |Second\tab line\par
-      |Unicode: 舒? dash.\par
-      |}""".stripMargin
+      |Unicode: @UESC@8212? dash.\par
+      |}""".stripMargin.replace("@UESC@", "\\" + "u")
 
   private val enexDoc =
     """<?xml version="1.0" encoding="UTF-8"?>

@@ -55,25 +55,39 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("exactly-30-minute gap sessionizes the same in stream and batch") {
-    // events 0 and 1800s apart: session_window's end is EXCLUSIVE, so
-    // the second event opens a new session; the batch predicate is >=
-    // to match. A third event 1799s later stays in session 2.
+    // Boundary contract (pinned on both sides): a gap of EXACTLY the
+    // 30-min threshold MERGES — empirically session_window extends a
+    // session for an event landing exactly at prev_ts + gap — while a
+    // gap one second past it SPLITS. Batch encodes strictly-greater
+    // (Events.sessionizeDf) to match.
     val base = 1700000000000000L // micros
-    val ev = spark.range(3).select(
-      lit(7L).as("user_id"),
-      timestamp_micros(lit(base) +
-        when(col("id") === 0, 0L).when(col("id") === 1, 1800L * 1000000L)
-          .otherwise((1800L + 1799L) * 1000000L)).as("ts"),
-      lit(1.0).as("value"))
-    val batch = Events.sessionizeDf(ev)
-      .select(col("session_start"), col("n_events")).collect()
-      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
-    val stream = StreamOps.sessionAgg(ev) // session_window works on batch DF
-      .select(col("session_start"), col("n_events")).collect()
-      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
-    assert(batch == stream)
-    assert(batch.size == 2) // boundary gap split; sub-boundary gap did not
-    assert(batch.map(_._2) == Set(1L, 2L))
+    def runBoth(gaps: Seq[Long]): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val offsets = gaps.scanLeft(0L)(_ + _)
+      val offCol = offsets.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (off, i)) => when(col("id") === i, off * 1000000L).otherwise(acc)
+      }
+      val ev = spark.range(offsets.size).select(
+        lit(7L).as("user_id"),
+        timestamp_micros(lit(base) + offCol).as("ts"),
+        lit(1.0).as("value"))
+      val batch = Events.sessionizeDf(ev)
+        .select(col("session_start"), col("n_events")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      val stream = StreamOps.sessionAgg(ev) // session_window works on batch DF
+        .select(col("session_start"), col("n_events")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      (batch, stream)
+    }
+    // gaps: exactly 1800s (merges), 1799s (merges) → ONE session of 3
+    val (mBatch, mStream) = runBoth(Seq(1800L, 1799L))
+    assert(mBatch == mStream)
+    assert(mBatch.size == 1)
+    assert(mBatch.map(_._2) == Set(3L))
+    // gaps: 1801s (splits), 1799s (merges) → sessions of 1 and 2
+    val (sBatch, sStream) = runBoth(Seq(1801L, 1799L))
+    assert(sBatch == sStream)
+    assert(sBatch.size == 2)
+    assert(sBatch.map(_._2) == Set(1L, 2L))
   }
 
   test("streaming dedup: first event per user == batch distinct users") {
