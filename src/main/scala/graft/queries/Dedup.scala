@@ -32,11 +32,15 @@ object Dedup {
     when(size(ts) >= 3, grams).otherwise(array())
   }
 
-  /** (doc_id, shingle) distinct shingles. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingle-hash) distinct shingles — xxhash64 BEFORE the
+    * distinct, so the shuffle moves 16-byte (long, long) rows instead
+    * of ~30-char shingle strings; the string never leaves the map
+    * side. */
+  private def hashedDistinctShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), explode(gramsOf(col("ts"))).as("s"))
+      .select(col("doc_id"), explode(gramsOf(col("ts"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("s"))
       .distinct()
 
   /** (doc_id, h) with the shingle replaced by its 64-bit hash: the
@@ -44,16 +48,17 @@ object Dedup {
     * (A 64-bit collision would perturb one intersection count; with
     * ~27k distinct shingles the probability is ~1e-11.) */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    hashedDistinctShingles(s, dir)
 
-  /** Exact |A ∩ B| and Jaccard for given (da, db) pairs via a
-    * pair-restricted shingle join — no arrays, no O(n^2). */
-  private def verifiedJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+  /** Per-doc shingle counts — shared by the stop-shingle cap and the
+    * Jaccard denominator; callers cache it so the groupBy runs once. */
+  private def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Jaccard filter + projection for (da, db, i) intersection counts.
+    * sz is one row per doc; AQE broadcasts it while small and falls
+    * back to a shuffle join at scale — no explicit hint on purpose. */
+  private def jaccardFrom(inter: DataFrame, sz: DataFrame): DataFrame = {
     val jac = col("i") / (col("na") + col("nb") - col("i"))
     inter
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -61,6 +66,29 @@ object Dedup {
       .filter(jac >= 0.8)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(jac, 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard for EXTERNALLY-generated candidate pairs (the LSH
+    * path). The corpus shingle table is first semi-joined down to the
+    * docs that appear in any candidate — the full table must never be
+    * the build/broadcast side of a per-pair join (it's the 100 TB
+    * side; Catalyst's size estimate of a cached 2-long-column frame
+    * slips under the broadcast threshold and ships the whole corpus
+    * to every task — measured 7 s of the old 10 s query at sf0.1).
+    * Intersections are then counted by a shingle self-join WITHIN the
+    * candidate-doc subset (exact: the subset keeps every shingle of
+    * every involved doc) and restricted back to the candidate pairs. */
+  private def verifiedJaccard(
+      pairs: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
+    val docs = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+    val shSub = sh.join(docs, Seq("doc_id"), "left_semi").cache()
+    val inter = shSub.select(col("doc_id").as("da"), col("s"))
+      .join(shSub.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      .join(pairs, Seq("da", "db"), "left_semi")
+    jaccardFrom(inter, sz)
   }
 
   /** Exact dedup: group identical normalized text, keep min doc_id.
@@ -80,11 +108,14 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** The exact-Jaccard oracle shared by the n-gram and MinHash paths:
-    * every pair with 3-gram Jaccard >= 0.8 (test data has a clean gap:
-    * planted pairs >= 0.8, background <= 0.14). */
-  private val jaccardOracle: String =
-    """WITH toksv AS (
+  /** Shared oracle CTE prefix: distinct shingles, doc sizes, the
+    * stop-shingle cap (df*2 <= |docs|) applied to CANDIDATE GENERATION
+    * only, and exact intersection counts over the FULL shingle set for
+    * the surviving pairs — the same lossy-capped-blocking + exact-verify
+    * contract the Spark plan implements (candidatePairs), so impl and
+    * oracle share semantics by construction. */
+  private val cappedPairsCtes: String =
+    """toksv AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
       |  FROM documents),
       |sh AS (
@@ -92,10 +123,24 @@ object Dedup {
       |  FROM toksv CROSS JOIN generate_series(0, 2000) t(i)
       |  WHERE i <= len(ts) - 3),
       |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING COUNT(*) * 2 <= (SELECT COUNT(*) FROM sz)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM sh a JOIN keep k ON a.s = k.s
+      |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
       |c AS (
-      |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  SELECT cand.da, cand.db, COUNT(*) i
+      |  FROM cand JOIN sh a ON a.doc_id = cand.da
+      |  JOIN sh b ON b.doc_id = cand.db AND a.s = b.s
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** The exact-Jaccard oracle shared by the n-gram and MinHash paths:
+    * every capped-blocking pair with 3-gram Jaccard >= 0.8 (test data
+    * has a clean gap: planted pairs >= 0.8, background <= 0.14). */
+  private val jaccardOracle: String =
+    s"""WITH $cappedPairsCtes
       |SELECT da AS doc_a, db AS doc_b,
       |  ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
       |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
@@ -112,25 +157,75 @@ object Dedup {
     * half the corpus would be missed; at that df the "pair" is itself
     * corpus-wide boilerplate (none exist in the oracle-checked data —
     * planted dup pairs share many rare shingles). */
-  private[graft] def candidatePairs(sh: DataFrame): DataFrame = {
-    val nd = sh.agg(countDistinct(col("doc_id")).as("nd"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val keep = dfreq.crossJoin(broadcast(nd))
-      .filter(col("df") * 2 <= col("nd")).select(col("s"))
-    val rare = sh.join(keep, Seq("s"), "left_semi")
+  private[graft] def candidatePairs(sh: DataFrame): DataFrame =
+    commonRare(sh, broadcast(
+      hotShingleKeys(sh, sh.select(col("doc_id")).distinct().count())))
+      .select(col("da"), col("db"))
+
+  /** (da, db, cr): candidate pairs with their rare-shingle
+    * intersection count, straight off the capped shingle self-join —
+    * ONE groupBy instead of distinct-then-rejoin-the-corpus. The old
+    * shape re-joined each candidate against the full shingle table to
+    * count intersections: at sf0.1 that was 1.1M candidates x ~60
+    * shingles = 72M join rows before the aggregate. Here the count
+    * falls out of the join that discovers the pair (map-side partial
+    * aggregation bounds the shuffle), and only the few hot shingles
+    * need a correction pass (addHotCorrection).
+    *
+    * `nd` is the corpus size as a driver-side scalar: the callers
+    * already run one action to materialize the shared docSizes cache,
+    * so its count is free — a broadcast-subquery nd would re-execute
+    * the full shingle pipeline once per side of the self-join. */
+  /** Hot-shingle keys (df * 2 > nd). At most 2|sh|/nd distinct values
+    * by a counting argument, so always broadcastable. */
+  private def hotShingleKeys(sh: DataFrame, nd: Long): DataFrame =
+    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 > lit(nd)).select(col("s"))
+
+  /** `hotK` is the (broadcast) hot-shingle key frame — passed in so
+    * the df aggregation runs once across the anti (cap) and semi
+    * (correction) consumers. The cap is a broadcast ANTI join: each
+    * side of the self-join is a shuffle-free scan of the cached sh —
+    * no keep-list shuffle, no second cached frame. */
+  private def commonRare(sh: DataFrame, hotK: DataFrame): DataFrame = {
+    val rare = sh.join(hotK, Seq("s"), "left_anti")
     rare.select(col("doc_id").as("da"), col("s"))
       .join(rare.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
   }
 
-  /** Near-dup pairs by exact 3-gram Jaccard >= 0.8. Lossless blocking:
-    * only pairs sharing >= 1 (non-stop) shingle are candidates
-    * (Jaccard > 0 requires a shared shingle), generated by the capped
-    * shingle equi-join; exact Jaccard verified on the full set. */
+  /** Full intersection counts (da, db, i) for the capped candidates:
+    * rare-shingle counts plus the hot-shingle correction, so the
+    * verified Jaccard is exact over the FULL shingle set even though
+    * blocking dropped the hot shingles. Hot shingles number at most
+    * 2|sh|/nd (each is in > nd/2 docs), so the correction join fans
+    * out per DOC key — never per hot shingle — and is empty on
+    * corpora without boilerplate. */
+  private def cappedInter(sh: DataFrame, nd: Long): DataFrame = {
+    val hotK = broadcast(hotShingleKeys(sh, nd))
+    // cached: cr feeds both the correction's pair restriction and the
+    // final left join — uncached, the 1M-pair self-join would run twice
+    val cr = commonRare(sh, hotK).cache()
+    val hot = sh.join(hotK, Seq("s"), "left_semi")
+    val ch = cr.select(col("da"), col("db"))
+      .join(hot.select(col("doc_id").as("da"), col("s")), "da")
+      .join(hot.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ch"))
+    cr.join(ch, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("cr") + coalesce(col("ch"), lit(0L))).as("i"))
+  }
+
+  /** Near-dup pairs by exact 3-gram Jaccard >= 0.8 over capped
+    * blocking: only pairs sharing >= 1 non-stop shingle are
+    * candidates; their Jaccard is exact over the full shingle set
+    * (rare counts + hot correction). The DuckDB oracle encodes the
+    * same capped-candidates + exact-verify contract. */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
-    verifiedJaccard(candidatePairs(sh), sh)
+    val sz = docSizes(sh).cache()
+    jaccardFrom(cappedInter(sh, sz.count()), sz)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -143,6 +238,7 @@ object Dedup {
     * band-bucket collisions, the plan that survives 100 TB. */
   val minhashLsh: Q = Q("dedup_minhash_lsh", jaccardOracle) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
+    val sz = docSizes(sh).cache()
     // One-pass 128-hash signature via the custom TypedImperativeAggregate
     // (128 separate min() agg columns exceed codegen limits and run
     // interpreted — 26 s vs ~2 s at sf0.1). Hash i is
@@ -171,7 +267,7 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    verifiedJaccard(cand, sh).orderBy(col("doc_a"), col("doc_b"))
+    verifiedJaccard(cand, sh, sz).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Weighted SimHash over token frequencies with the PORTABLE 60-bit
@@ -269,18 +365,7 @@ object Dedup {
     * transitive closure over the same exact-Jaccard >= 0.8 edges. */
   val clusters: Q = Q(
     "dedup_clusters",
-    """WITH RECURSIVE toksv AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
-      |  FROM toksv CROSS JOIN generate_series(0, 2000) t(i)
-      |  WHERE i <= len(ts) - 3),
-      |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-      |c AS (
-      |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH RECURSIVE $cappedPairsCtes,
       |e AS (
       |  SELECT da, db FROM c
       |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
@@ -294,18 +379,31 @@ object Dedup {
       |SELECT x AS doc_id, MIN(y) AS cluster_id
       |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
-    val pairs = verifiedJaccard(candidatePairs(sh), sh)
+    val sz = docSizes(sh).cache()
+    val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
       .select(col("doc_a").as("da"), col("doc_b").as("db"))
-    val edges = pairs.select(col("da").as("x"), col("db").as("y"))
+    // Materialize the edge list ONCE (localCheckpoint is eager), then
+    // size the iteration's shuffles to the edge count, not the global
+    // 32: near-dup edges are a vanishing fraction of the corpus, and a
+    // fixed-width shuffle would pay 32 tasks of scheduling per stage
+    // per round to move a few rows. ~2M edge rows per partition.
+    val edges0 = pairs.select(col("da").as("x"), col("db").as("y"))
       .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
-      .cache()
+      .localCheckpoint()
+    val p = math.min(32L, edges0.count() / 2000000L + 1L).toInt
+    val edges = edges0.repartition(p, col("y")).localCheckpoint()
     // min-label propagation to fixpoint. Each iterate is
     // localCheckpoint'ed (eager): the logical plan stays a
     // constant-size LogicalRDD instead of re-embedding every prior
     // round (lineage growth made Catalyst re-optimize an ever-deeper
     // tree each iteration), and superseded iterates are freed by the
     // ContextCleaner once dereferenced — no cache leak across rounds.
+    // ONE action per round: the new label frame carries the old label
+    // alongside, so convergence detection is a count over the
+    // just-materialized p-partition RDD — a scan, not a second
+    // join+shuffle job.
     var labels = edges.select(col("x")).distinct()
+      .repartition(p, col("x"))
       .select(col("x"), col("x").as("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -314,11 +412,12 @@ object Dedup {
           col("y") === col("y2"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nbr"))
         .join(labels, "x")
-        .select(col("x"), least(col("lbl"), col("nbr")).as("lbl"))
+        .select(col("x"), least(col("lbl"), col("nbr")).as("lbl"),
+          col("lbl").as("old"))
+        .repartition(p, col("x"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("x"), col("lbl").as("old")), "x")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("x"), col("lbl"))
     }
     labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -22,6 +22,9 @@ object TimeQuery {
       val n = fn(spark, sfDir).count()
       println(f"[time] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
       if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      if (sys.env.contains("GRAFT_CLEARCACHE")) {
+        spark.catalog.clearCache(); System.gc() // mirror Bench inter-query hygiene
+      }
     }
     spark.stop()
   }
