@@ -4,13 +4,22 @@ import scala.annotation.tailrec
 
 /** Recursive character text splitter — the semantics of LangChain's
   * RecursiveCharacterTextSplitter as used by the reference
-  * (conversadocs/bones.py:67-68: chunk_size=1000 chunk_overlap=150;
-  * bones.py:160-164: separator hierarchy ["\n\n", "\n", " ", ""]).
+  * (conversadocs/bones.py:67-68: chunk_size=1000 chunk_overlap=150
+  * with the default hierarchy; bones.py:160-165: the summarize
+  * splitter, chunk_size=2000 chunk_overlap=100 with separators
+  * ["\n\n", "\n", "(?<=\. )", " ", ""] — a zero-width lookbehind that
+  * splits AFTER each sentence-ending ". ").
   *
   * Split on the coarsest separator that appears; recursively re-split
   * any piece still over `chunkSize` with the next separator; then
   * greedily merge adjacent pieces back up to `chunkSize`, carrying
   * `overlap` characters of suffix context between chunks.
+  *
+  * Separators are literal by default; pass `sepIsRegex = true` to
+  * compile them as java.util.regex patterns (the sentence hierarchy
+  * needs it). Matched separator text stays attached to the PRECEDING
+  * piece, so concatenating pieces reproduces the input; a zero-width
+  * match (lookbehind) splits without consuming anything.
   *
   * This is genuinely imperative string logic, so it runs as a typed
   * flatMap over the documents Dataset (one doc in, N chunks out,
@@ -20,28 +29,42 @@ object Chunker {
 
   val DefaultSeparators: List[String] = List("\n\n", "\n", " ", "")
 
+  /** bones.py:160-164 summarize hierarchy: paragraph, line, sentence
+    * boundary (regex lookbehind), word, hard cut. */
+  val SentenceSeparators: List[String] =
+    List("\n\n", "\n", "(?<=\\. )", " ", "")
+
   def split(
       text: String,
       chunkSize: Int,
       overlap: Int,
-      separators: List[String] = DefaultSeparators): Vector[String] = {
+      separators: List[String] = DefaultSeparators,
+      sepIsRegex: Boolean = false): Vector[String] = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    merge(pieces(text, chunkSize, separators), chunkSize, overlap)
+    merge(pieces(text, chunkSize, separators, sepIsRegex), chunkSize, overlap)
   }
+
+  /** The reference's summarize split (bones.py:160-165):
+    * chunk_size=2000, overlap=100, sentence-aware hierarchy. */
+  def summarizeSplit(text: String): Vector[String] =
+    split(text, 2000, 100, SentenceSeparators, sepIsRegex = true)
 
   /** Recursively split until every piece is <= chunkSize (or no
     * separator is left, in which case hard-cut). */
   private def pieces(
-      text: String, chunkSize: Int, seps: List[String]): Vector[String] =
+      text: String, chunkSize: Int, seps: List[String],
+      regex: Boolean): Vector[String] =
     if (text.isEmpty) Vector.empty
     else if (text.length <= chunkSize) Vector(text)
     else seps match {
       case Nil => text.grouped(chunkSize).toVector
       case "" :: _ => text.grouped(chunkSize).toVector
       case sep :: rest =>
-        val parts = splitKeep(text, sep)
-        if (parts.length <= 1) pieces(text, chunkSize, rest)
-        else parts.flatMap(p => pieces(p, chunkSize, rest))
+        val parts =
+          if (regex) splitKeepRegex(text, java.util.regex.Pattern.compile(sep))
+          else splitKeep(text, sep)
+        if (parts.length <= 1) pieces(text, chunkSize, rest, regex)
+        else parts.flatMap(p => pieces(p, chunkSize, rest, regex))
     }
 
   /** Split on `sep`, keeping the separator attached to the preceding
@@ -55,6 +78,23 @@ object Chunker {
         case i => loop(i + sep.length, acc :+ text.substring(from, i + sep.length))
       }
     loop(0, Vector.empty)
+  }
+
+  /** Regex variant of splitKeep: pieces end at each match's END, so
+    * consumed separators stay with the preceding piece and zero-width
+    * matches (e.g. the sentence lookbehind) are pure split points.
+    * java.util.regex.Matcher.find advances past zero-width matches on
+    * its own, so this terminates. */
+  private def splitKeepRegex(
+      text: String, p: java.util.regex.Pattern): Vector[String] = {
+    val m = p.matcher(text)
+    val out = Vector.newBuilder[String]
+    var from = 0
+    while (m.find()) {
+      if (m.end > from) { out += text.substring(from, m.end); from = m.end }
+    }
+    if (from < text.length) out += text.substring(from)
+    out.result()
   }
 
   /** Greedy merge of pieces into chunks <= chunkSize; each next chunk

@@ -56,6 +56,18 @@ object Retrieval {
   private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val qt = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    bm25RankedFor(s, dir, qt)
+  }
+
+  /** BM25 ranking for an arbitrary (query_id, t) query-term frame —
+    * the retrieval core shared by the raw-question queries and the
+    * history-condensed qa_pipeline. */
+  private[graft] def bm25RankedFor(
+      s: SparkSession, dir: String, qt: DataFrame): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dl = tok.groupBy(col("doc_id"))
@@ -65,8 +77,6 @@ object Retrieval {
     val stats = tok.agg(
       countDistinct(col("doc_id")).cast("double").as("n"),
       (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
-    val qt = tok.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("t")).distinct()
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val termScore = idf * col("tf") * 2.2 /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
@@ -343,17 +353,60 @@ object Retrieval {
       .orderBy(col("source"))
   }
 
-  /** The whole conversational QA pipeline in one plan (bones.py:
-    * 123-144 convchain): question per query doc → BM25 retrieve →
-    * stuff top-2 context → extractive answer stub from the top hit
-    * (the LLM call is the only stubbed step). Rows-only; shape
-    * asserted in RetrievalSpec. */
-  val qaPipeline: Q = Q.rowsOnly("qa_pipeline") { (s, dir) =>
+  /** History-aware question condensation — the deterministic stand-in
+    * for ConversationalRetrievalChain's condense step (bones.py:80-87,
+    * 135-142: qa({"question", "chat_history"}) rewrites the query
+    * BEFORE retrieval and surfaces it as result["generated_question"]).
+    * Chat history here is the session's earlier turns (the questions
+    * of lower-id query docs, last 2 turns); the rewrite appends the
+    * up-to-3 RAREST history terms (corpus df ascending — the most
+    * informative ones) not already present in the question. Returns
+    * (query_id, question, condensed_question) and the condensed
+    * (query_id, t) term set that retrieval actually runs on. */
+  private[graft] def condensedQueries(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val questions = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(toks(col("text")), 1, 10)).as("question"))
-    val ranked = bm25Ranked(s, dir).filter(col("rn") <= 2)
+    val qTerms = questions
+      .select(col("query_id"), explode(toks(col("question"))).as("t"))
+      .distinct()
+    val turns = questions
+      .select(col("query_id").as("h"), col("question").as("h_question"))
+    val histTerms = questions.join(turns,
+        col("h") < col("query_id") && col("h") >= col("query_id") - 2)
+      .select(col("query_id"), explode(toks(col("h_question"))).as("t"))
+      .distinct()
+      .join(qTerms, Seq("query_id", "t"), "left_anti") // new terms only
+    val dfr = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val picked = histTerms.join(dfr, "t")
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("df"), col("t"))))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("t"))
+    val addon = picked.groupBy(col("query_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(col("t")))).as("addon"))
+    val condQ = questions.join(addon, Seq("query_id"), "left")
+      .select(col("query_id"), col("question"),
+        when(col("addon").isNull, col("question"))
+          .otherwise(concat_ws(" ", col("question"), col("addon")))
+          .as("condensed_question"))
+    (condQ, qTerms.unionByName(picked))
+  }
+
+  /** The whole conversational QA pipeline in one plan (bones.py:
+    * 123-144 convchain): question + chat history → condensed query
+    * (mirrors result["generated_question"]) → BM25 retrieve on the
+    * CONDENSED terms → stuff top-2 context → extractive answer stub
+    * from the top hit (the LLM call is the only stubbed step).
+    * Rows-only; shape + history influence asserted in RetrievalSpec. */
+  val qaPipeline: Q = Q.rowsOnly("qa_pipeline") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val (condQ, condQt) = condensedQueries(s, dir)
+    val ranked = bm25RankedFor(s, dir, condQt).filter(col("rn") <= 2)
     val withText = ranked.join(docs, "doc_id")
     val ctx = withText.groupBy(col("query_id"))
       .agg(array_join(
@@ -362,10 +415,10 @@ object Retrieval {
     val answer = withText.filter(col("rn") === 1)
       .select(col("query_id"), col("doc_id").as("top_doc"),
         substring(col("text"), 1, 120).as("answer"))
-    broadcast(questions)
+    broadcast(condQ)
       .join(ctx, "query_id").join(answer, "query_id")
-      .select(col("query_id"), col("question"), col("top_doc"),
-        col("answer"), col("context"))
+      .select(col("query_id"), col("question"), col("condensed_question"),
+        col("top_doc"), col("answer"), col("context"))
       .orderBy(col("query_id"))
   }
 

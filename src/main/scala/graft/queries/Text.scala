@@ -210,6 +210,24 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** The reference's SUMMARIZE splitter (bones.py:160-165): chunk_size
+    * =2000 overlap=100 with the sentence-aware regex hierarchy
+    * ["\n\n","\n","(?<=\. )"," ",""]. Same distributed shape as
+    * chunk_recursive; the sentence-boundary semantics are pinned by
+    * ChunkerSpec (this corpus has no ". " boundaries, so here the
+    * word-level fallback carries the splitting). Rows-only. */
+  val chunkSentence: Q = Q.rowsOnly("chunk_sentence") { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.operators.Chunker.summarizeSplit(text).zipWithIndex
+          .map { case (c, i) => (id, i.toLong, c) }
+      }
+      .toDF("doc_id", "chunk_id", "chunk")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** TF-IDF top-3 terms per document — the classic weighting, ranked
     * with a deterministic tiebreak. df/idf stats are tiny and
     * broadcast; the per-doc ranking is a partitioned window. */
@@ -273,5 +291,5 @@ object Text {
   }
 
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
-    docStats, fingerprint, tfidf, stem)
+    chunkSentence, docStats, fingerprint, tfidf, stem)
 }

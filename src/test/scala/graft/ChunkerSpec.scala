@@ -44,4 +44,35 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.forall(_.length <= 1150))
     assert(chunks.length > 1)
   }
+
+  test("sentence hierarchy splits AFTER '. ' like LangChain's lookbehind") {
+    // mirrors bones.py:160-164 separators=["\n\n","\n","(?<=\. )"," ",""]
+    // with is-regex semantics: the zero-width lookbehind splits at
+    // sentence boundaries, keeping ". " with the preceding sentence.
+    val s1 = "First sentence here. "
+    val s2 = "Second one follows. "
+    val s3 = "Third closes it."
+    val text = s1 + s2 + s3 // 58 chars, no \n separators
+    val chunks = Chunker.split(text, 25, 0,
+      Chunker.SentenceSeparators, sepIsRegex = true)
+    // each sentence fits in 25 chars, so pieces ARE the sentences
+    // (greedy merge cannot combine two without exceeding the size)
+    assert(chunks == Vector(s1, s2, s3))
+    assert(chunks.mkString == text)
+    // a paragraph break still outranks the sentence boundary
+    val para = "One. Two. Three." + "\n\n" + "Four. Five. Six."
+    val pc = Chunker.split(para, 20, 0,
+      Chunker.SentenceSeparators, sepIsRegex = true)
+    assert(pc == Vector("One. Two. Three.\n\n", "Four. Five. Six."))
+  }
+
+  test("summarizeSplit uses the 2000/100 summarize profile") {
+    val sentences = (1 to 300).map(i => s"Sentence number $i ends here.").mkString(" ")
+    val chunks = Chunker.summarizeSplit(sentences)
+    assert(chunks.length > 1)
+    assert(chunks.forall(_.length <= 2100)) // size + overlap bound
+    // chunks break at sentence boundaries (every chunk after the first
+    // starts at an overlap offset inside a sentence-aligned piece)
+    assert(chunks.head.endsWith("ends here. ") || chunks.head.endsWith("ends here."))
+  }
 }

@@ -94,6 +94,34 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("question condensation threads chat history into retrieval") {
+    val (condQ, condQt) = Retrieval.condensedQueries(spark, sf)
+    val rows = condQ.collect().map(r => (r.getLong(0),
+      r.getAs[String]("question"), r.getAs[String]("condensed_question")))
+    // the first turn has no history: condensed == raw
+    val first = rows.find(_._1 == 0L).get
+    assert(first._2 == first._3)
+    // later turns gain history terms not present in the raw question
+    val grew = rows.filter(r => r._3.length > r._2.length)
+    assert(grew.nonEmpty)
+    grew.foreach { case (_, q, cq) =>
+      assert(cq.startsWith(q))
+      val added = cq.drop(q.length).trim.split(" ")
+      assert(added.forall(t => !q.split(" ").contains(t)))
+    }
+    // and the condensed term set actually changes the BM25 ranking
+    import org.apache.spark.sql.functions._
+    val qtRaw = condQ.select(col("query_id"),
+      explode(split(col("question"), " ")).as("t")).distinct()
+    val rankedRaw = Retrieval.bm25RankedFor(spark, sf, qtRaw)
+      .filter(col("rn") <= 2).select("query_id", "doc_id", "rn")
+    val rankedCond = Retrieval.bm25RankedFor(spark, sf, condQt)
+      .filter(col("rn") <= 2).select("query_id", "doc_id", "rn")
+    val a = rankedRaw.collect().map(_.toSeq).toSet
+    val b = rankedCond.collect().map(_.toSeq).toSet
+    assert(a != b, "history terms must influence the retrieval ranking")
+  }
+
   test("recursive chunking covers every document") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val chunked = Text.chunkRecursive.run(spark, sf)
