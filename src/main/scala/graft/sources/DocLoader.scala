@@ -24,11 +24,12 @@ object DocLoader {
 
   val textExtensions: Set[String] = Set("txt", "md")
   val htmlExtensions: Set[String] = Set("html", "htm")
-  /** binary formats with a real extractor */
+  /** binary formats with a real extractor (rtf/enex plus the four
+    * ZIP-of-XML formats docx/pptx/odt/epub — pure-JVM parsing) */
   val extractedExtensions: Set[String] = Extractors.byExtension.keySet
-  /** binary formats stubbed until their parser is available */
-  val stubExtensions: Set[String] = Set(
-    "pdf", "doc", "docx", "epub", "odt", "ppt", "pptx")
+  /** binary legacy formats stubbed until their parser is available
+    * (genuinely need external libraries absent from this container) */
+  val stubExtensions: Set[String] = Set("pdf", "doc", "ppt")
   val binaryExtensions: Set[String] = stubExtensions ++ extractedExtensions
 
   private def ext(pathCol: org.apache.spark.sql.Column) =
@@ -71,9 +72,11 @@ object DocLoader {
       .mapPartitions { rows =>
         rows.map { case (src, fmt, bytes) =>
           // a malformed file must degrade to the placeholder, not
-          // crash the whole load job inside mapPartitions
+          // crash the whole load job inside mapPartitions; an empty
+          // result (e.g. a non-ZIP .docx) counts as malformed too
           val text = Extractors.byExtension.get(fmt)
-            .flatMap(ex => scala.util.Try(ex.extract(bytes)).toOption)
+            .flatMap(ex =>
+              scala.util.Try(ex.extract(bytes)).toOption.filter(_.nonEmpty))
             .getOrElse(s"[unparsed $fmt document, ${bytes.length} bytes]")
           (src, fmt, text)
         }

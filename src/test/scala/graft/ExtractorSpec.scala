@@ -1,10 +1,13 @@
 package graft
 
+import java.io.ByteArrayOutputStream
 import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DocLoader, EnexExtractor, RtfExtractor}
+import graft.sources.{DocLoader, DocxExtractor, EnexExtractor,
+  EpubExtractor, OdtExtractor, PptxExtractor, RtfExtractor}
 
 class ExtractorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -52,18 +55,89 @@ class ExtractorSpec extends AnyFunSuite {
     assert(!text.contains("<div>"))
   }
 
+  /** Build an in-memory ZIP with the given (name, content) entries. */
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(buf)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    buf.toByteArray
+  }
+
+  test("DOCX extractor: w:t runs, paragraphs, tabs, entities") {
+    val doc = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        ("""<w:document><w:body>""" +
+          """<w:p><w:r><w:t>Hello </w:t></w:r><w:r w:x="1"><w:t>docx &amp; world</w:t></w:r></w:p>""" +
+          """<w:p><w:r><w:t>Tabbed</w:t></w:r><w:tab/><w:r><w:t>cell</w:t></w:r></w:p>""" +
+          """</w:body></w:document>"""))
+    val text = DocxExtractor.extract(doc)
+    assert(text == "Hello docx & world\nTabbed\tcell")
+  }
+
+  test("PPTX extractor: slides in number order, a:t runs") {
+    val doc = zip(
+      "ppt/slides/slide2.xml" ->
+        """<p:sld><a:p><a:r><a:t>Second slide</a:t></a:r></a:p></p:sld>""",
+      "ppt/slides/slide1.xml" ->
+        """<p:sld><a:p><a:r><a:t>Title</a:t></a:r><a:r><a:t>here</a:t></a:r></a:p></p:sld>""",
+      "ppt/notesSlides/notesSlide1.xml" ->
+        """<p:notes><a:p><a:r><a:t>speaker notes</a:t></a:r></a:p></p:notes>""")
+    val text = PptxExtractor.extract(doc)
+    assert(text == "Title here\n\nSecond slide")
+    assert(!text.contains("speaker notes"))
+  }
+
+  test("ODT extractor: paragraphs, headings, tabs") {
+    val doc = zip(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" ->
+        ("""<office:document-content><office:body><office:text>""" +
+          """<text:h text:outline-level="1">Heading</text:h>""" +
+          """<text:p>First <text:span>para</text:span> &gt; here</text:p>""" +
+          """<text:p>A<text:tab/>B</text:p>""" +
+          """</office:text></office:body></office:document-content>"""))
+    val text = OdtExtractor.extract(doc)
+    assert(text == "Heading\nFirst para > here\nA\tB")
+  }
+
+  test("EPUB extractor: xhtml chapters tag-stripped, head/style dropped") {
+    val doc = zip(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" -> "<container/>",
+      "OEBPS/ch1.xhtml" ->
+        """<html><head><title>meta title</title></head><body><h1>Chapter 1</h1><p>Once upon a time.</p></body></html>""",
+      "OEBPS/ch2.xhtml" ->
+        """<html><body><p>The end &amp; epilogue.</p></body></html>""")
+    val text = EpubExtractor.extract(doc)
+    assert(text == "Chapter 1 Once upon a time.\n\nThe end & epilogue.")
+    assert(!text.contains("meta title"))
+  }
+
   test("DocLoader dispatches real extractors and stubs the rest") {
     val dir = Files.createTempDirectory("graft-extract")
     Files.write(dir.resolve("memo.rtf"), rtfDoc.getBytes("ISO-8859-1"))
     Files.write(dir.resolve("notes.enex"), enexDoc.getBytes("UTF-8"))
     Files.write(dir.resolve("plain.txt"), "just text".getBytes("UTF-8"))
     Files.write(dir.resolve("scan.pdf"), Array[Byte](0x25, 0x50, 0x44, 0x46))
+    Files.write(dir.resolve("REPORT.DOCX"), zip( // uppercase ext must load too
+      "word/document.xml" ->
+        """<w:document><w:body><w:p><w:r><w:t>zip text</w:t></w:r></w:p></w:body></w:document>"""))
+    Files.write(dir.resolve("broken.epub"), "not a zip at all".getBytes("UTF-8"))
     val rows = DocLoader.load(spark, dir.toString).collect()
       .map(r => r.getAs[String]("format") -> r.getAs[String]("text")).toMap
-    assert(rows.keySet == Set("rtf", "enex", "txt", "pdf"))
+    assert(rows.keySet == Set("rtf", "enex", "txt", "pdf", "docx", "epub"))
     assert(rows("rtf").contains("Hello bold world"))
     assert(rows("enex").contains("Grocery list"))
     assert(rows("txt") == "just text")
     assert(rows("pdf") == "[unparsed pdf document, 4 bytes]")
+    assert(rows("docx") == "zip text")
+    // malformed archive degrades to the placeholder instead of failing
+    assert(rows("epub") == "[unparsed epub document, 16 bytes]")
   }
 }
