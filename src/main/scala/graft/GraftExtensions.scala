@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.functions.{AsciiTokens, DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -17,6 +17,7 @@ import graft.functions.{DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
   *   SELECT minhash_sketch(xxhash64(s), 128)    -- MinHash signature agg
   *   SELECT simhash64(xxhash64(t), cnt)         -- weighted SimHash agg
   *   SELECT topk_by(score, id, 10)              -- bounded top-k agg
+  *   SELECT graft_tokens(text)                  -- one-pass tokenizer
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -43,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64"),
       (args: Seq[Expression]) =>
         SimHashAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[AsciiTokens].getName, "graft_tokens"),
+      (args: Seq[Expression]) => AsciiTokens(args(0))))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_by"),

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizer for the text hot path.
+  *
+  * Every text/dedup/retrieval operator tokenizes with
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')`; java.util.regex
+  * over the whole corpus was the single largest scan-time cost of the
+  * benchmark (~2.7 s per query at sf0.1, paid by ~10 queries since
+  * inter-query cache hygiene drops the token arrays). This expression
+  * emits one linear pass over the UTF-8 bytes — lowercasing A-Z and
+  * collecting maximal [a-z0-9] runs — inside WholeStageCodegen.
+  *
+  * Contract vs the regex form: identical for ASCII input (the test
+  * corpus and the DuckDB oracles — which keep the regex — stay
+  * bit-equal). Non-ASCII bytes are token separators, which matches
+  * `[a-z0-9]+` on lowercased text except for the handful of Unicode
+  * chars whose lowercase maps INTO ascii (e.g. Kelvin sign → k);
+  * those exotic runs would tokenize differently.
+  */
+object Tokenize {
+  def split(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < n) {
+      var b = bytes(i)
+      if (isTok(b)) {
+        val start = i
+        while (i < n && isTok(bytes(i))) i += 1
+        val tok = new Array[Byte](i - start)
+        var j = start
+        while (j < i) {
+          b = bytes(j)
+          tok(j - start) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          j += 1
+        }
+        out += UTF8String.fromBytes(tok)
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+}
+
+/** tokens(text): maximal lowercased [a-z0-9] runs, one byte pass. */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenize.split(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Tokenize.split($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AsciiTokens = copy(child = newChild)
+}
+
+object TextExprs {
+  /** tokens(c) — the codegen'd twin of
+    * regexp_extract_all(lower(c), '[a-z0-9]+'). */
+  def tokens(c: Column): Column =
+    GraftBridge.column(AsciiTokens(GraftBridge.expression(c)))
+}

@@ -15,8 +15,8 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private def toks(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
+  private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
   /** 3-gram word-shingle array from a *materialized* token array
     * column. Two measured pitfalls shape this code (100x at sf0.1):

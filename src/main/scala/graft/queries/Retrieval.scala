@@ -19,8 +19,8 @@ import graft.sources.Tables
   */
 object Retrieval {
 
-  private def toks(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
+  private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
   /** Shared BM25 oracle CTEs (k1=1.2, b=0.75, Lucene-style idf). */
   private val bm25Cte: String =

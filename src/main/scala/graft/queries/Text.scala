@@ -12,8 +12,8 @@ import graft.sources.Tables
 object Text {
 
   /** Lowercased alphanumeric tokens — the shared tokenizer. */
-  private def toks(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
+  private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
   private def countIn(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))

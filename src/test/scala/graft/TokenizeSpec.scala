@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextExprs
+
+/** AsciiTokens must be bit-equal to the regex form it replaces —
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')` — on the corpus and
+  * on edge-case strings (the DuckDB oracles keep the regex, so any
+  * divergence is an oracle mismatch). */
+class TokenizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def regexToks(c: org.apache.spark.sql.Column) =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  test("matches regexp_extract_all(lower) on the documents corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val diff = docs.select(col("doc_id"),
+        TextExprs.tokens(col("text")).as("fast"),
+        regexToks(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("edge cases: empty, separators-only, case folding, digits, unicode") {
+    import spark.implicits._
+    val cases = Seq("", "  \t\n!!", "MiXeD CaSe42", "a", "7", "a-b_c.d",
+      "trailing space ", " leading", "unicode é ü: split points",
+      "A" * 100 + "0" * 50)
+    val df = cases.toDF("text")
+    val diff = df.select(TextExprs.tokens(col("text")).as("fast"),
+        regexToks(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+    // sanity: expected concrete values
+    val got = df.select(TextExprs.tokens(col("text"))).collect()
+      .map(_.getSeq[String](0).toList)
+    assert(got(2) == List("mixed", "case42"))
+    assert(got(5) == List("a", "b", "c", "d"))
+    assert(got(8) == List("unicode", "split", "points"))
+  }
+
+  test("graft_tokens is callable from SQL via the extension") {
+    val r = spark.sql("SELECT graft_tokens('Hello World 42!') AS t")
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("hello", "world", "42"))
+  }
+}
