@@ -27,17 +27,25 @@ object IvfIndex {
     aggregate(zip_with(v, cv, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Batch-build: fit KMeans(k), assign every vector, write the lake
-    * layout. `emb` must have (vec_id, v: array<double>, n2). */
+  /** Batch-build: fit the coarse quantizer, assign every vector,
+    * write the lake layout. `emb` must have (vec_id, v: array<double>,
+    * n2).
+    *
+    * The quantizer is fit on a bounded driver-side SAMPLE with an
+    * in-process Lloyd's loop — the standard IVF shape at scale: a
+    * coarse quantizer needs O(k·dim) information, not the corpus, so
+    * a 4096-vector sample (deterministic: lowest vec_ids via
+    * TakeOrdered) trains it in milliseconds while the full corpus is
+    * only touched once, by the distributed ASSIGNMENT pass below.
+    * (An MLlib KMeans fit here cost several distributed passes plus
+    * its one-off codegen warmup — more than the rest of the build.)
+    * Quantizer quality is guarded by VectorSpec's recall >= 0.9
+    * assertion against brute force. */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       k: Int, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val feat = emb.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(feat)
-    val centers = model.clusterCenters.map(_.toArray)
+    val sample = emb.select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val centers = lloyd(sample, k, seed, iters = 10)
     val centArr = centroidArray(centers)
     val assigned = emb.withColumn("cid",
       array_min(transform(centArr,
@@ -50,6 +58,44 @@ object IvfIndex {
     import spark.implicits._
     centRows.toSeq.toDF("cid", "cv")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+  }
+
+  /** In-process Lloyd's k-means over the sample: seeded random init,
+    * empty clusters keep their previous center. Deterministic for a
+    * fixed (sample, seed). */
+  private def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "quantizer sample is empty")
+    val kk = math.min(k, sample.length)
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(sample.indices.toList).take(kk)
+      .map(i => sample(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centers(c)
+        else { val m = sums(c); var j = 0
+          while (j < dim) { m(j) /= counts(c); j += 1 }; m }
+      }
+      it += 1
+    }
+    centers
   }
 
   private def centroidArray(centers: Array[Array[Double]]): Column =

@@ -290,6 +290,124 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition metrics + filter gate — the classic
+    * training-data quality pass (Rae et al. 2021 §A1.1: drop docs
+    * dominated by repeated n-grams). Per doc: duplicate-token
+    * fraction, most-frequent-2-gram fraction, most-frequent-3-gram
+    * fraction, and a keep flag over fixed thresholds. All ratios are
+    * single divisions of exact integer counts, so both engines
+    * compute identical doubles; the gate compares the ROUNDED values
+    * so the boolean cannot straddle an engine difference. Aggregation
+    * is two groupBys per n (map-side partial on (doc, gram), then per
+    * doc) — no arrays leave the executors, no windows. */
+  val repetition: Q = Q(
+    "text_repetition",
+    """WITH tokv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |tstats AS (
+      |  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct
+      |  FROM tokv),
+      |g2 AS (
+      |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g
+      |  FROM tokv CROSS JOIN generate_series(0, 2000) t(i)
+      |  WHERE i <= len(ts) - 2),
+      |c2 AS (SELECT doc_id, g, COUNT(*) c FROM g2 GROUP BY 1, 2),
+      |s2 AS (SELECT doc_id, MAX(c)::DOUBLE m, SUM(c)::DOUBLE t FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+      |  FROM tokv CROSS JOIN generate_series(0, 2000) t(i)
+      |  WHERE i <= len(ts) - 3),
+      |c3 AS (SELECT doc_id, g, COUNT(*) c FROM g3 GROUP BY 1, 2),
+      |s3 AS (SELECT doc_id, MAX(c)::DOUBLE m, SUM(c)::DOUBLE t FROM c3 GROUP BY 1),
+      |m AS (
+      |  SELECT ts.doc_id,
+      |    FLOOR(((ts.n_tokens - ts.n_distinct)::DOUBLE / ts.n_tokens)
+      |      * 10000 + 0.5) / 10000 AS dup_token_frac,
+      |    FLOOR((s2.m / s2.t) * 10000 + 0.5) / 10000 AS top2gram_frac,
+      |    FLOOR((s3.m / s3.t) * 10000 + 0.5) / 10000 AS top3gram_frac
+      |  FROM tstats ts JOIN s2 ON ts.doc_id = s2.doc_id
+      |  JOIN s3 ON ts.doc_id = s3.doc_id)
+      |SELECT doc_id, dup_token_frac, top2gram_frac, top3gram_frac,
+      |  dup_token_frac <= 0.9 AND top2gram_frac <= 0.2
+      |    AND top3gram_frac <= 0.18 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    def gramStats(n: Int, alias: String): org.apache.spark.sql.DataFrame = {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+      val grams = transform(sequence(lit(0), size(col("ts")) - n), i =>
+        concat_ws(" ", (1 to n).map(o => element_at(col("ts"), i + o)): _*))
+      t.select(col("doc_id"), explode(
+          when(size(col("ts")) >= n, grams).otherwise(array())).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).cast("double").as(s"m$alias"),
+          sum(col("c")).cast("double").as(s"t$alias"))
+    }
+    val tstats = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"))
+    val m = tstats
+      .join(gramStats(2, "2"), "doc_id")
+      .join(gramStats(3, "3"), "doc_id")
+      .select(col("doc_id"),
+        r4((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        r4(col("m2") / col("t2")).as("top2gram_frac"),
+        r4(col("m3") / col("t3")).as("top3gram_frac"))
+    m.select(col("doc_id"), col("dup_token_frac"), col("top2gram_frac"),
+        col("top3gram_frac"),
+        (col("dup_token_frac") <= 0.9 && col("top2gram_frac") <= 0.2
+          && col("top3gram_frac") <= 0.18).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget sharding — the corpus → training-shard packing
+    * pass: every doc assigned (whole, never split) to the shard where
+    * its global token-count prefix sum lands, ~4096 tokens per shard.
+    * The global prefix sum is the q_ntile two-pass shape, NOT a
+    * single-partition window: range-partition on doc_id, per-partition
+    * running sums in parallel, one O(partitions) row set to the driver
+    * for the offsets, broadcast back. The oracle is the plain
+    * SQL window; the plan is the one that survives 100 TB. */
+  val tokenShards: Q = Q(
+    "token_shards",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val budget = 4096.0
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache() // counted once (offsets), ranked once
+    val counts = base.groupBy(col("pid")).agg(sum(col("n_tokens")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offDf = base.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("pid", "off")
+    import org.apache.spark.sql.expressions.Window
+    val localCum = sum(col("n_tokens")).over(Window.partitionBy(col("pid"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0))
+    base.withColumn("lc", localCum)
+      .join(broadcast(offDf), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("lc") + col("off") - col("n_tokens")) / budget)
+          .cast("long").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
-    chunkSentence, docStats, fingerprint, tfidf, stem)
+    chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Core, Vectors}
+import graft.queries.{Core, Text, Vectors}
 
 /** Physical-plan audit: the properties that matter at 100 TB —
   * pushdown to the scan, broadcast of small sides, no full sort for
@@ -82,6 +82,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_ntile has no single-partition global window exchange") {
     val p = plan(Core.qNtile.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("token_shards global prefix sum avoids a single-partition window") {
+    val p = plan(Text.tokenShards.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"))
   }
 
