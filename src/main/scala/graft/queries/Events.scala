@@ -170,6 +170,85 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): each stage
+    * is the EARLIEST qualifying event strictly after the previous
+    * stage. Three filtered aggregations joined on user_id — no
+    * self-join fan-out, no window over the full event stream; each
+    * pass shuffles one event-type slice. Stage timestamps are exact
+    * micros, so min() ties are value-identical across engines. */
+  val funnel: Q = Q(
+    "events_funnel",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      |SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
+      |  CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |       WHEN c.c_ts IS NOT NULL THEN 2
+      |       WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_type")).cache() // three filtered slices + user universe
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        when(col("p_ts").isNotNull, 3)
+          .when(col("c_ts").isNotNull, 2)
+          .when(col("v_ts").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Weekly retention cohorts: cohort = the week of a user's first
+    * event, one output row per (cohort_week, week_offset) with the
+    * count of users still active. Two aggregations — per-user-week
+    * distinct, then per-cell count — both partial-aggregating; the
+    * cohort table joins back broadcast-small. Weeks are integer
+    * epoch-micros division (exactly representable in double), so
+    * bucketing is bit-identical across engines. */
+  val retention: Q = Q(
+    "events_retention",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY 1)
+      |SELECT c.c0 AS cohort_week, uw.wk - c.c0 AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000.0)).cast("long").as("wk"))
+      .distinct().cache() // consumed by the cohort agg and the join
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("c0").as("cohort_week"), (col("wk") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
-    argmaxJoin, asofNative)
+    argmaxJoin, asofNative, funnel, retention)
 }
