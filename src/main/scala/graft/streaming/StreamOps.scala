@@ -52,6 +52,42 @@ object StreamOps {
       event_type: String)
   final case class HistoryOut(user_id: Long, event_id: Long,
       history_len: Int)
+  final case class FunnelState(vTs: Long, cTs: Long, pTs: Long)
+  final case class FunnelOut(user_id: Long, funnel_stage: Int)
+
+  /** Streaming twin of Events.funnel: per-user ordered-funnel state
+    * (view → click → purchase, each stage the earliest event strictly
+    * after the previous stage) carried across batches with
+    * flatMapGroupsWithState. Emits the stage reached so far per user
+    * per batch; after a full replay the emission equals the batch
+    * query's funnel_stage. Boundary contract matches batch: a stage
+    * candidate at EXACTLY the previous stage's timestamp does not
+    * qualify (strictly-greater comparison on both sides). */
+  def funnelState(s: SparkSession, events: Dataset[Msg]): Dataset[FunnelOut] = {
+    import s.implicits._
+    val none = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, msgs: Iterator[Msg], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(none, none, none))
+          msgs.toSeq.sortBy(m => (m.tsMicros, m.event_id)).foreach { m =>
+            m.event_type match {
+              case "view" if st.vTs == none => st = st.copy(vTs = m.tsMicros)
+              case "click" if st.cTs == none && st.vTs != none &&
+                m.tsMicros > st.vTs => st = st.copy(cTs = m.tsMicros)
+              case "purchase" if st.pTs == none && st.cTs != none &&
+                m.tsMicros > st.cTs => st = st.copy(pTs = m.tsMicros)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage = if (st.pTs != none) 3 else if (st.cTs != none) 2
+            else if (st.vTs != none) 1 else 0
+          Iterator.single(FunnelOut(user, stage))
+      }
+  }
 
   /** Custom conversational state (bones.py:123-144): per-user chat
     * history length, cleared by 'signup' — flatMapGroupsWithState

@@ -167,6 +167,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stateful funnel: flatMapGroupsWithState == batch funnel stages") {
+    import spark.implicits._
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[StreamOps.Msg]
+    val got = StreamOps.funnelState(spark, msgs).toDF()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val want = Events.funnel.run(spark, sf)
+      .select("user_id", "funnel_stage")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == want)
+    assert(want.values.exists(_ == 3)) // the corpus actually completes funnels
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
