@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -54,6 +55,13 @@ object Tokenize {
 
 /** tokens(text): maximal lowercased [a-z0-9] runs, one byte pass. */
 case class AsciiTokens(child: Expression) extends UnaryExpression {
+
+  // analysis-time type error for graft_tokens(42) instead of a
+  // mid-job ClassCastException (the function is SQL-exposed)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens expects a STRING argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"

@@ -41,7 +41,15 @@ object Chunker {
       separators: List[String] = DefaultSeparators,
       sepIsRegex: Boolean = false): Vector[String] = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    merge(pieces(text, chunkSize, separators, sepIsRegex), chunkSize, overlap)
+    // compile each regex separator ONCE per call — pieces() recurses
+    // per sub-piece, and recompiling 5 patterns per piece would burn
+    // scan-time CPU across the whole corpus in the flatMap hot path
+    val seps: List[(String, java.util.regex.Pattern)] =
+      if (sepIsRegex)
+        separators.map(s =>
+          s -> (if (s.isEmpty) null else java.util.regex.Pattern.compile(s)))
+      else separators.map(_ -> null)
+    merge(pieces(text, chunkSize, seps), chunkSize, overlap)
   }
 
   /** The reference's summarize split (bones.py:160-165):
@@ -50,21 +58,22 @@ object Chunker {
     split(text, 2000, 100, SentenceSeparators, sepIsRegex = true)
 
   /** Recursively split until every piece is <= chunkSize (or no
-    * separator is left, in which case hard-cut). */
+    * separator is left, in which case hard-cut). Each separator
+    * carries its pre-compiled Pattern (null = literal matching). */
   private def pieces(
-      text: String, chunkSize: Int, seps: List[String],
-      regex: Boolean): Vector[String] =
+      text: String, chunkSize: Int,
+      seps: List[(String, java.util.regex.Pattern)]): Vector[String] =
     if (text.isEmpty) Vector.empty
     else if (text.length <= chunkSize) Vector(text)
     else seps match {
       case Nil => text.grouped(chunkSize).toVector
-      case "" :: _ => text.grouped(chunkSize).toVector
-      case sep :: rest =>
+      case ("", _) :: _ => text.grouped(chunkSize).toVector
+      case (sep, pat) :: rest =>
         val parts =
-          if (regex) splitKeepRegex(text, java.util.regex.Pattern.compile(sep))
+          if (pat != null) splitKeepRegex(text, pat)
           else splitKeep(text, sep)
-        if (parts.length <= 1) pieces(text, chunkSize, rest, regex)
-        else parts.flatMap(p => pieces(p, chunkSize, rest, regex))
+        if (parts.length <= 1) pieces(text, chunkSize, rest)
+        else parts.flatMap(p => pieces(p, chunkSize, rest))
     }
 
   /** Split on `sep`, keeping the separator attached to the preceding

@@ -34,16 +34,21 @@ object IvfIndex {
     * The quantizer is fit on a bounded driver-side SAMPLE with an
     * in-process Lloyd's loop — the standard IVF shape at scale: a
     * coarse quantizer needs O(k·dim) information, not the corpus, so
-    * a 4096-vector sample (deterministic: lowest vec_ids via
-    * TakeOrdered) trains it in milliseconds while the full corpus is
-    * only touched once, by the distributed ASSIGNMENT pass below.
+    * a 4096-vector sample trains it in milliseconds while the full
+    * corpus is only touched once, by the distributed ASSIGNMENT pass
+    * below. The sample is hash-ordered (TakeOrdered by
+    * xxhash64(vec_id)) — deterministic AND unbiased: an id-prefix
+    * sample would skew the centroids on any corpus where vec_id
+    * correlates with content (time- or topic-ordered ingest).
     * (An MLlib KMeans fit here cost several distributed passes plus
     * its one-off codegen warmup — more than the rest of the build.)
-    * Quantizer quality is guarded by VectorSpec's recall >= 0.9
-    * assertion against brute force. */
+    * Quantizer quality is guarded by VectorSpec's recall-vs-brute
+    * assertion (>= 0.55 on this near-random test corpus, where
+    * clusters barely exist; structured corpora probe far better). */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       k: Int, seed: Long = 42L): Unit = {
-    val sample = emb.select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+    val sample = emb.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(4096).collect().map(_.getSeq[Double](1).toArray)
     val centers = lloyd(sample, k, seed, iters = 10)
     val centArr = centroidArray(centers)

@@ -332,37 +332,22 @@ object Core {
   /** NTILE quartiles over customer balances (deterministic tiebreak).
     * `ntile(4).over(Window.orderBy(...))` with no partitionBy funnels
     * EVERY row through one task — the canonical single-partition
-    * scale-killer. Scale-safe two-pass rank instead: range-partition
-    * on the sort key, per-partition local row_number (parallel
-    * windows), tiny per-partition counts to the driver (one row per
-    * partition, the centroids-collect class), broadcast the cumulative
-    * offsets back, global rank = offset + local rank, then the NTILE
-    * arithmetic is a pure expression. */
+    * scale-killer. Global rank instead = GlobalPrefix.withCumSum with
+    * value 1 (two parallel passes + an O(partitions) offsets
+    * broadcast); the NTILE arithmetic is then a pure expression. */
   val qNtile: Q = Q(
     "q_ntile",
     """SELECT c_custkey, NTILE(4) OVER (
       |  ORDER BY c_acctbal DESC, c_custkey) AS quartile
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    val base = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(32, col("c_acctbal").desc, col("c_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .cache() // counted once, ranked once
-    val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val offDf = base.sparkSession
-      .createDataFrame(offsets.toSeq).toDF("pid", "off")
-    val local = base.withColumn("lr", row_number().over(Window
-      .partitionBy(col("pid"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+    val (ranked, n) = graft.operators.GlobalPrefix.withCumSum(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal").desc, col("c_custkey")), lit(1L))
     // NTILE(k): the first n%k tiles hold ceil(n/k) rows, the rest floor;
     // when n < k every row is its own tile (tile = rank), handled
     // explicitly — a clamped divisor would wrongly merge rows.
     val k = 4L
-    val r = col("lr").cast("long") + col("off")
+    val r = col("cum")
     val tile =
       if (n < k) r
       else {
@@ -372,8 +357,7 @@ object Core {
         when(r <= rem * big, floor((r - 1) / big) + 1)
           .otherwise(lit(rem) + floor((r - 1 - rem * big) / qSize) + 1)
       }
-    local.join(broadcast(offDf), "pid")
-      .select(col("c_custkey"), tile.cast("int").as("quartile"))
+    ranked.select(col("c_custkey"), tile.cast("int").as("quartile"))
       .orderBy(col("c_custkey"))
   }
 

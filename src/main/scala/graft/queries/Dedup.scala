@@ -230,12 +230,19 @@ object Dedup {
   }
 
 
-  /** MinHash(128) + banded LSH (64 bands x 2 rows) + exact-Jaccard
-    * verification. Candidate recall at j=0.8 is 1-(1-0.8^2)^64 ≈
-    * 1-1e-28, and verification removes false positives, so the output
-    * equals the exact-Jaccard result (same oracle as
-    * dedup_ngram_jaccard) — but candidate generation touches only
-    * band-bucket collisions, the plan that survives 100 TB. */
+  /** MinHash(128) + banded LSH (32 bands x 4 rows) + exact-Jaccard
+    * verification. The banding sets the S-curve threshold at
+    * (1/32)^(1/4) ≈ 0.42 — above the background Jaccard (≤ 0.14,
+    * where a pair collides with prob 1-(1-0.14^4)^32 ≈ 1.2%) and well
+    * below the 0.8 target (recall 1-(1-0.8^4)^32 ≈ 1-5e-8), so
+    * candidates stay near the true-pair count instead of drifting
+    * toward O(n²) as the corpus grows. (A 64x2 banding's threshold of
+    * ~0.125 sits BELOW the background level — at J=0.14 a pair would
+    * become a candidate with ~72% probability.) Verification removes
+    * the false positives, so the output equals the exact-Jaccard
+    * result (same oracle as dedup_ngram_jaccard) — but candidate
+    * generation touches only band-bucket collisions, the plan that
+    * survives 100 TB. */
   val minhashLsh: Q = Q("dedup_minhash_lsh", jaccardOracle) { (s, dir) =>
     val sh = hashedShingles(s, dir).cache()
     val sz = docSizes(sh).cache()
@@ -254,8 +261,9 @@ object Dedup {
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.Sketches.minhash(col("x"), 128).as("sig"))
-    val bandArr = transform(sequence(lit(0), lit(63)), j =>
-      hash(element_at(col("sig"), j * 2 + 1), element_at(col("sig"), j * 2 + 2)))
+    val bandArr = transform(sequence(lit(0), lit(31)), j =>
+      hash(element_at(col("sig"), j * 4 + 1), element_at(col("sig"), j * 4 + 2),
+        element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4)))
     // cache: the self-join consumes bands twice; without it the whole
     // sketch pipeline recomputes per side (signatures are tiny: one
     // row per doc)

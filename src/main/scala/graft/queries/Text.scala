@@ -324,18 +324,22 @@ object Text {
       |  SELECT ts.doc_id,
       |    FLOOR(((ts.n_tokens - ts.n_distinct)::DOUBLE / ts.n_tokens)
       |      * 10000 + 0.5) / 10000 AS dup_token_frac,
-      |    FLOOR((s2.m / s2.t) * 10000 + 0.5) / 10000 AS top2gram_frac,
-      |    FLOOR((s3.m / s3.t) * 10000 + 0.5) / 10000 AS top3gram_frac
-      |  FROM tstats ts JOIN s2 ON ts.doc_id = s2.doc_id
-      |  JOIN s3 ON ts.doc_id = s3.doc_id)
+      |    COALESCE(FLOOR((s2.m / s2.t) * 10000 + 0.5) / 10000, 0.0)
+      |      AS top2gram_frac,
+      |    COALESCE(FLOOR((s3.m / s3.t) * 10000 + 0.5) / 10000, 0.0)
+      |      AS top3gram_frac
+      |  FROM tstats ts LEFT JOIN s2 ON ts.doc_id = s2.doc_id
+      |  LEFT JOIN s3 ON ts.doc_id = s3.doc_id)
       |SELECT doc_id, dup_token_frac, top2gram_frac, top3gram_frac,
       |  dup_token_frac <= 0.9 AND top2gram_frac <= 0.2
       |    AND top3gram_frac <= 0.18 AS keep
       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
     def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    // one scan + one tokenize pass, shared by tstats and both gram
+    // aggregations (the "self-consumed mid-pipelines are cached" rule)
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts")).cache()
     def gramStats(n: Int, alias: String): org.apache.spark.sql.DataFrame = {
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("ts"))
       val grams = transform(sequence(lit(0), size(col("ts")) - n), i =>
         concat_ws(" ", (1 to n).map(o => element_at(col("ts"), i + o)): _*))
       t.select(col("doc_id"), explode(
@@ -345,18 +349,19 @@ object Text {
         .agg(max(col("c")).cast("double").as(s"m$alias"),
           sum(col("c")).cast("double").as(s"t$alias"))
     }
-    val tstats = Tables.documents(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
-        size(array_distinct(col("ts"))).as("n_distinct"))
+    val tstats = t.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+      size(array_distinct(col("ts"))).as("n_distinct"))
+    // LEFT joins + 0.0 defaults: docs too short for 2/3-grams cannot
+    // be repetitious, but MUST still receive a keep/drop verdict — a
+    // quality gate that silently drops the degenerate docs is wrong
     val m = tstats
-      .join(gramStats(2, "2"), "doc_id")
-      .join(gramStats(3, "3"), "doc_id")
+      .join(gramStats(2, "2"), Seq("doc_id"), "left")
+      .join(gramStats(3, "3"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         r4((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
-        r4(col("m2") / col("t2")).as("top2gram_frac"),
-        r4(col("m3") / col("t3")).as("top3gram_frac"))
+        coalesce(r4(col("m2") / col("t2")), lit(0.0)).as("top2gram_frac"),
+        coalesce(r4(col("m3") / col("t3")), lit(0.0)).as("top3gram_frac"))
     m.select(col("doc_id"), col("dup_token_frac"), col("top2gram_frac"),
         col("top3gram_frac"),
         (col("dup_token_frac") <= 0.9 && col("top2gram_frac") <= 0.2
@@ -386,25 +391,12 @@ object Text {
       |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val budget = 4096.0
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(32, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .cache() // counted once (offsets), ranked once
-    val counts = base.groupBy(col("pid")).agg(sum(col("n_tokens")).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val offDf = base.sparkSession
-      .createDataFrame(offsets.toSeq).toDF("pid", "off")
-    import org.apache.spark.sql.expressions.Window
-    val localCum = sum(col("n_tokens")).over(Window.partitionBy(col("pid"))
-      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0))
-    base.withColumn("lc", localCum)
-      .join(broadcast(offDf), "pid")
-      .select(col("doc_id"), col("n_tokens"),
-        floor((col("lc") + col("off") - col("n_tokens")) / budget)
-          .cast("long").as("shard_id"))
+    val (c, _) = graft.operators.GlobalPrefix.withCumSum(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), col("n_tokens"))
+    c.select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("long").as("shard_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -72,11 +72,12 @@ object DocLoader {
       .mapPartitions { rows =>
         rows.map { case (src, fmt, bytes) =>
           // a malformed file must degrade to the placeholder, not
-          // crash the whole load job inside mapPartitions; an empty
-          // result (e.g. a non-ZIP .docx) counts as malformed too
+          // crash the whole load job inside mapPartitions. Extractors
+          // THROW on malformed input (e.g. ZipEntries' magic check),
+          // so a successful empty result stays a genuinely empty
+          // document rather than placeholder text entering the corpus
           val text = Extractors.byExtension.get(fmt)
-            .flatMap(ex =>
-              scala.util.Try(ex.extract(bytes)).toOption.filter(_.nonEmpty))
+            .flatMap(ex => scala.util.Try(ex.extract(bytes)).toOption)
             .getOrElse(s"[unparsed $fmt document, ${bytes.length} bytes]")
           (src, fmt, text)
         }

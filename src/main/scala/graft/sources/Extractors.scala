@@ -120,9 +120,14 @@ private[sources] object XmlText {
 }
 
 /** Read ZIP entries out of an in-memory archive — docx/pptx/odt/epub
-  * are all ZIP-of-XML, so one pure-JVM reader serves four formats. */
+  * are all ZIP-of-XML, so one pure-JVM reader serves four formats.
+  * Throws on a non-ZIP payload (bad magic) so callers can distinguish
+  * "malformed file" (→ placeholder) from "valid archive with no text"
+  * (→ genuinely empty document). */
 private[sources] object ZipEntries {
   def read(bytes: Array[Byte], wanted: String => Boolean): Seq[(String, String)] = {
+    if (bytes.length < 4 || bytes(0) != 'P'.toByte || bytes(1) != 'K'.toByte)
+      throw new java.util.zip.ZipException("not a ZIP archive")
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val out = Seq.newBuilder[(String, String)]

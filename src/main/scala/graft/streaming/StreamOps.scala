@@ -62,7 +62,17 @@ object StreamOps {
     * per batch; after a full replay the emission equals the batch
     * query's funnel_stage. Boundary contract matches batch: a stage
     * candidate at EXACTLY the previous stage's timestamp does not
-    * qualify (strictly-greater comparison on both sides). */
+    * qualify (strictly-greater comparison on both sides).
+    *
+    * Late-data contract: stage transitions are IRREVERSIBLE. Events
+    * are event-time-sorted within each batch, but an event arriving
+    * in a LATER batch with an earlier timestamp cannot reopen a
+    * stage (e.g. a late view older than the recorded one is ignored,
+    * even if it would have let an intermediate click qualify). Exact
+    * late-data parity would require buffering all events per user
+    * until a watermark — unbounded state the batch query gets for
+    * free; this twin trades that for O(1) state per user, the
+    * standard streaming-funnel trade. */
   def funnelState(s: SparkSession, events: Dataset[Msg]): Dataset[FunnelOut] = {
     import s.implicits._
     val none = Long.MinValue

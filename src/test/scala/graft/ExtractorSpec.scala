@@ -129,15 +129,20 @@ class ExtractorSpec extends AnyFunSuite {
       "word/document.xml" ->
         """<w:document><w:body><w:p><w:r><w:t>zip text</w:t></w:r></w:p></w:body></w:document>"""))
     Files.write(dir.resolve("broken.epub"), "not a zip at all".getBytes("UTF-8"))
+    Files.write(dir.resolve("blank.odt"), zip( // valid archive, no text
+      "content.xml" -> "<office:document-content></office:document-content>"))
     val rows = DocLoader.load(spark, dir.toString).collect()
       .map(r => r.getAs[String]("format") -> r.getAs[String]("text")).toMap
-    assert(rows.keySet == Set("rtf", "enex", "txt", "pdf", "docx", "epub"))
+    assert(rows.keySet == Set("rtf", "enex", "txt", "pdf", "docx", "epub", "odt"))
     assert(rows("rtf").contains("Hello bold world"))
     assert(rows("enex").contains("Grocery list"))
     assert(rows("txt") == "just text")
     assert(rows("pdf") == "[unparsed pdf document, 4 bytes]")
     assert(rows("docx") == "zip text")
-    // malformed archive degrades to the placeholder instead of failing
+    // malformed archive (bad ZIP magic) degrades to the placeholder...
     assert(rows("epub") == "[unparsed epub document, 16 bytes]")
+    // ...while a VALID archive with no text is a genuinely empty doc,
+    // not placeholder text entering the corpus
+    assert(rows("odt") == "")
   }
 }
