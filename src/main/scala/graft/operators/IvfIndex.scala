@@ -8,11 +8,16 @@ import graft.functions.VectorExprs.dot
 
 /** Persistable IVF (inverted-file) vector index.
   *
-  * The north-star split for vector search at scale: Spark
-  * *batch-builds* the index — KMeans coarse quantizer + vectors
-  * partitioned on disk by cluster id — and any query path (Spark
-  * batch here; an online server in production) loads centroids
-  * (tiny, broadcast) and scans only the probed partitions.
+  * The north-star split for vector search at scale — BATCH index
+  * construction, not online ANN serving: Spark *batch-builds* the
+  * index — k-means coarse quantizer + vectors partitioned on disk by
+  * cluster id — and any query path (Spark batch here; an online
+  * server in production) loads centroids (tiny, broadcast) and scans
+  * only the probed partitions. The quantizer fit itself moved from an
+  * MLlib KMeans run to an in-process Lloyd's loop on a sample (see
+  * build below) — same estimator, same batch pipeline shape, a
+  * fraction of the cost; everything distributed (assignment, layout,
+  * probe) is unchanged.
   * The reference's DocArrayInMemorySearch (conversadocs/bones.py:74)
   * is the k=everything, nprobe=everything degenerate case of this.
   *
