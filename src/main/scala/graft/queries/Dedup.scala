@@ -431,5 +431,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters)
+  /** 5-gram generator — decontamination uses longer grams than the
+    * 3-gram near-dup shingles (an accidental 3-gram overlap is common
+    * English; 5 consecutive shared tokens is evidence). */
+  private def grams5(ts: Column): Column = {
+    val g = transform(sequence(lit(0), size(ts) - 5), i =>
+      concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2),
+        element_at(ts, i + 3), element_at(ts, i + 4), element_at(ts, i + 5)))
+    when(size(ts) >= 5, g).otherwise(array())
+  }
+
+  /** Benchmark decontamination — the GPT-3-style n-gram overlap pass:
+    * docs 0-19 stand in for the held-out eval set; every other corpus
+    * doc is flagged if it shares any 5-gram with any eval doc, with
+    * the count of distinct shared 5-grams as evidence. The eval-side
+    * gram set is tiny (it's an eval set) and broadcast; the corpus
+    * side streams through one equi-join — at 100 TB this is one scan
+    * + a broadcast hash join, no shuffle of the corpus. */
+  val decontaminate: Q = Q(
+    "decontaminate",
+    """WITH toksv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+      |      || ' ' || ts[i+5] AS g
+      |  FROM toksv CROSS JOIN generate_series(0, 2000) t(i)
+      |  WHERE i <= len(ts) - 5),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+      |hits AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_shared
+      |  FROM g JOIN ev ON g.g = ev.g
+      |  WHERE g.doc_id >= 20 GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+      |  h.doc_id IS NOT NULL AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), explode(grams5(col("ts"))).as("g"))
+      .distinct()
+    val ev = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val hits = g.filter(col("doc_id") >= 20)
+      .join(broadcast(ev), Seq("g"), "inner")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, dir).filter(col("doc_id") >= 20).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shared").isNotNull.as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified corpus sampling: ~10% of docs per
+    * length stratum, selected by a PORTABLE hash (md5 prefix of the
+    * doc id) so the sample is reproducible on any engine and any
+    * cluster size — no rand(), no per-partition state. The classic
+    * "hold out a slice of every stratum" pipeline step. */
+  val sampleStratified: Q = Q(
+    "corpus_sample",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 20 AS stratum,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 10 AS slot
+      |  FROM documents)
+      |SELECT doc_id, stratum FROM t WHERE slot = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        floor(size(toks(col("text"))) / lit(20.0)).cast("long").as("stratum"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long") % 10).as("slot"))
+      .filter(col("slot") === 0)
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
+    decontaminate, sampleStratified)
 }
