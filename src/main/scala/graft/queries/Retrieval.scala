@@ -422,6 +422,76 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** Hybrid retrieval — the standard modern RAG pattern the reference's
+    * pure-vector as_retriever predates: BM25 generates top-10 lexical
+    * candidates, the dense (hashing-embedder) cosine re-scores them,
+    * and the final rank mixes the two signals equally (BM25 min-maxed
+    * per query by its top score). Candidate generation is the cheap
+    * lexical join; the expensive dense scoring touches only 10 pairs
+    * per query — the shape that survives 100 TB (dense scoring never
+    * scans the corpus). Cosine uses the exact integer weights, so the
+    * mixed score is engine-stable. */
+  val hybrid: Q = Q(
+    "retrieval_hybrid",
+    s"""WITH $bm25Cte,
+      |hh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h FROM tok),
+      |wts AS (
+      |  SELECT doc_id, CAST(h % 64 AS INT) AS idx,
+      |    CAST(SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |  FROM hh GROUP BY 1, 2),
+      |n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1),
+      |cand AS (
+      |  SELECT query_id, doc_id AS hit_id, score FROM ranked WHERE rn <= 10),
+      |dt AS (
+      |  SELECT c.query_id, c.hit_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dt
+      |  FROM cand c JOIN wts a ON a.doc_id = c.query_id
+      |  JOIN wts b ON b.doc_id = c.hit_id AND a.idx = b.idx
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT query_id, MAX(score) AS m FROM cand GROUP BY 1),
+      |hy AS (
+      |  SELECT c.query_id, c.hit_id,
+      |    0.5 * (c.score / mx.m)
+      |      + 0.5 * (COALESCE(dt.dt, 0) / sqrt(na.n2 * nb.n2)) AS hybrid
+      |  FROM cand c JOIN mx ON c.query_id = mx.query_id
+      |  LEFT JOIN dt ON dt.query_id = c.query_id AND dt.hit_id = c.hit_id
+      |  JOIN n2 na ON na.doc_id = c.query_id
+      |  JOIN n2 nb ON nb.doc_id = c.hit_id),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY hybrid DESC, hit_id) rn FROM hy)
+      |SELECT query_id, rn AS rank, hit_id,
+      |  FLOOR(hybrid * 10000 + 0.5) / 10000 AS hybrid_score
+      |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id").as("hit_id"), col("score"))
+      .cache() // consumed by the dot join, the max, and the final mix
+    val wts = rawBuckets(Tables.documents(s, dir)).cache()
+    val n2 = wts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dt = cand.select(col("query_id"), col("hit_id"))
+      .join(wts.select(col("doc_id").as("query_id"), col("idx"),
+        col("w").as("wa")), "query_id")
+      .join(wts.select(col("doc_id").as("hit_id"), col("idx"),
+        col("w").as("wb")), Seq("hit_id", "idx"))
+      .groupBy(col("query_id"), col("hit_id"))
+      .agg(sum(col("wa") * col("wb")).as("dt"))
+    val mx = cand.groupBy(col("query_id")).agg(max(col("score")).as("m"))
+    val hybridCol = lit(0.5) * (col("score") / col("m")) +
+      lit(0.5) * (coalesce(col("dt"), lit(0L)) / sqrt(col("na") * col("nb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hybrid").desc, col("hit_id"))
+    cand.join(mx, "query_id")
+      .join(dt, Seq("query_id", "hit_id"), "left")
+      .join(n2.select(col("doc_id").as("query_id"), col("n2").as("na")), "query_id")
+      .join(n2.select(col("doc_id").as("hit_id"), col("n2").as("nb")), "hit_id")
+      .withColumn("hybrid", hybridCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("rank"), col("hit_id"),
+        (floor(col("hybrid") * 10000 + 0.5) / 10000).as("hybrid_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
-    embedHashing, retrievalVector, docLoadFiles, qaPipeline)
+    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid)
 }
