@@ -18,19 +18,20 @@ object Dedup {
   // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
   private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
-  /** 3-gram word-shingle array from a *materialized* token array
+  /** n-gram word-shingle array from a *materialized* token array
     * column. Two measured pitfalls shape this code (100x at sf0.1):
     * the token array must be a plain attribute (a HOF lambda
     * re-evaluates its argument expression per element — inlining
     * regexp_extract_all would re-tokenize per shingle), and
     * deduplication must be the DataFrame-level distinct() below, not
     * array_distinct() inside the explode path. */
-  private def gramsOf(ts: Column): Column = {
-    val grams = transform(sequence(lit(0), size(ts) - 3), i =>
-      concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2),
-        element_at(ts, i + 3)))
-    when(size(ts) >= 3, grams).otherwise(array())
+  private def gramsN(ts: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(ts) - n), i =>
+      concat_ws(" ", (1 to n).map(o => element_at(ts, i + o)): _*))
+    when(size(ts) >= n, grams).otherwise(array())
   }
+
+  private def gramsOf(ts: Column): Column = gramsN(ts, 3)
 
   /** (doc_id, shingle-hash) distinct shingles — xxhash64 BEFORE the
     * distinct, so the shuffle moves 16-byte (long, long) rows instead
@@ -120,8 +121,8 @@ object Dedup {
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
-      |  FROM toksv CROSS JOIN generate_series(0, 2000) t(i)
-      |  WHERE i <= len(ts) - 3),
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM toksv)),
       |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
       |keep AS (
       |  SELECT s FROM sh GROUP BY s
@@ -431,39 +432,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** 5-gram generator — decontamination uses longer grams than the
-    * 3-gram near-dup shingles (an accidental 3-gram overlap is common
-    * English; 5 consecutive shared tokens is evidence). */
-  private def grams5(ts: Column): Column = {
-    val g = transform(sequence(lit(0), size(ts) - 5), i =>
-      concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2),
-        element_at(ts, i + 3), element_at(ts, i + 4), element_at(ts, i + 5)))
-    when(size(ts) >= 5, g).otherwise(array())
-  }
-
   /** Benchmark decontamination — the GPT-3-style n-gram overlap pass:
     * docs 0-19 stand in for the held-out eval set; every other corpus
-    * doc is flagged if it shares any 5-gram with any eval doc, with
-    * the count of distinct shared 5-grams as evidence. The eval-side
-    * gram set is tiny (it's an eval set) and broadcast; the corpus
-    * side streams through one equi-join — at 100 TB this is one scan
-    * + a broadcast hash join, no shuffle of the corpus. */
+    * doc is flagged if it shares any 5-gram with any eval doc (longer
+    * grams than the 3-gram near-dup shingles: an accidental 3-gram
+    * overlap is common English, 5 consecutive shared tokens is
+    * evidence), with the count of distinct shared 5-grams.
+    *
+    * Plan shape: the eval-side gram set is tiny (it's an eval set)
+    * and broadcast; the corpus side streams its RAW exploded grams
+    * through the broadcast join and only the matched survivors are
+    * distinct-ed and counted — the corpus is scanned once and never
+    * shuffled (a pre-join corpus-wide distinct would be a full
+    * exchange of gram strings for nothing: duplicate grams within a
+    * doc only exist in the tiny matched set). */
   val decontaminate: Q = Q(
     "decontaminate",
     """WITH toksv AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
       |  FROM documents),
       |g AS (
-      |  SELECT DISTINCT doc_id,
+      |  SELECT doc_id,
       |    ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
       |      || ' ' || ts[i+5] AS g
-      |  FROM toksv CROSS JOIN generate_series(0, 2000) t(i)
-      |  WHERE i <= len(ts) - 5),
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 4, 0))) AS i FROM toksv)),
       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
       |hits AS (
-      |  SELECT g.doc_id, COUNT(*) AS n_shared
-      |  FROM g JOIN ev ON g.g = ev.g
-      |  WHERE g.doc_id >= 20 GROUP BY 1)
+      |  SELECT doc_id, COUNT(*) AS n_shared FROM (
+      |    SELECT DISTINCT g.doc_id, g.g
+      |    FROM g JOIN ev ON g.g = ev.g
+      |    WHERE g.doc_id >= 20) GROUP BY 1)
       |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
       |  h.doc_id IS NOT NULL AS contaminated
       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
@@ -471,11 +470,11 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val g = Tables.documents(s, dir)
       .select(col("doc_id"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), explode(grams5(col("ts"))).as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(gramsN(col("ts"), 5)).as("g"))
     val ev = g.filter(col("doc_id") < 20).select(col("g")).distinct()
     val hits = g.filter(col("doc_id") >= 20)
-      .join(broadcast(ev), Seq("g"), "inner")
+      .join(broadcast(ev), Seq("g"), "left_semi")
+      .distinct() // tiny: only matched (doc, gram) rows reach here
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     Tables.documents(s, dir).filter(col("doc_id") >= 20).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

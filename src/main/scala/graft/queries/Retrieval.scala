@@ -226,16 +226,22 @@ object Retrieval {
     * engine-pair trick as text_fingerprint, Text.scala): 40-bit
     * non-negative, so `%` / `>>` / `&` agree between engines and the
     * weights are exact integers. */
-  private val embedCte: String =
-    """tok AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
-      |  FROM documents),
-      |hh AS (
+  /** tok-free embedder fragment: hh/wts from an existing `tok` CTE —
+    * composable after bm25Cte (which defines its own identical tok),
+    * so the hash width / bucket count / sign bit live in ONE string. */
+  private val embedFromTok: String =
+    """hh AS (
       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h FROM tok),
       |wts AS (
       |  SELECT doc_id, CAST(h % 64 AS INT) AS idx,
       |    CAST(SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
       |  FROM hh GROUP BY 1, 2)""".stripMargin
+
+  private val embedCte: String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |$embedFromTok""".stripMargin
 
   /** Deterministic hashing embedder (the batch stand-in for bones.py:71
     * HuggingFaceEmbeddings): token -> bucket h % 64, sign from bit 6,
@@ -428,18 +434,17 @@ object Retrieval {
     * and the final rank mixes the two signals equally (BM25 min-maxed
     * per query by its top score). Candidate generation is the cheap
     * lexical join; the expensive dense scoring touches only 10 pairs
-    * per query — the shape that survives 100 TB (dense scoring never
-    * scans the corpus). Cosine uses the exact integer weights, so the
-    * mixed score is engine-stable. */
+    * per query — the shape that survives 100 TB (only candidate docs
+    * are embedded; the corpus is semi-joined down first). The cosine
+    * half is integer-exact; the BM25 half is the same double
+    * expression tree on both engines (the retrieval_bm25 parity
+    * precedent) — near-ties between two candidates could in principle
+    * land on opposite sides of the rank boundary if engines ever sum
+    * the per-term scores to different low bits. */
   val hybrid: Q = Q(
     "retrieval_hybrid",
     s"""WITH $bm25Cte,
-      |hh AS (
-      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h FROM tok),
-      |wts AS (
-      |  SELECT doc_id, CAST(h % 64 AS INT) AS idx,
-      |    CAST(SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
-      |  FROM hh GROUP BY 1, 2),
+      |$embedFromTok,
       |n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1),
       |cand AS (
       |  SELECT query_id, doc_id AS hit_id, score FROM ranked WHERE rn <= 10),
@@ -465,8 +470,16 @@ object Retrieval {
       |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
       .select(col("query_id"), col("doc_id").as("hit_id"), col("score"))
-      .cache() // consumed by the dot join, the max, and the final mix
-    val wts = rawBuckets(Tables.documents(s, dir)).cache()
+      .cache() // consumed by the dot join, the max, the doc-id set, and the mix
+    cand.count() // materialize NOW: the embedder subtree depends on cand
+    // (via the candidate-doc semi join), so without an eager fill the
+    // lexical pipeline would re-execute once per downstream consumer
+    // embed ONLY the docs that appear in a candidate pair: the corpus
+    // is semi-joined down before tokenize/hash/groupBy ever run
+    val candDocs = cand.select(col("query_id").as("doc_id"))
+      .unionByName(cand.select(col("hit_id").as("doc_id"))).distinct()
+    val wts = rawBuckets(Tables.documents(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")).cache()
     val n2 = wts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
     val dt = cand.select(col("query_id"), col("hit_id"))
       .join(wts.select(col("doc_id").as("query_id"), col("idx"),

@@ -310,14 +310,14 @@ object Text {
       |  FROM tokv),
       |g2 AS (
       |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g
-      |  FROM tokv CROSS JOIN generate_series(0, 2000) t(i)
-      |  WHERE i <= len(ts) - 2),
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM tokv)),
       |c2 AS (SELECT doc_id, g, COUNT(*) c FROM g2 GROUP BY 1, 2),
       |s2 AS (SELECT doc_id, MAX(c)::DOUBLE m, SUM(c)::DOUBLE t FROM c2 GROUP BY 1),
       |g3 AS (
       |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
-      |  FROM tokv CROSS JOIN generate_series(0, 2000) t(i)
-      |  WHERE i <= len(ts) - 3),
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM tokv)),
       |c3 AS (SELECT doc_id, g, COUNT(*) c FROM g3 GROUP BY 1, 2),
       |s3 AS (SELECT doc_id, MAX(c)::DOUBLE m, SUM(c)::DOUBLE t FROM c3 GROUP BY 1),
       |m AS (
