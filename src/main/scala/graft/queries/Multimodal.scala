@@ -37,8 +37,8 @@ object Multimodal {
     """SELECT doc_id, i AS frame_id,
       |  len(substr(text, i * 64 + 1, 64)) AS frame_len,
       |  md5(substr(text, i * 64 + 1, 64)) AS frame_sig
-      |FROM documents CROSS JOIN generate_series(0, 1000) t(i)
-      |WHERE i * 64 < len(text)
+      |FROM (SELECT doc_id, text,
+      |  unnest(range(0, (len(text) + 63) // 64)) AS i FROM documents)
       |ORDER BY doc_id, frame_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),

@@ -136,8 +136,8 @@ object Retrieval {
     "summarize_extractive",
     """WITH ch AS (
       |  SELECT doc_id, i AS chunk_id, substr(text, i * 170 + 1, 200) AS chunk
-      |  FROM documents CROSS JOIN generate_series(0, 1000) t(i)
-      |  WHERE i * 170 < len(text)),
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(0, (len(text) + 169) // 170)) AS i FROM documents)),
       |tok AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
       |  FROM documents),

@@ -127,8 +127,8 @@ object Text {
     "chunk_fixed",
     """SELECT doc_id, i AS chunk_id, i * 170 + 1 AS char_start,
       |  substr(text, i * 170 + 1, 200) AS chunk
-      |FROM documents CROSS JOIN generate_series(0, 1000) t(i)
-      |WHERE i * 170 < len(text)
+      |FROM (SELECT doc_id, text,
+      |  unnest(range(0, (len(text) + 169) // 170)) AS i FROM documents)
       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
