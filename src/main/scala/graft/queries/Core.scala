@@ -308,6 +308,29 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable approximate quantiles (Greenwald-Khanna via
+    * approx_percentile) — the sketch that replaces exact sort-based
+    * percentiles at 100 TB: constant memory per group, map-side
+    * partials merge. Rows-only (DuckDB's t-digest differs bit-wise);
+    * QueriesSpec bounds the rank error against the exact
+    * q_percentiles twin. */
+  val qApproxQuantiles: Q = Q.rowsOnly("q_approx_quantiles") { (s, dir) =>
+    // one sketch pass computes all four quantiles; emitted as scalar
+    // columns (the correctness harness cannot sort array columns)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+          .as("aq"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("aq"), 1).as("q25"), element_at(col("aq"), 2).as("q50"),
+        element_at(col("aq"), 3).as("q75"), element_at(col("aq"), 4).as("q95"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Running (cumulative) revenue per supplier over ship dates —
     * the prefix-sum window pattern. */
   val qRunningSum: Q = Q(
@@ -411,5 +434,6 @@ object Core {
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
-    qTopkPerKey, qApproxDistinct, qRunningSum, qNtile, qSetOps, qCorrelated)
+    qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
+    qSetOps, qCorrelated)
 }

@@ -24,6 +24,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx quantiles land within 2% relative error of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.queries.Core.qPercentiles.run(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap // p50
+    val approx = graft.queries.Core.qApproxQuantiles.run(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q50")).toMap
+    exact.foreach { case (flag, p50) =>
+      val est = approx(flag)
+      assert(math.abs(est - p50) / p50 < 0.02,
+        s"$flag: approx p50 $est vs exact $p50")
+    }
+  }
+
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
