@@ -111,6 +111,33 @@ object Sinks {
       .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** XML round-trip via the Spark 4 built-in xml source (spark-xml
+    * merged into core) — the remaining interchange format of the
+    * reference's loader registry family. */
+  val xmlRoundtrip: Q = Q(
+    "sink_xml_roundtrip",
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "supplier_xml")
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        // fixed 2-dp text so the double->xml-text->double trip is exact
+        format_number(col("s_acctbal"), 2).as("s_acctbal_s"))
+      .write.mode(SaveMode.Overwrite)
+      .option("rootTag", "suppliers").option("rowTag", "supplier")
+      .format("xml").save(out)
+    s.read.option("rowTag", "supplier").format("xml").load(out)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(regexp_replace(col("s_acctbal_s").cast("string"), ",", "")
+          .cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, compaction)
+    orcRoundtrip, compaction, xmlRoundtrip)
 }
