@@ -128,6 +128,27 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** The same payload extraction through Spark 4's VARIANT type
+    * (parse once into the binary semi-structured encoding, then typed
+    * path access) — at 100 TB the parse-once variant column beats
+    * per-access get_json_object string re-parsing whenever more than
+    * one field is read. Same oracle family as events_json_extract
+    * proves value parity of the two access paths. */
+  val variantExtract: Q = Q(
+    "events_variant_extract",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        try_variant_get(col("v"), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic argmax: each order's highest-quantity line item via
     * a single max(struct(...)) aggregation — no join-back, no window,
     * ties broken by line number inside the struct ordering. */
@@ -250,5 +271,5 @@ object Events {
   }
 
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
-    argmaxJoin, asofNative, funnel, retention)
+    variantExtract, argmaxJoin, asofNative, funnel, retention)
 }
