@@ -400,6 +400,30 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy-hitter estimation via a Count-Min sketch (spark-sketch):
+    * the constant-memory answer to "what are the frequent tokens"
+    * when an exact groupBy over the vocabulary would not fit — the
+    * third mergeable sketch next to HLL (q_approx_distinct) and
+    * quantiles (q_approx_quantiles). The sketch is built distributed
+    * (merged counters, order-independent, fixed seed) and consumed
+    * driver-side at O(k); the exact counts ride along so the CMS
+    * one-sided error guarantee (est >= exact, overestimate bounded by
+    * eps*N) is visible in the output and asserted in QueriesSpec. */
+  val freqSketch: Q = Q.rowsOnly("q_freq_sketch") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("t")).cache()
+    val cms = tok.stat.countMinSketch(col("t"), eps = 0.0001,
+      confidence = 0.99, seed = 42)
+    val top = tok.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("t")).limit(10).collect()
+    import s.implicits._
+    top.map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("token", "exact", "cms_estimate")
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
-    chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards)
+    chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
+    freqSketch)
 }

@@ -24,6 +24,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("count-min estimates are one-sided and tight on heavy hitters") {
+    val rows = graft.queries.Text.freqSketch.run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, est) =>
+      assert(est >= exact, "CMS never underestimates")
+      assert(est <= (exact * 1.05).toLong + 100, s"CMS overshoot: $est vs $exact")
+    }
+  }
+
   test("approx quantiles land within 2% relative error of exact") {
     import org.apache.spark.sql.functions._
     val exact = graft.queries.Core.qPercentiles.run(spark, TestSpark.sf)
