@@ -21,6 +21,17 @@ import scala.annotation.tailrec
   * piece, so concatenating pieces reproduces the input; a zero-width
   * match (lookbehind) splits without consuming anything.
   *
+  * Deliberate divergence from LangChain: its keep_separator=True
+  * prepends the matched separator to the FOLLOWING piece, so chunk
+  * text from literal separators ("\n\n", "\n", " ") differs at the
+  * boundaries (leading vs trailing whitespace) even though chunk
+  * COUNT and coverage match; the zero-width sentence lookbehind is
+  * identical under both conventions. Preceding-attachment keeps
+  * every piece's trailing context (a chunk ends at its own paragraph
+  * break) and round-trips by plain concatenation. Flip attachment if
+  * byte-level parity with RecursiveCharacterTextSplitter ever
+  * matters.
+  *
   * This is genuinely imperative string logic, so it runs as a typed
   * flatMap over the documents Dataset (one doc in, N chunks out,
   * fully parallel) rather than as column expressions.

@@ -175,8 +175,10 @@ object EnexExtractor extends BinaryExtractor {
 object DocxExtractor extends BinaryExtractor {
   override val extensions: Set[String] = Set("docx")
 
-  // text runs, tabs, and breaks in document order
-  private val TokRe = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab/>|<w:br/>".r
+  // text runs, tabs, and breaks in document order; tab/br may carry
+  // attributes in real Word output (<w:br w:type="page"/>, styled tabs)
+  private val TokRe =
+    "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab(?:\\s[^>]*)?/>|<w:br(?:\\s[^>]*)?/>".r
 
   override def extract(bytes: Array[Byte]): String = {
     val xmls = ZipEntries.read(bytes, _ == "word/document.xml").map(_._2)
@@ -184,7 +186,7 @@ object DocxExtractor extends BinaryExtractor {
       xml.split("</w:p>").map { para =>
         TokRe.findAllMatchIn(para).map { m =>
           if (m.group(1) != null) XmlText.decodeEntities(m.group(1))
-          else if (m.matched == "<w:tab/>") "\t"
+          else if (m.matched.startsWith("<w:tab")) "\t"
           else "\n"
         }.mkString
       }.filter(_.nonEmpty).mkString("\n")

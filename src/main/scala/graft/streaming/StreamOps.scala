@@ -72,7 +72,15 @@ object StreamOps {
     * late-data parity would require buffering all events per user
     * until a watermark — unbounded state the batch query gets for
     * free; this twin trades that for O(1) state per user, the
-    * standard streaming-funnel trade. */
+    * standard streaming-funnel trade.
+    *
+    * Memory bound: CARRIED state is O(1) per user, but each
+    * invocation materializes and sorts the user's events from the
+    * CURRENT micro-batch (`msgs.toSeq.sortBy`) — peak memory per key
+    * is bounded by the batch size, not a constant. A hot key in a
+    * huge batch pays that; cap trigger sizes (maxOffsetsPerTrigger /
+    * maxFilesPerTrigger) if a key can dominate a batch.
+    * (historyState below shares the pattern.) */
   def funnelState(s: SparkSession, events: Dataset[Msg]): Dataset[FunnelOut] = {
     import s.implicits._
     val none = Long.MinValue

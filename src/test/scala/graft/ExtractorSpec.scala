@@ -75,9 +75,11 @@ class ExtractorSpec extends AnyFunSuite {
         ("""<w:document><w:body>""" +
           """<w:p><w:r><w:t>Hello </w:t></w:r><w:r w:x="1"><w:t>docx &amp; world</w:t></w:r></w:p>""" +
           """<w:p><w:r><w:t>Tabbed</w:t></w:r><w:tab/><w:r><w:t>cell</w:t></w:r></w:p>""" +
+          """<w:p><w:r><w:t>page</w:t><w:br w:type="page"/><w:t>break</w:t>""" +
+          """<w:tab w:val="x"/><w:t>end</w:t></w:r></w:p>""" +
           """</w:body></w:document>"""))
     val text = DocxExtractor.extract(doc)
-    assert(text == "Hello docx & world\nTabbed\tcell")
+    assert(text == "Hello docx & world\nTabbed\tcell\npage\nbreak\tend")
   }
 
   test("PPTX extractor: slides in number order, a:t runs") {
