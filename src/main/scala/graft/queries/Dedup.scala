@@ -81,14 +81,19 @@ object Dedup {
     * every involved doc) and restricted back to the candidate pairs. */
   private def verifiedJaccard(
       pairs: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
-    val docs = pairs.select(col("da").as("doc_id"))
-      .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+    // pairs is consumed THREE times (two doc-id projections + the
+    // final semi join) and is tiny (the surviving candidates);
+    // broadcast() doubles as the size assertion — if candidates ever
+    // blow past the broadcast limit, blocking is broken and failing
+    // beats silently shipping them through three shuffles.
+    val docs = broadcast(pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id"))).distinct())
     val shSub = sh.join(docs, Seq("doc_id"), "left_semi").cache()
     val inter = shSub.select(col("doc_id").as("da"), col("s"))
       .join(shSub.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-      .join(pairs, Seq("da", "db"), "left_semi")
+      .join(broadcast(pairs), Seq("da", "db"), "left_semi")
     jaccardFrom(inter, sz)
   }
 
@@ -271,11 +276,16 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
       .cache()
+    // cache: verifiedJaccard consumes the candidate set three times;
+    // uncached, the band self-join + distinct would re-run per use,
+    // and its runtime stats would depend on WHICH use materializes
+    // first — the run-to-run plan flap behind the occasional 3-4x
+    // bench blowup on this query
     val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .select(col("da"), col("db")).distinct().cache()
     verifiedJaccard(cand, sh, sz).orderBy(col("doc_a"), col("doc_b"))
   }
 

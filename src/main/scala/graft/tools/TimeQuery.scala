@@ -7,13 +7,11 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Bench-identical session (AQE, extensions, shuffle width) so
+    // timings here predict BENCH_r{N} — a plain builder session
+    // diverged 3x on AQE-sensitive plans.
+    val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     names.foreach { name =>
