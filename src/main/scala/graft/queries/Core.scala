@@ -431,9 +431,41 @@ object Core {
       .orderBy(col("c_custkey"))
   }
 
+  /** GROUPING SETS — the general form behind rollup/cube: exactly the
+    * requested grouping combinations ((flag), (status), ()), one
+    * shuffle via the Expand operator (rows replicated per set on the
+    * map side, then a single hash aggregate — same scale shape as
+    * q_rollup). GROUPING() disambiguates "aggregated-over" from a
+    * genuine NULL key. */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      // grouping() is resolvable only inside the aggregate list
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
-    qSetOps, qCorrelated)
+    qSetOps, qCorrelated, qGroupingSets)
 }

@@ -37,12 +37,14 @@ object Dedup {
     * distinct, so the shuffle moves 16-byte (long, long) rows instead
     * of ~30-char shingle strings; the string never leaves the map
     * side. */
-  private def hashedDistinctShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("ts"))
+  private[queries] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(gramsOf(col("ts"))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("s"))
       .distinct()
+
+  private def hashedDistinctShingles(s: SparkSession, dir: String): DataFrame =
+    hashedShinglesOf(Tables.documents(s, dir))
 
   /** (doc_id, h) with the shingle replaced by its 64-bit hash: the
     * pair join shuffles 16-byte rows instead of ~30-char strings.
@@ -119,11 +121,13 @@ object Dedup {
     * only, and exact intersection counts over the FULL shingle set for
     * the surviving pairs — the same lossy-capped-blocking + exact-verify
     * contract the Spark plan implements (candidatePairs), so impl and
-    * oracle share semantics by construction. */
-  private val cappedPairsCtes: String =
-    """toksv AS (
+    * oracle share semantics by construction. Parameterized on the
+    * source relation so corpus_clean can run it over its
+    * gated-survivor CTE. */
+  private[queries] def cappedPairsCtesFrom(src: String): String =
+    s"""toksv AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
-      |  FROM documents),
+      |  FROM $src),
       |sh AS (
       |  SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
       |  FROM (SELECT doc_id, ts,
@@ -146,7 +150,7 @@ object Dedup {
     * every capped-blocking pair with 3-gram Jaccard >= 0.8 (test data
     * has a clean gap: planted pairs >= 0.8, background <= 0.14). */
   private val jaccardOracle: String =
-    s"""WITH $cappedPairsCtes
+    s"""WITH ${cappedPairsCtesFrom("documents")}
       |SELECT da AS doc_a, db AS doc_b,
       |  ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
       |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
@@ -228,11 +232,18 @@ object Dedup {
     * candidates; their Jaccard is exact over the full shingle set
     * (rare counts + hot correction). The DuckDB oracle encodes the
     * same capped-candidates + exact-verify contract. */
-  val ngramJaccard: Q = Q("dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
-    val sh = hashedShingles(s, dir).cache()
+  /** The capped-blocking + exact-verify pair pipeline over any
+    * (doc_id, text) frame — shared by dedup_ngram_jaccard (full
+    * corpus) and corpus_clean (gate survivors only: at scale you
+    * near-dedup what survived the cheap filters, not the raw crawl). */
+  private[queries] def ngramPairsOf(docs: DataFrame): DataFrame = {
+    val sh = hashedShinglesOf(docs).cache()
     val sz = docSizes(sh).cache()
     jaccardFrom(cappedInter(sh, sz.count()), sz)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccard: Q = Q("dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
+    ngramPairsOf(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
   }
 
 
@@ -384,7 +395,7 @@ object Dedup {
     * transitive closure over the same exact-Jaccard >= 0.8 edges. */
   val clusters: Q = Q(
     "dedup_clusters",
-    s"""WITH RECURSIVE $cappedPairsCtes,
+    s"""WITH RECURSIVE ${cappedPairsCtesFrom("documents")},
       |e AS (
       |  SELECT da, db FROM c
       |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id

@@ -270,6 +270,42 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Range (interval) self-join: pairs of same-user events at most
+    * 5 minutes apart. The range predicate alone would force a
+    * nested-loop join; this plan makes it an EQUI-join on
+    * (user_id, time_bucket): the left side fans out to its own
+    * bucket and the next (any b with ta < tb <= ta+W lands in one of
+    * the two), the right side keeps its single bucket, and the exact
+    * interval predicate filters the bucket collisions — each
+    * qualifying pair is found exactly once, no dedup needed.
+    * Shuffle volume is 2x the fact table, never O(n²); bucket width
+    * = window keeps the fan-out constant. All comparisons are in
+    * truncated epoch micros, matching DuckDB's epoch_us on the
+    * nanos timestamps. */
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND epoch_us(b.ts) > epoch_us(a.ts)
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val w = 300000000L // 5 min in micros
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bk0", expr(s"us div ${w}L")) // exact integer bucket
+    val a = e.select(col("user_id"), col("event_id").as("event_a"),
+      col("us").as("ta"),
+      explode(array(col("bk0"), col("bk0") + 1)).as("bk"))
+    val b = e.select(col("user_id"), col("event_id").as("event_b"),
+      col("us").as("tb"), col("bk0").as("bk"))
+    a.join(b, Seq("user_id", "bk"))
+      .filter(col("tb") > col("ta") && col("tb") - col("ta") <= w)
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("tb") - col("ta")).as("gap_us"))
+      .orderBy(col("user_id"), col("event_a"), col("event_b"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
-    variantExtract, argmaxJoin, asofNative, funnel, retention)
+    variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin)
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Input to the per-shard packer: one doc with its token count and
+  * prefix-sum-assigned shard. */
+case class PackIn(doc_id: Long, n_tokens: Long, shard_id: Long)
+
+/** One packed doc: which training sequence (within its shard) it
+  * landed in and at what token offset. */
+case class PackOut(doc_id: Long, shard_id: Long, seq_in_shard: Long,
+    seq_offset: Long, n_tokens: Long)
+
+/** End-to-end training-data pipeline operators: the composition
+  * queries a 100 TB corpus run actually ships — cleaning gates chained
+  * in cost order, and the packer that turns cleaned docs into
+  * fixed-budget training sequences. Both are composed FROM the
+  * registered single-purpose operators (same code, same oracles), so
+  * pipeline semantics and per-operator semantics cannot drift apart.
+  */
+object Pipeline {
+
+  /** Document-boundary-respecting sequence packing (the "no doc may
+    * straddle a training window unless it must" packer, vs
+    * token_shards' concat-and-chop assignment). Two-level and fully
+    * distributed:
+    *
+    *  1. a global token prefix sum (GlobalPrefix — two passes, no
+    *     single-partition window) assigns each doc to a 4096-token
+    *     SHARD by its start offset; shards are the parallel unit and
+    *     the only global coordination;
+    *  2. within a shard, docs pack NEXT-FIT in doc_id order into
+    *     512-token sequences: a doc that would overflow the open
+    *     sequence starts a new one (an oversized doc gets a sequence
+    *     of its own). The sequential fold is safe because a shard
+    *     holds ~4096 tokens — the flatMapGroups buffer is bounded by
+    *     shard_budget/min_doc_tokens docs, independent of corpus
+    *     size.
+    *
+    * The DuckDB oracle replays the same next-fit recurrence as a
+    * recursive CTE over the per-shard doc rank, so the whole packing
+    * layout (shard, sequence, offset) is hash-checked. */
+  val seqPack: Q = Q(
+    "seq_pack",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+      |  FROM documents),
+      |cm AS (
+      |  SELECT doc_id, n,
+      |    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |d AS (
+      |  SELECT doc_id, n,
+      |    CAST(FLOOR((cum - n) / 4096.0) AS BIGINT) AS shard_id,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY CAST(FLOOR((cum - n) / 4096.0) AS BIGINT)
+      |      ORDER BY doc_id) AS rk
+      |  FROM cm),
+      |p AS (
+      |  SELECT shard_id, rk, doc_id, n, CAST(0 AS BIGINT) AS seq, n AS fill
+      |  FROM d WHERE rk = 1
+      |  UNION ALL
+      |  SELECT d.shard_id, d.rk, d.doc_id, d.n,
+      |    CASE WHEN p.fill + d.n <= 512 THEN p.seq ELSE p.seq + 1 END,
+      |    CASE WHEN p.fill + d.n <= 512 THEN p.fill + d.n ELSE d.n END
+      |  FROM p JOIN d ON d.shard_id = p.shard_id AND d.rk = p.rk + 1)
+      |SELECT doc_id, shard_id, seq AS seq_in_shard,
+      |  fill - n AS seq_offset, n AS n_tokens
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val shardBudget = 4096.0
+    val seqBudget = 512L
+    val (c, _) = graft.operators.GlobalPrefix.withCumSum(
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.TextExprs.tokens(col("text")))
+          .cast("long").as("n_tokens")),
+      Seq(col("doc_id")), col("n_tokens"))
+    c.select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / shardBudget)
+          .cast("long").as("shard_id"))
+      .as[PackIn]
+      .groupByKey(_.shard_id)
+      .flatMapGroups { (sid: Long, it: Iterator[PackIn]) =>
+        // bounded buffer: a shard carries ~4096 tokens of docs
+        val ds = it.toArray.sortBy(_.doc_id)
+        var seq = 0L
+        var fill = 0L
+        var first = true
+        ds.iterator.map { d =>
+          if (!first && fill + d.n_tokens > seqBudget) { seq += 1; fill = 0L }
+          val off = fill
+          fill += d.n_tokens
+          first = false
+          PackOut(d.doc_id, sid, seq, off, d.n_tokens)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("shard_id"), col("seq_in_shard"),
+        col("seq_offset"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The cleaning pipeline, gates in cost order (Gopher/CCNet shape):
+    * language -> quality -> repetition -> exact dedup -> near-dedup,
+    * where the expensive near-dup pass runs ONLY on docs that
+    * survived every cheap gate — at 100 TB you never shingle-join the
+    * raw crawl. Each gate IS the registered operator's own dataflow
+    * (langid / quality / repetition / exact / ngramPairsOf), and the
+    * oracle embeds those operators' own oracle SQL as subqueries, so
+    * this query is the composition proof: if it hash-matches, the
+    * operators compose without semantic drift. Near-dup keep rule:
+    * the smaller doc_id of each verified pair survives. */
+  val corpusClean: Q = Q(
+    "corpus_clean",
+    s"""WITH lang AS (
+      |  SELECT doc_id, predicted_lang FROM (${Text.langid.oracle.get})),
+      |qual AS (
+      |  SELECT doc_id, quality_score FROM (${Text.quality.oracle.get})),
+      |rep AS (
+      |  SELECT doc_id, keep AS rep_keep FROM (${Text.repetition.oracle.get})),
+      |ex AS (
+      |  SELECT doc_id, is_dup FROM (${Dedup.exact.oracle.get})),
+      |gated AS (
+      |  SELECT d.doc_id, d.text
+      |  FROM documents d
+      |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+      |  JOIN rep USING (doc_id) JOIN ex USING (doc_id)
+      |  WHERE predicted_lang = 'en' AND quality_score >= 0.35
+      |    AND rep_keep AND NOT is_dup),
+      |${Dedup.cappedPairsCtesFrom("gated")},
+      |nd AS (
+      |  SELECT DISTINCT db AS doc_id FROM c
+      |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |  WHERE i / (sa.n + sb.n - i) >= 0.8)
+      |SELECT d.doc_id,
+      |  l.predicted_lang = 'en' AS lang_ok,
+      |  q.quality_score >= 0.35 AS quality_ok,
+      |  r.rep_keep AS repetition_ok,
+      |  NOT e.is_dup AS not_exact_dup,
+      |  nd.doc_id IS NOT NULL AS near_dup_drop,
+      |  l.predicted_lang = 'en' AND q.quality_score >= 0.35
+      |    AND r.rep_keep AND NOT e.is_dup AND nd.doc_id IS NULL AS keep
+      |FROM documents d
+      |JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+      |JOIN rep r USING (doc_id) JOIN ex e USING (doc_id)
+      |LEFT JOIN nd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val lang = Text.langid.run(s, dir)
+      .select(col("doc_id"), (col("predicted_lang") === "en").as("lang_ok"))
+    val qual = Text.quality.run(s, dir)
+      .select(col("doc_id"), (col("quality_score") >= 0.35).as("quality_ok"))
+    val rep = Text.repetition.run(s, dir)
+      .select(col("doc_id"), col("keep").as("repetition_ok"))
+    val ex = Dedup.exact.run(s, dir)
+      .select(col("doc_id"), (!col("is_dup")).as("not_exact_dup"))
+    // flags feed both the gate filter and the final projection
+    val flags = lang.join(qual, "doc_id").join(rep, "doc_id")
+      .join(ex, "doc_id").cache()
+    val gatedDocs = Tables.documents(s, dir).join(
+      flags.filter(col("lang_ok") && col("quality_ok")
+        && col("repetition_ok") && col("not_exact_dup"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nd = Dedup.ngramPairsOf(gatedDocs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup_drop", lit(true))
+    flags.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+        col("repetition_ok"), col("not_exact_dup"),
+        coalesce(col("near_dup_drop"), lit(false)).as("near_dup_drop"),
+        (col("lang_ok") && col("quality_ok") && col("repetition_ok")
+          && col("not_exact_dup")
+          && coalesce(col("near_dup_drop"), lit(false)) === false).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(seqPack, corpusClean)
+}

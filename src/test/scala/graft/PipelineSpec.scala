@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-4 pipeline operators, beyond the
+  * DuckDB hash gate: packing-layout laws for seq_pack, gate
+  * composition laws for corpus_clean, window laws for q_range_join,
+  * and quantization error bounds for vec_quantize_int8. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("seq_pack: every doc packed once, offsets are next-fit within the sequence") {
+    val rows = graft.queries.Pipeline.seqPack.run(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs, "one output row per document")
+    // within each (shard, seq), docs in doc_id order sit back-to-back
+    // and the sequence never exceeds the 512 budget unless it holds a
+    // single oversized doc
+    rows.groupBy(r => (r.getLong(1), r.getLong(2))).foreach {
+      case ((shard, seq), ds) =>
+        val sorted = ds.sortBy(_.getLong(0)) // doc_id
+        var expectOff = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == expectOff,
+            s"shard $shard seq $seq: offset gap at doc ${r.getLong(0)}")
+          expectOff += r.getLong(4) // n_tokens
+        }
+        assert(expectOff <= 512 || sorted.length == 1,
+          s"shard $shard seq $seq overfilled with ${sorted.length} docs")
+    }
+  }
+
+  test("seq_pack: a doc never moves to an earlier-starting sequence than next-fit allows") {
+    // next-fit law: consecutive docs in the same shard either share a
+    // sequence or the earlier sequence could not have held the doc
+    val rows = graft.queries.Pipeline.seqPack.run(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    rows.groupBy(_.getLong(1)).foreach { case (_, ds) =>
+      ds.sortBy(_.getLong(0)).sliding(2).foreach {
+        case Array(a, b) if a.getLong(2) != b.getLong(2) =>
+          assert(a.getLong(3) + a.getLong(4) + b.getLong(4) > 512,
+            s"doc ${b.getLong(0)} opened a new sequence the old one could hold")
+        case _ => ()
+      }
+    }
+  }
+
+  test("corpus_clean: keep is exactly the conjunction of its gates") {
+    val rows = graft.queries.Pipeline.corpusClean.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) &&
+        r.getBoolean(4) && !r.getBoolean(5)
+      assert(r.getBoolean(6) == expected, s"doc ${r.getLong(0)} keep flag")
+    }
+  }
+
+  test("corpus_clean: near-dup drops only happen among gate survivors") {
+    val rows = graft.queries.Pipeline.corpusClean.run(spark, sf).collect()
+    rows.filter(_.getBoolean(5)).foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)
+        && r.getBoolean(4),
+        s"doc ${r.getLong(0)} marked near-dup but failed a cheaper gate")
+    }
+  }
+
+  test("q_range_join matches the naive range predicate") {
+    val fast = graft.queries.Events.rangeJoin.run(spark, sf)
+      .select("user_id", "event_a", "event_b", "gap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("b.us") > col("a.us")
+          && col("b.us") - col("a.us") <= 300000000L)
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
+        (col("b.us") - col("a.us")).as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fast == naive, "bucketed range join != naive range join")
+    fast.foreach { case (_, _, _, gap) => assert(gap > 0 && gap <= 300000000L) }
+  }
+
+  test("vec_quantize_int8: codes bounded, reconstruction error within half a step") {
+    val rows = graft.queries.Vectors.quantizeInt8.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per-dim scales to bound the error
+    val scales = graft.sources.Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("long").as("dim"))
+      .agg(max(abs(col("x").cast("double"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (dim, q, err) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(math.abs(q) <= 127, s"code $q out of int8 range")
+      val halfStep = scales(dim) / 254.0
+      assert(err <= halfStep + 1e-6, s"dim $dim err $err > half-step $halfStep")
+    }
+  }
+}
