@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Core, Text, Vectors}
+import graft.queries.{Core, Events, Text, Vectors}
 
 /** Physical-plan audit: the properties that matter at 100 TB —
   * pushdown to the scan, broadcast of small sides, no full sort for
@@ -78,6 +78,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Vectors.embeddingNearDup.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_range_join is a bucketed equi-join, not a nested loop") {
+    val p = plan(Events.rangeJoin.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("seq_pack avoids a single-partition global window") {
+    val p = plan(graft.queries.Pipeline.seqPack.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"))
   }
 
   test("q_ntile has no single-partition global window exchange") {
