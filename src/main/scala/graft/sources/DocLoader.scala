@@ -24,12 +24,13 @@ object DocLoader {
 
   val textExtensions: Set[String] = Set("txt", "md")
   val htmlExtensions: Set[String] = Set("html", "htm")
-  /** binary formats with a real extractor (rtf/enex plus the four
-    * ZIP-of-XML formats docx/pptx/odt/epub — pure-JVM parsing) */
+  /** binary formats with a real extractor (rtf/enex, the four
+    * ZIP-of-XML formats docx/pptx/odt/epub, and pdf via pure-JVM
+    * FlateDecode + text-operator replay) */
   val extractedExtensions: Set[String] = Extractors.byExtension.keySet
   /** binary legacy formats stubbed until their parser is available
     * (genuinely need external libraries absent from this container) */
-  val stubExtensions: Set[String] = Set("pdf", "doc", "ppt")
+  val stubExtensions: Set[String] = Set("doc", "ppt")
   val binaryExtensions: Set[String] = stubExtensions ++ extractedExtensions
 
   private def ext(pathCol: org.apache.spark.sql.Column) =

@@ -259,9 +259,181 @@ object EpubExtractor extends BinaryExtractor {
       .filter(_.nonEmpty).mkString("\n\n").trim
 }
 
+/** Text layer of standard PDFs, pure JVM (bones.py:32 PyPDFLoader):
+  * locates stream...endstream objects, inflates FlateDecode payloads
+  * (java.util.zip.Inflater — zlib IS in the JDK), and replays the
+  * content-stream text operators inside BT..ET spans: Tj / ' / " show
+  * a string, TJ shows an array of strings (kerning numbers ignored),
+  * Td/TD/T* line moves become newlines. Handles PDF string-literal
+  * escapes (\\( \\) \\\\ \\n \\r \\t, octal \\ddd, nested parens,
+  * line continuations) and <hex> strings. Simple-font text only: no
+  * CMap/ToUnicode remapping, so composite-font PDFs come out as raw
+  * glyph codes — the standard limitation of any non-CMap extractor.
+  * Throws on a missing %PDF- header so DocLoader degrades malformed
+  * files to the placeholder. */
+object PdfExtractor extends BinaryExtractor {
+  override val extensions: Set[String] = Set("pdf")
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  override def extract(bytes: Array[Byte]): String = {
+    require(bytes.length >= 5 &&
+      new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
+    val s = new String(bytes, Latin1) // byte-transparent
+    val pages = streams(s).flatMap { case (dict, payload) =>
+      val content =
+        if (dict.contains("/FlateDecode")) inflate(payload.getBytes(Latin1))
+        else Some(payload.getBytes(Latin1))
+      content.map(c => spanText(new String(c, Latin1))).filter(_.nonEmpty)
+    }
+    pages.mkString("\n").trim
+  }
+
+  /** (object dictionary text, raw payload) per stream...endstream. */
+  private def streams(s: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = s.indexOf("stream")
+    while (i >= 0) {
+      // "endstream" also contains "stream": require a real keyword start
+      val isKeyword = i < 3 || !s.substring(i - 3, i).contains("end")
+      if (isKeyword) {
+        var d = i + "stream".length
+        if (d < s.length && s.charAt(d) == '\r') d += 1
+        if (d < s.length && s.charAt(d) == '\n') d += 1
+        val e = s.indexOf("endstream", d)
+        if (e >= 0) {
+          val objAt = s.lastIndexOf("obj", i)
+          val dict = s.substring(math.max(0, objAt), i)
+          out += ((dict, s.substring(d, e)))
+          i = s.indexOf("stream", e + "endstream".length)
+        } else i = -1
+      } else i = s.indexOf("stream", i + "stream".length)
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Replay the text operators of one content stream. */
+  private def spanText(content: String): String = {
+    val shown = new StringBuilder
+    var i = 0
+    while (true) {
+      val bt = content.indexOf("BT", i)
+      if (bt < 0) return shown.toString.trim
+      val et = content.indexOf("ET", bt + 2)
+      val end = if (et < 0) content.length else et
+      replay(content.substring(bt + 2, end), shown)
+      if (et < 0) return shown.toString.trim
+      i = end + 2
+    }
+    shown.toString.trim
+  }
+
+  private def newline(out: StringBuilder): Unit =
+    if (out.nonEmpty && out.last != '\n') out.append('\n')
+
+  private def replay(span: String, out: StringBuilder): Unit = {
+    val pending = new StringBuilder // strings parsed since the last op
+    var j = 0
+    while (j < span.length) {
+      span.charAt(j) match {
+        case '(' => j = literal(span, j, pending)
+        case '<' if j + 1 < span.length && span.charAt(j + 1) != '<' =>
+          j = hexString(span, j, pending)
+        case '/' => // name token: skip so /Td etc. can't look like an op
+          j += 1
+          while (j < span.length && !" \t\r\n()<>[]/".contains(span.charAt(j)))
+            j += 1
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          var k = j
+          while (k < span.length && (span.charAt(k).isLetterOrDigit ||
+            "*'\"".contains(span.charAt(k)))) k += 1
+          span.substring(j, k) match {
+            case "Tj" | "TJ" =>
+              out.append(pending); pending.clear()
+            case "'" | "\"" =>
+              newline(out); out.append(pending); pending.clear()
+            case "T*" | "Td" | "TD" => newline(out)
+            case _ => () // positioning/state op: no text
+          }
+          j = k
+        case _ => j += 1
+      }
+    }
+    out.append(pending)
+  }
+
+  /** (string) literal with escapes + balanced nested parens; returns
+    * the index after the closing paren. */
+  private def literal(span: String, start: Int, out: StringBuilder): Int = {
+    var j = start + 1
+    var depth = 1
+    while (j < span.length && depth > 0) {
+      span.charAt(j) match {
+        case '\\' if j + 1 < span.length =>
+          span.charAt(j + 1) match {
+            case 'n' => out.append('\n'); j += 2
+            case 'r' => out.append('\r'); j += 2
+            case 't' => out.append('\t'); j += 2
+            case 'b' => out.append('\b'); j += 2
+            case 'f' => out.append('\f'); j += 2
+            case '\n' => j += 2 // line continuation
+            case '\r' =>
+              j += 2; if (j < span.length && span.charAt(j) == '\n') j += 1
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1
+              var v = 0
+              while (k < span.length && k < j + 4 &&
+                span.charAt(k) >= '0' && span.charAt(k) <= '7') {
+                v = v * 8 + (span.charAt(k) - '0'); k += 1
+              }
+              out.append(v.toChar); j = k
+            case c => out.append(c); j += 2 // \( \) \\ and unknown
+          }
+        case '(' => depth += 1; out.append('('); j += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) out.append(')')
+          j += 1
+        case c => out.append(c); j += 1
+      }
+    }
+    j
+  }
+
+  /** <hex> string; whitespace inside is legal, odd length pads 0. */
+  private def hexString(span: String, start: Int, out: StringBuilder): Int = {
+    val end = span.indexOf('>', start)
+    if (end < 0) return span.length
+    val hex = span.substring(start + 1, end).filterNot(_.isWhitespace)
+    val padded = if (hex.length % 2 == 0) hex else hex + "0"
+    padded.grouped(2).foreach { h =>
+      scala.util.Try(Integer.parseInt(h, 16)).foreach(v => out.append(v.toChar))
+    }
+    end + 1
+  }
+}
+
 object Extractors {
   val all: Seq[BinaryExtractor] = Seq(RtfExtractor, EnexExtractor,
-    DocxExtractor, PptxExtractor, OdtExtractor, EpubExtractor)
+    DocxExtractor, PptxExtractor, OdtExtractor, EpubExtractor,
+    PdfExtractor)
   val byExtension: Map[String, BinaryExtractor] =
     all.flatMap(e => e.extensions.map(_ -> e)).toMap
 }

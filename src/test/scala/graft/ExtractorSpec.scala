@@ -7,7 +7,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{DocLoader, DocxExtractor, EnexExtractor,
-  EpubExtractor, OdtExtractor, PptxExtractor, RtfExtractor}
+  EpubExtractor, OdtExtractor, PdfExtractor, PptxExtractor, RtfExtractor}
 
 class ExtractorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -119,6 +119,67 @@ class ExtractorSpec extends AnyFunSuite {
     val text = EpubExtractor.extract(doc)
     assert(text == "Chapter 1 Once upon a time.\n\nThe end & epilogue.")
     assert(!text.contains("meta title"))
+  }
+
+  private def pdf(streams: (String, Boolean)*): Array[Byte] = {
+    // minimal PDF shell: header + one stream object per entry;
+    // deflate=true wraps the content in a real zlib FlateDecode body
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    streams.zipWithIndex.foreach { case ((content, deflate), n) =>
+      val body =
+        if (deflate) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+          val bos = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end(); bos.toByteArray
+        } else content.getBytes("ISO-8859-1")
+      val filter = if (deflate) " /Filter /FlateDecode" else ""
+      out.write((s"${n + 1} 0 obj\n<< /Length ${body.length}$filter >>\n" +
+        "stream\n").getBytes("ISO-8859-1"))
+      out.write(body)
+      out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    out.write("%%EOF\n".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  test("PDF extractor: raw stream, Tj/TJ/quote ops, escapes, hex strings") {
+    val content =
+      """BT
+        |/F1 12 Tf
+        |72 720 Td
+        |(Hello \(PDF\) world) Tj
+        |0 -14 Td
+        |[(Kerned) -120 ( pairs)] TJ
+        |(next line) '
+        |T*
+        |<48657821> Tj
+        |ET""".stripMargin
+    val doc = pdf(content -> false)
+    assert(PdfExtractor.extract(doc) ==
+      "Hello (PDF) world\nKerned pairs\nnext line\nHex!")
+  }
+
+  test("PDF extractor: FlateDecode stream inflates and extracts") {
+    val doc = pdf(
+      "BT (First page, compressed.) Tj ET" -> true,
+      "BT (Second stream.) Tj ET" -> false)
+    assert(PdfExtractor.extract(doc) ==
+      "First page, compressed.\nSecond stream.")
+  }
+
+  test("PDF extractor: octal escapes and nested parens") {
+    val doc = pdf("BT (caf\\351 (nested) \\101BC) Tj ET" -> false)
+    assert(PdfExtractor.extract(doc) == "café (nested) ABC")
+  }
+
+  test("PDF extractor: throws on garbage so DocLoader stubs it") {
+    intercept[IllegalArgumentException] {
+      PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))
+    }
   }
 
   test("DocLoader dispatches real extractors and stubs the rest") {
