@@ -463,9 +463,32 @@ object Core {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
+  /** UNPIVOT/melt — wide measures to long form, then aggregate by
+    * measure. Unpivot is a zero-shuffle map-side Expand (k output
+    * rows per input row); the groupBy that follows is the only
+    * exchange. The inverse of q_pivot. */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    """SELECT measure,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount
+      |        FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount
+      |      INTO NAME measure VALUE value)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(sumMoney(col("value")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("measure"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
-    qSetOps, qCorrelated, qGroupingSets)
+    qSetOps, qCorrelated, qGroupingSets, qUnpivot)
 }

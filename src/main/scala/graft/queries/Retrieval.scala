@@ -505,6 +505,53 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion — the other standard lexical+dense
+    * combiner next to retrieval_hybrid's score mixing: rrf(d) =
+    * Σ_systems 1/(60+rank_d), rank-only so the two systems' score
+    * scales never need calibrating. Composed from the registered
+    * bm25 and dense retrievals (same dataflow, oracle embeds their
+    * oracle SQL), full-outer on (query, doc) so a doc ranked by only
+    * one system still scores. 1/(60+r) on ranks 1..3 is a sum of two
+    * exactly-representable-denominator divisions — IEEE-identical
+    * across engines. */
+  val rrf: Q = Q(
+    "retrieval_rrf",
+    s"""WITH lex AS (
+      |  SELECT query_id, doc_id, rank AS rb FROM (${bm25.oracle.get})),
+      |den AS (
+      |  SELECT query_id, hit_id AS doc_id, rank AS rv
+      |  FROM (${retrievalVector.oracle.get})),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+      |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rb), 0.0)
+      |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.rv), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN den d
+      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      |r AS (
+      |  SELECT query_id, doc_id, rrf, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) rn
+      |  FROM fused)
+      |SELECT query_id, rn AS rank, doc_id,
+      |  FLOOR(rrf * 1000000 + 0.5) / 1000000 AS rrf_score
+      |FROM r ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val lex = bm25.run(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rb"))
+    val den = retrievalVector.run(s, dir)
+      .select(col("query_id"), col("hit_id").as("doc_id"),
+        col("rank").as("rv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("rb") + 60), lit(0.0))
+          + coalesce(lit(1.0) / (col("rv") + 60), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn").as("rank"), col("doc_id"),
+        (floor(col("rrf") * 1000000 + 0.5) / 1000000).as("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
-    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid)
+    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf)
 }
