@@ -51,5 +51,42 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_id"))
   }
 
-  val all: Seq[Q] = Seq(binaryFeatures, frameSample)
+  /** Audio-style OVERLAPPING windows (window 320 bytes, hop 160 —
+    * 50% overlap, the standard STFT framing) with an integer energy
+    * per window, complementing mm_frame_sample's disjoint stride.
+    * Window count is hop-quantized so overlap multiplies data 2x,
+    * not O(window); energy is an exact integer byte-sum, so the
+    * whole framing layout is oracle-checked. */
+  val audioWindow: Q = Q(
+    "mm_audio_window",
+    """WITH w AS (
+      |  SELECT doc_id, w AS window_id, substr(text, w * 160 + 1, 320) AS win
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(0, ((greatest(len(text) - 320, 0) + 159) // 160) + 1))
+      |      AS w
+      |    FROM documents))
+      |SELECT doc_id, window_id, len(win) AS n_samples,
+      |  COALESCE(CAST(list_sum(list_transform(range(1, len(win) + 1),
+      |    i -> ascii(win[i]))) AS BIGINT), 0) AS energy
+      |FROM w ORDER BY doc_id, window_id""".stripMargin) { (s, dir) =>
+    val nWin = (greatest(length(col("text")) - 320, lit(0)) + 159)
+      .divide(160).cast("long") + 1
+    // materialize the window substring as an attribute FIRST: the
+    // HOF lambda below re-evaluates its argument per element
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nWin - 1)).as("window_id"))
+      .select(col("doc_id"), col("window_id"),
+        col("text").substr((col("window_id") * 160 + 1).cast("int"),
+          lit(320)).as("win"))
+    w.select(col("doc_id"), col("window_id"),
+        length(col("win")).as("n_samples"),
+        when(length(col("win")) > 0,
+          aggregate(sequence(lit(1), length(col("win"))), lit(0L),
+            (acc, i) => acc + ascii(col("win").substr(i, lit(1)))))
+          .otherwise(0L).as("energy"))
+      .orderBy(col("doc_id"), col("window_id"))
+  }
+
+  val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow)
 }
