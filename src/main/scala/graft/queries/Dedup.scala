@@ -228,14 +228,13 @@ object Dedup {
   }
 
   /** Near-dup pairs by exact 3-gram Jaccard >= 0.8 over capped
-    * blocking: only pairs sharing >= 1 non-stop shingle are
-    * candidates; their Jaccard is exact over the full shingle set
-    * (rare counts + hot correction). The DuckDB oracle encodes the
-    * same capped-candidates + exact-verify contract. */
-  /** The capped-blocking + exact-verify pair pipeline over any
-    * (doc_id, text) frame — shared by dedup_ngram_jaccard (full
-    * corpus) and corpus_clean (gate survivors only: at scale you
-    * near-dedup what survived the cheap filters, not the raw crawl). */
+    * blocking, over any (doc_id, text) frame: only pairs sharing
+    * >= 1 non-stop shingle are candidates; their Jaccard is exact
+    * over the full shingle set (rare counts + hot correction), and
+    * the DuckDB oracle encodes the same contract. Shared by
+    * dedup_ngram_jaccard (full corpus) and corpus_clean (gate
+    * survivors only: at scale you near-dedup what survived the cheap
+    * filters, not the raw crawl). */
   private[queries] def ngramPairsOf(docs: DataFrame): DataFrame = {
     val sh = hashedShinglesOf(docs).cache()
     val sz = docSizes(sh).cache()

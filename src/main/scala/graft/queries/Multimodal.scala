@@ -79,11 +79,14 @@ object Multimodal {
       .select(col("doc_id"), col("window_id"),
         col("text").substr((col("window_id") * 160 + 1).cast("int"),
           lit(320)).as("win"))
-    w.select(col("doc_id"), col("window_id"),
+    // fold over an exploded char array, NOT substr(win, i, 1) per
+    // element — positional substr re-seeks from the string start, so
+    // the per-window cost would be O(window²)
+    w.withColumn("chars", split(col("win"), ""))
+      .select(col("doc_id"), col("window_id"),
         length(col("win")).as("n_samples"),
         when(length(col("win")) > 0,
-          aggregate(sequence(lit(1), length(col("win"))), lit(0L),
-            (acc, i) => acc + ascii(col("win").substr(i, lit(1)))))
+          aggregate(col("chars"), lit(0L), (acc, c) => acc + ascii(c)))
           .otherwise(0L).as("energy"))
       .orderBy(col("doc_id"), col("window_id"))
   }

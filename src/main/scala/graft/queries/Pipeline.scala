@@ -41,7 +41,14 @@ object Pipeline {
     *
     * The DuckDB oracle replays the same next-fit recurrence as a
     * recursive CTE over the per-shard doc rank, so the whole packing
-    * layout (shard, sequence, offset) is hash-checked. */
+    * layout (shard, sequence, offset) is hash-checked.
+    *
+    * Shard assignment charges every doc max(n, 1) tokens: a run of
+    * zero-token docs (non-Latin text under this tokenizer, empty
+    * docs) would otherwise never advance the prefix sum and pile into
+    * ONE shard unboundedly — with the floor, a shard holds at most
+    * 4096 + 1 docs whatever the corpus. Packing itself still uses the
+    * true n (a zero-token doc consumes no sequence budget). */
   val seqPack: Q = Q(
     "seq_pack",
     """WITH RECURSIVE t AS (
@@ -50,13 +57,14 @@ object Pipeline {
       |  FROM documents),
       |cm AS (
       |  SELECT doc_id, n,
-      |    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |    SUM(greatest(n, 1)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS cum
       |  FROM t),
       |d AS (
       |  SELECT doc_id, n,
-      |    CAST(FLOOR((cum - n) / 4096.0) AS BIGINT) AS shard_id,
+      |    CAST(FLOOR((cum - greatest(n, 1)) / 4096.0) AS BIGINT) AS shard_id,
       |    ROW_NUMBER() OVER (
-      |      PARTITION BY CAST(FLOOR((cum - n) / 4096.0) AS BIGINT)
+      |      PARTITION BY CAST(FLOOR((cum - greatest(n, 1)) / 4096.0) AS BIGINT)
       |      ORDER BY doc_id) AS rk
       |  FROM cm),
       |p AS (
@@ -77,14 +85,15 @@ object Pipeline {
       Tables.documents(s, dir).select(col("doc_id"),
         size(graft.functions.TextExprs.tokens(col("text")))
           .cast("long").as("n_tokens")),
-      Seq(col("doc_id")), col("n_tokens"))
+      Seq(col("doc_id")), greatest(col("n_tokens"), lit(1L)))
     c.select(col("doc_id"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / shardBudget)
+        floor((col("cum") - greatest(col("n_tokens"), lit(1L))) / shardBudget)
           .cast("long").as("shard_id"))
       .as[PackIn]
       .groupByKey(_.shard_id)
       .flatMapGroups { (sid: Long, it: Iterator[PackIn]) =>
-        // bounded buffer: a shard carries ~4096 tokens of docs
+        // bounded buffer: every doc is charged >= 1 shard token, so a
+        // shard holds at most 4096 + 1 docs regardless of the corpus
         val ds = it.toArray.sortBy(_.doc_id)
         var seq = 0L
         var fill = 0L

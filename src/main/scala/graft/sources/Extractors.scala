@@ -276,31 +276,52 @@ object PdfExtractor extends BinaryExtractor {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
+  // a direct /Length 123 (the lookahead rejects indirect "/Length 5 0 R")
+  private val DirectLength = """/Length\s+(\d+)(?!\s*\d+\s+R)""".r
+
   override def extract(bytes: Array[Byte]): String = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
     val s = new String(bytes, Latin1) // byte-transparent
     val pages = streams(s).flatMap { case (dict, payload) =>
+      // only identity and FlateDecode payloads are content candidates:
+      // replaying DCTDecode/LZW/CCITT bytes as operators would inject
+      // whatever binary garbage happens to look like BT..(..)..ET
       val content =
         if (dict.contains("/FlateDecode")) inflate(payload.getBytes(Latin1))
+        else if (dict.contains("/Filter")) None
         else Some(payload.getBytes(Latin1))
       content.map(c => spanText(new String(c, Latin1))).filter(_.nonEmpty)
     }
     pages.mkString("\n").trim
   }
 
-  /** (object dictionary text, raw payload) per stream...endstream. */
+  /** (object dictionary text, raw payload) per stream...endstream.
+    * "stream" is matched as a KEYWORD — preceded by a delimiter
+    * (the spec puts it right after the dict's >>) and followed by
+    * EOL — so "Downstream" in a title string can't open a bogus
+    * stream that swallows the next real one. */
   private def streams(s: String): Seq[(String, String)] = {
     val out = Seq.newBuilder[(String, String)]
     var i = s.indexOf("stream")
     while (i >= 0) {
-      // "endstream" also contains "stream": require a real keyword start
-      val isKeyword = i < 3 || !s.substring(i - 3, i).contains("end")
-      if (isKeyword) {
-        var d = i + "stream".length
-        if (d < s.length && s.charAt(d) == '\r') d += 1
+      val k = i + "stream".length
+      val prevOk = i > 0 && " \t\r\n>".contains(s.charAt(i - 1))
+      val nextOk = k < s.length && (s.charAt(k) == '\r' || s.charAt(k) == '\n')
+      if (prevOk && nextOk) {
+        var d = k
+        if (s.charAt(d) == '\r') d += 1
         if (d < s.length && s.charAt(d) == '\n') d += 1
-        val e = s.indexOf("endstream", d)
+        // a DIRECT /Length bounds the payload exactly (binary data may
+        // contain the bytes "endstream"); an indirect one (N 0 R)
+        // falls back to the keyword scan
+        val e = DirectLength.findFirstMatchIn(
+            s.substring(math.max(0, s.lastIndexOf("obj", i)), i))
+          .map(m => d + m.group(1).toInt)
+          .filter(e => e <= s.length && s.indexOf("endstream", e) >= 0 &&
+            s.substring(e, s.indexOf("endstream", e)).forall(c =>
+              c == '\r' || c == '\n' || c == ' '))
+          .getOrElse(s.indexOf("endstream", d))
         if (e >= 0) {
           val objAt = s.lastIndexOf("obj", i)
           val dict = s.substring(math.max(0, objAt), i)
@@ -329,27 +350,20 @@ object PdfExtractor extends BinaryExtractor {
     } finally inf.end()
   }
 
-  /** Replay the text operators of one content stream. */
-  private def spanText(content: String): String = {
-    val shown = new StringBuilder
-    var i = 0
-    while (true) {
-      val bt = content.indexOf("BT", i)
-      if (bt < 0) return shown.toString.trim
-      val et = content.indexOf("ET", bt + 2)
-      val end = if (et < 0) content.length else et
-      replay(content.substring(bt + 2, end), shown)
-      if (et < 0) return shown.toString.trim
-      i = end + 2
-    }
-    shown.toString.trim
-  }
-
   private def newline(out: StringBuilder): Unit =
     if (out.nonEmpty && out.last != '\n') out.append('\n')
 
-  private def replay(span: String, out: StringBuilder): Unit = {
+  /** Replay a whole content stream in ONE operator-aware pass. BT/ET
+    * are ordinary operator tokens here, so "ET" inside a shown string
+    * ("NET income") can never truncate a text span the way a raw
+    * indexOf scan would. Strings parse everywhere (string syntax is
+    * position-independent) but only text-showing operators inside a
+    * BT..ET block emit; any other operator discards its string
+    * operands (an /ActualText (alt) BDC must not leak ghost text). */
+  private def spanText(span: String): String = {
+    val out = new StringBuilder
     val pending = new StringBuilder // strings parsed since the last op
+    var inText = false
     var j = 0
     while (j < span.length) {
       span.charAt(j) match {
@@ -365,18 +379,21 @@ object PdfExtractor extends BinaryExtractor {
           while (k < span.length && (span.charAt(k).isLetterOrDigit ||
             "*'\"".contains(span.charAt(k)))) k += 1
           span.substring(j, k) match {
-            case "Tj" | "TJ" =>
+            case "BT" => inText = true; pending.clear()
+            case "ET" => inText = false; pending.clear()
+            case "Tj" | "TJ" if inText =>
               out.append(pending); pending.clear()
-            case "'" | "\"" =>
+            case "'" | "\"" if inText =>
               newline(out); out.append(pending); pending.clear()
-            case "T*" | "Td" | "TD" => newline(out)
-            case _ => () // positioning/state op: no text
+            case "T*" | "Td" | "TD" if inText =>
+              newline(out); pending.clear()
+            case _ => pending.clear() // non-showing op: drop operands
           }
           j = k
         case _ => j += 1
       }
     }
-    out.append(pending)
+    out.toString.trim
   }
 
   /** (string) literal with escapes + balanced nested parens; returns

@@ -20,8 +20,10 @@ object TimeQuery {
       val n = fn(spark, sfDir).count()
       println(f"[time] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
       if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
-      if (sys.env.contains("GRAFT_CLEARCACHE")) {
-        spark.catalog.clearCache(); System.gc() // mirror Bench inter-query hygiene
+      // Bench inter-query hygiene is the DEFAULT (timings here claim
+      // to predict BENCH_r{N}); set GRAFT_KEEPCACHE to study warm runs
+      if (!sys.env.contains("GRAFT_KEEPCACHE")) {
+        spark.catalog.clearCache(); System.gc()
       }
     }
     spark.stop()

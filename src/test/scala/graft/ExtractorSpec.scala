@@ -176,6 +176,30 @@ class ExtractorSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(doc) == "café (nested) ABC")
   }
 
+  test("PDF extractor: BT/ET inside shown strings cannot truncate the span") {
+    val doc = pdf("BT (NET income rose) Tj T* (BUDGET beat) Tj ET" -> false)
+    assert(PdfExtractor.extract(doc) == "NET income rose\nBUDGET beat")
+  }
+
+  test("PDF extractor: 'stream' inside a string is not a stream keyword") {
+    val body = "BT (hello world) Tj ET"
+    val head = "%PDF-1.4\n1 0 obj\n<< /Title (Downstream report) >>\nendobj\n"
+    val obj = s"2 0 obj\n<< /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n"
+    val doc = (head + obj + "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extract(doc) == "hello world")
+  }
+
+  test("PDF extractor: non-Flate filters are skipped, ghost operands dropped") {
+    val doc = pdf(
+      // DCT "image" whose bytes happen to contain BT..(..)..ET
+      "ÿØ BT (garbage) Tj ET ÿÙ" -> false,
+      "BT /Span << /ActualText (ghost) >> BDC (real text) Tj EMC ET" -> false)
+    // first stream gets a /Filter marker the extractor must skip
+    val s = new String(doc, "ISO-8859-1")
+      .replaceFirst("<< /Length (\\d+) >>", "<< /Length $1 /Filter /DCTDecode >>")
+    assert(PdfExtractor.extract(s.getBytes("ISO-8859-1")) == "real text")
+  }
+
   test("PDF extractor: throws on garbage so DocLoader stubs it") {
     intercept[IllegalArgumentException] {
       PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))
