@@ -306,6 +306,45 @@ object Events {
       .orderBy(col("user_id"), col("event_a"), col("event_b"))
   }
 
+  /** Per-user z-score outliers (|z| > 1.5) with NO floating-point
+    * ambiguity: sums are decimal-exact, cast to double only once
+    * (values fit 2^53, so the casts and the products after them are
+    * IEEE-exact), and the test compares SQUARES — 4(xn−S)² > 9(nQ−S²)
+    * is |x−μ| > 1.5σ with no sqrt, no division, no order-dependent
+    * float accumulation. One partial-aggregating groupBy; the stats
+    * frame (one row per user) joins back with NO broadcast hint on
+    * purpose — AQE broadcasts it while small, and at a 100 TB user
+    * count it must be allowed to fall back to a shuffle join. */
+  val anomaly: Q = Q(
+    "events_anomaly",
+    """WITH st AS (
+      |  SELECT user_id, COUNT(*) n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) S,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+      |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) Q
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.user_id, e.value
+      |FROM events e JOIN st USING (user_id)
+      |WHERE 4 * (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) * n - S)
+      |      * (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) * n - S)
+      |    > 9 * (n * Q - S * S)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val st = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(money(col("value"))).cast(DoubleType).as("S"),
+      sum(money(col("value")) * money(col("value")))
+        .cast(DoubleType).as("Q"))
+    val xd = money(col("value")).cast(DoubleType)
+    val dev = xd * col("n") - col("S")
+    ev.join(st, "user_id")
+      .filter(lit(4) * dev * dev > lit(9) * (col("n") * col("Q")
+        - col("S") * col("S")))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
-    variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin)
+    variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
+    anomaly)
 }
