@@ -137,4 +137,40 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class StatMsg(user_id: Long, valueCents: Long)
+  final case class StatsOut(user_id: Long, n: Long, s_cents: Long,
+      q_c4: Long)
+
+  /** Streaming twin of the events_anomaly STATS pass: per-user
+    * running (n, Σx, Σx²) carried across batches in exact integer
+    * cents (value has 2 dp, so Σx is cents and Σx² is 10⁻⁴ units) —
+    * integer state cannot drift however many micro-batches replay
+    * the stream, and fold order is irrelevant. Scoring (the squared
+    * z-test) joins these stats to candidate events as a periodic
+    * batch step — the standard "maintain stats online, score on
+    * demand" split for anomaly detection over an unbounded stream.
+    * After a full replay, the last emission per user equals the
+    * batch aggregate bit-exactly (StreamingSpec).
+    *
+    * Bounds: state is three longs per user (O(1)); Σx² in 10⁻⁴ units
+    * stays under 2⁶³ up to ~10⁹ events per user at this value range —
+    * beyond that, shard the per-user state by day the way a real
+    * deployment windows its stats. */
+  def statsState(s: SparkSession, msgs: Dataset[StatMsg]): Dataset[StatsOut] = {
+    import s.implicits._
+    msgs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), StatsOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, ms: Iterator[StatMsg],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, sc, q4) = state.getOption.getOrElse((0L, 0L, 0L))
+          ms.foreach { m =>
+            n += 1; sc += m.valueCents; q4 += m.valueCents * m.valueCents
+          }
+          state.update((n, sc, q4))
+          Iterator.single(StatsOut(user, n, sc, q4))
+      }
+  }
 }

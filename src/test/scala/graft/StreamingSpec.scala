@@ -182,6 +182,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.exists(_ == 3)) // the corpus actually completes funnels
   }
 
+  test("stateful running stats: integer state == batch anomaly aggregate") {
+    import spark.implicits._
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), cents.as("valueCents"))
+      .as[StreamOps.StatMsg]
+    val got = StreamOps.statsState(spark, msgs).toDF()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
