@@ -86,6 +86,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("corpus_clean composes without nested-loop joins") {
+    val p = plan(graft.queries.Pipeline.corpusClean.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_anomaly stats aggregate is partial (map-side combine)") {
+    val p = plan(Events.anomaly.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
   test("seq_pack avoids a single-partition global window") {
     val p = plan(graft.queries.Pipeline.seqPack.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"))
