@@ -276,8 +276,10 @@ object PdfExtractor extends BinaryExtractor {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  // a direct /Length 123 (the lookahead rejects indirect "/Length 5 0 R")
-  private val DirectLength = """/Length\s+(\d+)(?!\s*\d+\s+R)""".r
+  // a direct /Length 123 — (?!\d) stops backtracking from shortening
+  // the number so the indirect-ref lookahead can't be sidestepped
+  // ("/Length 139 0 R" must not match as 13)
+  private val DirectLength = """/Length\s+(\d+)(?!\d)(?!\s*\d+\s+R)""".r
 
   override def extract(bytes: Array[Byte]): String = {
     require(bytes.length >= 5 &&
@@ -317,10 +319,18 @@ object PdfExtractor extends BinaryExtractor {
         // falls back to the keyword scan
         val e = DirectLength.findFirstMatchIn(
             s.substring(math.max(0, s.lastIndexOf("obj", i)), i))
-          .map(m => d + m.group(1).toInt)
-          .filter(e => e <= s.length && s.indexOf("endstream", e) >= 0 &&
-            s.substring(e, s.indexOf("endstream", e)).forall(c =>
-              c == '\r' || c == '\n' || c == ' '))
+          // a corrupt /Length (overflow, way past EOF) must only
+          // disable this shortcut, never abort the whole document
+          .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+          .map(_ + d)
+          .filter { e =>
+            e <= s.length && {
+              val es = s.indexOf("endstream", e.toInt)
+              es >= 0 && s.substring(e.toInt, es).forall(c =>
+                c == '\r' || c == '\n' || c == ' ')
+            }
+          }
+          .map(_.toInt)
           .getOrElse(s.indexOf("endstream", d))
         if (e >= 0) {
           val objAt = s.lastIndexOf("obj", i)
@@ -356,10 +366,12 @@ object PdfExtractor extends BinaryExtractor {
   /** Replay a whole content stream in ONE operator-aware pass. BT/ET
     * are ordinary operator tokens here, so "ET" inside a shown string
     * ("NET income") can never truncate a text span the way a raw
-    * indexOf scan would. Strings parse everywhere (string syntax is
-    * position-independent) but only text-showing operators inside a
-    * BT..ET block emit; any other operator discards its string
-    * operands (an /ActualText (alt) BDC must not leak ghost text). */
+    * indexOf scan would. Strings parse ONLY inside a BT..ET block —
+    * outside one, a stray '(' or '<' byte (inline-image data between
+    * ID..EI, dict content) must stay inert, not swallow everything up
+    * to an accidental closer. Inside a block, only text-showing
+    * operators emit; any other operator discards its string operands
+    * (an /ActualText (alt) BDC must not leak ghost text). */
   private def spanText(span: String): String = {
     val out = new StringBuilder
     val pending = new StringBuilder // strings parsed since the last op
@@ -367,8 +379,9 @@ object PdfExtractor extends BinaryExtractor {
     var j = 0
     while (j < span.length) {
       span.charAt(j) match {
-        case '(' => j = literal(span, j, pending)
-        case '<' if j + 1 < span.length && span.charAt(j + 1) != '<' =>
+        case '(' if inText => j = literal(span, j, pending)
+        case '<' if inText && j + 1 < span.length &&
+            span.charAt(j + 1) != '<' =>
           j = hexString(span, j, pending)
         case '/' => // name token: skip so /Td etc. can't look like an op
           j += 1

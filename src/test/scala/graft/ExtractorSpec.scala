@@ -200,6 +200,29 @@ class ExtractorSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(s.getBytes("ISO-8859-1")) == "real text")
   }
 
+  test("PDF extractor: stray string-openers outside BT stay inert") {
+    // inline-image bytes with an unbalanced '(' and a '<' before the
+    // real text block must not swallow it
+    val doc = pdf("BI /W 8 ID x(y<z EI BT (Caption) Tj ET" -> false)
+    assert(PdfExtractor.extract(doc) == "Caption")
+  }
+
+  test("PDF extractor: multi-digit indirect /Length is not a direct length") {
+    // "/Length 10 0 R" must not backtrack-match as direct length 1;
+    // the keyword fallback still bounds the payload correctly
+    val body = "BT (indirect len) Tj ET"
+    val doc = ("%PDF-1.4\n1 0 obj\n<< /Length 10 0 R >>\nstream\n" +
+      body + "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extract(doc) == "indirect len")
+  }
+
+  test("PDF extractor: absurd /Length falls back instead of aborting") {
+    val body = "BT (still works) Tj ET"
+    val doc = ("%PDF-1.4\n1 0 obj\n<< /Length 99999999999999999999 >>\nstream\n" +
+      body + "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extract(doc) == "still works")
+  }
+
   test("PDF extractor: throws on garbage so DocLoader stubs it") {
     intercept[IllegalArgumentException] {
       PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))

@@ -202,6 +202,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("stateful running stats CARRY across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.StatMsg]
+    val q = StreamOps.statsState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("stats_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamOps.StatMsg(1, 100), StreamOps.StatMsg(1, 200),
+        StreamOps.StatMsg(2, 50))
+      q.processAllAvailable()
+      ms.addData(StreamOps.StatMsg(1, 300), StreamOps.StatMsg(2, 50))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emission per user = state accumulated over BOTH batches
+    val last = spark.table("stats_twin").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    assert(last(1L) == ((3L, 600L, 140000L)))
+    assert(last(2L) == ((2L, 100L, 5000L)))
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
