@@ -91,5 +91,26 @@ object Multimodal {
       .orderBy(col("doc_id"), col("window_id"))
   }
 
-  val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow)
+  /** Resize/downsample plumbing (the image-resize analogue over 1-D
+    * payloads): nearest-neighbor 4x decimation — keep every 4th
+    * byte — expressed as ONE codegen'd regexp_replace pass
+    * ('(.).{0,3}' → '$1'), not a positional per-sample substr loop
+    * (O(len²)) and not an explode/reassemble shuffle. A real image
+    * resize swaps the kernel inside the same one-pass-per-row,
+    * output-plus-metadata shape. */
+  val resizeNn: Q = Q(
+    "mm_resize_nn",
+    """SELECT doc_id, len(text) AS n_in,
+      |  len(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS n_out,
+      |  md5(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS sig
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val down = regexp_replace(col("text"), "(.).{0,3}", "$1")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_in"), down.as("d"))
+      .select(col("doc_id"), col("n_in"), length(col("d")).as("n_out"),
+        md5(col("d").cast("binary")).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn)
 }
