@@ -61,7 +61,7 @@ object DocLoader {
           trim(regexp_replace(regexp_replace(col("raw"), "<[^>]*>", " "),
             "&[a-zA-Z]+;", " ")))
           .otherwise(col("raw")))
-      .select(col("source"), col("format"), col("text"))
+      .select(col("source"), col("format"), lit(0L).as("page"), col("text"))
 
     import spark.implicits._
     val binary = spark.read.format("binaryFile")
@@ -71,19 +71,24 @@ object DocLoader {
         col("content"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (src, fmt, bytes) =>
+        rows.flatMap { case (src, fmt, bytes) =>
           // a malformed file must degrade to the placeholder, not
           // crash the whole load job inside mapPartitions. Extractors
           // THROW on malformed input (e.g. ZipEntries' magic check),
           // so a successful empty result stays a genuinely empty
-          // document rather than placeholder text entering the corpus
-          val text = Extractors.byExtension.get(fmt)
-            .flatMap(ex => scala.util.Try(ex.extract(bytes)).toOption)
-            .getOrElse(s"[unparsed $fmt document, ${bytes.length} bytes]")
-          (src, fmt, text)
+          // document rather than placeholder text entering the corpus.
+          // Paged formats (pdf streams, pptx slides) emit one row per
+          // page — the reference's loaders attach (source, page)
+          // metadata to every document (bones.py load_db).
+          val pages = Extractors.byExtension.get(fmt)
+            .flatMap(ex => scala.util.Try(ex.extractPages(bytes)).toOption)
+            .map(ps => if (ps.isEmpty) Seq("") else ps)
+            .getOrElse(
+              Seq(s"[unparsed $fmt document, ${bytes.length} bytes]"))
+          pages.zipWithIndex.map { case (t, p) => (src, fmt, p.toLong, t) }
         }
       }
-      .toDF("source", "format", "text")
+      .toDF("source", "format", "page", "text")
 
     text.unionByName(binary)
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -12,6 +12,12 @@ trait BinaryExtractor extends Serializable {
   /** lower-case extensions this extractor handles. */
   def extensions: Set[String]
   def extract(bytes: Array[Byte]): String
+
+  /** Page-granular extraction where the format has pages (pdf
+    * content streams, pptx slides) — the reference's loaders attach
+    * (source, page) metadata to every chunk (bones.py load_db).
+    * Formats without a page notion yield one page. */
+  def extractPages(bytes: Array[Byte]): Seq[String] = Seq(extract(bytes))
 }
 
 /** Genuine RTF text extraction (no external parser): a control-word
@@ -203,7 +209,11 @@ object PptxExtractor extends BinaryExtractor {
   private val SlideRe = "^ppt/slides/slide(\\d+)\\.xml$".r
   private val RunRe = "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>".r
 
-  override def extract(bytes: Array[Byte]): String = {
+  override def extract(bytes: Array[Byte]): String =
+    extractPages(bytes).mkString("\n\n").trim
+
+  /** One page per slide, in slide-number order. */
+  override def extractPages(bytes: Array[Byte]): Seq[String] = {
     val slides = ZipEntries.read(bytes,
         n => SlideRe.findFirstIn(n).isDefined)
       .map { case (name, xml) =>
@@ -215,7 +225,7 @@ object PptxExtractor extends BinaryExtractor {
         RunRe.findAllMatchIn(para).map(m => XmlText.decodeEntities(m.group(1)))
           .mkString(" ")
       }.filter(_.nonEmpty).mkString("\n")
-    }.mkString("\n\n").trim
+    }
   }
 }
 
@@ -281,11 +291,16 @@ object PdfExtractor extends BinaryExtractor {
   // ("/Length 139 0 R" must not match as 13)
   private val DirectLength = """/Length\s+(\d+)(?!\d)(?!\s*\d+\s+R)""".r
 
-  override def extract(bytes: Array[Byte]): String = {
+  override def extract(bytes: Array[Byte]): String =
+    extractPages(bytes).mkString("\n").trim
+
+  /** One page per text-bearing content stream (for simple PDFs the
+    * stream ≈ page correspondence holds). */
+  override def extractPages(bytes: Array[Byte]): Seq[String] = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
     val s = new String(bytes, Latin1) // byte-transparent
-    val pages = streams(s).flatMap { case (dict, payload) =>
+    streams(s).flatMap { case (dict, payload) =>
       // only identity and FlateDecode payloads are content candidates:
       // replaying DCTDecode/LZW/CCITT bytes as operators would inject
       // whatever binary garbage happens to look like BT..(..)..ET
@@ -295,7 +310,6 @@ object PdfExtractor extends BinaryExtractor {
         else Some(payload.getBytes(Latin1))
       content.map(c => spanText(new String(c, Latin1))).filter(_.nonEmpty)
     }
-    pages.mkString("\n").trim
   }
 
   /** (object dictionary text, raw payload) per stream...endstream.

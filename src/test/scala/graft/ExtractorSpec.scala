@@ -229,6 +229,16 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("DocLoader emits (source, page) rows for paged formats") {
+    val dir = Files.createTempDirectory("graft-pages")
+    Files.write(dir.resolve("two.pdf"), pdf(
+      "BT (page one) Tj ET" -> true,
+      "BT (page two) Tj ET" -> false))
+    val rows = DocLoader.load(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("page"), r.getAs[String]("text"))).sorted
+    assert(rows.toSeq == Seq((0L, "page one"), (1L, "page two")))
+  }
+
   test("DocLoader dispatches real extractors and stubs the rest") {
     val dir = Files.createTempDirectory("graft-extract")
     Files.write(dir.resolve("memo.rtf"), rtfDoc.getBytes("ISO-8859-1"))
