@@ -109,8 +109,8 @@ object IvfIndex {
   }
 
   private def centroidArray(centers: Array[Array[Double]]): Column =
-    array(centers.zipWithIndex.map { case (ctr, i) =>
-      struct(lit(i).as("cid"), array(ctr.map(lit(_)): _*).as("cv"))
+    array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+      struct(lit(i).as("cid"), array(ctr.toIndexedSeq.map(lit(_)): _*).as("cv"))
     }: _*)
 
   /** Probe-query: for each query vector, cosine top-k over the nprobe

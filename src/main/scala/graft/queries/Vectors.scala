@@ -151,7 +151,7 @@ object Vectors {
     val planes = hyperplanes(64, 16)
     val e = emb(s, dir).cache() // banded ids + both scoring sides
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(col("v"), array(p.map(lit(_)): _*))
+      val proj = dot(col("v"), array(p.toIndexedSeq.map(lit(_)): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val bandArr = array((0 until 4).map(k =>
