@@ -97,14 +97,21 @@ object Multimodal {
     * ('(.).{0,3}' → '$1'), not a positional per-sample substr loop
     * (O(len²)) and not an explode/reassemble shuffle. A real image
     * resize swaps the kernel inside the same one-pass-per-row,
-    * output-plus-metadata shape. */
+    * output-plus-metadata shape.
+    *
+    * (?s) on BOTH sides: without DOTALL, Java's '.' refuses \r and
+    * the U+0085/U+2028/U+2029 line breaks while RE2's refuses only
+    * \n, so a corpus with any of those would silently shift the two
+    * engines' chunk alignment apart. DOTALL makes '.' mean "any
+    * char" identically everywhere — parity by construction, not by
+    * corpus luck. */
   val resizeNn: Q = Q(
     "mm_resize_nn",
     """SELECT doc_id, len(text) AS n_in,
-      |  len(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS n_out,
-      |  md5(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS sig
+      |  len(regexp_replace(text, '(?s)(.).{0,3}', '\1', 'g')) AS n_out,
+      |  md5(regexp_replace(text, '(?s)(.).{0,3}', '\1', 'g')) AS sig
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val down = regexp_replace(col("text"), "(.).{0,3}", "$1")
+    val down = regexp_replace(col("text"), "(?s)(.).{0,3}", "$1")
     Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).as("n_in"), down.as("d"))
       .select(col("doc_id"), col("n_in"), length(col("d")).as("n_out"),

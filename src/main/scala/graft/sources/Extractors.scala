@@ -292,15 +292,27 @@ object PdfExtractor extends BinaryExtractor {
   private val DirectLength = """/Length\s+(\d+)(?!\d)(?!\s*\d+\s+R)""".r
 
   override def extract(bytes: Array[Byte]): String =
-    extractPages(bytes).mkString("\n").trim
+    extractPages(bytes).filter(_.nonEmpty).mkString("\n").trim
 
-  /** One page per text-bearing content stream (for simple PDFs the
-    * stream ≈ page correspondence holds). */
+  // /Type /Page object window (up to the next endobj), and its
+  // /Contents reference(s) — single "N 0 R" or an array of them
+  private val ContentsRef = """/Contents\s+(\d+)\s+0\s+R""".r
+  private val ContentsArr = """/Contents\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]""".r
+  private val RefInArr = """(\d+)\s+0\s+R""".r
+
+  /** Page texts in PAGE-TREE order when the file declares /Type /Page
+    * objects with /Contents refs — a skipped image/font stream then
+    * cannot shift page numbering, and a page whose content was
+    * skipped stays an EMPTY page rather than disappearing (alignment
+    * over compactness, matching PyPDFLoader's page enumeration).
+    * Files without a parseable page tree fall back to one page per
+    * text-bearing content stream. */
   override def extractPages(bytes: Array[Byte]): Seq[String] = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
     val s = new String(bytes, Latin1) // byte-transparent
-    streams(s).flatMap { case (dict, payload) =>
+    // text per content-candidate stream, keyed by owning object number
+    val texts = streams(s).flatMap { case (num, dict, payload) =>
       // only identity and FlateDecode payloads are content candidates:
       // replaying DCTDecode/LZW/CCITT bytes as operators would inject
       // whatever binary garbage happens to look like BT..(..)..ET
@@ -308,8 +320,39 @@ object PdfExtractor extends BinaryExtractor {
         if (dict.contains("/FlateDecode")) inflate(payload.getBytes(Latin1))
         else if (dict.contains("/Filter")) None
         else Some(payload.getBytes(Latin1))
-      content.map(c => spanText(new String(c, Latin1))).filter(_.nonEmpty)
+      content.map(c => num -> spanText(new String(c, Latin1)))
     }
+    val pageRefs = pageContentRefs(s)
+    if (pageRefs.nonEmpty) {
+      val byObj = texts.filter(_._1 >= 0).toMap
+      pageRefs.map(refs =>
+        refs.flatMap(byObj.get).filter(_.nonEmpty).mkString("\n").trim)
+    } else texts.map(_._2).filter(_.nonEmpty)
+  }
+
+  /** /Contents object numbers of each /Type /Page object, in document
+    * order; empty when no page tree is found. */
+  private def pageContentRefs(s: String): Seq[Seq[Long]] = {
+    val out = Seq.newBuilder[Seq[Long]]
+    var i = s.indexOf("/Type")
+    while (i >= 0) {
+      var j = i + "/Type".length
+      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\r' ||
+        s.charAt(j) == '\n')) j += 1
+      // "/Page" but not "/Pages" (the tree node)
+      if (s.startsWith("/Page", j) && !s.startsWith("/Pages", j)) {
+        val end = s.indexOf("endobj", j)
+        val window = s.substring(i, if (end < 0) s.length else end)
+        val refs = ContentsArr.findFirstMatchIn(window)
+          .map(m => RefInArr.findAllMatchIn(m.group(1))
+            .map(_.group(1).toLong).toSeq)
+          .orElse(ContentsRef.findFirstMatchIn(window)
+            .map(m => Seq(m.group(1).toLong)))
+        refs.foreach(out += _)
+      }
+      i = s.indexOf("/Type", i + "/Type".length)
+    }
+    out.result()
   }
 
   /** (object dictionary text, raw payload) per stream...endstream.
@@ -317,8 +360,23 @@ object PdfExtractor extends BinaryExtractor {
     * (the spec puts it right after the dict's >>) and followed by
     * EOL — so "Downstream" in a title string can't open a bogus
     * stream that swallows the next real one. */
-  private def streams(s: String): Seq[(String, String)] = {
-    val out = Seq.newBuilder[(String, String)]
+  /** Object number of "N 0 obj" whose `obj` keyword sits at objAt;
+    * -1 when the prefix doesn't parse. */
+  private def objNumberAt(s: String, objAt: Int): Long = {
+    var j = objAt - 1
+    while (j >= 0 && (s.charAt(j) == ' ' || s.charAt(j) == '\r' ||
+      s.charAt(j) == '\n')) j -= 1
+    if (j < 0 || s.charAt(j) != '0') return -1L // generation must be 0
+    j -= 1
+    while (j >= 0 && (s.charAt(j) == ' ')) j -= 1
+    val end = j
+    while (j >= 0 && s.charAt(j).isDigit) j -= 1
+    if (j == end) -1L
+    else scala.util.Try(s.substring(j + 1, end + 1).toLong).getOrElse(-1L)
+  }
+
+  private def streams(s: String): Seq[(Long, String, String)] = {
+    val out = Seq.newBuilder[(Long, String, String)]
     var i = s.indexOf("stream")
     while (i >= 0) {
       val k = i + "stream".length
@@ -349,7 +407,8 @@ object PdfExtractor extends BinaryExtractor {
         if (e >= 0) {
           val objAt = s.lastIndexOf("obj", i)
           val dict = s.substring(math.max(0, objAt), i)
-          out += ((dict, s.substring(d, e)))
+          out += ((objNumberAt(s, math.max(0, objAt)), dict,
+            s.substring(d, e)))
           i = s.indexOf("stream", e + "endstream".length)
         } else i = -1
       } else i = s.indexOf("stream", i + "stream".length)

@@ -223,6 +223,37 @@ class ExtractorSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(doc) == "still works")
   }
 
+  test("PDF extractor: page tree aligns pages despite skipped streams") {
+    def obj(n: Int, dict: String, stream: Option[String]) = stream match {
+      case Some(b) =>
+        s"$n 0 obj\n<< /Length ${b.length}$dict >>\nstream\n$b\nendstream\nendobj\n"
+      case None => s"$n 0 obj\n<< $dict >>\nendobj\n"
+    }
+    val doc = ("%PDF-1.4\n" +
+      obj(1, " /Filter /DCTDecode", Some("ÿØ jpeg junk BT (x) Tj ET")) +
+      obj(2, "/Type /Page /Contents 5 0 R", None) +
+      obj(3, "/Type /Page /Contents 9 0 R", None) + // content obj missing
+      obj(4, "/Type /Page /Contents 6 0 R", None) +
+      obj(5, "", Some("BT (first page) Tj ET")) +
+      obj(6, "", Some("BT (third page) Tj ET")) +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    // image stream is ignored, page order follows the page objects,
+    // and the page with missing content stays an EMPTY page so
+    // numbering never shifts
+    assert(PdfExtractor.extractPages(doc) ==
+      Seq("first page", "", "third page"))
+    assert(PdfExtractor.extract(doc) == "first page\nthird page")
+  }
+
+  test("PDF extractor: /Contents array concatenates one page") {
+    val doc = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Page /Contents [3 0 R 4 0 R] >>\nendobj\n" +
+      "3 0 obj\n<< >>\nstream\nBT (part a) Tj ET\nendstream\nendobj\n" +
+      "4 0 obj\n<< >>\nstream\nBT (part b) Tj ET\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extractPages(doc) == Seq("part a\npart b"))
+  }
+
   test("PDF extractor: throws on garbage so DocLoader stubs it") {
     intercept[IllegalArgumentException] {
       PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))
