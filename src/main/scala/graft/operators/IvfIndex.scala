@@ -56,18 +56,42 @@ object IvfIndex {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(4096).collect().map(_.getSeq[Double](1).toArray)
     val centers = lloyd(sample, k, seed, iters = 10)
-    val centArr = centroidArray(centers)
-    val assigned = emb.withColumn("cid",
-      array_min(transform(centArr,
-        c => struct(dist2(col("v"), c("cv")).as("d"), c("cid").as("cid"))))("cid"))
     // repartition on cid first: otherwise every task writes a file
     // into every cid directory (tasks x k tiny files)
-    assigned.repartition(col("cid")).write.mode(SaveMode.Overwrite)
+    assignTo(centers, emb).repartition(col("cid"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("cid").parquet(s"$indexDir/vectors")
     val centRows = centers.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }
     import spark.implicits._
     centRows.toSeq.toDF("cid", "cv")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+  }
+
+  /** Incremental append: assign a NEW batch of vectors to the
+    * EXISTING quantizer and add them to the partitioned layout. The
+    * quantizer is deliberately NOT refit — IVF ingest at scale runs
+    * batches against frozen centroids (append is cheap, monotone, and
+    * query-compatible with everything already indexed) and refits
+    * offline only when drift degrades probe recall. */
+  def append(spark: SparkSession, newEmb: DataFrame,
+      indexDir: String): Unit =
+    assignTo(loadCentroids(spark, indexDir), newEmb)
+      .repartition(col("cid")).write.mode(SaveMode.Append)
+      .partitionBy("cid").parquet(s"$indexDir/vectors")
+
+  private def loadCentroids(spark: SparkSession,
+      indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** Nearest-centroid assignment of (vec_id, v, n2) rows. */
+  private def assignTo(centers: Array[Array[Double]],
+      emb: DataFrame): DataFrame = {
+    val centArr = centroidArray(centers)
+    emb.withColumn("cid",
+      array_min(transform(centArr,
+        c => struct(dist2(col("v"), c("cv")).as("d"), c("cid").as("cid"))))("cid"))
   }
 
   /** In-process Lloyd's k-means over the sample: seeded random init,
@@ -118,10 +142,7 @@ object IvfIndex {
     * index partitions unread. */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
       topK: Int, nprobe: Int): DataFrame = {
-    val centers = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val centArr = centroidArray(centers)
+    val centArr = centroidArray(loadCentroids(spark, indexDir))
     val probes = queries
       .withColumn("cd", transform(centArr,
         c => struct(dist2(col("vq"), c("cv")).as("d"), c("cid").as("cid"))))

@@ -18,7 +18,7 @@ import graft.sources.Tables
 object Vectors {
 
   /** embeddings with double vector + squared norm. */
-  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -50,4 +50,25 @@ class VectorSpec extends AnyFunSuite {
     val pairs = Vectors.embeddingNearDup.run(spark, sf).collect()
     pairs.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.5))
   }
+
+  test("IVF incremental append: build on half, append the rest, same recall") {
+    import org.apache.spark.sql.functions._
+    val e = Vectors.emb(spark, sf).cache()
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val idx = "/tmp/graft_ivf_append_test"
+    graft.operators.IvfIndex.build(spark,
+      e.filter(col("vec_id") < cut), idx, k = 16)
+    graft.operators.IvfIndex.append(spark, e.filter(col("vec_id") >= cut), idx)
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    val got = topk(graft.operators.IvfIndex.query(spark, idx, q,
+      topK = 5, nprobe = 4))
+    // appended vectors must be as reachable as built ones: recall of
+    // the half+append index matches the full-build IVF gate, and the
+    // appended id range actually appears among the neighbors
+    val r = recall(got)
+    assert(r >= 0.5, s"append-index recall $r")
+    assert(got.values.flatten.exists(_ >= cut), "no appended vector retrieved")
+  }
 }
