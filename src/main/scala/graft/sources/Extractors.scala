@@ -325,34 +325,65 @@ object PdfExtractor extends BinaryExtractor {
     val pageRefs = pageContentRefs(s)
     if (pageRefs.nonEmpty) {
       val byObj = texts.filter(_._1 >= 0).toMap
-      pageRefs.map(refs =>
-        refs.flatMap(byObj.get).filter(_.nonEmpty).mkString("\n").trim)
+      pageRefs.map { refs =>
+        // /Contents may point at a bare array object instead of a
+        // stream — resolve that one level of indirection
+        val resolved = refs.flatMap(r =>
+          if (byObj.contains(r)) Seq(r)
+          else arrayObjectRefs(s, r).getOrElse(Seq(r)))
+        resolved.flatMap(byObj.get).filter(_.nonEmpty).mkString("\n").trim
+      }
     } else texts.map(_._2).filter(_.nonEmpty)
   }
 
   /** /Contents object numbers of each /Type /Page object, in document
     * order; empty when no page tree is found. */
+  // /Type /Page but not /Pages (any PDF whitespace between, or none
+  // — names self-delimit); the lookahead stops /Pages and /PageLabels
+  private val TypePage = """/Type[\s ]*/Page(?![A-Za-z])""".r
+
+  /** Walks OBJECT dictionary windows ("N G obj" up to the first
+    * `stream` keyword or `endobj`), not the raw byte stream — so
+    * "/Type /Page" appearing as DATA inside a content stream cannot
+    * fabricate phantom pages, and a /Contents key written before
+    * /Type (dict key order is arbitrary) is still seen. A /Type /Page
+    * object with no parseable /Contents is kept as an EMPTY ref list:
+    * the page exists, numbering must not shift. */
   private def pageContentRefs(s: String): Seq[Seq[Long]] = {
     val out = Seq.newBuilder[Seq[Long]]
-    var i = s.indexOf("/Type")
+    var i = s.indexOf("obj")
     while (i >= 0) {
-      var j = i + "/Type".length
-      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\r' ||
-        s.charAt(j) == '\n')) j += 1
-      // "/Page" but not "/Pages" (the tree node)
-      if (s.startsWith("/Page", j) && !s.startsWith("/Pages", j)) {
-        val end = s.indexOf("endobj", j)
-        val window = s.substring(i, if (end < 0) s.length else end)
-        val refs = ContentsArr.findFirstMatchIn(window)
-          .map(m => RefInArr.findAllMatchIn(m.group(1))
-            .map(_.group(1).toLong).toSeq)
-          .orElse(ContentsRef.findFirstMatchIn(window)
-            .map(m => Seq(m.group(1).toLong)))
-        refs.foreach(out += _)
+      val k = i + "obj".length
+      val prevOk = i > 0 && isWs(s.charAt(i - 1))
+      val nextOk = k >= s.length || isWs(s.charAt(k)) || s.charAt(k) == '<'
+      if (prevOk && nextOk && objNumberAt(s, i) >= 0) {
+        val endobj = s.indexOf("endobj", k)
+        val streamKw = s.indexOf("stream", k)
+        val end = Seq(endobj, streamKw).filter(_ >= 0)
+          .minOption.getOrElse(s.length)
+        val window = s.substring(k, end)
+        if (TypePage.findFirstIn(window).isDefined) {
+          val refs = ContentsArr.findFirstMatchIn(window)
+            .map(m => RefInArr.findAllMatchIn(m.group(1))
+              .map(_.group(1).toLong).toSeq)
+            .orElse(ContentsRef.findFirstMatchIn(window)
+              .map(m => Seq(m.group(1).toLong)))
+          out += refs.getOrElse(Seq.empty)
+        }
       }
-      i = s.indexOf("/Type", i + "/Type".length)
+      i = s.indexOf("obj", i + "obj".length)
     }
     out.result()
+  }
+
+  /** One level of indirection: object `num` defined as a bare ARRAY
+    * of refs ("7 0 obj [3 0 R 4 0 R] endobj" — a legal /Contents
+    * target). */
+  private def arrayObjectRefs(s: String, num: Long): Option[Seq[Long]] = {
+    val re = ("""(?s)(?<![0-9])""" + num +
+      """[\s ]+0[\s ]+obj[\s ]*\[((?:\s*\d+\s+0\s+R)+)\s*\]""").r
+    re.findFirstMatchIn(s).map(m =>
+      RefInArr.findAllMatchIn(m.group(1)).map(_.group(1).toLong).toSeq)
   }
 
   /** (object dictionary text, raw payload) per stream...endstream.
@@ -360,19 +391,29 @@ object PdfExtractor extends BinaryExtractor {
     * (the spec puts it right after the dict's >>) and followed by
     * EOL — so "Downstream" in a title string can't open a bogus
     * stream that swallows the next real one. */
-  /** Object number of "N 0 obj" whose `obj` keyword sits at objAt;
-    * -1 when the prefix doesn't parse. */
+  // PDF whitespace: null, tab, LF, FF, CR, space
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
+      c == '\u0000'
+
+  /** Object number of "N G obj" whose `obj` keyword sits at objAt;
+    * -1 when the header doesn't parse or the generation isn't 0 (a
+    * gen-G object can't be the target of our "N 0 R" refs, and a
+    * sloppy parse here would key a stream under the WRONG number). */
   private def objNumberAt(s: String, objAt: Int): Long = {
     var j = objAt - 1
-    while (j >= 0 && (s.charAt(j) == ' ' || s.charAt(j) == '\r' ||
-      s.charAt(j) == '\n')) j -= 1
-    if (j < 0 || s.charAt(j) != '0') return -1L // generation must be 0
-    j -= 1
-    while (j >= 0 && (s.charAt(j) == ' ')) j -= 1
-    val end = j
+    while (j >= 0 && isWs(s.charAt(j))) j -= 1
+    val genEnd = j
     while (j >= 0 && s.charAt(j).isDigit) j -= 1
-    if (j == end) -1L
-    else scala.util.Try(s.substring(j + 1, end + 1).toLong).getOrElse(-1L)
+    if (j == genEnd) return -1L
+    val gen = s.substring(j + 1, genEnd + 1)
+    var k = j
+    while (k >= 0 && isWs(s.charAt(k))) k -= 1
+    if (k == j) return -1L // whitespace between number and generation
+    val numEnd = k
+    while (k >= 0 && s.charAt(k).isDigit) k -= 1
+    if (k == numEnd || gen != "0") -1L
+    else scala.util.Try(s.substring(k + 1, numEnd + 1).toLong).getOrElse(-1L)
   }
 
   private def streams(s: String): Seq[(Long, String, String)] = {

@@ -254,6 +254,32 @@ class ExtractorSpec extends AnyFunSuite {
     assert(PdfExtractor.extractPages(doc) == Seq("part a\npart b"))
   }
 
+  test("PDF extractor: page-tree edge cases keep numbering stable") {
+    val doc = ("%PDF-1.4\n" +
+      // key order arbitrary: /Contents BEFORE /Type, tab whitespace
+      "1 0 obj\n<< /Contents 10 0 R /Type\t/Page >>\nendobj\n" +
+      // a legal EMPTY page: no /Contents at all -> empty page row
+      "2 0 obj\n<< /Type /Page /Parent 9 0 R >>\nendobj\n" +
+      // /Contents -> bare ARRAY object indirection
+      "3 0 obj\n<< /Type /Page /Contents 11 0 R >>\nendobj\n" +
+      "11 0 obj\n[12 0 R 13 0 R]\nendobj\n" +
+      // the tree node (/Type /Pages) and a /PageLabels dict: no pages
+      "4 0 obj\n<< /Type /Pages /Kids [1 0 R 2 0 R 3 0 R] >>\nendobj\n" +
+      "5 0 obj\n<< /Type /PageLabels >>\nendobj\n" +
+      // content streams; 14 has generation 10 and must NOT be keyed
+      // as object 1 by a sloppy header parse
+      "10 0 obj\n<< >>\nstream\nBT (alpha) Tj ET\nendstream\nendobj\n" +
+      "12 0 obj\n<< >>\nstream\nBT (beta) Tj ET\nendstream\nendobj\n" +
+      "13 0 obj\n<< >>\nstream\nBT (gamma) Tj ET\nendstream\nendobj\n" +
+      "14 10 obj\n<< >>\nstream\nBT (wrong gen) Tj ET\nendstream\nendobj\n" +
+      // '/Type /Page /Contents 99 0 R' as DATA inside a content-less
+      // stream payload must not fabricate a phantom page
+      "15 0 obj\n<< >>\nstream\nthe string /Type /Page /Contents 99 0 R here\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extractPages(doc) ==
+      Seq("alpha", "", "beta\ngamma"))
+  }
+
   test("PDF extractor: throws on garbage so DocLoader stubs it") {
     intercept[IllegalArgumentException] {
       PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))
