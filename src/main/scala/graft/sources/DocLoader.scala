@@ -60,6 +60,27 @@ object DocLoader {
           // tag and entity strip — a real pipeline would use a parser
           trim(regexp_replace(regexp_replace(col("raw"), "<[^>]*>", " "),
             "&[a-zA-Z]+;", " ")))
+          // markdown strip (bones.py:39 UnstructuredMarkdownLoader
+          // yields TEXT, not markup): fences/inline code first so
+          // their contents can't re-trigger later rules, then links
+          // [text](url) -> text, images dropped, heading/quote/list
+          // prefixes, emphasis markers, rules. Chained codegen'd
+          // regexp_replace — one pass per rule, no UDF.
+          .when(col("format") === "md", trim(
+            Seq(
+              "(?s)```.*?```" -> " ",          // fenced code blocks
+              "`([^`]*)`" -> "$1",             // inline code
+              "!\\[[^\\]]*\\]\\([^)]*\\)" -> " ",        // images
+              "\\[([^\\]]+)\\]\\([^)]*\\)" -> "$1",      // links
+              "(?m)^[ \\t]{0,3}#{1,6}[ \\t]+" -> "",     // headings
+              "(?m)^[ \\t]{0,3}>[ \\t]?" -> "",          // blockquotes
+              "(?m)^[ \\t]*([-*+]|\\d+\\.)[ \\t]+" -> "", // list markers
+              "(?m)^[ \\t]*([-*_][ \\t]*){3,}$" -> "",   // rules
+              "(\\*\\*|__)(.*?)\\1" -> "$2",   // bold
+              "(\\*|_)(.*?)\\1" -> "$2"        // italics
+            ).foldLeft(col("raw")) { case (c, (re, sub)) =>
+              regexp_replace(c, re, sub)
+            }))
           .otherwise(col("raw")))
       .select(col("source"), col("format"), lit(0L).as("page"), col("text"))
 

@@ -286,6 +286,37 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("DocLoader strips markdown syntax to text like the reference loader") {
+    val dir = Files.createTempDirectory("graft-md")
+    Files.writeString(dir.resolve("doc.md"),
+      """# Title
+        |
+        |Some **bold** and _italic_ text with a [link](https://x.y) and
+        |`inline code`.
+        |
+        |- item one
+        |2. item two
+        |
+        |> a quote
+        |
+        |```scala
+        |val hidden = "code"
+        |```
+        |![alt text](img.png)
+        |---
+        |End.""".stripMargin)
+    val text = DocLoader.load(spark, dir.toString).collect()
+      .head.getAs[String]("text")
+    assert(text.startsWith("Title"))
+    assert(text.contains("Some bold and italic text with a link and"))
+    assert(text.contains("inline code."))
+    assert(text.contains("item one") && text.contains("item two"))
+    assert(text.contains("a quote") && text.contains("End."))
+    assert(!text.contains("#") && !text.contains("**")
+      && !text.contains("](") && !text.contains("```")
+      && !text.contains("hidden") && !text.contains("alt text"))
+  }
+
   test("DocLoader emits (source, page) rows for paged formats") {
     val dir = Files.createTempDirectory("graft-pages")
     Files.write(dir.resolve("two.pdf"), pdf(
