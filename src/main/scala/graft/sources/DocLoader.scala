@@ -66,6 +66,11 @@ object DocLoader {
           // [text](url) -> text, images dropped, heading/quote/list
           // prefixes, emphasis markers, rules. Chained codegen'd
           // regexp_replace — one pass per rule, no UDF.
+          // emphasis rules carry CommonMark's flanking constraints:
+          // markers must hug their content (no space inside) and '_'
+          // must not sit intra-word — so snake_case identifiers and
+          // space-flanked arithmetic (2 * 3) survive untouched while
+          // __init__ (legal strong emphasis) still strips.
           .when(col("format") === "md", trim(
             Seq(
               "(?s)```.*?```" -> " ",          // fenced code blocks
@@ -73,11 +78,13 @@ object DocLoader {
               "!\\[[^\\]]*\\]\\([^)]*\\)" -> " ",        // images
               "\\[([^\\]]+)\\]\\([^)]*\\)" -> "$1",      // links
               "(?m)^[ \\t]{0,3}#{1,6}[ \\t]+" -> "",     // headings
-              "(?m)^[ \\t]{0,3}>[ \\t]?" -> "",          // blockquotes
+              "(?m)^[ \\t]{0,3}(>[ \\t]?)+" -> "",       // blockquotes (nested)
               "(?m)^[ \\t]*([-*+]|\\d+\\.)[ \\t]+" -> "", // list markers
               "(?m)^[ \\t]*([-*_][ \\t]*){3,}$" -> "",   // rules
-              "(\\*\\*|__)(.*?)\\1" -> "$2",   // bold
-              "(\\*|_)(.*?)\\1" -> "$2"        // italics
+              "\\*\\*(?!\\s)([^*\\n]+?)(?<!\\s)\\*\\*" -> "$1",  // bold **
+              "(?<![\\w])__(?!\\s)([^_\\n]+?)(?<!\\s)__(?![\\w])" -> "$1", // bold __
+              "(?<![\\w*])\\*(?!\\s)([^*\\n]+?)(?<!\\s)\\*(?![\\w*])" -> "$1", // italic *
+              "(?<![\\w])_(?!\\s)([^_\\n]+?)(?<!\\s)_(?![\\w])" -> "$1" // italic _
             ).foldLeft(col("raw")) { case (c, (re, sub)) =>
               regexp_replace(c, re, sub)
             }))

@@ -311,18 +311,31 @@ object PdfExtractor extends BinaryExtractor {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
     val s = new String(bytes, Latin1) // byte-transparent
+    val found = streams(s)
     // text per content-candidate stream, keyed by owning object number
-    val texts = streams(s).flatMap { case (num, dict, payload) =>
+    val texts = found.map { st =>
       // only identity and FlateDecode payloads are content candidates:
       // replaying DCTDecode/LZW/CCITT bytes as operators would inject
       // whatever binary garbage happens to look like BT..(..)..ET
       val content =
-        if (dict.contains("/FlateDecode")) inflate(payload.getBytes(Latin1))
-        else if (dict.contains("/Filter")) None
-        else Some(payload.getBytes(Latin1))
-      content.map(c => num -> spanText(new String(c, Latin1)))
+        if (st.dict.contains("/FlateDecode"))
+          inflate(st.payload.getBytes(Latin1))
+        else if (st.dict.contains("/Filter")) None
+        else Some(st.payload.getBytes(Latin1))
+      content.map(c => st.num -> spanText(new String(c, Latin1)))
+    }.flatten
+    // blank every payload byte before the page-tree walk: an
+    // object-header-shaped byte run INSIDE a content stream ("3 0 obj
+    // << /Type /Page >>" as shown text) must not fabricate pages
+    val masked = {
+      val sb = new StringBuilder(s)
+      found.foreach { st =>
+        var i = st.start
+        while (i < st.end) { sb.setCharAt(i, ' '); i += 1 }
+      }
+      sb.toString
     }
-    val pageRefs = pageContentRefs(s)
+    val pageRefs = pageContentRefs(masked)
     if (pageRefs.nonEmpty) {
       val byObj = texts.filter(_._1 >= 0).toMap
       pageRefs.map { refs =>
@@ -330,7 +343,7 @@ object PdfExtractor extends BinaryExtractor {
         // stream — resolve that one level of indirection
         val resolved = refs.flatMap(r =>
           if (byObj.contains(r)) Seq(r)
-          else arrayObjectRefs(s, r).getOrElse(Seq(r)))
+          else arrayObjectRefs(masked, r).getOrElse(Seq(r)))
         resolved.flatMap(byObj.get).filter(_.nonEmpty).mkString("\n").trim
       }
     } else texts.map(_._2).filter(_.nonEmpty)
@@ -340,7 +353,7 @@ object PdfExtractor extends BinaryExtractor {
     * order; empty when no page tree is found. */
   // /Type /Page but not /Pages (any PDF whitespace between, or none
   // — names self-delimit); the lookahead stops /Pages and /PageLabels
-  private val TypePage = """/Type[\s ]*/Page(?![A-Za-z])""".r
+  private val TypePage = """/Type[\s]*/Page(?![A-Za-z])""".r
 
   /** Walks OBJECT dictionary windows ("N G obj" up to the first
     * `stream` keyword or `endobj`), not the raw byte stream — so
@@ -356,9 +369,14 @@ object PdfExtractor extends BinaryExtractor {
       val k = i + "obj".length
       val prevOk = i > 0 && isWs(s.charAt(i - 1))
       val nextOk = k >= s.length || isWs(s.charAt(k)) || s.charAt(k) == '<'
-      if (prevOk && nextOk && objNumberAt(s, i) >= 0) {
+      // any generation: gen>0 page objects (object-number reuse after
+      // incremental update) must still be counted as pages
+      if (prevOk && nextOk && isObjHeader(s, i)) {
         val endobj = s.indexOf("endobj", k)
-        val streamKw = s.indexOf("stream", k)
+        // keyword-bounded: "stream" as data inside a dict string
+        // ("(video stream note)") must not truncate the window before
+        // the /Contents key
+        val streamKw = nextStreamKeyword(s, k)
         val end = Seq(endobj, streamKw).filter(_ >= 0)
           .minOption.getOrElse(s.length)
         val window = s.substring(k, end)
@@ -381,7 +399,7 @@ object PdfExtractor extends BinaryExtractor {
     * target). */
   private def arrayObjectRefs(s: String, num: Long): Option[Seq[Long]] = {
     val re = ("""(?s)(?<![0-9])""" + num +
-      """[\s ]+0[\s ]+obj[\s ]*\[((?:\s*\d+\s+0\s+R)+)\s*\]""").r
+      """[\s]+0[\s]+obj[\s]*\[((?:\s*\d+\s+0\s+R)+)\s*\]""").r
     re.findFirstMatchIn(s).map(m =>
       RefInArr.findAllMatchIn(m.group(1)).map(_.group(1).toLong).toSeq)
   }
@@ -395,6 +413,39 @@ object PdfExtractor extends BinaryExtractor {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
       c == '\u0000'
+
+  /** True when the `obj` keyword at objAt is preceded by a "N G "
+    * header of ANY generation — the page-tree walk must see gen>0
+    * page objects (object-number reuse after incremental update)
+    * even though "N 0 R" refs can only target generation 0. */
+  private def isObjHeader(s: String, objAt: Int): Boolean = {
+    var j = objAt - 1
+    while (j >= 0 && isWs(s.charAt(j))) j -= 1
+    val genEnd = j
+    while (j >= 0 && s.charAt(j).isDigit) j -= 1
+    if (j == genEnd) return false
+    var k = j
+    while (k >= 0 && isWs(s.charAt(k))) k -= 1
+    if (k == j) return false
+    val numEnd = k
+    while (k >= 0 && s.charAt(k).isDigit) k -= 1
+    k != numEnd
+  }
+
+  /** Next `stream` KEYWORD (delimiter before, EOL after) at or after
+    * `from`; -1 if none — "stream" as data inside a dict string
+    * ("(video stream note)") is not a keyword. */
+  private def nextStreamKeyword(s: String, from: Int): Int = {
+    var i = s.indexOf("stream", from)
+    while (i >= 0) {
+      val k = i + "stream".length
+      val prevOk = i > 0 && (isWs(s.charAt(i - 1)) || s.charAt(i - 1) == '>')
+      val nextOk = k < s.length && (s.charAt(k) == '\r' || s.charAt(k) == '\n')
+      if (prevOk && nextOk) return i
+      i = s.indexOf("stream", i + "stream".length)
+    }
+    -1
+  }
 
   /** Object number of "N G obj" whose `obj` keyword sits at objAt;
     * -1 when the header doesn't parse or the generation isn't 0 (a
@@ -416,14 +467,15 @@ object PdfExtractor extends BinaryExtractor {
     else scala.util.Try(s.substring(k + 1, numEnd + 1).toLong).getOrElse(-1L)
   }
 
-  private def streams(s: String): Seq[(Long, String, String)] = {
-    val out = Seq.newBuilder[(Long, String, String)]
-    var i = s.indexOf("stream")
+  private final case class StreamObj(num: Long, dict: String,
+      payload: String, start: Int, end: Int)
+
+  private def streams(s: String): Seq[StreamObj] = {
+    val out = Seq.newBuilder[StreamObj]
+    var i = nextStreamKeyword(s, 0)
     while (i >= 0) {
       val k = i + "stream".length
-      val prevOk = i > 0 && " \t\r\n>".contains(s.charAt(i - 1))
-      val nextOk = k < s.length && (s.charAt(k) == '\r' || s.charAt(k) == '\n')
-      if (prevOk && nextOk) {
+      locally {
         var d = k
         if (s.charAt(d) == '\r') d += 1
         if (d < s.length && s.charAt(d) == '\n') d += 1
@@ -448,11 +500,11 @@ object PdfExtractor extends BinaryExtractor {
         if (e >= 0) {
           val objAt = s.lastIndexOf("obj", i)
           val dict = s.substring(math.max(0, objAt), i)
-          out += ((objNumberAt(s, math.max(0, objAt)), dict,
-            s.substring(d, e)))
-          i = s.indexOf("stream", e + "endstream".length)
+          out += StreamObj(objNumberAt(s, math.max(0, objAt)), dict,
+            s.substring(d, e), d, e)
+          i = nextStreamKeyword(s, e + "endstream".length)
         } else i = -1
-      } else i = s.indexOf("stream", i + "stream".length)
+      }
     }
     out.result()
   }

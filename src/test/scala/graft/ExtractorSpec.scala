@@ -280,6 +280,35 @@ class ExtractorSpec extends AnyFunSuite {
       Seq("alpha", "", "beta\ngamma"))
   }
 
+  test("PDF extractor: hostile layouts keep page numbering stable") {
+    val doc = ("%PDF-1.4\n" +
+      // generation-1 page object still counts as a page
+      "1 1 obj\n<< /Type /Page /Contents 10 0 R >>\nendobj\n" +
+      // 'stream' as data inside the page dict must not hide /Contents
+      "2 0 obj\n<< /Type /Page /N [(video stream note)] /Contents 12 0 R >>\nendobj\n" +
+      "10 0 obj\n<< >>\nstream\nBT (gen one page) Tj ET\nendstream\nendobj\n" +
+      "12 0 obj\n<< >>\nstream\nBT (after note) Tj ET\nendstream\nendobj\n" +
+      // object-header-shaped DATA inside a payload: no phantom page
+      "13 0 obj\n<< >>\nstream\nexample 3 0 obj << /Type /Page >> here\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extractPages(doc) ==
+      Seq("gen one page", "after note"))
+  }
+
+  test("DocLoader markdown strip spares identifiers and arithmetic") {
+    val dir = Files.createTempDirectory("graft-md2")
+    Files.writeString(dir.resolve("tech.md"),
+      """call load_db and extract_pages with __init__
+        |compute 2 * 3 * 4
+        |>> nested quote""".stripMargin)
+    val text = DocLoader.load(spark, dir.toString).collect()
+      .head.getAs[String]("text")
+    assert(text.contains("load_db and extract_pages"), text)
+    assert(text.contains("with init"), text) // __init__ IS emphasis
+    assert(text.contains("2 * 3 * 4"), text)
+    assert(text.contains("nested quote") && !text.contains(">"), text)
+  }
+
   test("PDF extractor: throws on garbage so DocLoader stubs it") {
     intercept[IllegalArgumentException] {
       PdfExtractor.extract("not a pdf at all".getBytes("ISO-8859-1"))
