@@ -25,10 +25,18 @@ object Bench {
       System.gc()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact on purpose: the driver keeps only the tail of the run
+    // output and sbt appends its own success line after ours, so the
+    // whole JSON line must fit well inside the last ~2 KB. 3-decimal
+    // seconds (ms resolution — below this box's run-to-run noise) and
+    // a numeric sf keep 80+ queries under that budget.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }
