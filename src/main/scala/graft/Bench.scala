@@ -34,8 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The captured group must itself be a valid JSON number ("sf1."
+    // or "sf..." would otherwise be emitted unquoted and corrupt the
+    // line); anything unparseable falls back to the quoted dir.
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).filter(g => scala.util.Try(g.toDouble).isSuccess &&
+        !g.startsWith(".") && !g.endsWith("."))
+      .getOrElse("\"" + sfDir + "\"")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }

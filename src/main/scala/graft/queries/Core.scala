@@ -481,6 +481,10 @@ object Core {
       .unpivot(Array.empty[org.apache.spark.sql.Column],
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "value")
+      // Spark's unpivot RETAINS null values; DuckDB's UNPIVOT excludes
+      // them by default. The three lineitem measures are non-null, but
+      // agree by construction, not by data.
+      .filter(col("value").isNotNull)
       .groupBy(col("measure"))
       .agg(sumMoney(col("value")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("measure"))

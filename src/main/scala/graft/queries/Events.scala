@@ -293,7 +293,12 @@ object Events {
     val w = 300000000L // 5 min in micros
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("bk0", expr(s"us div ${w}L")) // exact integer bucket
+      // FLOOR division, not `div` (which truncates toward zero): for
+      // pre-1970 timestamps (negative micros) truncation would put
+      // -1 and +1 in the same bucket and break the 2-bucket fan-out
+      // invariant. pmod is non-negative for a positive modulus, so
+      // (us - pmod) is exactly divisible and `div` yields the floor.
+      .withColumn("bk0", expr(s"(us - pmod(us, ${w}L)) div ${w}L"))
     val a = e.select(col("user_id"), col("event_id").as("event_a"),
       col("us").as("ta"),
       explode(array(col("bk0"), col("bk0") + 1)).as("bk"))

@@ -306,7 +306,12 @@ object PdfExtractor extends BinaryExtractor {
     * skipped stays an EMPTY page rather than disappearing (alignment
     * over compactness, matching PyPDFLoader's page enumeration).
     * Files without a parseable page tree fall back to one page per
-    * text-bearing content stream. */
+    * text-bearing content stream. Scope: like the CMap limit above,
+    * page dicts packed into compressed object streams (/Type /ObjStm,
+    * PDF 1.5+ xref-stream files) are invisible to this scan — such
+    * files take the fallback path, so their page NUMBERING (not text)
+    * can differ from PyPDFLoader's. Inflating ObjStm payloads into
+    * the masked page-tree scan would close that gap. */
   override def extractPages(bytes: Array[Byte]): Seq[String] = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
