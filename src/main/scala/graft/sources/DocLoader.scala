@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * Text-bearing formats go through the text source (wholetext, one
   * row per file); HTML additionally strips tags/entities in the
   * engine. Binary formats go through binaryFile + the pluggable
-  * `BinaryExtractor` registry (rtf/enex have REAL pure-JVM
-  * extractors); formats whose parsers aren't in this container
-  * (pdf/doc/...) fall back to a clearly-marked placeholder while the
-  * schema, file metadata, and distribution shape stay real.
+  * `BinaryExtractor` registry — every binary format in the
+  * reference's table has a real pure-JVM extractor; a MALFORMED file
+  * falls back to a clearly-marked placeholder row while the schema,
+  * file metadata, and distribution shape stay real.
   *
   * Each pass is restricted by pathGlobFilter so binaries are never
   * UTF-8-decoded by the wholetext reader (and text files never load
@@ -24,13 +24,15 @@ object DocLoader {
 
   val textExtensions: Set[String] = Set("txt", "md")
   val htmlExtensions: Set[String] = Set("html", "htm")
-  /** binary formats with a real extractor (rtf/enex, the four
-    * ZIP-of-XML formats docx/pptx/odt/epub, and pdf via pure-JVM
-    * FlateDecode + text-operator replay) */
+  /** binary formats with a real extractor — every binary format in
+    * the reference's EXTENSIONS table is now parsed pure-JVM: rtf,
+    * enex, the four ZIP-of-XML formats docx/pptx/odt/epub, pdf
+    * (FlateDecode + text-operator replay), and the two OLE/CFB legacy
+    * formats doc (piece-table text) and ppt (text-atom records) */
   val extractedExtensions: Set[String] = Extractors.byExtension.keySet
-  /** binary legacy formats stubbed until their parser is available
-    * (genuinely need external libraries absent from this container) */
-  val stubExtensions: Set[String] = Set("doc", "ppt")
+  /** no formats remain stubbed; malformed files still degrade to the
+    * placeholder row via the per-file Try below */
+  val stubExtensions: Set[String] = Set.empty
   val binaryExtensions: Set[String] = stubExtensions ++ extractedExtensions
 
   private def ext(pathCol: org.apache.spark.sql.Column) =

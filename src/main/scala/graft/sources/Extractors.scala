@@ -4,9 +4,10 @@ package graft.sources
   * distributed equivalent of the reference's per-extension loader
   * classes (conversadocs/bones.py:32-44). Each extractor is a pure
   * bytes→text function, serializable so it runs inside
-  * `mapPartitions` on executors; formats with no registered extractor
-  * fall back to a clearly-marked placeholder (pdf/doc parsers aren't
-  * in this container).
+  * `mapPartitions` on executors; every binary format in the
+  * reference's table has a real pure-JVM extractor here, and a
+  * malformed file degrades to DocLoader's clearly-marked placeholder
+  * because extractors THROW on bad input.
   */
 trait BinaryExtractor extends Serializable {
   /** lower-case extensions this extractor handles. */
@@ -631,10 +632,189 @@ object PdfExtractor extends BinaryExtractor {
   }
 }
 
+/** Legacy Word binary (.doc — bones.py:33): CFB container, text
+  * recovered from the WordDocument stream via the [MS-DOC] piece
+  * table — Clx at fcClx in the 0Table/1Table stream (fWhichTblStm
+  * picks which), PlcPcd mapping each CP range to a file offset that
+  * is either CP1252 (fCompressed, bytes at fc/2) or UTF-16LE (at fc).
+  * Pre-Word-97 files without a Clx fall back to the contiguous
+  * fcMin..fcMax range with fExtChar picking the width. Word's
+  * in-text control bytes become whitespace (para/line marks), cell
+  * marks become tabs, and field instructions (the 0x13..0x14 half of
+  * a field) are dropped, keeping the field's visible result.
+  * Encrypted files throw — DocLoader degrades them. */
+object DocExtractor extends BinaryExtractor {
+  override val extensions: Set[String] = Set("doc")
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+
+  override def extract(bytes: Array[Byte]): String = {
+    val cfb = Cfb.open(bytes)
+    val wd = cfb.stream("WordDocument").getOrElse(
+      throw new IllegalArgumentException("no WordDocument stream"))
+    require(wd.length >= 0x200 && Cfb.u16(wd, 0) == 0xA5EC,
+      "not a Word binary FIB")
+    val flags = Cfb.u16(wd, 0x0A)
+    require((flags & 0x0100) == 0, "encrypted Word document")
+    val raw =
+      if (wd.length >= 0x01AA && Cfb.i32(wd, 0x01A6) > 0) {
+        val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+        val tbl = cfb.stream(tableName).getOrElse(
+          throw new IllegalArgumentException(s"no $tableName stream"))
+        pieceText(wd, tbl, Cfb.i32(wd, 0x01A2), Cfb.i32(wd, 0x01A6))
+      } else {
+        // no piece table: contiguous text run, width from fExtChar
+        val fcMin = Cfb.i32(wd, 0x18)
+        val fcMax = Cfb.i32(wd, 0x1C)
+        require(fcMin >= 0 && fcMax >= fcMin && fcMax <= wd.length,
+          "bad fcMin/fcMax text range")
+        if ((flags & 0x1000) != 0)
+          new String(wd, fcMin, fcMax - fcMin, Utf16le)
+        else new String(wd, fcMin, fcMax - fcMin, Cp1252)
+      }
+    clean(raw)
+  }
+
+  /** Decode every piece of the PlcPcd inside the Clx at
+    * tbl[fcClx, fcClx+lcb). Prc (clxt=0x01) property blocks are
+    * skipped; the Pcdt (clxt=0x02) holds the piece table. */
+  private def pieceText(wd: Array[Byte], tbl: Array[Byte],
+                        fcClx: Int, lcb: Int): String = {
+    require(fcClx >= 0 && lcb > 0 && fcClx.toLong + lcb <= tbl.length,
+      "Clx out of table-stream range")
+    var p = fcClx
+    val end = fcClx + lcb
+    while (p < end && (tbl(p) & 0xFF) == 0x01) { // Prc: [01][cb:i16][grpprl]
+      require(p + 3 <= end, "truncated Prc")
+      p += 3 + Cfb.u16(tbl, p + 1)
+    }
+    require(p + 5 <= end && (tbl(p) & 0xFF) == 0x02, "no Pcdt in Clx")
+    val lcbPlc = Cfb.i32(tbl, p + 1)
+    val plc = p + 5
+    require(lcbPlc >= 4 && (lcbPlc - 4) % 12 == 0 && plc + lcbPlc <= end,
+      "bad PlcPcd size")
+    val n = (lcbPlc - 4) / 12
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val cp0 = Cfb.i32(tbl, plc + 4 * i)
+      val cp1 = Cfb.i32(tbl, plc + 4 * (i + 1))
+      val pcd = plc + 4 * (n + 1) + 8 * i
+      val fcRaw = Cfb.i32(tbl, pcd + 2)
+      val chars = cp1 - cp0
+      require(chars >= 0, "piece CPs not monotone")
+      if ((fcRaw & 0x40000000) != 0) { // fCompressed: CP1252 at fc/2
+        val fc = (fcRaw & 0x3FFFFFFF) / 2
+        require(fc >= 0 && fc + chars <= wd.length, "piece out of range")
+        sb.append(new String(wd, fc, chars, Cp1252))
+      } else {
+        val fc = fcRaw & 0x3FFFFFFF
+        require(fc >= 0 && fc + 2L * chars <= wd.length, "piece out of range")
+        sb.append(new String(wd, fc, 2 * chars, Utf16le))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Word stores structure as in-text control characters. */
+  private def clean(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var fieldDepth = 0   // inside the 0x13..0x14 instruction half
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == 0x13) fieldDepth += 1                     // field begin
+      else if (c == 0x14) { if (fieldDepth > 0) fieldDepth -= 1 } // separator
+      else if (c == 0x15) ()                             // field end
+      else if (fieldDepth > 0) ()                        // drop instructions
+      else if (c == '\r' || c == 0x0B || c == '\f') sb.append('\n')
+      else if (c == 0x07) sb.append('\t')               // cell / row mark
+      else if (c >= ' ' || c == '\n' || c == '\t') sb.append(c)
+      // else: other control marks are dropped
+      i += 1
+    }
+    sb.toString.split("\n").map(_.trim.stripSuffix("\t"))
+      .mkString("\n").trim
+  }
+}
+
+/** Legacy PowerPoint binary (.ppt — bones.py:41): CFB container, the
+  * "PowerPoint Document" stream is a tree of 8-byte-headed records
+  * ([MS-PPT]: ver/instance, type, length; ver nibble 0xF = container,
+  * recursed). Text lives in TextBytesAtom (0x0FA8, CP1252) and
+  * TextCharsAtom (0x0FA0, UTF-16LE); inside the SlideListWithText
+  * container (0x0FF0) each SlidePersistAtom (0x03F3) opens the next
+  * slide's text group, which is how the atoms map to pages. Slide
+  * order is the SlideListWithText order — correct for normal saves;
+  * a reordered deck saved incrementally would need the persist
+  * directory to resolve, which this extractor does not chase. */
+object PptExtractor extends BinaryExtractor {
+  override val extensions: Set[String] = Set("ppt")
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+
+  override def extract(bytes: Array[Byte]): String =
+    extractPages(bytes).filter(_.nonEmpty).mkString("\n\n").trim
+
+  override def extractPages(bytes: Array[Byte]): Seq[String] = {
+    val doc = Cfb.open(bytes).stream("PowerPoint Document").getOrElse(
+      throw new IllegalArgumentException("no PowerPoint Document stream"))
+    val slides = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+    // text atoms seen before any SlidePersistAtom (master/notes text
+    // in malformed fixtures) land in a preamble bucket, emitted first
+    // only if no slides exist at all
+    val preamble = new StringBuilder
+
+    def bucket(): StringBuilder =
+      if (slides.nonEmpty) slides.last else preamble
+
+    def walk(off: Int, end: Int, inSlideList: Boolean): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val verInst = Cfb.u16(doc, p)
+        val recType = Cfb.u16(doc, p + 2)
+        val len = Cfb.i32(doc, p + 4)
+        val body = p + 8
+        if (len < 0 || body + len > end) return // truncated tail: stop
+        if ((verInst & 0xF) == 0xF) {
+          walk(body, body + len, inSlideList || recType == 0x0FF0)
+        } else recType match {
+          case 0x03F3 if inSlideList => // SlidePersistAtom: next slide
+            slides += new StringBuilder
+          case 0x0FA8 => // TextBytesAtom
+            append(bucket(), new String(doc, body, len, Cp1252))
+          case 0x0FA0 => // TextCharsAtom
+            append(bucket(), new String(doc, body, len - (len % 2), Utf16le))
+          case _ =>
+        }
+        p = body + len
+      }
+    }
+    walk(0, doc.length, inSlideList = false)
+
+    val pages = slides.map(_.toString.trim).toSeq
+    if (pages.nonEmpty) pages
+    else if (preamble.nonEmpty) Seq(preamble.toString.trim)
+    else Seq.empty
+  }
+
+  /** PPT paragraphs end in \r; VT (0x0B) is a soft line break. */
+  private def append(sb: StringBuilder, t: String): Unit = {
+    val s = t.replace('\r', '\n').replace(0x0B.toChar, '\n').trim
+    if (s.nonEmpty) {
+      if (sb.nonEmpty) sb.append('\n')
+      sb.append(s)
+    }
+  }
+}
+
 object Extractors {
   val all: Seq[BinaryExtractor] = Seq(RtfExtractor, EnexExtractor,
     DocxExtractor, PptxExtractor, OdtExtractor, EpubExtractor,
-    PdfExtractor)
+    PdfExtractor, DocExtractor, PptExtractor)
   val byExtension: Map[String, BinaryExtractor] =
     all.flatMap(e => e.extensions.map(_ -> e)).toMap
 }
