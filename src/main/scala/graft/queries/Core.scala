@@ -490,9 +490,44 @@ object Core {
       .orderBy(col("measure"))
   }
 
+  /** Bloom-filter semi-join reduction: the filter is BUILT on the
+    * small (predicate-filtered) side with a mergeable treeAggregate
+    * (`stat.bloomFilter` — driver holds only the final ~1 MB bitmap),
+    * then the fact table is pruned row-by-row inside WholeStageCodegen
+    * BEFORE its rows enter the join shuffle. False positives (1% fpp)
+    * pass the filter and are eliminated by the exact join that
+    * follows, so the result is EXACTLY the plain join the oracle runs
+    * — the bloom changes shuffle volume, never semantics. This is the
+    * manual twin of Spark's runtime-bloom rewrite, demonstrated as an
+    * explicit operator: at 100 TB, shipping 1 MB of bits to skip ~80%
+    * of a fact-table shuffle is the canonical join reduction. */
+  val qBloomJoin: Q = Q(
+    "q_bloom_join",
+    """SELECT l.l_orderkey AS orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+      .cache() // consumed twice: bloom build + the exact join
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      expectedNumItems = math.max(urgent.count(), 1L), fpp = 0.01)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(graft.functions.BloomExprs.mightContainLong(
+        col("l_orderkey"), bloom))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
-    qSetOps, qCorrelated, qGroupingSets, qUnpivot)
+    qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin)
 }

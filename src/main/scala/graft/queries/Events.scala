@@ -349,7 +349,39 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Frequent event paths: the top-20 3-step event-type sequences
+    * across all users — the "what do users do next" path-analysis
+    * query. One window pass per user (two lead()s, no self-joins, no
+    * explode), partial-aggregated counts, global top-k as
+    * TakeOrderedAndProject. The window orders by event_id alone:
+    * event ids are assigned in timestamp order (asserted against the
+    * data), which sidesteps micro-vs-nano timestamp tie ambiguity
+    * between engines. */
+  val topPaths: Q = Q(
+    "events_top_paths",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT e1, e2, e3, COUNT(*) AS cnt
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly)
+    anomaly, topPaths)
 }

@@ -186,5 +186,58 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(seqPack, corpusClean)
+  /** Weighted dataset mixing — the "hit the target source mix
+    * without upsampling" sampler every multi-source training corpus
+    * runs. Each source gets a target weight (here 1..3, derived from
+    * the source id); the largest corpus achieving the exact mix keeps
+    * the BINDING source (max tokens-per-weight headroom used up) at
+    * rate 1 and downsamples every other source to
+    * rate_s = num_s·(tok_m/num_m)/tok_s. Selection is a portable
+    * md5-prefix hash slot per doc — reproducible on any engine and
+    * cluster size, no rand() — and the keep test is cross-multiplied
+    * into pure int64 arithmetic (max ~2^56, overflow-safe under ANSI)
+    * so both engines decide identically: slot·6·tok_s <
+    * num_s·key_m·2^32, where key_m = min_s(tok_s·6/num_s).
+    *
+    * Scale shape: one pass over the corpus, one partial-agg groupBy
+    * for per-source stats (rows = #sources, broadcast back), and the
+    * scalar min cross-joined — the fact table never shuffles. */
+  val corpusMix: Q = Q(
+    "corpus_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tok,
+      |    1 + (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3)::BIGINT AS num,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS slot
+      |  FROM documents),
+      |st AS (SELECT source, num, SUM(n_tok) AS src_tok FROM d GROUP BY 1, 2),
+      |k AS (SELECT MIN(src_tok * (6 // num)) AS key_m FROM st)
+      |SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS tok_kept
+      |FROM d JOIN st USING (source), k
+      |WHERE d.slot * 6 * st.src_tok < st.num * k.key_m * 4294967296
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(graft.functions.TextExprs.tokens(col("text")))
+        .cast("long").as("n_tok"),
+      (lit(1L) + regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 3)
+        .as("num"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("slot"))
+    val st = d.groupBy(col("source"), col("num"))
+      .agg(sum(col("n_tok")).as("src_tok"))
+      .withColumn("key", col("src_tok") * expr("6 div num"))
+    val keyM = st.agg(min(col("key")).as("key_m"))
+    d.drop("num")
+      .join(broadcast(st.select(col("source"), col("num"), col("src_tok"))),
+        Seq("source"))
+      .crossJoin(broadcast(keyM))
+      .filter(col("slot") * 6 * col("src_tok") <
+        col("num") * col("key_m") * lit(4294967296L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix)
 }

@@ -423,7 +423,61 @@ object Text {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** PII scrubbing — the redaction pass every training corpus runs
+    * before release: emails, IPv4 addresses, and long digit runs
+    * masked with typed placeholders, plus per-doc counts of what was
+    * found. Pure chained regexp_replace — codegen'd scan-time CPU, no
+    * UDFs, embarrassingly parallel at any scale. The synthetic corpus
+    * carries no PII, so the query PLANTS one deterministic instance
+    * of each class (derived from doc_id) before scrubbing — the
+    * oracle plants the identical text, so the hash compare proves the
+    * masking regexes behave identically across engines on 500
+    * distinct inputs rather than vacuously matching nothing. Patterns
+    * avoid lookaround so Java regex and DuckDB's RE2 agree. */
+  val piiScrub: Q = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val numRe = "\\d{7,}"
+    Q(
+      "text_pii_scrub",
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+         |    ' ref ' || CAST(1000000 + doc_id * 13 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g'),
+         |    '$numRe', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(t, '$emailRe')) AS n_email,
+         |  len(regexp_extract_all(t, '$ipRe')) AS n_ip,
+         |  len(regexp_extract_all(t, '$numRe')) AS n_num
+         |FROM planted ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" ref "), (lit(1000000L) + col("doc_id") * 13).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+            numRe, "<NUM>").as("scrubbed"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(numRe), lit(0))).as("n_num"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch)
+    freqSketch, piiScrub)
 }

@@ -119,4 +119,39 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"))
   }
+
+  test("q_bloom_join prunes the fact side before the join, exactly") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val p = plan(Core.qBloomJoin.run(spark, sf))
+    // the bloom test sits in the scan-side filter, before any exchange
+    assert(p.contains("graft_might_contain"))
+    // the filter genuinely prunes: urgent orders are ~1/5 of lineitem
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      math.max(urgent.count(), 1L), 0.01)
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val total = li.count()
+    val passed = li.filter(graft.functions.BloomExprs
+      .mightContainLong(col("l_orderkey"), bloom)).count()
+    val exact = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(passed >= exact)           // no false negatives, ever
+    assert(passed < (total * 3) / 10) // ~20% + 1% fpp, not a no-op
+  }
+
+  test("corpus_mix keeps the binding source whole, samples the rest") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val mixed = graft.queries.Pipeline.corpusMix.run(spark, sf)
+      .select(col("source"), col("n_kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at least one source is kept in full (the mix's binding source,
+    // rate exactly 1 by construction) and at least one is downsampled
+    assert(totals.exists { case (s, n) => mixed.getOrElse(s, 0L) == n })
+    assert(totals.exists { case (s, n) => mixed.getOrElse(s, 0L) < n })
+  }
 }
