@@ -13,8 +13,16 @@ object Bench {
     // query isn't charged for session startup. A warm-up failure must
     // not kill the bench — the timed queries guard themselves.
     spark.range(10000000L).selectExpr("sum(id)").collect()
+    // Print ONE truncated line on warm-up failure: a SparkException
+    // message embeds the full driver stack trace, and the driver keeps
+    // only the tail of this process's output — an uncaught multi-line
+    // message would push the JSON result line out of the kept window
+    // (observed in round 4).
     try SparkEntry.entry(spark).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warm-up: $e") }
+    catch { case e: Throwable =>
+      val first = String.valueOf(e).linesIterator.take(1).mkString
+      System.err.println(s"[bench] warm-up failed: ${first.take(200)}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

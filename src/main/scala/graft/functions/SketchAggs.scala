@@ -41,6 +41,17 @@ object Sketches {
       SimHashAgg(GraftBridge.expression(hash64), GraftBridge.expression(weight))
         .toAggregateExpression())
 
+  /** gramian(vec, d): one-pass moment aggregate over array<double>
+    * vectors — emits [n, Σx (d entries), ΣxxT (d·d entries)] as one
+    * flat array. Covariance (and so PCA) follows driver-side at
+    * O(d²): the corpus is touched ONCE, the buffer is a constant
+    * 1+d+d² doubles, and partial buffers merge by addition — the
+    * mergeable-statistics shape that computes second moments at
+    * 100 TB. */
+  def gramian(vec: Column, d: Int): Column =
+    GraftBridge.column(
+      GramianAgg(GraftBridge.expression(vec), d).toAggregateExpression())
+
   private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(a.length * 8)
     a.foreach(bb.putLong)
@@ -160,4 +171,70 @@ case class SimHashAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): SimHashAgg =
     copy(hash = c(0), weight = c(1))
+}
+
+/** One-pass [n | Σx | ΣxxT] moment buffer over array<double> rows.
+  * Layout: buf(0)=n, buf(1..d)=sums, buf(1+d ..)=outer products
+  * row-major. Skips null and wrong-length rows (a corrupt vector must
+  * not poison a corpus-wide covariance). */
+case class GramianAgg(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "gramian"
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](1 + d + d * d)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (arr.numElements() == d) {
+        val x = arr.toDoubleArray()
+        buf(0) += 1.0
+        var i = 0
+        while (i < d) {
+          buf(1 + i) += x(i)
+          val base = 1 + d + i * d
+          val xi = x(i)
+          var j = 0
+          while (j < d) { buf(base + j) += xi * x(j); j += 1 }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GramianAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GramianAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): GramianAgg = copy(child = c.head)
 }

@@ -96,8 +96,9 @@ object IvfIndex {
 
   /** In-process Lloyd's k-means over the sample: seeded random init,
     * empty clusters keep their previous center. Deterministic for a
-    * fixed (sample, seed). */
-  private def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+    * fixed (sample, seed). Shared with PqIndex (per-subspace codebook
+    * fit — same estimator, 8-dim inputs). */
+  private[operators] def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
       iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "quantizer sample is empty")
     val kk = math.min(k, sample.length)

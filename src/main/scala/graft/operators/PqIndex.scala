@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization codec for embedding columns.
+  *
+  * The compression half of vector search at 100 TB: each dim-D vector
+  * is cut into M subspaces of D/M dims; each subspace gets its own
+  * K-centroid codebook (fit like the IVF coarse quantizer: Lloyd's on
+  * a bounded driver-side sample — a codebook needs O(M·K·D) info, not
+  * the corpus); a vector is stored as M small codes (here 8 bytes
+  * total vs 256 for float32 — 32x). Search runs ADC (asymmetric
+  * distance computation): per query, ONE M×K table of exact
+  * subspace dot products, then every candidate's approximate dot is M
+  * table lookups on its codes — no float math per candidate. Encode,
+  * table build, and scoring are all column expressions inside
+  * WholeStageCodegen; nothing touches the driver but the codebooks.
+  *
+  * The scale pipeline pairs it with IVF: coarse-quantize to prune the
+  * corpus, PQ-score the surviving partitions, exact re-rank the
+  * shortlist (knn_pq registers the PQ-score + re-rank half; recall
+  * vs brute force is gated in VectorSpec).
+  */
+object PqIndex {
+
+  /** Per-subspace codebooks: M arrays of K centroids of D/M dims.
+    * Sample is collected hash-ordered by the CALLER (same
+    * determinism/bias argument as IvfIndex.build). */
+  def fit(sample: Array[Array[Double]], m: Int, k: Int,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "codebook sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val slice = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      // distinct seed per subspace: identical inits would correlate
+      // codebooks on correlated subspaces
+      IvfIndex.lloyd(slice, k, seed + j, iters = 10)
+    }
+  }
+
+  private def sub(v: Column, j: Int, width: Int): Column =
+    slice(v, j * width + 1, width)
+
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotLit(a: Column, ctr: Array[Double]): Column =
+    graft.functions.VectorExprs.dot(a,
+      array(ctr.toIndexedSeq.map(lit(_)): _*))
+
+  /** codes column: array<int> of length M, code j = argmin_c
+    * ||v_sub_j − codebook(j)(c)||². Pure expressions — the encode pass
+    * is a scan, exactly how a 100 TB corpus would be compressed. */
+  def encode(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val width = books(0)(0).length
+    array(books.indices.map { j =>
+      val cands = array(books(j).zipWithIndex.toIndexedSeq.map { case (ctr, c) =>
+        struct(dist2(sub(v, j, width),
+          array(ctr.toIndexedSeq.map(lit(_)): _*)).as("d"),
+          lit(c).as("c"))
+      }: _*)
+      array_min(cands)("c")
+    }: _*)
+  }
+
+  /** ADC lookup table for a query vector column: array<double> of
+    * length M·K, entry [j·K + c] = dot(q_sub_j, codebook(j)(c)). Built
+    * once per query row; every candidate afterwards costs M lookups. */
+  def dtab(vq: Column, books: Array[Array[Array[Double]]]): Column = {
+    val width = books(0)(0).length
+    array(books.indices.flatMap { j =>
+      books(j).toIndexedSeq.map(ctr => dotLit(sub(vq, j, width), ctr))
+    }: _*)
+  }
+
+  /** Approximate dot(q, x) from the query's table and x's codes:
+    * Σ_j dtab[j·K + codes[j]]. */
+  def adcScore(dt: Column, codes: Column, m: Int, k: Int): Column =
+    (0 until m).map(j =>
+      element_at(dt, element_at(codes, j + 1) + j * k + 1))
+      .reduce(_ + _)
+}

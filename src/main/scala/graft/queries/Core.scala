@@ -525,9 +525,46 @@ object Core {
       .orderBy(col("orderkey"))
   }
 
+  /** Incremental aggregation — the materialized-view maintenance
+    * pattern: the fact table arrives as an immutable BASE partition
+    * plus a DELTA batch (split here on l_shipdate), each aggregated
+    * SEPARATELY to mergeable partials (count + decimal-exact sums),
+    * then merged by re-aggregating the union of partials. At 100 TB
+    * the base partials are a stored table updated per batch at
+    * O(delta + groups) cost — the full fact table is scanned once
+    * ever, not once per refresh. Decimal-exact sums make the merge
+    * associative with NO ordering caveat, so the merged result is
+    * bit-identical to the full recompute — which is exactly what the
+    * oracle computes (a plain one-pass aggregate): the hash match IS
+    * the proof that partial-merge == recompute. */
+  val qIncrementalAgg: Q = Q(
+    "q_incremental_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    def partials(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"),
+        sum(money(col("l_quantity"))).as("pq"),
+        sum(money(col("l_extendedprice"))).as("pp"))
+    val li = Tables.lineitem(s, dir)
+    val base = partials(li.filter(col("l_shipdate") < cut))
+    val delta = partials(li.filter(col("l_shipdate") >= cut))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pn")).as("n_items"),
+        sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pp")).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
-    qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin)
+    qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg)
 }

@@ -526,6 +526,87 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dedup — the daily-ingest shape: a NEW batch of
+    * docs (here doc_id % 5 = 4 stands in for today's crawl) checked
+    * against the already-indexed corpus WITHOUT re-running the corpus
+    * self-join. Candidate generation touches only pairs with a new
+    * doc on at least one side: new-vs-index through the index's
+    * shingle table, new-vs-new within the batch; index-vs-index pairs
+    * were found when the index was built and are never re-derived.
+    * The stop-shingle list is the INDEX's (df over indexed docs only)
+    * — the ingest consults the index's stop list, it does not rescan
+    * the corpus to rebuild one. Verification is the shared
+    * verifiedJaccard: exact over the full shingle sets of the
+    * involved docs only. Per-ingest cost is O(batch x collisions),
+    * independent of corpus size — the property that makes near-dedup
+    * sustainable at 100 TB/day. */
+  val incremental: Q = Q(
+    "dedup_incremental",
+    """WITH toksv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM toksv)),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |oldsh AS (SELECT * FROM sh WHERE doc_id % 5 <> 4),
+      |hot AS (
+      |  SELECT s FROM oldsh GROUP BY s
+      |  HAVING COUNT(*) * 2 > (SELECT COUNT(DISTINCT doc_id) FROM oldsh)),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4),
+      |c AS (
+      |  SELECT cand.da, cand.db, COUNT(*) i
+      |  FROM cand JOIN sh a ON a.doc_id = cand.da
+      |  JOIN sh b ON b.doc_id = cand.db AND a.s = b.s
+      |  GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE i / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val isNew = col("doc_id") % 5 === 4
+    val sh = hashedShingles(s, dir).cache()
+    val sz = docSizes(sh).cache()
+    val shOld = sh.filter(!isNew)
+    val nOld = sz.filter(!(col("doc_id") % 5 === 4)).count()
+    val hotK = broadcast(hotShingleKeys(shOld, nOld))
+    val rare = sh.join(hotK, Seq("s"), "left_anti")
+    val rareNew = rare.filter(isNew)
+    // Rare-shingle intersection counts fall straight out of the
+    // candidate joins (the cappedInter trick) — no all-pairs self-join
+    // followed by a distinct, and no re-join of the corpus to count.
+    // The BATCH side is the build/stream-driving side of both joins:
+    // new-vs-index (disjoint sides, each shared rare shingle appears
+    // exactly once per pair) and within-batch (da < db self-join).
+    val crNO = rareNew.select(col("doc_id").as("na"), col("s"))
+      .join(rare.filter(!isNew).select(col("doc_id").as("ob"), col("s")),
+        Seq("s"))
+      .select(least(col("na"), col("ob")).as("da"),
+        greatest(col("na"), col("ob")).as("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
+    val crNN = rareNew.select(col("doc_id").as("da"), col("s"))
+      .join(rareNew.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
+    // cached: feeds both the hot-shingle correction's pair restriction
+    // and the final left join (as in cappedInter)
+    val cr = crNO.unionByName(crNN).cache()
+    val hot = sh.join(hotK, Seq("s"), "left_semi")
+    val ch = cr.select(col("da"), col("db"))
+      .join(hot.select(col("doc_id").as("da"), col("s")), "da")
+      .join(hot.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ch"))
+    val inter = cr.join(ch, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("cr") + coalesce(col("ch"), lit(0L))).as("i"))
+    jaccardFrom(inter, sz).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, sampleStratified)
+    decontaminate, sampleStratified, incremental)
 }

@@ -381,7 +381,72 @@ object Events {
       .limit(20)
   }
 
+  /** Type-2 slowly-changing dimension build — the warehouse pattern
+    * that turns an event stream into a versioned dimension: per user,
+    * each run of consecutive equal event_types collapses to one
+    * validity interval [valid_from, valid_to), the last interval open
+    * (is_current). Two window passes over ONE shuffle on user_id —
+    * lag() marks change points, lead() closes each interval — no
+    * self-join, no driver state; the orderBy key is event_id (ids are
+    * assigned in timestamp order, sidestepping micro-vs-nano tie
+    * ambiguity between engines, as in events_top_paths). */
+  val scd2: Q = Q(
+    "events_scd2",
+    """WITH x AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |y AS (
+      |  SELECT user_id, event_type, ts FROM x WHERE chg = 1),
+      |z AS (
+      |  SELECT user_id, event_type AS status, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version
+      |  FROM y)
+      |SELECT user_id, version, status, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM z ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val byId = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byId).isNull ||
+          lag(col("event_type"), 1).over(byId) =!= col("event_type"), 1)
+          .otherwise(0))
+      .filter(col("chg") === 1)
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byTs))
+      .withColumn("version", row_number().over(byTs))
+      .select(col("user_id"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Fixed-width value histogram per event_type — the profiling query
+    * behind every data-quality dashboard. Bin = floor(value/10) over
+    * the DECIMAL(18,2) value (exact, so bin edges cannot straddle a
+    * float rounding difference between engines); one partial-
+    * aggregating groupBy, output rows = O(types x bins). */
+  val histogram: Q = Q(
+    "events_histogram",
+    """SELECT event_type,
+      |  CAST(FLOOR(CAST(value AS DECIMAL(18,2)) / 10) AS BIGINT) AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        floor(money(col("value")) / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths)
+    anomaly, topPaths, scd2, histogram)
 }

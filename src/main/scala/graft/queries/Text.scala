@@ -477,7 +477,74 @@ object Text {
     }
   }
 
+  /** Bigram language-model familiarity scoring — the shape of the
+    * CCNet/KenLM perplexity quality gate with integer-exact
+    * arithmetic instead of log-probs (logs differ in the last ulp
+    * across engines; sums of exact counts cannot). The corpus itself
+    * is the LM: cf(g) = total corpus occurrences of bigram g;
+    * per doc, familiar_sum = Σ_instances cf(g) (high = the doc reads
+    * like the corpus), novel_frac = fraction of bigram instances
+    * appearing NOWHERE else. Plan: one tokenize pass, per-(doc,gram)
+    * counts (map-side partial), the corpus model by a second groupBy,
+    * and a shuffle equi-join of doc grams against the model — the
+    * model table scales with the vocabulary, so it is NOT broadcast
+    * (AQE may still choose to); grams join on their xxhash64, so the
+    * shuffle moves 8-byte keys, not strings. */
+  val bigramLm: Q = Q(
+    "text_bigram_lm",
+    """WITH tokv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |gi AS (
+      |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM tokv)),
+      |dg AS (SELECT doc_id, g, COUNT(*) cnt FROM gi GROUP BY 1, 2),
+      |cf AS (SELECT g, SUM(cnt) cf FROM dg GROUP BY 1),
+      |agg AS (
+      |  SELECT dg.doc_id, SUM(cnt) n_big, SUM(cnt * cf.cf) fam,
+      |    SUM(CASE WHEN cf.cf = cnt THEN cnt ELSE 0 END) novel
+      |  FROM dg JOIN cf USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_big, 0) AS n_bigrams,
+      |  COALESCE(fam, 0) AS familiar_sum,
+      |  CASE WHEN n_big > 0
+      |    THEN FLOOR(fam / n_big * 10000 + 0.5) / 10000 END AS avg_familiarity,
+      |  CASE WHEN n_big > 0
+      |    THEN FLOOR(novel / n_big * 10000 + 0.5) / 10000 END AS novel_frac
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    val grams = transform(sequence(lit(0), size(col("ts")) - 2), i =>
+      concat_ws(" ", element_at(col("ts"), i + 1), element_at(col("ts"), i + 2)))
+    // hash BEFORE the first shuffle: all downstream movement is on
+    // 8-byte keys (collision odds argued at hashedShinglesOf)
+    val dg = t.select(col("doc_id"), explode(
+        when(size(col("ts")) >= 2, grams).otherwise(array())).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .cache() // feeds both the corpus model and the scoring join
+    val cf = dg.groupBy(col("g")).agg(sum(col("cnt")).as("cf"))
+    val agg = dg.join(cf, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_big"),
+        sum(col("cnt") * col("cf")).as("fam"),
+        sum(when(col("cf") === col("cnt"), col("cnt")).otherwise(0L)).as("novel"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fam"), lit(0L)).as("familiar_sum"),
+        when(col("n_big") > 0, r4(col("fam") / col("n_big")))
+          .as("avg_familiarity"),
+        when(col("n_big") > 0, r4(col("novel") / col("n_big")))
+          .as("novel_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub)
+    freqSketch, piiScrub, bigramLm)
 }

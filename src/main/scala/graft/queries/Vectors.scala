@@ -218,6 +218,78 @@ object Vectors {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** PQ-compressed top-5 — the third ANN path beside IVF and LSH, and
+    * the one that changes the STORAGE cost: vectors live as 8 4-bit-ish
+    * codes (8 subspaces × 16 centroids), 32x smaller than float32, and
+    * candidate scoring is ADC — per query one 8×16 table of exact
+    * subspace dots, then every corpus vector costs 8 array lookups
+    * instead of a 64-dim float dot. Shortlist-100 by ADC, then exact
+    * cosine re-rank of the shortlist only (the standard
+    * compress-score-rerank pipeline; the exact math touches 100 rows
+    * per query, not the corpus). Codebooks are fit driver-side on the
+    * same bounded hash-ordered sample as the IVF quantizer; encode,
+    * table build, scoring, and re-rank are all column expressions.
+    * Rows-only (k-means has no SQL twin); recall vs knnBrute gated in
+    * VectorSpec. */
+  val knnPq: Q = Q.rowsOnly("knn_pq") { (s, dir) =>
+    import graft.operators.PqIndex
+    val m = 8; val k = 16
+    val e = emb(s, dir).cache() // encode pass + query side + re-rank side
+    val sample = e.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val books = PqIndex.fit(sample, m, k)
+    val codes = e.select(col("vec_id").as("neighbor_id"),
+      PqIndex.encode(col("v"), books).as("codes"))
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"),
+      PqIndex.dtab(col("v"), books).as("dt"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = broadcast(q).crossJoin(codes)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", PqIndex.adcScore(col("dt"), col("codes"), m, k))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+      col("n2").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Distributed PCA projection — dimensionality reduction as a
+    * pipeline operator: ONE mergeable moment pass (graft.operators.Pca
+    * / functions.GramianAgg: constant 1+d+d² buffer, map-side
+    * combined) fits the top-2 principal axes driver-side at O(d²);
+    * projecting the corpus onto them is then an ordinary codegen'd
+    * column expression. n is touched once, per-component work never
+    * sees the corpus — the decomposition shape that holds at 100 TB.
+    * Rows-only (eigenvectors have no SQL twin); PCA optimality,
+    * orthogonality, and variance ordering are gated in VectorSpec. */
+  val embedPca: Q = Q.rowsOnly("embed_pca") { (s, dir) =>
+    val e = emb(s, dir).cache() // moment pass + projection pass
+    val (mean, comps) = graft.operators.Pca.fit(e, "v", d = 64, k = 2)
+    def proj(c: Array[Double]): Column = {
+      val mu = c.zip(mean).map { case (ci, mi) => ci * mi }.sum
+      dot(col("v"), array(c.toIndexedSeq.map(lit(_)): _*)) - lit(mu)
+    }
+    e.select(col("vec_id"),
+        round(proj(comps(0)), 4).as("p1"),
+        round(proj(comps(1)), 4).as("p2"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(embeddingNearDup, knnBrute, knnIvf, annLsh,
-    quantizeInt8)
+    quantizeInt8, knnPq, embedPca)
 }

@@ -46,6 +46,60 @@ class VectorSpec extends AnyFunSuite {
     assert(r >= 0.30, s"LSH recall $r")
   }
 
+  test("PQ recall@5 vs brute force") {
+    // shortlist-100 ADC + exact re-rank: on near-random vectors the
+    // 8x16 codebooks are coarse, but the exact re-rank means recall
+    // is the probability the true top-5 reach the ADC shortlist
+    val r = recall(topk(Vectors.knnPq.run(spark, sf)))
+    assert(r >= 0.55, s"PQ recall $r")
+  }
+
+  test("PQ codes are within range and re-rank scores are exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Vectors.knnPq.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // the re-ranked cosine of each returned pair equals the brute
+    // cosine for the same pair (exact math on the shortlist): spot
+    // check through knnBrute's output where the pair overlaps
+    val bruteRows = Vectors.knnBrute.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      bruteRows.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-12)
+      }
+    }
+  }
+
+  test("PCA: components orthonormal, variance ordered and axis-optimal") {
+    import org.apache.spark.sql.functions._
+    val e = queries.Vectors.emb(spark, sf).cache()
+    val (mean, comps) = graft.operators.Pca.fit(e, "v", d = 64, k = 2)
+    assert(mean.length == 64 && comps.length == 2)
+    def dotA(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dotA(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dotA(comps(1), comps(1)) - 1.0) < 1e-9)
+    assert(math.abs(dotA(comps(0), comps(1))) < 1e-6, "components not orthogonal")
+    // projections through the registered query: Var(p1) >= Var(p2),
+    // and PC1 beats every coordinate axis (PCA optimality)
+    val rows = queries.Vectors.embedPca.run(spark, sf).collect()
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val v1 = variance(rows.map(_.getDouble(1)))
+    val v2 = variance(rows.map(_.getDouble(2)))
+    assert(v1 >= v2, s"PC variance out of order: $v1 < $v2")
+    val raw = e.select("v").collect().map(_.getSeq[Double](0).toArray)
+    val maxAxisVar = (0 until 64).map(d => variance(raw.map(_(d)))).max
+    assert(v1 >= maxAxisVar - 1e-9, s"PC1 var $v1 < best axis var $maxAxisVar")
+  }
+
   test("embedding near-dup matches a brute-force recompute") {
     val pairs = Vectors.embeddingNearDup.run(spark, sf).collect()
     pairs.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.5))
