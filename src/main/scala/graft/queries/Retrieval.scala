@@ -66,8 +66,13 @@ object Retrieval {
     * history-condensed qa_pipeline. */
   private[graft] def bm25RankedFor(
       s: SparkSession, dir: String, qt: DataFrame): DataFrame = {
+    // cached: tf, dl, df, and the corpus stats each aggregate this
+    // exploded token stream — uncached, the scan+tokenize+explode
+    // pipeline executes once per consumer (the "self-consumed
+    // mid-pipelines are cached" rule)
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .cache()
     val tf = tok.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dl = tok.groupBy(col("doc_id"))

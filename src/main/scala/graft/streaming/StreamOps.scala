@@ -138,6 +138,45 @@ object StreamOps {
       }
   }
 
+  final case class Scd2State(version: Long, status: String)
+  final case class Scd2Out(user_id: Long, version: Long, status: String,
+      valid_from_micros: Long)
+
+  /** Streaming twin of Events.scd2: per-user current (version, status)
+    * carried across batches; a batch's events replay in event_id order
+    * (ids are assigned in timestamp order — the same tiebreak the
+    * batch windows use) and every status CHANGE emits the newly-opened
+    * interval row. The batch query's valid_to/is_current are derived
+    * views over these change rows (each interval closes when the next
+    * opens), so after a full replay the emitted set equals the batch
+    * dimension on (user, version, status, valid_from) — asserted in
+    * StreamingSpec.
+    *
+    * Late-data contract: like funnelState, transitions are
+    * IRREVERSIBLE — an event arriving in a later batch with an earlier
+    * timestamp appends history, it cannot rewrite closed intervals
+    * (the same trade every streaming SCD2 ingest makes; O(1) state
+    * per user). */
+  def scd2State(s: SparkSession, events: Dataset[Msg]): Dataset[Scd2Out] = {
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, msgs: Iterator[Msg], state: GroupState[Scd2State]) =>
+          var st = state.getOption.getOrElse(Scd2State(0L, null))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          msgs.toSeq.sortBy(_.event_id).foreach { m =>
+            if (st.status == null || st.status != m.event_type) {
+              st = Scd2State(st.version + 1, m.event_type)
+              out += Scd2Out(user, st.version, m.event_type, m.tsMicros)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class StatMsg(user_id: Long, valueCents: Long)
   final case class StatsOut(user_id: Long, n: Long, s_cents: Long,
       q_c4: Long)

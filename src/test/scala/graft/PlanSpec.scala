@@ -141,6 +141,40 @@ class PlanSpec extends AnyFunSuite {
     assert(passed < (total * 3) / 10) // ~20% + 1% fpp, not a no-op
   }
 
+  test("events_scd2 shuffles once on user_id: both windows share it") {
+    val p = plan(Events.scd2.run(spark, sf))
+    // the change-point window (user_id, event_id) and the interval
+    // window (user_id, valid_from) must reuse ONE hash exchange —
+    // a second exchange would double the shuffle at any scale
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q_incremental_agg merges partials without re-scanning: partial + final layers") {
+    val p = plan(Core.qIncrementalAgg.run(spark, sf))
+    // base partials, delta partials, and the merge re-aggregation all
+    // keep map-side combine; no join, no nested loop anywhere
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+    assert(!p.contains("Join"))
+  }
+
+  test("text_bigram_lm and dedup_incremental stay equi-join only") {
+    val p1 = plan(Text.bigramLm.run(spark, sf))
+    assert(!p1.contains("BroadcastNestedLoopJoin"))
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = plan(graft.queries.Dedup.incremental.run(spark, sf))
+    assert(!p2.contains("BroadcastNestedLoopJoin"))
+    assert(!p2.contains("CartesianProduct"))
+  }
+
+  test("knn_pq broadcasts the query tables over the codes scan") {
+    val p = plan(Vectors.knnPq.run(spark, sf))
+    // the ADC sweep streams the corpus codes against the broadcast
+    // 50-row query-table side (the bounded side — same shape as
+    // knnBrute); the corpus is never a build side
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
+  }
+
   test("corpus_mix keeps the binding source whole, samples the rest") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Tables

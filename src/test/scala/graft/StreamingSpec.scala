@@ -182,6 +182,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.exists(_ == 3)) // the corpus actually completes funnels
   }
 
+  test("stateful SCD2: emitted change rows == batch dimension intervals") {
+    import spark.implicits._
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[StreamOps.Msg]
+    val got = StreamOps.scd2State(spark, msgs).toDF()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val want = Events.scd2.run(spark, sf)
+      .select(col("user_id"), col("version").cast("long"), col("status"),
+        unix_micros(col("valid_from")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.exists(_._2 >= 2)) // the corpus actually has status changes
+  }
+
   test("stateful running stats: integer state == batch anomaly aggregate") {
     import spark.implicits._
     val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
