@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AsciiTokens, DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, SimHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -18,6 +18,7 @@ import graft.functions.{AsciiTokens, DotProduct, MinHashAgg, SimHashAgg, TopKAgg
   *   SELECT simhash64(xxhash64(t), cnt)         -- weighted SimHash agg
   *   SELECT topk_by(score, id, 10)              -- bounded top-k agg
   *   SELECT graft_tokens(text)                  -- one-pass tokenizer
+  *   SELECT gramian(vec, 64)                    -- [n|Σx|ΣxxT] moment agg
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -53,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_by"),
       (args: Seq[Expression]) =>
         TopKAgg(args(0), args(1), litInt(args(2), "topk_by"))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("gramian"),
+      new ExpressionInfo(classOf[GramianAgg].getName, "gramian"),
+      (args: Seq[Expression]) =>
+        GramianAgg(args(0), litInt(args(1), "gramian"))
           .toAggregateExpression()))
   }
 }

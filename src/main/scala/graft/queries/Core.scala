@@ -562,9 +562,55 @@ object Core {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** MERGE/upsert snapshot maintenance — the other half of the
+    * incremental-view pattern next to q_incremental_agg: a per-key
+    * DIMENSION snapshot (each customer's latest order) maintained as
+    * base snapshot + update batch, merged by a full-outer join where
+    * the newer row wins (max over a (date, key, status) struct — no
+    * row_number over the union, so the merge cost is O(base + delta),
+    * and the argmax is deterministic). Additive stats (n_orders) merge
+    * by addition in the same pass. The oracle recomputes the snapshot
+    * from scratch over all orders — the hash match proves
+    * upsert-merge == recompute. */
+  val qMergeUpsert: Q = Q(
+    "q_merge_upsert",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      |  FROM orders),
+      |n AS (SELECT o_custkey, COUNT(*) n_orders FROM orders GROUP BY 1)
+      |SELECT r.o_custkey AS custkey, r.o_orderkey AS last_orderkey,
+      |  r.o_orderdate AS last_orderdate, r.o_orderstatus AS last_status,
+      |  n.n_orders
+      |FROM r JOIN n USING (o_custkey) WHERE rn = 1
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    def snap(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))).as("m"),
+        count(lit(1)).as("n"))
+    val o = Tables.orders(s, dir)
+    val base = snap(o.filter(col("o_orderdate") < cut))
+      .select(col("custkey"), col("m").as("bm"), col("n").as("bn"))
+    val upd = snap(o.filter(col("o_orderdate") >= cut))
+      .select(col("custkey"), col("m").as("um"), col("n").as("un"))
+    base.join(upd, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        greatest(col("bm"), col("um")).as("m"), // greatest skips nulls
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("un"), lit(0L)))
+          .as("n_orders"))
+      .select(col("custkey"), col("m.o_orderkey").as("last_orderkey"),
+        col("m.o_orderdate").as("last_orderdate"),
+        col("m.o_orderstatus").as("last_status"), col("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
-    qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg)
+    qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
+    qMergeUpsert)
 }

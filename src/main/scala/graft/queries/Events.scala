@@ -446,7 +446,51 @@ object Events {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** Time-series gap filling with forward fill — the resampling pass
+    * every downstream model expects: a dense hourly grid per user
+    * between that user's first and last active hour, observed sums
+    * where they exist, last-observation-carried-forward in the gaps.
+    * The grid is GENERATED from each user's span (explode of a
+    * sequence — one row per user fans out to its own hours only),
+    * never a calendar cross-join; the fill is last(ignoreNulls) over
+    * the same user_id partitioning the aggregation already shuffled
+    * on. Sums are decimal-exact before the one cast, so fill values
+    * hash-match bit-exactly. */
+  val gapFill: Q = Q(
+    "events_gap_fill",
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('hour', ts) h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) sv
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM sp),
+      |j AS (
+      |  SELECT g.user_id, g.h, b.sv
+      |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+      |SELECT user_id, h AS hour, sv AS sum_value,
+      |  LAST_VALUE(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING) AS filled_value
+      |FROM j ORDER BY user_id, hour""".stripMargin) { (s, dir) =>
+    val b = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(money(col("value"))).cast(DoubleType).as("sv"))
+      .cache() // consumed by the span agg and the grid join
+    val grid = b.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"), col("sv").as("sum_value"),
+        last(col("sv"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths, scd2, histogram)
+    anomaly, topPaths, scd2, histogram, gapFill)
 }

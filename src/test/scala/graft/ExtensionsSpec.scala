@@ -34,6 +34,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("gramian from SQL: count, sums, and outer products") {
+    val g = spark.sql(
+      """SELECT gramian(v, 2) AS g FROM (
+        |  SELECT array(1.0D, 2.0D) v UNION ALL SELECT array(3.0D, 4.0D))""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    // layout: [n, Σx0, Σx1, Σx0x0, Σx0x1, Σx1x0, Σx1x1]
+    assert(g == Seq(2.0, 4.0, 6.0, 10.0, 14.0, 14.0, 20.0))
+  }
+
   test("simhash64 and minhash_sketch from SQL") {
     val r = spark.sql(
       """SELECT simhash64(xxhash64(t), 1L) AS sh,
