@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout/stderr in forked runs instead of the
+// default LoggedOutput: the driver parses Bench's one-line JSON from
+// the process output tail, and the logger's "[info] " prefix breaks
+// any parser that expects the line to start with '{' (every round so
+// far recorded parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,13 +66,14 @@ object Retrieval {
     * history-condensed qa_pipeline. */
   private[graft] def bm25RankedFor(
       s: SparkSession, dir: String, qt: DataFrame): DataFrame = {
-    // cached: tf, dl, df, and the corpus stats each aggregate this
-    // exploded token stream — uncached, the scan+tokenize+explode
-    // pipeline executes once per consumer (the "self-consumed
-    // mid-pipelines are cached" rule)
+    // NOT cached, deliberately: tf/dl/df/stats each re-derive this
+    // exploded token stream, but the codegen'd tokenize+explode is
+    // cheaper to recompute than a 300k-row cache is to materialize
+    // and read back (measured: caching cost +25% on bm25 and +40% on
+    // hybrid at sf0.1) — the cache rule applies to EXPENSIVE
+    // mid-pipelines (shingle joins, sketches), not scan-cheap ones
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .cache()
     val tf = tok.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dl = tok.groupBy(col("doc_id"))
