@@ -196,7 +196,10 @@ case class GramianAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      if (arr.numElements() == d) {
+      // a null ELEMENT must also skip the row (not fold in as 0.0 with
+      // n incremented) — same corrupt-vector invariant as null/wrong-
+      // length rows
+      if (arr.numElements() == d && !hasNullElement(arr)) {
         val x = arr.toDoubleArray()
         buf(0) += 1.0
         var i = 0
@@ -211,6 +214,13 @@ case class GramianAgg(
       }
     }
     buf
+  }
+
+  private def hasNullElement(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    while (i < d) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
   }
 
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {

@@ -82,4 +82,20 @@ object TextExprs {
     * regexp_extract_all(lower(c), '[a-z0-9]+'). */
   def tokens(c: Column): Column =
     GraftBridge.column(AsciiTokens(GraftBridge.expression(c)))
+
+  /** Space-joined word n-grams from a MATERIALIZED token-array
+    * attribute. The single definition of two measured pitfalls: `ts`
+    * must be a plain attribute (a HOF lambda re-evaluates its
+    * argument expression per element — an inlined tokenizer would
+    * re-tokenize per gram), and docs shorter than n need the explicit
+    * empty-array guard (sequence(0, size-n) with size < n yields a
+    * DESCENDING sequence and out-of-range element_at calls). Shared
+    * by the dedup shingles, the repetition metrics, and the bigram
+    * LM. */
+  def gramsN(ts: org.apache.spark.sql.Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val grams = transform(sequence(lit(0), size(ts) - n), i =>
+      concat_ws(" ", (1 to n).map(o => element_at(ts, i + o)): _*))
+    when(size(ts) >= n, grams).otherwise(array())
+  }
 }

@@ -76,11 +76,42 @@ object Pca {
       v = if (nrm == 0.0) v else w.map(_ / nrm)
       it += 1
     }
+    // Rank-deficient input: the deflated matrix can annihilate the
+    // iterate (every Cv step lands in span(prev)), leaving v at its
+    // un-orthogonalized init — which would DUPLICATE an earlier
+    // component. Re-orthogonalize the final v against prev; if
+    // nothing survives, fall back to the first basis axis with a
+    // component outside span(prev) (one always exists while
+    // |prev| < d), so the returned set is orthonormal even when the
+    // data has fewer directions than requested components.
+    v = orthonormalize(v, prev).getOrElse {
+      (0 until d).iterator
+        .flatMap(j => orthonormalize(
+          Array.tabulate(d)(x => if (x == j) 1.0 else 0.0), prev))
+        .next()
+    }
     // sign convention: largest-magnitude entry positive
     var am = 0
     i = 1
     while (i < d) { if (math.abs(v(i)) > math.abs(v(am))) am = i; i += 1 }
     if (v(am) < 0) v.map(-_) else v
+  }
+
+  /** Gram-Schmidt `v` against `prev` and normalize; None if v lies in
+    * span(prev) (nothing of it survives). */
+  private def orthonormalize(v0: Array[Double],
+      prev: Array[Array[Double]]): Option[Array[Double]] = {
+    val d = v0.length
+    val w = v0.clone()
+    prev.foreach { p =>
+      var pw = 0.0
+      var j = 0
+      while (j < d) { pw += p(j) * w(j); j += 1 }
+      j = 0
+      while (j < d) { w(j) -= pw * p(j); j += 1 }
+    }
+    val nrm = math.sqrt(w.map(x => x * x).sum)
+    if (nrm < 1e-12) None else Some(w.map(_ / nrm))
   }
 
   /** C ← C − λ vvT with λ = vTCv (the component's eigenvalue). */

@@ -78,9 +78,16 @@ object PqIndex {
   }
 
   /** Approximate dot(q, x) from the query's table and x's codes:
-    * Σ_j dtab[j·K + codes[j]]. */
-  def adcScore(dt: Column, codes: Column, m: Int, k: Int): Column =
-    (0 until m).map(j =>
+    * Σ_j dtab[j·K + codes[j]]. The stride is the FITTED codebook size
+    * (lloyd caps k at the sample size — all subspaces share one
+    * sample, so the cap is uniform), not the requested k: indexing by
+    * a larger requested k would read past dtab's end whenever the
+    * training sample was smaller than k. */
+  def adcScore(dt: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val k = books(0).length
+    books.indices.map(j =>
       element_at(dt, element_at(codes, j + 1) + j * k + 1))
       .reduce(_ + _)
+  }
 }

@@ -18,18 +18,12 @@ object Dedup {
   // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
   private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
-  /** n-gram word-shingle array from a *materialized* token array
-    * column. Two measured pitfalls shape this code (100x at sf0.1):
-    * the token array must be a plain attribute (a HOF lambda
-    * re-evaluates its argument expression per element — inlining
-    * regexp_extract_all would re-tokenize per shingle), and
-    * deduplication must be the DataFrame-level distinct() below, not
-    * array_distinct() inside the explode path. */
-  private def gramsN(ts: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(0), size(ts) - n), i =>
-      concat_ws(" ", (1 to n).map(o => element_at(ts, i + o)): _*))
-    when(size(ts) >= n, grams).otherwise(array())
-  }
+  /** 3-gram word shingles (functions.TextExprs.gramsN — the shared
+    * guarded n-gram builder). Deduplication must be the
+    * DataFrame-level distinct() below, not array_distinct() inside
+    * the explode path (quadratic-interpreted — 25x at sf0.1). */
+  private def gramsN(ts: Column, n: Int): Column =
+    graft.functions.TextExprs.gramsN(ts, n)
 
   private def gramsOf(ts: Column): Column = gramsN(ts, 3)
 
@@ -205,18 +199,18 @@ object Dedup {
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
   }
 
-  /** Full intersection counts (da, db, i) for the capped candidates:
-    * rare-shingle counts plus the hot-shingle correction, so the
-    * verified Jaccard is exact over the FULL shingle set even though
-    * blocking dropped the hot shingles. Hot shingles number at most
-    * 2|sh|/nd (each is in > nd/2 docs), so the correction join fans
-    * out per DOC key — never per hot shingle — and is empty on
-    * corpora without boilerplate. */
-  private def cappedInter(sh: DataFrame, nd: Long): DataFrame = {
-    val hotK = broadcast(hotShingleKeys(sh, nd))
-    // cached: cr feeds both the correction's pair restriction and the
-    // final left join — uncached, the 1M-pair self-join would run twice
-    val cr = commonRare(sh, hotK).cache()
+  /** (da, db, cr) candidate pairs → (da, db, i) FULL intersection
+    * counts: adds the hot-shingle correction, so the verified Jaccard
+    * is exact over the full shingle set even though blocking dropped
+    * the hot shingles. Hot shingles number at most 2|sh|/nd (each is
+    * in > nd/2 docs), so the correction join fans out per DOC key —
+    * never per hot shingle — and is empty on corpora without
+    * boilerplate. `cr` must be cached by the caller (it feeds both
+    * the correction's pair restriction and the final left join).
+    * Shared by cappedInter (full-corpus blocking) and
+    * dedup_incremental (batch-driven blocking). */
+  private def addHotCorrection(
+      cr: DataFrame, sh: DataFrame, hotK: DataFrame): DataFrame = {
     val hot = sh.join(hotK, Seq("s"), "left_semi")
     val ch = cr.select(col("da"), col("db"))
       .join(hot.select(col("doc_id").as("da"), col("s")), "da")
@@ -225,6 +219,16 @@ object Dedup {
     cr.join(ch, Seq("da", "db"), "left")
       .select(col("da"), col("db"),
         (col("cr") + coalesce(col("ch"), lit(0L))).as("i"))
+  }
+
+  /** Full intersection counts (da, db, i) for the capped candidates
+    * over the whole corpus. */
+  private def cappedInter(sh: DataFrame, nd: Long): DataFrame = {
+    val hotK = broadcast(hotShingleKeys(sh, nd))
+    // cached: cr feeds both the correction's pair restriction and the
+    // final left join — uncached, the 1M-pair self-join would run twice
+    val cr = commonRare(sh, hotK).cache()
+    addHotCorrection(cr, sh, hotK)
   }
 
   /** Near-dup pairs by exact 3-gram Jaccard >= 0.8 over capped
@@ -593,18 +597,9 @@ object Dedup {
       .join(rareNew.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
-    // cached: feeds both the hot-shingle correction's pair restriction
-    // and the final left join (as in cappedInter)
-    val cr = crNO.unionByName(crNN).cache()
-    val hot = sh.join(hotK, Seq("s"), "left_semi")
-    val ch = cr.select(col("da"), col("db"))
-      .join(hot.select(col("doc_id").as("da"), col("s")), "da")
-      .join(hot.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ch"))
-    val inter = cr.join(ch, Seq("da", "db"), "left")
-      .select(col("da"), col("db"),
-        (col("cr") + coalesce(col("ch"), lit(0L))).as("i"))
-    jaccardFrom(inter, sz).orderBy(col("doc_a"), col("doc_b"))
+    val cr = crNO.unionByName(crNN).cache() // contract of addHotCorrection
+    jaccardFrom(addHotCorrection(cr, sh, hotK), sz)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,

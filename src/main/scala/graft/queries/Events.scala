@@ -398,17 +398,21 @@ object Events {
       |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
       |y AS (
-      |  SELECT user_id, event_type, ts FROM x WHERE chg = 1),
+      |  SELECT user_id, event_type, ts, event_id FROM x WHERE chg = 1),
       |z AS (
       |  SELECT user_id, event_type AS status, ts AS valid_from,
-      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version
-      |  FROM y)
+      |    lead(ts) OVER w2 AS valid_to,
+      |    ROW_NUMBER() OVER w2 AS version
+      |  FROM y WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, version, status, valid_from, valid_to,
       |  valid_to IS NULL AS is_current
       |FROM z ORDER BY user_id, version""".stripMargin) { (s, dir) =>
     val byId = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    val byTs = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // interval window keeps event_id in its key: two change points at
+    // the same timestamp would otherwise version nondeterministically
+    // (the tie both engines' change-point window already breaks by id)
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("chg",
@@ -417,7 +421,7 @@ object Events {
           .otherwise(0))
       .filter(col("chg") === 1)
       .select(col("user_id"), col("event_type").as("status"),
-        col("ts").as("valid_from"))
+        col("ts").as("valid_from"), col("event_id"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byTs))
       .withColumn("version", row_number().over(byTs))
       .select(col("user_id"), col("version"), col("status"),

@@ -340,10 +340,8 @@ object Text {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), toks(col("text")).as("ts")).cache()
     def gramStats(n: Int, alias: String): org.apache.spark.sql.DataFrame = {
-      val grams = transform(sequence(lit(0), size(col("ts")) - n), i =>
-        concat_ws(" ", (1 to n).map(o => element_at(col("ts"), i + o)): _*))
-      t.select(col("doc_id"), explode(
-          when(size(col("ts")) >= n, grams).otherwise(array())).as("g"))
+      t.select(col("doc_id"),
+          explode(graft.functions.TextExprs.gramsN(col("ts"), n)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).cast("double").as(s"m$alias"),
@@ -517,12 +515,10 @@ object Text {
     def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), toks(col("text")).as("ts"))
-    val grams = transform(sequence(lit(0), size(col("ts")) - 2), i =>
-      concat_ws(" ", element_at(col("ts"), i + 1), element_at(col("ts"), i + 2)))
     // hash BEFORE the first shuffle: all downstream movement is on
     // 8-byte keys (collision odds argued at hashedShinglesOf)
-    val dg = t.select(col("doc_id"), explode(
-        when(size(col("ts")) >= 2, grams).otherwise(array())).as("g"))
+    val dg = t.select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramsN(col("ts"), 2)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .cache() // feeds both the corpus model and the scoring join

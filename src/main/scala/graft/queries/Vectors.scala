@@ -248,7 +248,7 @@ object Vectors {
       .orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = broadcast(q).crossJoin(codes)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", PqIndex.adcScore(col("dt"), col("codes"), m, k))
+      .withColumn("adc", PqIndex.adcScore(col("dt"), col("codes"), books))
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= 100)
       .select(col("query_id"), col("neighbor_id"))

@@ -43,6 +43,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g == Seq(2.0, 4.0, 6.0, 10.0, 14.0, 14.0, 20.0))
   }
 
+  test("gramian skips corrupt rows: null elements, null rows, wrong width") {
+    val g = spark.sql(
+      """SELECT gramian(v, 2) AS g FROM (
+        |  SELECT array(1.0D, 2.0D) v
+        |  UNION ALL SELECT array(3.0D, CAST(NULL AS DOUBLE))
+        |  UNION ALL SELECT CAST(NULL AS ARRAY<DOUBLE>)
+        |  UNION ALL SELECT array(5.0D))""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    // only the clean row contributes — a null ELEMENT must not fold
+    // in as 0.0 with n incremented (it would skew every moment)
+    assert(g == Seq(1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 4.0))
+  }
+
   test("simhash64 and minhash_sketch from SQL") {
     val r = spark.sql(
       """SELECT simhash64(xxhash64(t), 1L) AS sh,

@@ -100,6 +100,24 @@ class VectorSpec extends AnyFunSuite {
     assert(v1 >= maxAxisVar - 1e-9, s"PC1 var $v1 < best axis var $maxAxisVar")
   }
 
+  test("PCA stays orthonormal on rank-deficient input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 vectors all on axis 0: one real direction, k=2 requested —
+    // the second component must come out orthogonal (a basis axis),
+    // never a duplicate of the first
+    val df = spark.range(100)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("double"), lit(0.0), lit(0.0), lit(0.0)).as("v"))
+    val (_, comps) = graft.operators.Pca.fit(df, "v", d = 4, k = 2)
+    def dotA(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dotA(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dotA(comps(1), comps(1)) - 1.0) < 1e-9)
+    assert(math.abs(dotA(comps(0), comps(1))) < 1e-9,
+      s"rank-deficient components not orthogonal: ${comps(0).toSeq} ${comps(1).toSeq}")
+  }
+
   test("embedding near-dup matches a brute-force recompute") {
     val pairs = Vectors.embeddingNearDup.run(spark, sf).collect()
     pairs.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.5))
