@@ -61,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         GramianAgg(args(0), litInt(args(1), "gramian"))
           .toAggregateExpression()))
+    // size(graft_tokens(x)) → ascii_token_count(x): fused single-pass
+    // token counting for every session query, SQL included
+    ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
   }
 }

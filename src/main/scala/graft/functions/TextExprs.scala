@@ -51,6 +51,23 @@ object Tokenize {
 
   @inline private def isTok(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+
+  /** Token COUNT without materializing the array — the target of the
+    * TokenCountRewrite optimizer rule (size(graft_tokens(x)) → this):
+    * one byte pass, no per-token allocations, no array header. */
+  def count(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (isTok(bytes(i))) {
+        c += 1
+        while (i < n && isTok(bytes(i))) i += 1
+      } else i += 1
+    }
+    c
+  }
 }
 
 /** tokens(text): maximal lowercased [a-z0-9] runs, one byte pass. */
@@ -75,6 +92,31 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): AsciiTokens = copy(child = newChild)
+}
+
+/** count(tokens(text)) fused into one pass: produced ONLY by the
+  * TokenCountRewrite optimizer rule — queries write the declarative
+  * size(graft_tokens(x)) and the rule swaps in this allocation-free
+  * form, the way Catalyst's own ReplaceExpressions works. */
+case class AsciiTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ascii_token_count expects a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ascii_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenize.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Tokenize.count($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AsciiTokenCount = copy(child = newChild)
 }
 
 object TextExprs {

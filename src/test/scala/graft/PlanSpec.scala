@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
   }
 
+  test("token-count queries run the fused ascii_token_count, not size(array)") {
+    // the TokenCountRewrite optimizer rule reaches real registered
+    // queries: the executed plans carry the fused expression
+    val p1 = plan(Text.tokens.run(spark, sf))
+    assert(p1.contains("ascii_token_count"), p1.take(2000))
+    val p2 = plan(graft.queries.Dedup.sampleStratified.run(spark, sf))
+    assert(p2.contains("ascii_token_count"), p2.take(2000))
+  }
+
   test("corpus_mix keeps the binding source whole, samples the rest") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Tables

@@ -48,4 +48,25 @@ class TokenizeSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(r == Seq("hello", "world", "42"))
   }
+
+  test("size(graft_tokens) rewrites to the fused count and agrees with it") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("tc_docs")
+    // the optimizer rule must fire on non-literal input (a literal
+    // argument constant-folds to a number before any plan assert
+    // could see the fused expression — also correct) ...
+    val df = spark.sql("SELECT size(graft_tokens(text)) AS n FROM tc_docs")
+    assert(df.queryExecution.optimizedPlan.toString.contains("ascii_token_count"))
+    // ... and the fused count must equal the regex array size on the
+    // whole corpus (it shares Tokenize's run scanner, but prove it)
+    val diff = spark.sql(
+      """SELECT doc_id FROM tc_docs
+        |WHERE size(graft_tokens(text)) <>
+        |  size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))""".stripMargin)
+    assert(diff.count() == 0)
+    // null text → null count (non-legacy size semantics preserved;
+    // here via constant folding, which agrees with the fused form)
+    val n = spark.sql("SELECT size(graft_tokens(CAST(NULL AS STRING))) AS n")
+    assert(n.collect().head.isNullAt(0))
+  }
 }
