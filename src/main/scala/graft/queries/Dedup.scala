@@ -435,9 +435,15 @@ object Dedup {
     // alongside, so convergence detection is a count over the
     // just-materialized p-partition RDD — a scan, not a second
     // join+shuffle job.
-    var labels = edges.select(col("x")).distinct()
+    // initialize with round 1's RESULT — min(self, direct neighbors)
+    // falls out of one groupBy over the edge list, so the loop starts
+    // one propagation step ahead (each round is ~0.5 s of scheduling
+    // on a tiny frame; diameter-2 near-dup clusters now converge in
+    // one join round plus the confirming round)
+    var labels = edges.groupBy(col("x"))
+      .agg(least(col("x"), min(col("y"))).as("lbl"))
       .repartition(p, col("x"))
-      .select(col("x"), col("x").as("lbl")).localCheckpoint()
+      .select(col("x"), col("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val next = edges
