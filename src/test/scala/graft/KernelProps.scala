@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.Tokenize
+import graft.operators.Chunker
+
+/** Property-based checks for the pure-JVM kernels that back the hot
+  * paths (no SparkSession — these run on arbitrary generated inputs,
+  * where the example-based specs pin concrete cases):
+  *
+  * - Tokenize.split ≡ the regex contract it replaces, on arbitrary
+  *   unicode strings (the DuckDB oracles keep the regex form, so any
+  *   divergence is a correctness bug, not a perf one);
+  * - Tokenize.count ≡ Tokenize.split(_).length (the optimizer rule
+  *   TokenCountRewrite substitutes one for the other);
+  * - Chunker.split covers the input losslessly (rebuilding from the
+  *   chunks minus the carried overlap reproduces the text) and never
+  *   exceeds chunkSize + overlap;
+  * - PqIndex.fit returns codebooks of the promised shape with the
+  *   sample-capped uniform size adcScore relies on.
+  */
+object KernelProps extends Properties("kernels") {
+
+  private val anyText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', ' ', '\n', '\t'),
+    1 -> Gen.oneOf('.', ',', '!', '-', '_', '@'),
+    1 -> Gen.oneOf('é', 'ü', 'Δ', '中', 'K') // incl. Kelvin sign
+  )).map(_.mkString)
+
+  private def regexTokens(s: String): List[String] = {
+    val m = java.util.regex.Pattern.compile("[a-z0-9]+")
+      .matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val out = List.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  // AsciiTokens' documented contract: identical to the regex form
+  // unless a char's lowercase maps INTO ascii (Kelvin sign → k); the
+  // reference regex here mirrors that by lowercasing the same way the
+  // SQL form does — so restrict the comparison to inputs where Java's
+  // toLowerCase does not create new ascii alnum runs, exactly the
+  // corpus guard Verify.scala enforces.
+  private def lowercaseSafe(s: String): Boolean =
+    s.forall { c =>
+      val lower = c.toLower
+      !(c > 127 && (lower.isDigit || (lower >= 'a' && lower <= 'z')))
+    }
+
+  property("tokenize matches the regex contract") =
+    Prop.forAll(anyText) { s =>
+      !lowercaseSafe(s) || {
+        val fast = Tokenize.split(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          .array.toList.map(_.toString)
+        fast == regexTokens(s)
+      }
+    }
+
+  property("token count equals token array length") =
+    Prop.forAll(anyText) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      Tokenize.count(u) == Tokenize.split(u).numElements()
+    }
+
+  private val chunkCase: Gen[(String, Int, Int)] = for {
+    text <- anyText
+    size <- Gen.choose(4, 60)
+    over <- Gen.choose(0, size - 1)
+  } yield (text, size, over)
+
+  property("chunker is lossless and bounded") =
+    Prop.forAll(chunkCase) { case (text, size, over) =>
+      val chunks = Chunker.split(text, size, over)
+      // bound: a merged chunk is at most the carried overlap plus one
+      // piece-run that fits chunkSize
+      val bounded = chunks.forall(_.length <= size + over)
+      // lossless: drop each chunk's carried prefix (the previous
+      // chunk's overlap tail) and concatenate
+      val rebuilt = chunks.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c
+        else c.drop(math.min(over, chunks(i - 1).length))
+      }.mkString
+      bounded && rebuilt == text
+    }
+
+  property("pq codebooks have the promised uniform shape") =
+    Prop.forAll(
+      Gen.choose(2, 40),
+      Gen.choose(1, 4)) { (n, mPow) =>
+      val m = 1 << mPow // 2, 4, 8, 16 subspaces of dim 16/m
+      val d = 16
+      val rnd = new scala.util.Random(n.toLong * 31 + m)
+      val sample = Array.fill(n)(Array.fill(d)(rnd.nextDouble()))
+      val k = 8
+      val books = graft.operators.PqIndex.fit(sample, m, k)
+      val kk = math.min(k, n)
+      books.length == m &&
+        books.forall(_.length == kk) &&
+        books.forall(_.forall(_.length == d / m)) &&
+        books.forall(_.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    }
+}
