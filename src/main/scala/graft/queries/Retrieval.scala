@@ -53,7 +53,7 @@ object Retrieval {
       |  FROM scored)""".stripMargin
 
   /** Spark side of the shared BM25 top-3 (query_id, doc_id, score, rn). */
-  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val qt = tok.filter(col("doc_id") < 5)
@@ -558,6 +558,77 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One MMR candidate: lexical relevance + dense vector. */
+  final case class MmrCand(query_id: Long, doc_id: Long, rel: Double,
+      vec: Seq[Double])
+  final case class MmrPick(query_id: Long, rank: Int, doc_id: Long,
+      mmr_score: Double)
+
+  /** Maximal-marginal-relevance re-ranking — the diversification pass
+    * between retrieval and context stuffing: greedily pick k docs
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    * so the stuffed context stops repeating the same passage. The
+    * greedy loop is inherently sequential PER QUERY but bounded by
+    * the candidate count (10), so it runs as flatMapGroups over
+    * query_id groups — the same bounded-buffer pattern as seq_pack;
+    * queries parallelize freely, candidates never leave their
+    * executor. Relevance is min-maxed by the query's top score
+    * (retrieval_hybrid's convention); similarity is the exact
+    * integer-weight cosine. Rows-only (greedy argmax has no SQL
+    * twin); RetrievalSpec asserts top-1 = top relevance, determinism,
+    * and that the picked set is no less diverse than top-k-by-rel. */
+  val mmr: Q = Q.rowsOnly("retrieval_mmr") { (s, dir) =>
+    import s.implicits._
+    val lambda = 0.7
+    val k = 3
+    val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score")).cache()
+    cand.count() // eager: the embed subtree below depends on cand
+    val candDocs = cand.select(col("doc_id")).distinct()
+    val emb = embeddedDocsRaw(Tables.documents(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    cand.join(emb, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("score").as("rel"),
+        col("vec"))
+      .as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray.sortBy(c => (-c.rel, c.doc_id)) // bounded: <= 10
+        val maxRel = cs.headOption.map(_.rel).getOrElse(1.0) max 1e-12
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dp / math.sqrt(na * nb)
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        while (picked.length < k && picked.length < cs.length) {
+          var best: MmrCand = null
+          var bestScore = Double.NegativeInfinity
+          cs.foreach { c =>
+            if (!picked.exists(_.doc_id == c.doc_id)) {
+              val sim = if (picked.isEmpty) 0.0
+                else picked.map(p => cos(c.vec, p.vec)).max
+              val sc = lambda * (c.rel / maxRel) - (1 - lambda) * sim
+              // deterministic argmax: strictly-better, or tie → lower id
+              if (sc > bestScore ||
+                  (sc == bestScore && best != null && c.doc_id < best.doc_id)) {
+                best = c; bestScore = sc
+              }
+            }
+          }
+          picked += best
+          out += MmrPick(qid, picked.length, best.doc_id,
+            math.floor(bestScore * 10000 + 0.5) / 10000)
+        }
+        out.iterator
+      }
+      .toDF()
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
-    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf)
+    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr)
 }

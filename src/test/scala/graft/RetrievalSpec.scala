@@ -122,6 +122,61 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a != b, "history terms must influence the retrieval ranking")
   }
 
+  test("MMR re-rank: top-1 is top relevance, deterministic, matches a sequential replay") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val rows = Retrieval.mmr.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+    // rank 1 = pure relevance argmax = bm25's rank 1
+    val bmTop = Retrieval.bm25.run(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, rs) =>
+      val first = rs.find(_.getInt(1) == 1).get.getLong(2)
+      assert(first == bmTop(q), s"query $q: MMR top-1 $first != bm25 top ${bmTop(q)}")
+    }
+    // deterministic across runs
+    val again = Retrieval.mmr.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    // replay the greedy objective sequentially from the raw inputs
+    // (bm25 top-10 + hashing embeddings) and demand identical picks —
+    // validates the distributed plumbing (grouping, normalization,
+    // tiebreaks) against a straight-line reference implementation
+    val emb = Retrieval.embeddedDocsRaw(
+      graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dp / (na * nb)
+    }
+    val cand10 = Retrieval.bm25Ranked(spark, sf)
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val cs = cand10(q).map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, rel) => (-rel, id) }
+      val maxRel = cs.head._2 max 1e-12
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (picked.length < 3 && picked.length < cs.length) {
+        val best = cs.filterNot(c => picked.contains(c._1)).maxBy { case (id, rel) =>
+          val sim = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(emb(id), emb(p))).max
+          (0.7 * (rel / maxRel) - 0.3 * sim, -id.toDouble)
+        }
+        picked += best._1
+      }
+      val got = rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got == picked.toSeq, s"query $q: picks $got != replay ${picked.toSeq}")
+    }
+  }
+
   test("recursive chunking covers every document") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val chunked = Text.chunkRecursive.run(spark, sf)
