@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Size
+import org.apache.spark.sql.catalyst.expressions.{Expression, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -17,13 +17,35 @@ import graft.functions.{AsciiTokenCount, AsciiTokens}
   * injected via SparkSessionExtensions (GraftExtensions), so EVERY
   * query — including ad-hoc SQL — gets the fusion without asking.
   *
-  * Scope: only the non-legacy size semantics (legacySizeOfNull=false,
-  * the Spark 3+/4 default) — both sides then agree that NULL text
-  * yields NULL count. The legacy -1-for-null form is left unfused
-  * rather than silently changing its null contract. */
+  * Scope guards:
+  * - only the non-legacy size semantics (legacySizeOfNull=false, the
+  *   Spark 3+/4 default) — both sides then agree that NULL text
+  *   yields NULL count; the legacy -1-for-null form is left unfused
+  *   rather than silently changing its null contract;
+  * - only when the SAME plan node does not also materialize
+  *   graft_tokens of the same input elsewhere: codegen subexpression
+  *   elimination evaluates the shared AsciiTokens once for both
+  *   consumers, and fusing the count would un-share it — tokenizing
+  *   the row for the array AND byte-scanning it again for the count
+  *   (a net regression on exactly the hot path this rule targets). */
 object TokenCountRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case Size(t: AsciiTokens, false) => AsciiTokenCount(t.child)
+    plan.transform { case node =>
+      // inputs whose token ARRAY survives this node outside the
+      // fusable size() pattern — those stay shared, not fused
+      val shared = scala.collection.mutable.HashSet.empty[Expression]
+      def scan(e: Expression): Unit = e match {
+        case Size(t: AsciiTokens, false) => scan(t.child)
+        case t: AsciiTokens =>
+          shared += t.child.canonicalized
+          t.children.foreach(scan)
+        case other => other.children.foreach(scan)
+      }
+      node.expressions.foreach(scan)
+      node.transformExpressions {
+        case Size(t: AsciiTokens, false)
+            if !shared.contains(t.child.canonicalized) =>
+          AsciiTokenCount(t.child)
+      }
     }
 }

@@ -177,11 +177,18 @@ class PlanSpec extends AnyFunSuite {
 
   test("token-count queries run the fused ascii_token_count, not size(array)") {
     // the TokenCountRewrite optimizer rule reaches real registered
-    // queries: the executed plans carry the fused expression
-    val p1 = plan(Text.tokens.run(spark, sf))
-    assert(p1.contains("ascii_token_count"), p1.take(2000))
+    // queries: count-only consumers carry the fused expression
     val p2 = plan(graft.queries.Dedup.sampleStratified.run(spark, sf))
     assert(p2.contains("ascii_token_count"), p2.take(2000))
+    val p3 = plan(Text.tokenShards.run(spark, sf))
+    assert(p3.contains("ascii_token_count"), p3.take(2000))
+    // ... but NOT when the same node also materializes the token
+    // array (text_tokens reads size(toks) AND array_distinct(toks)):
+    // there the shared AsciiTokens subtree must stay shared — fusing
+    // would tokenize the row twice
+    val p1 = plan(Text.tokens.run(spark, sf))
+    assert(!p1.contains("ascii_token_count"), p1.take(2000))
+    assert(p1.contains("graft_tokens"), p1.take(2000))
   }
 
   test("corpus_mix keeps the binding source whole, samples the rest") {

@@ -149,11 +149,18 @@ class RetrievalSpec extends AnyFunSuite {
     val emb = Retrieval.embeddedDocsRaw(
       graft.sources.Tables.documents(spark, sf))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dp = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dp / (na * nb)
+    // IDENTICAL arithmetic to the production fold (Retrieval.mmr):
+    // left-fold dot/norm accumulation, sqrt(na*nb) (not
+    // sqrt(na)*sqrt(nb)), and (1 - lambda) computed, not the literal
+    // 0.3 — each differs from its "equivalent" in the last ulp, and a
+    // near-tie would make the replay diverge spuriously
+    val lambda = 0.7
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dp / math.sqrt(na * nb)
     }
     val cand10 = Retrieval.bm25Ranked(spark, sf)
       .filter(col("rn") <= 10)
@@ -165,12 +172,19 @@ class RetrievalSpec extends AnyFunSuite {
       val maxRel = cs.head._2 max 1e-12
       val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (picked.length < 3 && picked.length < cs.length) {
-        val best = cs.filterNot(c => picked.contains(c._1)).maxBy { case (id, rel) =>
-          val sim = if (picked.isEmpty) 0.0
-            else picked.map(p => cos(emb(id), emb(p))).max
-          (0.7 * (rel / maxRel) - 0.3 * sim, -id.toDouble)
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        cs.foreach { case (id, rel) =>
+          if (!picked.contains(id)) {
+            val sim = if (picked.isEmpty) 0.0
+              else picked.map(p => cos(emb(id).toSeq, emb(p).toSeq)).max
+            val sc = lambda * (rel / maxRel) - (1 - lambda) * sim
+            if (sc > bestScore || (sc == bestScore && bestId >= 0 && id < bestId)) {
+              bestId = id; bestScore = sc
+            }
+          }
         }
-        picked += best._1
+        picked += bestId
       }
       val got = rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
       assert(got == picked.toSeq, s"query $q: picks $got != replay ${picked.toSeq}")
