@@ -66,12 +66,15 @@ object Retrieval {
     * history-condensed qa_pipeline. */
   private[graft] def bm25RankedFor(
       s: SparkSession, dir: String, qt: DataFrame): DataFrame = {
-    // NOT cached, deliberately: tf/dl/df/stats each re-derive this
-    // exploded token stream, but the codegen'd tokenize+explode is
-    // cheaper to recompute than a 300k-row cache is to materialize
-    // and read back (measured: caching cost +25% on bm25 and +40% on
-    // hybrid at sf0.1) — the cache rule applies to EXPENSIVE
-    // mid-pipelines (shingle joins, sketches), not scan-cheap ones
+    // Four INDEPENDENT scan-pipelines, deliberately: tf/dl/df/stats
+    // could all derive from one cached (doc,term,tf) frame — one
+    // explode instead of four — but both "obvious" single-pass forms
+    // MEASURED SLOWER at sf0.1/local[32] (cached tok frame: +25% bm25,
+    // +40% hybrid; cached tf with derived dl/df/stats: bm25 1.9→3.2 s,
+    // qa 2.7→5.1 s). The redundant scans run fully parallel across the
+    // cores, while a cache serializes its consumers behind the
+    // materialization. On a bandwidth-bound cluster the cached form's
+    // 4x-lower scan volume can win — re-measure there before flipping.
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t"))
