@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -174,9 +175,13 @@ case class SimHashAgg(
 }
 
 /** One-pass [n | Σx | ΣxxT] moment buffer over array<double> rows.
-  * Layout: buf(0)=n, buf(1..d)=sums, buf(1+d ..)=outer products
-  * row-major. Skips null and wrong-length rows (a corrupt vector must
-  * not poison a corpus-wide covariance). */
+  * Emitted layout: buf(0)=n, buf(1..d)=sums, buf(1+d ..)=outer
+  * products row-major (full matrix). Internally only the UPPER
+  * triangle accumulates — ΣxxT is symmetric, so mirroring once at
+  * eval() halves the multiply-adds on the one corpus-wide pass (the
+  * hot loop: d²/2 vs d² per row). Skips null rows, wrong-length rows,
+  * AND rows with a null element (a corrupt vector must not poison a
+  * corpus-wide covariance). */
 case class GramianAgg(
     child: Expression,
     d: Int,
@@ -188,6 +193,16 @@ case class GramianAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "gramian"
+
+  // analysis-time type error instead of a mid-job buffer
+  // reinterpretation (the function is SQL-exposed; an array<int> or
+  // the natural array<float> mistake would otherwise read the unsafe
+  // buffer at the wrong width and emit silently wrong moments)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gramian expects ARRAY<DOUBLE>, got ${other.sql}")
+  }
 
   override def createAggregationBuffer(): Array[Double] =
     new Array[Double](1 + d + d * d)
@@ -207,7 +222,7 @@ case class GramianAgg(
           buf(1 + i) += x(i)
           val base = 1 + d + i * d
           val xi = x(i)
-          var j = 0
+          var j = i
           while (j < d) { buf(base + j) += xi * x(j); j += 1 }
           i += 1
         }
@@ -229,7 +244,22 @@ case class GramianAgg(
     b1
   }
 
-  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Double]): Any = {
+    // mirror the accumulated upper triangle into the full row-major
+    // matrix the callers consume; buf itself stays upper-only (eval
+    // may run more than once on the same buffer)
+    val out = buf.clone()
+    var i = 1
+    while (i < d) {
+      var j = 0
+      while (j < i) {
+        out(1 + d + i * d + j) = buf(1 + d + j * d + i)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)

@@ -24,6 +24,7 @@ object Pca {
     * column `vCol` (array<double>, width d) of `df`. */
   def fit(df: DataFrame, vCol: String, d: Int, k: Int,
       iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    require(k <= d, s"cannot extract $k orthonormal components in $d dims")
     val m = df.agg(graft.functions.Sketches.gramian(col(vCol), d).as("g"))
       .head().getSeq[Double](0).toArray
     val n = m(0)
@@ -65,15 +66,9 @@ object Pca {
         w(r) = acc
         r += 1
       }
-      prev.foreach { p =>
-        var pw = 0.0
-        var j = 0
-        while (j < d) { pw += p(j) * w(j); j += 1 }
-        j = 0
-        while (j < d) { w(j) -= pw * p(j); j += 1 }
-      }
+      projectOut(w, prev)
       val nrm = math.sqrt(w.map(x => x * x).sum)
-      v = if (nrm == 0.0) v else w.map(_ / nrm)
+      v = if (nrm < 1e-12) v else w.map(_ / nrm)
       it += 1
     }
     // Rank-deficient input: the deflated matrix can annihilate the
@@ -97,12 +92,11 @@ object Pca {
     if (v(am) < 0) v.map(-_) else v
   }
 
-  /** Gram-Schmidt `v` against `prev` and normalize; None if v lies in
-    * span(prev) (nothing of it survives). */
-  private def orthonormalize(v0: Array[Double],
-      prev: Array[Array[Double]]): Option[Array[Double]] = {
-    val d = v0.length
-    val w = v0.clone()
+  /** In place: w ← w − Σ_p (p·w) p — the one Gram-Schmidt kernel, so
+    * the in-loop projection and the final orthonormalization cannot
+    * drift apart numerically. */
+  private def projectOut(w: Array[Double], prev: Array[Array[Double]]): Unit = {
+    val d = w.length
     prev.foreach { p =>
       var pw = 0.0
       var j = 0
@@ -110,6 +104,14 @@ object Pca {
       j = 0
       while (j < d) { w(j) -= pw * p(j); j += 1 }
     }
+  }
+
+  /** Gram-Schmidt `v` against `prev` and normalize; None if v lies in
+    * span(prev) (nothing of it survives). */
+  private def orthonormalize(v0: Array[Double],
+      prev: Array[Array[Double]]): Option[Array[Double]] = {
+    val w = v0.clone()
+    projectOut(w, prev)
     val nrm = math.sqrt(w.map(x => x * x).sum)
     if (nrm < 1e-12) None else Some(w.map(_ / nrm))
   }

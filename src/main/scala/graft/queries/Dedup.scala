@@ -583,7 +583,7 @@ object Dedup {
     val sh = hashedShingles(s, dir).cache()
     val sz = docSizes(sh).cache()
     val shOld = sh.filter(!isNew)
-    val nOld = sz.filter(!(col("doc_id") % 5 === 4)).count()
+    val nOld = sz.filter(!isNew).count()
     val hotK = broadcast(hotShingleKeys(shOld, nOld))
     val rare = sh.join(hotK, Seq("s"), "left_anti")
     val rareNew = rare.filter(isNew)

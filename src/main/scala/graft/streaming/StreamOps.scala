@@ -138,7 +138,7 @@ object StreamOps {
       }
   }
 
-  final case class Scd2State(version: Long, status: String)
+  final case class Scd2State(version: Long, last: String, has: Boolean)
   final case class Scd2Out(user_id: Long, version: Long, status: String,
       valid_from_micros: Long)
 
@@ -164,13 +164,25 @@ object StreamOps {
       .flatMapGroupsWithState[Scd2State, Scd2Out](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, msgs: Iterator[Msg], state: GroupState[Scd2State]) =>
-          var st = state.getOption.getOrElse(Scd2State(0L, null))
+          // state.last = the PREVIOUS EVENT's type verbatim (not the
+          // last change's status, and null is a real value, flagged
+          // apart by `has`): the batch twin's change test is
+          // `lag IS NULL OR lag <> type`, so after a null-typed event
+          // the next event ALWAYS opens an interval and a null-typed
+          // event after a non-null one never does — overloading null
+          // as "no state yet" would diverge from batch on exactly
+          // those rows
+          var st = state.getOption.getOrElse(Scd2State(0L, null, has = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
           msgs.toSeq.sortBy(_.event_id).foreach { m =>
-            if (st.status == null || st.status != m.event_type) {
-              st = Scd2State(st.version + 1, m.event_type)
-              out += Scd2Out(user, st.version, m.event_type, m.tsMicros)
-            }
+            // three-valued parity: lag IS NULL → change; else
+            // lag <> type is NULL when type is null → NOT a change
+            val chg = !st.has || st.last == null ||
+              (m.event_type != null && st.last != m.event_type)
+            if (chg) {
+              out += Scd2Out(user, st.version + 1, m.event_type, m.tsMicros)
+              st = Scd2State(st.version + 1, m.event_type, has = true)
+            } else st = Scd2State(st.version, m.event_type, has = true)
           }
           state.update(st)
           out.iterator

@@ -43,6 +43,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g == Seq(2.0, 4.0, 6.0, 10.0, 14.0, 14.0, 20.0))
   }
 
+  test("gramian rejects non-double arrays at analysis time") {
+    // array<int> / array<float> must fail analysis, not reinterpret
+    // the unsafe buffer at the wrong width mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gramian(array(1, 2), 2) FROM (SELECT 1)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("gramian"))
+  }
+
   test("gramian skips corrupt rows: null elements, null rows, wrong width") {
     val g = spark.sql(
       """SELECT gramian(v, 2) AS g FROM (
