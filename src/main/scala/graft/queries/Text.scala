@@ -540,7 +540,48 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus profile — the report a pipeline dashboard
+    * draws before anything runs: doc counts, token volume, vocabulary
+    * size, and length spread per source. One tokenize+explode and one
+    * partial-aggregating groupBy on source (output rows = #sources);
+    * the char-length stats ride the same groupBy from the raw table —
+    * two scans total, no joins wider than #sources. */
+  val corpusStats: Q = Q(
+    "corpus_stats",
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tk AS (
+      |  SELECT source, COUNT(*) AS n_tokens,
+      |    COUNT(DISTINCT t) AS vocab
+      |  FROM tok GROUP BY 1),
+      |dc AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    MIN(len(text)) AS min_chars, MAX(len(text)) AS max_chars,
+      |    CAST(SUM(len(text)) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT dc.source, dc.n_docs, tk.n_tokens, tk.vocab,
+      |  dc.min_chars, dc.max_chars, dc.total_chars
+      |FROM dc JOIN tk ON dc.source = tk.source
+      |ORDER BY dc.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tk = docs
+      .select(col("source"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("vocab"))
+    val dc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(length(col("text"))).as("min_chars"),
+        max(length(col("text"))).as("max_chars"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+    dc.join(tk, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("min_chars"), col("max_chars"), col("total_chars"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub, bigramLm)
+    freqSketch, piiScrub, bigramLm, corpusStats)
 }
