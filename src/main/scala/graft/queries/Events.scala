@@ -494,7 +494,34 @@ object Events {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Trailing-hour rolling aggregate per user — the RANGE window
+    * frame (value-based, here micros) next to q_running_sum's ROWS
+    * frame: each event sees the count and decimal-exact sum of its
+    * user's events in the preceding hour INCLUDING timestamp peers
+    * (RANGE frames take all order-value ties, so membership is
+    * value-determined and engine-independent). One shuffle on
+    * user_id; the frame slides in O(1) per row inside the sorted
+    * partition — the streaming-compatible trailing-metrics shape. */
+  val rolling: Q = Q(
+    "events_rolling",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(money(col("value"))).over(w).cast(DoubleType).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths, scd2, histogram, gapFill)
+    anomaly, topPaths, scd2, histogram, gapFill, rolling)
 }
