@@ -212,7 +212,7 @@ object Pipeline {
       |  FROM documents),
       |st AS (SELECT source, num, SUM(n_tok) AS src_tok FROM d GROUP BY 1, 2),
       |k AS (SELECT MIN(src_tok * (6 // num)) AS key_m FROM st)
-      |SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS tok_kept
+      |SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok)::BIGINT AS tok_kept
       |FROM d JOIN st USING (source), k
       |WHERE d.slot * 6 * st.src_tok < st.num * k.key_m * 4294967296
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>

@@ -500,8 +500,8 @@ object Text {
       |dg AS (SELECT doc_id, g, COUNT(*) cnt FROM gi GROUP BY 1, 2),
       |cf AS (SELECT g, SUM(cnt) cf FROM dg GROUP BY 1),
       |agg AS (
-      |  SELECT dg.doc_id, SUM(cnt) n_big, SUM(cnt * cf.cf) fam,
-      |    SUM(CASE WHEN cf.cf = cnt THEN cnt ELSE 0 END) novel
+      |  SELECT dg.doc_id, SUM(cnt)::BIGINT n_big, SUM(cnt * cf.cf)::BIGINT fam,
+      |    SUM(CASE WHEN cf.cf = cnt THEN cnt ELSE 0 END)::BIGINT novel
       |  FROM dg JOIN cf USING (g) GROUP BY 1)
       |SELECT d.doc_id,
       |  COALESCE(n_big, 0) AS n_bigrams,

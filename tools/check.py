@@ -2,20 +2,59 @@
 """Local replica of the driver's t2 correctness gate.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+       python3 tools/check.py --lint <sfDir> <oracle_sql.json>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB against
 the raw tables in <sfDir>, and compares: columns sorted by name, rows
 sorted, values compared exactly (floats to 12 significant digits).
+
+--lint runs only the oracle result-TYPING check (no Verify output
+needed; pair with `tools/run.sh graft.tools.DumpOracleSql` for a fast
+pre-build gate). Round-5 lesson: the driver's hash canonicalization is
+type-sensitive, so an oracle whose result schema contains HUGEINT
+(DuckDB promotes SUM(BIGINT) to int128) reds the gate even when every
+cell matches bit-for-bit. The lint fails any oracle result column
+whose type is outside the allowlist below.
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Types the driver's hash canonicalization is known-good on (everything
+# green in CORRECTNESS_r01..r05 used only these). HUGEINT/UHUGEINT are
+# the proven offenders; anything novel should be consciously added here,
+# not silently shipped.
+_TYPE_OK = re.compile(
+    r"^(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|VARCHAR|BOOLEAN"
+    r"|DATE|TIMESTAMP(?: WITH TIME ZONE)?|DECIMAL\(\d+,\d+\)"
+    r"|(?:BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR)\[\])$")
+
+
+def lint_types(con, oracle):
+    """Fail any oracle whose DuckDB result schema has a disallowed type."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+            bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                   if not _TYPE_OK.match(str(t))]
+        except Exception as e:
+            print(f"LINT-FAIL {name}: error {e}")
+            n_bad += 1
+            continue
+        if bad:
+            print(f"LINT-FAIL {name}: disallowed result types {bad} "
+                  f"(cast in the oracle SQL, e.g. ::BIGINT)")
+            n_bad += 1
+    print(f"== type lint: {len(oracle) - n_bad}/{len(oracle)} clean ==")
+    return n_bad
 
 
 def norm_cell(v):
@@ -40,7 +79,8 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_fail = lint_types(con, oracle)
+    n_pass = 0
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -70,5 +110,14 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def main_lint(sf_dir, oracle_json):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return 1 if lint_types(con, json.load(open(oracle_json))) else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--lint":
+        sys.exit(main_lint(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
