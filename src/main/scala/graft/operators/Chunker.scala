@@ -68,6 +68,20 @@ object Chunker {
   def summarizeSplit(text: String): Vector[String] =
     split(text, 2000, 100, SentenceSeparators, sepIsRegex = true)
 
+  /** The FULL summarize pipeline (bones.py:152-165) is two-stage:
+    * `loader.load_and_split()` first — one doc per page, each page
+    * further split by the DEFAULT recursive splitter (4000/200,
+    * paragraph/line/word hierarchy) — and only then the 2000/100
+    * sentence splitter above. Consequence: chunks never span a page
+    * boundary, and a >4000-char page is pre-cut at paragraph/word
+    * boundaries before the sentence pass sees it — boundaries on
+    * multi-page docs differ from running summarizeSplit on the
+    * concatenated text (ChunkerSpec pins both effects). */
+  def summarizePipeline(pages: Seq[String]): Vector[String] =
+    pages.toVector
+      .flatMap(split(_, 4000, 200))
+      .flatMap(summarizeSplit)
+
   /** Recursively split until every piece is <= chunkSize (or no
     * separator is left, in which case hard-cut). Each separator
     * carries its pre-compiled Pattern (null = literal matching). */

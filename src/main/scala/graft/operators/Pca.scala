@@ -30,7 +30,12 @@ object Pca {
     val n = m(0)
     require(n > 1, "PCA needs more than one vector")
     val mean = Array.tabulate(d)(i => m(1 + i) / n)
-    // covariance C = ΣxxT/n − μμT
+    // covariance C = ΣxxT/n − μμT. LIMITATION: the single-pass moment
+    // form cancels catastrophically when ||μ||² >> variance (vectors
+    // offset far from the origin) — fine for the near-zero-mean
+    // hashing embeddings this serves; for large-mean corpora, run a
+    // mean-only first pass and aggregate the gramian of (x − μ̂), or
+    // have the caller pre-shift.
     val c = Array.tabulate(d, d)((i, j) => m(1 + d + i * d + j) / n - mean(i) * mean(j))
     val comps = new Array[Array[Double]](k)
     var ki = 0

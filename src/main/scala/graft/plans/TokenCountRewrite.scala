@@ -27,10 +27,22 @@ import graft.functions.{AsciiTokenCount, AsciiTokens}
   *   elimination evaluates the shared AsciiTokens once for both
   *   consumers, and fusing the count would un-share it — tokenizing
   *   the row for the array AND byte-scanning it again for the count
-  *   (a net regression on exactly the hot path this rule targets). */
+  *   (a net regression on exactly the hot path this rule targets).
+  *   The guard is deliberately PER NODE, not whole-plan: Catalyst's
+  *   subexpression elimination is per-operator, and by the time
+  *   extension rules run, CollapseProject has already co-located
+  *   same-row consumers into one node — so a graft_tokens(x)
+  *   materialized in a DIFFERENT node never shares evaluation with
+  *   this node's size() anyway (each operator evaluates its own
+  *   expressions), and fusing the count there is still a strict win
+  *   (byte scan < tokenize + size). A whole-plan guard would only
+  *   un-fuse those independent consumers. */
 object TokenCountRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transform { case node =>
+    // transformDownWithSubqueries: count-only consumers inside
+    // subquery expressions (IN/EXISTS/scalar) get the fusion too —
+    // plain transform never descends into subquery plans
+    plan.transformDownWithSubqueries { case node =>
       // inputs whose token ARRAY survives this node outside the
       // fusable size() pattern — those stay shared, not fused
       val shared = scala.collection.mutable.HashSet.empty[Expression]

@@ -623,8 +623,12 @@ object Retrieval {
             }
           }
           picked += best
+          // half-AWAY-FROM-ZERO: MMR scores go negative when the
+          // similarity penalty exceeds normalized relevance, and
+          // floor(x*1e4 + .5) would round those toward +inf
           out += MmrPick(qid, picked.length, best.doc_id,
-            math.floor(bestScore * 10000 + 0.5) / 10000)
+            BigDecimal(bestScore)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         out.iterator
       }

@@ -223,35 +223,48 @@ object Vectors {
     * codes (8 subspaces × 16 centroids), 32x smaller than float32, and
     * candidate scoring is ADC — per query one 8×16 table of exact
     * subspace dots, then every corpus vector costs 8 array lookups
-    * instead of a 64-dim float dot. Shortlist-100 by ADC, then exact
-    * cosine re-rank of the shortlist only (the standard
-    * compress-score-rerank pipeline; the exact math touches 100 rows
-    * per query, not the corpus). Codebooks are fit driver-side on the
-    * same bounded hash-ordered sample as the IVF quantizer; encode,
-    * table build, scoring, and re-rank are all column expressions.
-    * Rows-only (k-means has no SQL twin); recall vs knnBrute gated in
-    * VectorSpec. */
+    * instead of a 64-dim float dot. Codebooks fit and encoding run on
+    * UNIT-normalized vectors (hashing embeddings are not unit-norm;
+    * raw-dot ADC would over-shortlist large-norm vectors while the
+    * final metric is cosine), so ADC order approximates cosine order
+    * directly. Shortlist-100 per query via the bounded TopKAgg —
+    * map-side partial top-k, at most k rows per query per partition
+    * through the shuffle, no per-query full-corpus sort (the
+    * row_number-window form materializes and sorts n_corpus rows in
+    * ONE task per query at 100 TB) — then exact cosine re-rank of the
+    * shortlist only (the standard compress-score-rerank pipeline; the
+    * exact math touches 100 rows per query, not the corpus). Codebooks
+    * are fit driver-side on the same bounded hash-ordered sample as
+    * the IVF quantizer; encode, table build, scoring, and re-rank are
+    * all column expressions. Rows-only (k-means has no SQL twin);
+    * recall vs knnBrute gated in VectorSpec. */
   val knnPq: Q = Q.rowsOnly("knn_pq") { (s, dir) =>
     import graft.operators.PqIndex
     val m = 8; val k = 16
-    val e = emb(s, dir).cache() // encode pass + query side + re-rank side
-    val sample = e.select(col("vec_id"), col("v"))
+    // unit-normalize (zero vectors map to zero, ADC 0 — unrankable
+    // either way); fit/encode/dtab all see the normalized form
+    val e = emb(s, dir)
+      .withColumn("inv", when(col("n2") > 0, lit(1.0) / sqrt(col("n2")))
+        .otherwise(lit(0.0)))
+      .withColumn("vn", transform(col("v"), x => x * col("inv")))
+      .drop("inv")
+      .cache() // encode pass + query side + re-rank side
+    val sample = e.select(col("vec_id"), col("vn"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(4096).collect().map(_.getSeq[Double](1).toArray)
     val books = PqIndex.fit(sample, m, k)
     val codes = e.select(col("vec_id").as("neighbor_id"),
-      PqIndex.encode(col("v"), books).as("codes"))
+      PqIndex.encode(col("vn"), books).as("codes"))
     val q = e.filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"),
-      PqIndex.dtab(col("v"), books).as("dt"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
+      PqIndex.dtab(col("vn"), books).as("dt"))
     val shortlist = broadcast(q).crossJoin(codes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", PqIndex.adcScore(col("dt"), col("codes"), books))
-      .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= 100)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkBy(col("adc"), col("neighbor_id"), 100)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")("id")).as("neighbor_id"))
     val qv = e.filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),

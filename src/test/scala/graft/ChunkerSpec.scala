@@ -75,4 +75,34 @@ class ChunkerSpec extends AnyFunSuite {
     // starts at an overlap offset inside a sentence-aligned piece)
     assert(chunks.head.endsWith("ends here. ") || chunks.head.endsWith("ends here."))
   }
+
+  test("summarizePipeline: page pre-split then 2000/100, like load_and_split") {
+    // bones.py:152-156: summarize() runs loader.load_and_split() (one
+    // doc per page, default 4000/200 recursive split) BEFORE the
+    // 2000/100 sentence splitter — two-stage, per page. Fixture: three
+    // pages, one of them > 4000 chars so stage 1 actually cuts.
+    val pageA = (1 to 90).map(i => s"Alpha sentence $i ends here.").mkString(" ")
+    val pageB = (1 to 160).map(i => s"Beta sentence $i ends here.").mkString(" ")
+    val pageC = "Short final page. Just two sentences."
+    assert(pageA.length < 4000 && pageB.length > 4000)
+    val pages = Seq(pageA, pageB, pageC)
+    val chunks = Chunker.summarizePipeline(pages)
+    // chunks never span a page boundary: every chunk is a substring of
+    // exactly one page (overlap suffixes come from the same page too)
+    chunks.foreach { c =>
+      assert(pages.count(_.contains(c)) >= 1, c.take(80))
+    }
+    // a page under both limits passes through whole
+    assert(chunks.last == pageC)
+    // stage 1 on the long page runs the DEFAULT hierarchy at 4000/200:
+    // equivalent to summarizeSplit over stage-1 pieces, not over the
+    // raw page — so the two-stage output differs from the single-stage
+    // split of the same page (the fidelity gap the pipeline models)
+    assert(Chunker.summarizePipeline(Seq(pageB)) != Chunker.summarizeSplit(pageB))
+    // and differs from splitting the concatenated document: the page
+    // boundary is a hard cut single-stage splitting would ignore
+    assert(chunks != Chunker.summarizeSplit(pages.mkString(" ")))
+    // every chunk still respects the stage-2 bound
+    assert(chunks.forall(_.length <= 2100))
+  }
 }

@@ -245,6 +245,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 100L, 5000L)))
   }
 
+  test("stateful trailing-hour rolling: flatMapGroupsWithState == batch RANGE frame") {
+    import spark.implicits._
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), cents.as("valueCents"))
+      .as[StreamOps.RollMsg]
+    // cents/100.0 and the batch DECIMAL(18,2)→DOUBLE cast are both the
+    // correctly-rounded double of the same rational — bit-equal
+    val got = StreamOps.rollingState(spark, msgs).toDF()
+      .select(col("event_id"), col("user_id"), col("n_1h"),
+        (col("sum_cents") / 100.0).as("sum_1h"))
+    val want = Events.rolling.run(spark, sf)
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+    assert(asSet(got) == asSet(want))
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
