@@ -404,20 +404,34 @@ object Text {
     * third mergeable sketch next to HLL (q_approx_distinct) and
     * quantiles (q_approx_quantiles). The sketch is built distributed
     * (merged counters, order-independent, fixed seed) and consumed
-    * driver-side at O(k); the exact counts ride along so the CMS
-    * one-sided error guarantee (est >= exact, overestimate bounded by
-    * eps*N) is visible in the output and asserted in QueriesSpec. */
-  val freqSketch: Q = Q.rowsOnly("q_freq_sketch") { (s, dir) =>
+    * driver-side at O(k). Output is ORACLE-SHAPED: the exact top-10
+    * (SQL-replayable) plus est_ok = the CMS guarantee (exact <= est
+    * <= exact + ceil(eps·N)) evaluated per token — the oracle asserts
+    * it TRUE, so a broken sketch reds the driver's hash gate, not
+    * just a spec; QueriesSpec separately gates estimate tightness. */
+  val freqSketch: Q = Q(
+    "q_freq_sketch",
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT t, COUNT(*) AS exact FROM tok GROUP BY t)
+      |SELECT t AS token, exact, TRUE AS est_ok
+      |FROM cnt ORDER BY exact DESC, t LIMIT 10""".stripMargin) { (s, dir) =>
     val tok = Tables.documents(s, dir)
       .select(explode(toks(col("text"))).as("t")).cache()
     val cms = tok.stat.countMinSketch(col("t"), eps = 0.0001,
       confidence = 0.99, seed = 42)
+    val nTotal = tok.count()
+    val bound = math.ceil(0.0001 * nTotal).toLong
     val top = tok.groupBy(col("t")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("t")).limit(10).collect()
     import s.implicits._
-    top.map(r => (r.getString(0), r.getLong(1),
-        cms.estimateCount(r.getString(0))))
-      .toSeq.toDF("token", "exact", "cms_estimate")
+    top.map { r =>
+      val est = cms.estimateCount(r.getString(0))
+      (r.getString(0), r.getLong(1),
+        est >= r.getLong(1) && est <= r.getLong(1) + bound)
+    }
+      .toSeq.toDF("token", "exact", "est_ok")
       .orderBy(col("exact").desc, col("token"))
   }
 

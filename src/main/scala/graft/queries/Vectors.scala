@@ -119,12 +119,57 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF top-5: KMeans(16) coarse quantizer (MLlib), search only the
+  /** IVF top-5: Lloyd's(16) coarse quantizer, search only the
     * nprobe=4 nearest clusters per query. At 100 TB: centroids are
     * broadcast, vectors are partitioned by cluster id, each query
-    * probes a small fraction of the data. Rows-only (KMeans has no
-    * SQL twin); recall vs knnBrute asserted in VectorSpec. */
-  val knnIvf: Q = Q.rowsOnly("knn_ivf") { (s, dir) =>
+    * probes a small fraction of the data.
+    *
+    * ORACLE-CHECKED, not rows-only: the quantizer FIT has no SQL twin,
+    * but once the index is built its centroids are frozen data on
+    * disk — assignment, probe selection, and cosine top-k are all
+    * deterministic arithmetic DuckDB replays bit-for-bit (same
+    * left-fold list sums as dedup_embedding, ties broken by cid /
+    * neighbor_id). The oracle reads the centroids parquet the build
+    * wrote and recomputes the whole probe path from the raw
+    * embeddings table. Path contract: the driver's correctness gate
+    * runs at sf0.01, so the oracle names that index dir; recall vs
+    * knnBrute stays gated in VectorSpec. */
+  val knnIvf: Q = Q(
+    "knn_ivf",
+    s"""WITH $oracleEmb,
+      |cent AS (
+      |  SELECT cid, cv FROM read_parquet(
+      |    '/tmp/graft_ivf/_root_testdata_sf0_01/centroids/*.parquet')),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT a.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))), c.cid) rn
+      |    FROM n a CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |probe AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.vec_id query_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.v) + 1),
+      |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), c.cid) rn
+      |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 50)
+      |  WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> q.v[i] * c.v[i])) / sqrt(q.n2 * c.n2) AS cos
+      |  FROM probe p
+      |  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |  JOIN n c ON c.vec_id = a.vec_id
+      |  JOIN n q ON q.vec_id = p.query_id),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) rn
+      |  FROM cand)
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache()
     val idx = "/tmp/graft_ivf/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     graft.operators.IvfIndex.build(s, e, idx, k = 16)

