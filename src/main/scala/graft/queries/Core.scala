@@ -298,36 +298,74 @@ object Core {
 
   /** HyperLogLog++ approximate distinct per group — the sketch that
     * replaces exact COUNT(DISTINCT) at 100 TB (mergeable, constant
-    * memory). Rows-only: DuckDB's HLL differs bit-wise; QueriesSpec
-    * and the q_distinct exact twin bound the error. */
-  val qApproxDistinct: Q = Q.rowsOnly("q_approx_distinct") { (s, dir) =>
+    * memory). ORACLE-SHAPED like q_freq_sketch: the sketch value
+    * itself differs bit-wise from DuckDB's HLL, so the output carries
+    * the SQL-replayable exact counts plus approx_ok = the sketch
+    * landing within 5·rsd of exact (HLL++ is seedless-deterministic,
+    * so the flag is stable) — the oracle asserts it TRUE, moving the
+    * sketch's error contract into the driver's hash gate; BucketingSpec
+    * keeps the numeric-tightness assertion on the raw estimate. */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n, TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("approx_ok"))
       .orderBy(col("event_type"))
   }
 
   /** Mergeable approximate quantiles (Greenwald-Khanna via
     * approx_percentile) — the sketch that replaces exact sort-based
     * percentiles at 100 TB: constant memory per group, map-side
-    * partials merge. Rows-only (DuckDB's t-digest differs bit-wise);
-    * QueriesSpec bounds the rank error against the exact
-    * q_percentiles twin. */
-  val qApproxQuantiles: Q = Q.rowsOnly("q_approx_quantiles") { (s, dir) =>
-    // one sketch pass computes all four quantiles; emitted as scalar
-    // columns (the correctness harness cannot sort array columns)
+    * partials merge. ORACLE-SHAPED like q_freq_sketch: the sketch
+    * values differ bit-wise from DuckDB's t-digest, so the output
+    * carries the SQL-replayable exact quantiles (the q_percentiles
+    * formulation, proven hash-stable) plus approx_ok = every sketch
+    * quantile inside the exact [p−0.01, p+0.01] value envelope — 100x
+    * the GK rank guarantee at accuracy 10000, and deterministic, so
+    * the oracle asserts it TRUE; QueriesSpec keeps the 2%-relative
+    * tightness assertion on the raw estimates. */
+  val qApproxQuantiles: Q = Q(
+    "q_approx_quantiles",
+    """SELECT l_returnflag,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.50) AS DOUBLE), 4) AS p50,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.75) AS DOUBLE), 4) AS p75,
+      |  ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+      |  COUNT(*) AS n, TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    // one sketch pass for all four quantiles + one exact pass for the
+    // outputs and the error envelope; scalar columns (the correctness
+    // harness cannot sort array columns)
+    val lo = ps.map(p => math.max(p - 0.01, 0.0))
+    val hi = ps.map(p => math.min(p + 0.01, 1.0))
+    val okCol = ps.indices.map { i =>
+      element_at(col("aq"), i + 1)
+        .between(element_at(col("lo"), i + 1), element_at(col("hi"), i + 1))
+    }.reduce(_ && _)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
-          .as("aq"),
+          array(ps.map(lit(_)): _*), lit(10000)).as("aq"),
+        percentile(col("l_extendedprice"), array(ps.map(lit(_)): _*)).as("ex"),
+        percentile(col("l_extendedprice"), array(lo.map(lit(_)): _*)).as("lo"),
+        percentile(col("l_extendedprice"), array(hi.map(lit(_)): _*)).as("hi"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        element_at(col("aq"), 1).as("q25"), element_at(col("aq"), 2).as("q50"),
-        element_at(col("aq"), 3).as("q75"), element_at(col("aq"), 4).as("q95"),
-        col("n"))
+        round(element_at(col("ex"), 1), 4).as("p25"),
+        round(element_at(col("ex"), 2), 4).as("p50"),
+        round(element_at(col("ex"), 3), 4).as("p75"),
+        round(element_at(col("ex"), 4), 4).as("p95"),
+        col("n"), okCol.as("approx_ok"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -367,22 +367,35 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= 3) // before the distinct: shrink its shuffle
       .distinct()
-      .filter(col("hamming") <= 3)
-    // exact token-frequency cosine on the surviving pairs: integer
-    // dot and norms are exact in double, so order-independent
-    val cnt = tc.select(col("doc_id"), col("t"), col("cnt").cast("double").as("c"))
+      .cache() // feeds the doc keys AND the verify join
+    // Exact token-frequency cosine on the surviving pairs (integer
+    // dot and norms are exact in double, so order-independent) —
+    // PINNED the way verifiedJaccard pins the LSH path: the corpus
+    // token frame is semi-joined down to docs appearing in a
+    // candidate BEFORE any per-pair join, and the bounded frames
+    // (candidates, their doc keys, their norms) are explicit
+    // broadcast()s — AQE can't flip a corpus-sized frame onto the
+    // build side however the cache-materialization timing lands, and
+    // the broadcast doubles as the size assertion that banding
+    // actually blocked.
+    val docs = broadcast(cand.select(col("da").as("doc_id"))
+      .unionByName(cand.select(col("db").as("doc_id"))).distinct())
+    val cnt = tc.join(docs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("t"), col("cnt").cast("double").as("c"))
+      .cache() // two projections below scan it
     val n2 = cnt.groupBy(col("doc_id"))
       .agg(sum(col("c") * col("c")).as("n2"))
-    val dot = cand
+    val dot = broadcast(cand)
       .join(cnt.select(col("doc_id").as("da"), col("t"), col("c").as("ca")), "da")
       .join(cnt.select(col("doc_id").as("db"), col("t"), col("c").as("cb")),
         Seq("db", "t"))
       .groupBy(col("da"), col("db"), col("hamming"))
       .agg(sum(col("ca") * col("cb")).as("dp"))
     dot
-      .join(n2.select(col("doc_id").as("da"), col("n2").as("na")), "da")
-      .join(n2.select(col("doc_id").as("db"), col("n2").as("nb")), "db")
+      .join(broadcast(n2.select(col("doc_id").as("da"), col("n2").as("na"))), "da")
+      .join(broadcast(n2.select(col("doc_id").as("db"), col("n2").as("nb"))), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"),
         (floor(col("dp") / sqrt(col("na") * col("nb")) * 10000 + 0.5) / 10000)
           .as("cos_sim"))

