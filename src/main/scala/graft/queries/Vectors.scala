@@ -190,10 +190,48 @@ object Vectors {
     * Candidate dedup runs on 16-byte (query_id, neighbor_id) id pairs
     * ONLY — the full vectors re-join after the distinct (dedup on
     * rows carrying two 64-double vectors shuffled ~1 KB/row; ids
-    * shuffle 60x less). Rows-only; recall vs knnBrute asserted in
+    * shuffle 60x less).
+    *
+    * ORACLE-CHECKED: the hyperplanes are fixed-seed constants known
+    * at registration time, so they are inlined into the oracle as
+    * literal arrays (Double.toString round-trips) and DuckDB replays
+    * the whole path — sign bits with the same left-fold projection,
+    * band buckets with the same shift/mask arithmetic, candidate
+    * distinct, exact cosine top-5. Recall vs knnBrute stays gated in
     * VectorSpec. */
-  val annLsh: Q = Q.rowsOnly("ann_lsh") { (s, dir) =>
+  val annLsh: Q = {
     val planes = hyperplanes(64, 16)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, ${p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")})"
+    }.mkString(", ")
+    Q(
+      "ann_lsh",
+      s"""WITH $oracleEmb,
+        |pl(i, p) AS (VALUES $planeRows),
+        |sg AS (
+        |  SELECT n.vec_id, SUM(CASE WHEN list_sum(list_transform(
+        |      range(1, 65), d -> n.v[d] * pl.p[d])) >= 0
+        |    THEN 1::BIGINT << pl.i ELSE 0::BIGINT END) AS sig
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
+        |bands AS (
+        |  SELECT vec_id, ((sig >> (4 * k)) & 15) | (k::BIGINT << 32) AS bucket
+        |  FROM sg CROSS JOIN generate_series(0, 3) g(k)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id query_id, b.vec_id neighbor_id
+        |  FROM bands q JOIN bands b USING (bucket)
+        |  WHERE q.vec_id < 50 AND b.vec_id <> q.vec_id),
+        |p AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> q.v[i] * c.v[i])) / sqrt(q.n2 * c.n2) AS cos
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+        |  JOIN n c ON c.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) rn
+        |  FROM p)
+        |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache() // banded ids + both scoring sides
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val proj = dot(col("v"), array(p.toIndexedSeq.map(lit(_)): _*))
@@ -225,6 +263,7 @@ object Vectors {
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
+    }
   }
 
   /** Per-dimension symmetric int8 quantization — the storage path for
@@ -281,9 +320,68 @@ object Vectors {
     * exact math touches 100 rows per query, not the corpus). Codebooks
     * are fit driver-side on the same bounded hash-ordered sample as
     * the IVF quantizer; encode, table build, scoring, and re-rank are
-    * all column expressions. Rows-only (k-means has no SQL twin);
-    * recall vs knnBrute gated in VectorSpec. */
-  val knnPq: Q = Q.rowsOnly("knn_pq") { (s, dir) =>
+    * all column expressions.
+    *
+    * ORACLE-CHECKED like knn_ivf: the codebook FIT has no SQL twin,
+    * but the fitted codebooks are persisted as frozen data and every
+    * step after them is deterministic arithmetic — DuckDB recomputes
+    * normalization, per-subspace argmin codes, the query dot tables
+    * (list(... ORDER BY j, c), so the fold order is pinned), ADC
+    * sums, the shortlist-100, and the exact re-rank from the raw
+    * embeddings plus that sidecar. Recall vs knnBrute stays gated in
+    * VectorSpec. */
+  val knnPq: Q = Q(
+    "knn_pq",
+    s"""WITH $oracleEmb,
+      |nv AS (
+      |  SELECT vec_id, v, n2, list_transform(v, x -> x *
+      |    (CASE WHEN n2 > 0 THEN 1.0 / sqrt(n2) ELSE 0.0 END)) AS vn
+      |  FROM n),
+      |bk AS (
+      |  SELECT j, c, ctr FROM read_parquet(
+      |    '/tmp/graft_pq/_root_testdata_sf0_01/codebooks/*.parquet')),
+      |kk AS (SELECT COUNT(*)::INT AS n FROM bk WHERE j = 0),
+      |cd AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT nv.vec_id, bk.j, bk.c,
+      |      ROW_NUMBER() OVER (PARTITION BY nv.vec_id, bk.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> (nv.vn[bk.j * 8 + i] - bk.ctr[i])
+      |             * (nv.vn[bk.j * 8 + i] - bk.ctr[i]))), bk.c) rn
+      |    FROM nv CROSS JOIN bk)
+      |  WHERE rn = 1),
+      |codes AS (SELECT vec_id, list(c ORDER BY j) AS cs FROM cd GROUP BY vec_id),
+      |dtv AS (
+      |  SELECT nv.vec_id AS query_id, bk.j, bk.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> nv.vn[bk.j * 8 + i] * bk.ctr[i])) AS d
+      |  FROM nv CROSS JOIN bk WHERE nv.vec_id < 50),
+      |dt AS (
+      |  SELECT query_id, list(d ORDER BY j, c) AS dts FROM dtv GROUP BY query_id),
+      |adc AS (
+      |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      j -> dts[(j - 1) * kk.n + cs[j] + 1])) AS adc
+      |  FROM dt CROSS JOIN codes CROSS JOIN kk
+      |  WHERE codes.vec_id <> dt.query_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc DESC, neighbor_id) rn
+      |    FROM adc)
+      |  WHERE rn <= 100),
+      |p AS (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> q.v[i] * c.v[i])) / sqrt(q.n2 * c.n2) AS cos
+      |  FROM short sl JOIN n q ON q.vec_id = sl.query_id
+      |  JOIN n c ON c.vec_id = sl.neighbor_id),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) rn
+      |  FROM p)
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.PqIndex
     val m = 8; val k = 16
     // unit-normalize (zero vectors map to zero, ADC 0 — unrankable
@@ -298,6 +396,17 @@ object Vectors {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(4096).collect().map(_.getSeq[Double](1).toArray)
     val books = PqIndex.fit(sample, m, k)
+    // freeze the codebooks for the oracle's replay (same sidecar
+    // contract as IvfIndex centroids: fit is Spark's, everything
+    // after is engine-independent arithmetic)
+    locally {
+      import s.implicits._
+      val rows = for { j <- books.indices; c <- books(j).indices }
+        yield (j, c, books(j)(c).toSeq)
+      rows.toDF("j", "c", "ctr").coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_pq/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+          + "/codebooks")
+    }
     val codes = e.select(col("vec_id").as("neighbor_id"),
       PqIndex.encode(col("vn"), books).as("codes"))
     val q = e.filter(col("vec_id") < 50).select(
@@ -333,15 +442,41 @@ object Vectors {
     * projecting the corpus onto them is then an ordinary codegen'd
     * column expression. n is touched once, per-component work never
     * sees the corpus — the decomposition shape that holds at 100 TB.
-    * Rows-only (eigenvectors have no SQL twin); PCA optimality,
-    * orthogonality, and variance ordering are gated in VectorSpec. */
-  val embedPca: Q = Q.rowsOnly("embed_pca") { (s, dir) =>
+    *
+    * ORACLE-CHECKED via the frozen-sidecar pattern (knn_ivf/knn_pq):
+    * the eigen work has no SQL twin, but the fitted axes and their
+    * mean dots are data once persisted — the oracle replays the
+    * projection (same left-fold dot, same scalar shift, same 4dp
+    * round) over the raw embeddings. PCA optimality, orthogonality,
+    * and variance ordering stay gated in VectorSpec. */
+  val embedPca: Q = Q(
+    "embed_pca",
+    s"""WITH $oracleEmb,
+      |pc AS (
+      |  SELECT ci, comp, mudot FROM read_parquet(
+      |    '/tmp/graft_pca/_root_testdata_sf0_01/comps/*.parquet')),
+      |pr AS (
+      |  SELECT e.vec_id, pc.ci,
+      |    ROUND(list_sum(list_transform(range(1, 65),
+      |      i -> e.v[i] * pc.comp[i])) - pc.mudot, 4) AS p
+      |  FROM e CROSS JOIN pc)
+      |SELECT vec_id, MAX(CASE WHEN ci = 0 THEN p END) AS p1,
+      |  MAX(CASE WHEN ci = 1 THEN p END) AS p2
+      |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache() // moment pass + projection pass
     val (mean, comps) = graft.operators.Pca.fit(e, "v", d = 64, k = 2)
-    def proj(c: Array[Double]): Column = {
-      val mu = c.zip(mean).map { case (ci, mi) => ci * mi }.sum
-      dot(col("v"), array(c.toIndexedSeq.map(lit(_)): _*)) - lit(mu)
+    def mu(c: Array[Double]): Double =
+      c.zip(mean).map { case (ci, mi) => ci * mi }.sum
+    locally { // freeze (axis, mean-dot) for the oracle's replay
+      import s.implicits._
+      comps.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, mu(c)) }
+        .toDF("ci", "comp", "mudot").coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_pca/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+          + "/comps")
     }
+    def proj(c: Array[Double]): Column =
+      dot(col("v"), array(c.toIndexedSeq.map(lit(_)): _*)) - lit(mu(c))
     e.select(col("vec_id"),
         round(proj(comps(0)), 4).as("p1"),
         round(proj(comps(1)), 4).as("p2"))
