@@ -262,6 +262,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(got) == asSet(want))
   }
 
+  test("stateful rolling CARRY across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.RollMsg]
+    val q = StreamOps.rollingState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("roll_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamOps.RollMsg(1, 10, 0L, 100),
+        StreamOps.RollMsg(1, 11, hour, 200)) // exactly 1h apart
+      q.processAllAvailable()
+      ms.addData(StreamOps.RollMsg(1, 12, hour + hour / 2, 400))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("roll_twin").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(10L) == ((1L, 100L)))
+    // the RANGE bound is inclusive: an event exactly 1h earlier counts
+    assert(rows(11L) == ((2L, 300L)))
+    // state carried from batch 1: event 10 evicted, 11 retained
+    assert(rows(12L) == ((2L, 600L)))
+  }
+
   test("stateful history replay: flatMapGroupsWithState == batch window") {
     import spark.implicits._
     val msgs = Tables.events(spark, sf)
