@@ -577,10 +577,89 @@ object Retrieval {
     * queries parallelize freely, candidates never leave their
     * executor. Relevance is min-maxed by the query's top score
     * (retrieval_hybrid's convention); similarity is the exact
-    * integer-weight cosine. Rows-only (greedy argmax has no SQL
-    * twin); RetrievalSpec asserts top-1 = top relevance, determinism,
-    * and that the picked set is no less diverse than top-k-by-rel. */
-  val mmr: Q = Q.rowsOnly("retrieval_mmr") { (s, dir) =>
+    * integer-weight cosine.
+    *
+    * ORACLE-CHECKED: a greedy loop has no general SQL twin, but k is
+    * FIXED at 3, so the loop UNROLLS into three argmax CTEs (p1→p3),
+    * each picking max(score desc, doc_id asc) over the survivors with
+    * the similarity penalty against the picks so far. The inter-doc
+    * cosines are exact-integer arithmetic (hashing-embedder weights),
+    * so they replay bit-for-bit; the BM25 relevances reuse the proven
+    * bm25Cte; (1 - 0.7) is written COMPUTED in both engines (the
+    * double literal 0.3 differs from 1-0.7 in the last ulp); rounding
+    * is the sign-aware FLOOR formula both sides share. RetrievalSpec
+    * keeps the sequential-replay, determinism, and diversity gates. */
+  val mmr: Q = Q(
+    "retrieval_mmr",
+    s"""WITH $bm25Cte,
+      |$embedFromTok,
+      |cand AS (SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10),
+      |mx AS (
+      |  SELECT query_id, GREATEST(MAX(score), 1e-12) AS mrel
+      |  FROM cand GROUP BY 1),
+      |n2 AS (SELECT doc_id, SUM(w * w) AS n2 FROM wts GROUP BY 1),
+      |dots0 AS (
+      |  SELECT c1.query_id, c1.doc_id AS da, c2.doc_id AS db,
+      |    SUM(a.w * b.w) AS dt
+      |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+      |    AND c1.doc_id <> c2.doc_id
+      |  JOIN wts a ON a.doc_id = c1.doc_id
+      |  JOIN wts b ON b.doc_id = c2.doc_id AND a.idx = b.idx
+      |  GROUP BY 1, 2, 3),
+      |cosim AS (
+      |  SELECT c1.query_id, c1.doc_id AS da, c2.doc_id AS db,
+      |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+      |         ELSE COALESCE(d.dt, 0) / sqrt(na.n2 * nb.n2) END AS cos
+      |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+      |    AND c1.doc_id <> c2.doc_id
+      |  LEFT JOIN dots0 d ON d.query_id = c1.query_id
+      |    AND d.da = c1.doc_id AND d.db = c2.doc_id
+      |  JOIN n2 na ON na.doc_id = c1.doc_id
+      |  JOIN n2 nb ON nb.doc_id = c2.doc_id),
+      |p1 AS (
+      |  SELECT query_id, doc_id, sc FROM (
+      |    SELECT c.query_id, c.doc_id,
+      |      0.7 * (c.score / mx.mrel) - (1 - 0.7) * 0.0 AS sc,
+      |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |        0.7 * (c.score / mx.mrel) - (1 - 0.7) * 0.0 DESC, c.doc_id) rn
+      |    FROM cand c JOIN mx USING (query_id))
+      |  WHERE rn = 1),
+      |p2 AS (
+      |  SELECT query_id, doc_id, sc FROM (
+      |    SELECT c.query_id, c.doc_id,
+      |      0.7 * (c.score / mx.mrel) - (1 - 0.7) * cs1.cos AS sc,
+      |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |        0.7 * (c.score / mx.mrel) - (1 - 0.7) * cs1.cos DESC,
+      |        c.doc_id) rn
+      |    FROM cand c JOIN mx USING (query_id)
+      |    JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+      |    JOIN cosim cs1 ON cs1.query_id = c.query_id
+      |      AND cs1.da = c.doc_id AND cs1.db = p1.doc_id)
+      |  WHERE rn = 1),
+      |p3 AS (
+      |  SELECT query_id, doc_id, sc FROM (
+      |    SELECT c.query_id, c.doc_id,
+      |      0.7 * (c.score / mx.mrel)
+      |        - (1 - 0.7) * GREATEST(cs1.cos, cs2.cos) AS sc,
+      |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |        0.7 * (c.score / mx.mrel)
+      |          - (1 - 0.7) * GREATEST(cs1.cos, cs2.cos) DESC, c.doc_id) rn
+      |    FROM cand c JOIN mx USING (query_id)
+      |    JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+      |    JOIN p2 ON p2.query_id = c.query_id AND c.doc_id <> p2.doc_id
+      |    JOIN cosim cs1 ON cs1.query_id = c.query_id
+      |      AND cs1.da = c.doc_id AND cs1.db = p1.doc_id
+      |    JOIN cosim cs2 ON cs2.query_id = c.query_id
+      |      AND cs2.da = c.doc_id AND cs2.db = p2.doc_id)
+      |  WHERE rn = 1),
+      |allp AS (
+      |  SELECT query_id, 1 AS rank, doc_id, sc FROM p1
+      |  UNION ALL SELECT query_id, 2, doc_id, sc FROM p2
+      |  UNION ALL SELECT query_id, 3, doc_id, sc FROM p3)
+      |SELECT query_id, rank, doc_id,
+      |  CASE WHEN sc >= 0 THEN FLOOR(sc * 10000 + 0.5) / 10000
+      |       ELSE -(FLOOR(-sc * 10000 + 0.5) / 10000) END AS mmr_score
+      |FROM allp ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val lambda = 0.7
     val k = 3
@@ -623,12 +702,17 @@ object Retrieval {
             }
           }
           picked += best
-          // half-AWAY-FROM-ZERO: MMR scores go negative when the
-          // similarity penalty exceeds normalized relevance, and
-          // floor(x*1e4 + .5) would round those toward +inf
-          out += MmrPick(qid, picked.length, best.doc_id,
-            BigDecimal(bestScore)
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          // half-AWAY-FROM-ZERO in pure double arithmetic (MMR scores
+          // go negative when the similarity penalty exceeds normalized
+          // relevance; plain floor(x*1e4+.5) rounds those toward +inf,
+          // and BigDecimal/round() can diverge from an engine's
+          // float-scaled rounding at .00005 boundaries — the same
+          // decimal-vs-float trap retrieval_vector dodges): mirror the
+          // oracle's CASE/FLOOR formula exactly
+          val r4 = if (bestScore >= 0)
+            math.floor(bestScore * 10000 + 0.5) / 10000
+          else -(math.floor(-bestScore * 10000 + 0.5) / 10000)
+          out += MmrPick(qid, picked.length, best.doc_id, r4)
         }
         out.iterator
       }
