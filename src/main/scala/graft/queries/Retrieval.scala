@@ -22,8 +22,11 @@ object Retrieval {
   // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
   private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
-  /** Shared BM25 oracle CTEs (k1=1.2, b=0.75, Lucene-style idf). */
-  private val bm25Cte: String =
+  /** Shared BM25 oracle CTEs (k1=1.2, b=0.75, Lucene-style idf),
+    * split so the scoring chain can run over ANY (query_id, t) term
+    * relation — the raw questions (bm25Cte) or qa_pipeline's
+    * condensed terms. The formula lives in ONE string. */
+  private val bm25Base: String =
     """tok AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
       |  FROM documents),
@@ -32,25 +35,31 @@ object Retrieval {
       |df AS (SELECT t, COUNT(DISTINCT doc_id)::DOUBLE df FROM tok GROUP BY 1),
       |stats AS (
       |  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) n,
-      |    (SELECT AVG(dl) FROM dl) avgdl),
-      |qt AS (
-      |  SELECT DISTINCT doc_id AS query_id, t
-      |  FROM tok WHERE doc_id < 5),
-      |scored AS (
-      |  SELECT qt.query_id, tf.doc_id,
+      |    (SELECT AVG(dl) FROM dl) avgdl)""".stripMargin
+
+  private def bm25ScoreFor(qtRel: String): String =
+    s"""scored AS (
+      |  SELECT $qtRel.query_id, tf.doc_id,
       |    SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
       |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
       |      AS score
-      |  FROM qt JOIN tf ON qt.t = tf.t
+      |  FROM $qtRel JOIN tf ON $qtRel.t = tf.t
       |  JOIN df ON tf.t = df.t
       |  JOIN dl ON tf.doc_id = dl.doc_id
       |  CROSS JOIN stats
-      |  WHERE tf.doc_id <> qt.query_id
+      |  WHERE tf.doc_id <> $qtRel.query_id
       |  GROUP BY 1, 2),
       |ranked AS (
       |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rn
       |  FROM scored)""".stripMargin
+
+  private val bm25Cte: String =
+    s"""$bm25Base,
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, t
+      |  FROM tok WHERE doc_id < 5),
+      |${bm25ScoreFor("qt")}""".stripMargin
 
   /** Spark side of the shared BM25 top-3 (query_id, doc_id, score, rn). */
   private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
@@ -417,8 +426,69 @@ object Retrieval {
     * (mirrors result["generated_question"]) → BM25 retrieve on the
     * CONDENSED terms → stuff top-2 context → extractive answer stub
     * from the top hit (the LLM call is the only stubbed step).
-    * Rows-only; shape + history influence asserted in RetrievalSpec. */
-  val qaPipeline: Q = Q.rowsOnly("qa_pipeline") { (s, dir) =>
+    *
+    * ORACLE-CHECKED end-to-end: every stage is deterministic string /
+    * integer / ranking arithmetic — question formatting (first-10
+    * tokens), the rare-term condensation (df-ascending argmax), the
+    * BM25 chain over the condensed terms (bm25ScoreFor — the same
+    * formula string the proven retrieval_bm25 oracle uses), context
+    * stuffing, and the answer stub. History influence and shape stay
+    * asserted in RetrievalSpec. */
+  val qaPipeline: Q = Q(
+    "qa_pipeline",
+    s"""WITH $bm25Base,
+      |tv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(ts[1:10], ' ') AS question, ts[1:10] AS qts
+      |  FROM tv WHERE doc_id < 5),
+      |qt0 AS (
+      |  SELECT DISTINCT query_id, t FROM (
+      |    SELECT query_id, unnest(qts) AS t FROM q)),
+      |ht AS (
+      |  SELECT DISTINCT query_id, t FROM (
+      |    SELECT cur.query_id, unnest(h.qts) AS t
+      |    FROM q cur JOIN q h ON h.query_id < cur.query_id
+      |      AND h.query_id >= cur.query_id - 2)),
+      |htn AS (
+      |  SELECT ht.query_id, ht.t FROM ht
+      |  WHERE NOT EXISTS (SELECT 1 FROM qt0
+      |    WHERE qt0.query_id = ht.query_id AND qt0.t = ht.t)),
+      |picked AS (
+      |  SELECT query_id, t FROM (
+      |    SELECT htn.query_id, htn.t,
+      |      ROW_NUMBER() OVER (PARTITION BY htn.query_id
+      |        ORDER BY df.df, htn.t) rk
+      |    FROM htn JOIN df ON df.t = htn.t)
+      |  WHERE rk <= 3),
+      |addon AS (
+      |  SELECT query_id, string_agg(t, ' ' ORDER BY t) AS addon
+      |  FROM picked GROUP BY 1),
+      |condq AS (
+      |  SELECT q.query_id, q.question,
+      |    CASE WHEN a.addon IS NULL THEN q.question
+      |         ELSE q.question || ' ' || a.addon END AS condensed_question
+      |  FROM q LEFT JOIN addon a USING (query_id)),
+      |cqt AS (
+      |  SELECT query_id, t FROM qt0
+      |  UNION ALL SELECT query_id, t FROM picked),
+      |${bm25ScoreFor("cqt")},
+      |top2 AS (
+      |  SELECT r.query_id, r.rn, d.doc_id, d.text
+      |  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+      |  WHERE r.rn <= 2),
+      |ctx AS (
+      |  SELECT query_id, string_agg(text, ' | ' ORDER BY rn) AS context
+      |  FROM top2 GROUP BY 1),
+      |ans AS (
+      |  SELECT query_id, doc_id AS top_doc, substr(text, 1, 120) AS answer
+      |  FROM top2 WHERE rn = 1)
+      |SELECT c.query_id, c.question, c.condensed_question,
+      |  a.top_doc, a.answer, x.context
+      |FROM condq c JOIN ctx x USING (query_id) JOIN ans a USING (query_id)
+      |ORDER BY query_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val (condQ, condQt) = condensedQueries(s, dir)
     val ranked = bm25RankedFor(s, dir, condQt).filter(col("rn") <= 2)
