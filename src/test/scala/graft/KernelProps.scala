@@ -86,6 +86,47 @@ object KernelProps extends Properties("kernels") {
       bounded && rebuilt == text
     }
 
+  // TopKAgg backs q_topk_per_key and knn_pq's ADC shortlist: whatever
+  // the partition split and arrival order, update+merge must equal
+  // the reference sort-take under the total order (score desc by
+  // Double.compare, id asc), with NaN scores dropped.
+  property("topk aggregate == sort-take under any partitioning") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val entry: Gen[(Double, Long)] = for {
+      s <- Gen.frequency(
+        8 -> Gen.choose(-10.0, 10.0),
+        1 -> Gen.oneOf(0.0, -0.0, Double.NaN,
+          Double.PositiveInfinity, Double.NegativeInfinity),
+        // duplicate scores exercise the id tiebreak
+        2 -> Gen.oneOf(1.0, 2.0))
+      i <- Gen.choose(0L, 30L)
+    } yield (s, i)
+    Prop.forAll(
+      Gen.listOf(entry), Gen.choose(1, 8), Gen.choose(1, 5)) { (xs, k, parts) =>
+      val agg = graft.functions.TopKAgg(
+        BoundReference(0, DoubleType, nullable = false),
+        BoundReference(1, LongType, nullable = false), k)
+      // distinct ids (the aggregate's contract: id is a row identity)
+      val rows = xs.distinctBy(_._2)
+      val partials = rows.grouped(math.max(1, rows.length / parts))
+        .map { slice =>
+          slice.foldLeft(agg.createAggregationBuffer()) { (b, e) =>
+            agg.update(b, InternalRow(e._1, e._2))
+          }
+        }
+      val merged = partials.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val want = rows.filterNot(e => java.lang.Double.isNaN(e._1))
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        }
+        .take(k)
+      merged.toList == want
+    }
+  }
+
   property("pq codebooks have the promised uniform shape") =
     Prop.forAll(
       Gen.choose(2, 40),
