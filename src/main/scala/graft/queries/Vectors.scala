@@ -28,6 +28,14 @@ object Vectors {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot(a, b)
 
+  /** Sidecar dir for frozen-model oracles. Trailing slashes are
+    * stripped BEFORE sanitizing: the oracle SQL hardcodes the
+    * sanitized sf0.01 path, and a caller passing "…/sf0.01/" must
+    * land on the same directory, not "…_sf0_01_". */
+  private[graft] def sidecarDir(kind: String, dir: String): String =
+    "/tmp/graft_" + kind + "/" +
+      dir.replaceAll("/+$", "").replaceAll("[^a-zA-Z0-9]", "_")
+
   private val oracleEmb =
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
@@ -171,7 +179,7 @@ object Vectors {
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache()
-    val idx = "/tmp/graft_ivf/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idx = sidecarDir("ivf", dir)
     graft.operators.IvfIndex.build(s, e, idx, k = 16)
     val q = e.filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
@@ -404,8 +412,7 @@ object Vectors {
       val rows = for { j <- books.indices; c <- books(j).indices }
         yield (j, c, books(j)(c).toSeq)
       rows.toDF("j", "c", "ctr").coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_pq/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-          + "/codebooks")
+        .parquet(sidecarDir("pq", dir) + "/codebooks")
     }
     val codes = e.select(col("vec_id").as("neighbor_id"),
       PqIndex.encode(col("vn"), books).as("codes"))
@@ -472,8 +479,7 @@ object Vectors {
       comps.toSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq, mu(c)) }
         .toDF("ci", "comp", "mudot").coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_pca/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-          + "/comps")
+        .parquet(sidecarDir("pca", dir) + "/comps")
     }
     def proj(c: Array[Double]): Column =
       dot(col("v"), array(c.toIndexedSeq.map(lit(_)): _*)) - lit(mu(c))
