@@ -20,7 +20,18 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The frozen-sidecar oracles (knn_ivf, knn_pq, embed_pca) read
+    * model parameters the Spark query persisted under a
+    * per-sfDir /tmp path; their SQL embeds Vectors.SfToken where the
+    * sanitized dir goes. This default map renders for sf0.01 — the
+    * scale the driver's gate runs at — while Verify renders
+    * oracleSqlFor(sfDir) so the gate works at any scale factor. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** The oracle map with sidecar paths rendered for `sfDir`. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql =>
+      q.name -> sql.replace(Vectors.SfToken, Vectors.sanitizeDir(sfDir)))).toMap
 }

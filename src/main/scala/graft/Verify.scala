@@ -42,8 +42,11 @@ object Verify {
     // feeding the oracle-typing lint): control chars in builder-authored
     // SQL would otherwise make the driver's json.load fail and silently
     // zero the round's correctness.
+    // Render the frozen-sidecar oracle paths for THIS run's sfDir
+    // (the sidecars were just written by the queries above), so the
+    // gate is not coupled to one hardcoded scale factor.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      graft.tools.OracleJson.render(SparkEntry.oracleSql))
+      graft.tools.OracleJson.render(SparkEntry.oracleSqlFor(sfDir)))
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExprs.dot
@@ -20,6 +19,20 @@ import graft.functions.VectorExprs.dot
   * probe) is unchanged.
   * The reference's DocArrayInMemorySearch (conversadocs/bones.py:74)
   * is the k=everything, nprobe=everything degenerate case of this.
+  *
+  * Parameter scaling (sf0.1 values are NOT 100 TB values):
+  *
+  * | parameter   | here | scaling rule                                |
+  * |-------------|------|---------------------------------------------|
+  * | k clusters  | 16   | ~√n: probe work is O(nprobe·n/k) and probe  |
+  * |             |      | SELECTION is O(k·q), so k ~ √n balances the |
+  * |             |      | two; left fixed, per-cluster partitions grow |
+  * |             |      | O(n) and the probe degrades to a near-scan  |
+  * | nprobe      | 4    | recall knob, independent of n: raise until  |
+  * |             |      | recall target holds (cost is linear)        |
+  * | sample size | 4096 | ≥ ~10·k rows for stable Lloyd's; must be    |
+  * |             |      | ≥ k outright (enforced below) or centroids  |
+  * |             |      | duplicate                                   |
   *
   * Layout under `indexDir`:
   *   centroids/  (cid int, cv array<double>)           — one row per cluster
@@ -52,9 +65,14 @@ object IvfIndex {
     * clusters barely exist; structured corpora probe far better). */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       k: Int, seed: Long = 42L): Unit = {
+    require(k >= 1, s"IVF cluster count k=$k must be >= 1")
     val sample = emb.select(col("vec_id"), col("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k,
+      s"IVF k=$k exceeds the ${sample.length}-row quantizer sample — " +
+        "fewer training vectors than requested clusters can only " +
+        "produce duplicate centroids; shrink k or grow the corpus")
     val centers = lloyd(sample, k, seed, iters = 10)
     // repartition on cid first: otherwise every task writes a file
     // into every cid directory (tasks x k tiny files)
@@ -140,7 +158,16 @@ object IvfIndex {
 
   /** Probe-query: for each query vector, cosine top-k over the nprobe
     * nearest clusters only. Partition pruning on cid keeps unprobed
-    * index partitions unread. */
+    * index partitions unread.
+    *
+    * The final ranking is the bounded map-side TopKAgg, NOT a
+    * per-query row_number window: the window form funnels every
+    * candidate in the probed clusters (~n·nprobe/k rows per query)
+    * into ONE task's sort, while the aggregate ships at most topK
+    * rows per query per partition through the shuffle. Ordering is
+    * identical (cos desc, neighbor_id asc tiebreak); NaN cosines
+    * (zero-norm vectors) are dropped by TopKAgg — the oracle mirrors
+    * that with an explicit NOT isnan filter. */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
       topK: Int, nprobe: Int): DataFrame = {
     val centArr = centroidArray(loadCentroids(spark, indexDir))
@@ -153,14 +180,15 @@ object IvfIndex {
     val vectors = spark.read.parquet(s"$indexDir/vectors")
       .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
         col("n2").as("nc"), col("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes).join(vectors, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), topK)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col")("id").as("neighbor_id"),
+        round(col("col")("score"), 4).as("cos_sim"))
   }
 }

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   * corpus, PQ-score the surviving partitions, exact re-rank the
   * shortlist (knn_pq registers the PQ-score + re-rank half; recall
   * vs brute force is gated in VectorSpec).
+  *
+  * Parameter scaling (sf0.1 values are NOT 100 TB values):
+  *
+  * | parameter | here | scaling rule                                  |
+  * |-----------|------|-----------------------------------------------|
+  * | m subspcs | 8    | compression knob, scales with DIM not n:      |
+  * |           |      | stored size is m codes/vector, ADC cost is m  |
+  * |           |      | lookups/candidate; dim % m must be 0          |
+  * | k/codebook| 16   | quantization-error knob, independent of n     |
+  * |           |      | (each codebook sees D/M-dim marginals, not    |
+  * |           |      | the corpus); 256 = classic byte-code PQ. Must |
+  * |           |      | be ≤ sample size (enforced below)             |
+  * | shortlist | 100  | ≥ ~20·topK so ADC error rarely evicts a true  |
+  * |           |      | neighbor; independent of n                    |
   */
 object PqIndex {
 
@@ -30,6 +44,10 @@ object PqIndex {
   def fit(sample: Array[Array[Double]], m: Int, k: Int,
       seed: Long = 42L): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "codebook sample is empty")
+    require(k >= 1, s"PQ codebook size k=$k must be >= 1")
+    require(sample.length >= k,
+      s"PQ k=$k exceeds the ${sample.length}-row codebook sample — " +
+        "shrink k or grow the sample")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m

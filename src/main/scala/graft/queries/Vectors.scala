@@ -28,13 +28,23 @@ object Vectors {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot(a, b)
 
-  /** Sidecar dir for frozen-model oracles. Trailing slashes are
-    * stripped BEFORE sanitizing: the oracle SQL hardcodes the
-    * sanitized sf0.01 path, and a caller passing "…/sf0.01/" must
-    * land on the same directory, not "…_sf0_01_". */
+  /** Placeholder the frozen-sidecar oracles embed in place of the
+    * sanitized sfDir. SparkEntry.oracleSqlFor (used by Verify and
+    * DumpOracleSql) renders it with the dir the gate actually runs
+    * at, so the correctness gate is not coupled to one exact sfDir
+    * spelling (the r6 ADVICE finding: a hardcoded sf0.01 constant
+    * broke the gate at any other scale factor). */
+  private[graft] val SfToken = "__GRAFT_SFDIR__"
+
+  /** Trailing slashes are stripped BEFORE sanitizing: a caller
+    * passing "…/sf0.01/" must land on the same directory as
+    * "…/sf0.01", not "…_sf0_01_". */
+  private[graft] def sanitizeDir(dir: String): String =
+    dir.replaceAll("/+$", "").replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Sidecar dir for frozen-model oracles. */
   private[graft] def sidecarDir(kind: String, dir: String): String =
-    "/tmp/graft_" + kind + "/" +
-      dir.replaceAll("/+$", "").replaceAll("[^a-zA-Z0-9]", "_")
+    "/tmp/graft_" + kind + "/" + sanitizeDir(dir)
 
   private val oracleEmb =
     """e AS (
@@ -96,7 +106,12 @@ object Vectors {
 
   /** Brute-force cosine top-5 per query vector (vec_id < 50): the
     * exactness baseline every ANN path is measured against. Query set
-    * is broadcast; candidates never shuffle. */
+    * is broadcast; candidates never shuffle. The rank step is the
+    * bounded map-side TopKAgg (cos desc, neighbor_id asc — identical
+    * order to the oracle's ROW_NUMBER): brute force is O(n·q) FLOPs
+    * by definition, but the top-k must not also be a per-query
+    * single-task sort. NaN cosines (zero-norm vectors) are dropped by
+    * TopKAgg; the oracle pins the same policy with NOT isnan. */
   val knnBrute: Q = Q(
     "knn_brute",
     s"""WITH $oracleEmb,
@@ -108,7 +123,7 @@ object Vectors {
       |r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
-      |  FROM p)
+      |  FROM p WHERE NOT isnan(cos))
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
@@ -116,14 +131,15 @@ object Vectors {
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
       col("n2").as("nc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), 5)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col")("id").as("neighbor_id"),
+        round(col("col")("score"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -139,15 +155,16 @@ object Vectors {
     * left-fold list sums as dedup_embedding, ties broken by cid /
     * neighbor_id). The oracle reads the centroids parquet the build
     * wrote and recomputes the whole probe path from the raw
-    * embeddings table. Path contract: the driver's correctness gate
-    * runs at sf0.01, so the oracle names that index dir; recall vs
-    * knnBrute stays gated in VectorSpec. */
+    * embeddings table. Path contract: the oracle embeds SfToken where
+    * the sanitized sfDir goes and Verify renders it with the dir the
+    * gate actually runs at; recall vs knnBrute stays gated in
+    * VectorSpec. */
   val knnIvf: Q = Q(
     "knn_ivf",
     s"""WITH $oracleEmb,
       |cent AS (
       |  SELECT cid, cv FROM read_parquet(
-      |    '/tmp/graft_ivf/_root_testdata_sf0_01/centroids/*.parquet')),
+      |    '/tmp/graft_ivf/$SfToken/centroids/*.parquet')),
       |asg AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT a.vec_id, c.cid,
@@ -175,7 +192,7 @@ object Vectors {
       |r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
-      |  FROM cand)
+      |  FROM cand WHERE NOT isnan(cos))
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache()
@@ -187,28 +204,40 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  // Deterministic random hyperplanes: 16 planes x 64 dims, fixed seed.
-  private def hyperplanes(dim: Int, nPlanes: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7L)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
-
-  /** Random-hyperplane LSH ANN: 16-bit signature, 4x4-bit bands;
-    * candidates share a band bucket, then exact cosine re-rank.
-    * Candidate dedup runs on 16-byte (query_id, neighbor_id) id pairs
-    * ONLY — the full vectors re-join after the distinct (dedup on
-    * rows carrying two 64-double vectors shuffled ~1 KB/row; ids
-    * shuffle 60x less).
+  /** Random-hyperplane LSH: 64-bit signature as 4 bands x 16 bits
+    * (graft.operators.Lsh — the geometry dedup_simhash uses, and the
+    * scale fix for the r5/r6 4x4-bit shape whose 16-buckets-per-band
+    * occupancy was O(n/16)): bucket space is 2^16 PER BAND, so
+    * occupancy — and with it candidates per query — stays O(n/2^16).
+    * Candidates share a band bucket, then exact cosine top-5 via the
+    * bounded map-side TopKAgg (no per-query single-task sort; NaN
+    * cosines dropped, pinned by the oracle's NOT isnan). Candidate
+    * dedup runs on 16-byte (query_id, neighbor_id) id pairs ONLY —
+    * the full vectors re-join after the distinct (dedup on rows
+    * carrying two 64-double vectors shuffled ~1 KB/row; ids shuffle
+    * 60x less).
+    *
+    * Regime note (documented trade, see Lsh's scaling table): 16-bit
+    * bands discriminate NEAR-DUPLICATES — a pair at angle θ shares a
+    * band with probability (1-θ/π)^16, ≈18% per band at cos 0.95 but
+    * ≈0.2% at cos 0.55 — so on this synthetic near-random corpus
+    * (max pair cos ≈ 0.6) the candidate set is honestly near-empty.
+    * That is what "LSH at scale" means: candidates ∝ true near-dups,
+    * not ∝ n. VectorSpec gates recall on planted near-duplicates (the
+    * regime the operator serves) plus bucket-occupancy bounds;
+    * mid-similarity top-k belongs to knn_ivf/knn_pq.
     *
     * ORACLE-CHECKED: the hyperplanes are fixed-seed constants known
     * at registration time, so they are inlined into the oracle as
     * literal arrays (Double.toString round-trips) and DuckDB replays
     * the whole path — sign bits with the same left-fold projection,
-    * band buckets with the same shift/mask arithmetic, candidate
-    * distinct, exact cosine top-5. Recall vs knnBrute stays gated in
-    * VectorSpec. */
+    * per-band bucket values with the same bit arithmetic (band values
+    * built directly from each band's 16 sign bits: a 1<<63 signature
+    * literal would overflow DuckDB's BIGINT), candidate distinct,
+    * exact cosine top-5. */
   val annLsh: Q = {
-    val planes = hyperplanes(64, 16)
+    val nBands = 4; val bitsPerBand = 16
+    val planes = graft.operators.Lsh.hyperplanes(64, nBands * bitsPerBand)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"($i, ${p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")})"
     }.mkString(", ")
@@ -217,13 +246,14 @@ object Vectors {
       s"""WITH $oracleEmb,
         |pl(i, p) AS (VALUES $planeRows),
         |sg AS (
-        |  SELECT n.vec_id, SUM(CASE WHEN list_sum(list_transform(
+        |  SELECT n.vec_id, pl.i // $bitsPerBand AS band,
+        |    SUM(CASE WHEN list_sum(list_transform(
         |      range(1, 65), d -> n.v[d] * pl.p[d])) >= 0
-        |    THEN 1::BIGINT << pl.i ELSE 0::BIGINT END) AS sig
-        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
+        |    THEN 1::BIGINT << (pl.i % $bitsPerBand) ELSE 0::BIGINT END)::BIGINT
+        |      AS bv
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id, pl.i // $bitsPerBand),
         |bands AS (
-        |  SELECT vec_id, ((sig >> (4 * k)) & 15) | (k::BIGINT << 32) AS bucket
-        |  FROM sg CROSS JOIN generate_series(0, 3) g(k)),
+        |  SELECT vec_id, bv | (band::BIGINT << 32) AS bucket FROM sg),
         |cand AS (
         |  SELECT DISTINCT q.vec_id query_id, b.vec_id neighbor_id
         |  FROM bands q JOIN bands b USING (bucket)
@@ -237,19 +267,11 @@ object Vectors {
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) rn
-        |  FROM p)
+        |  FROM p WHERE NOT isnan(cos))
         |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache() // banded ids + both scoring sides
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(col("v"), array(p.toIndexedSeq.map(lit(_)): _*))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val bandArr = array((0 until 4).map(k =>
-      shiftright(col("sig"), 4 * k).bitwiseAND(0xFL)
-        .bitwiseOR(lit(k.toLong << 32))): _*)
-    val banded = e.withColumn("sig", sigBits)
-      .select(col("vec_id"), explode(bandArr).as("bucket"))
+    val banded = graft.operators.Lsh.buckets(e, planes, nBands, bitsPerBand)
     val qb = banded.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("bucket"))
     val cand = broadcast(qb)
@@ -261,15 +283,16 @@ object Vectors {
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
       col("n2").as("nc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     cand.join(cv, "neighbor_id")
       .join(broadcast(qv), "query_id")
       .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), 5)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col")("id").as("neighbor_id"),
+        round(col("col")("score"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
     }
   }
@@ -347,7 +370,7 @@ object Vectors {
       |  FROM n),
       |bk AS (
       |  SELECT j, c, ctr FROM read_parquet(
-      |    '/tmp/graft_pq/_root_testdata_sf0_01/codebooks/*.parquet')),
+      |    '/tmp/graft_pq/$SfToken/codebooks/*.parquet')),
       |kk AS (SELECT COUNT(*)::INT AS n FROM bk WHERE j = 0),
       |cd AS (
       |  SELECT vec_id, j, c FROM (
@@ -376,7 +399,7 @@ object Vectors {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY adc DESC, neighbor_id) rn
-      |    FROM adc)
+      |    FROM adc WHERE NOT isnan(adc))
       |  WHERE rn <= 100),
       |p AS (
       |  SELECT sl.query_id, sl.neighbor_id,
@@ -422,6 +445,13 @@ object Vectors {
     val shortlist = broadcast(q).crossJoin(codes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", PqIndex.adcScore(col("dt"), col("codes"), books))
+      // NaN-policy contract: TopKAgg DROPS NaN scores while DuckDB's
+      // ROW_NUMBER(ORDER BY adc DESC) would rank them FIRST (NaN >
+      // +Inf in its sort order) — the oracle mirrors the drop with an
+      // explicit NOT isnan(adc), so the two engines' NaN policies are
+      // pinned to each other, not coincidentally aligned. (ADC inputs
+      // are finite normalized doubles today, so the filter is
+      // unreachable; the pin is against future inputs.)
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.topkBy(col("adc"), col("neighbor_id"), 100)
         .as("top"))
@@ -461,7 +491,7 @@ object Vectors {
     s"""WITH $oracleEmb,
       |pc AS (
       |  SELECT ci, comp, mudot FROM read_parquet(
-      |    '/tmp/graft_pca/_root_testdata_sf0_01/comps/*.parquet')),
+      |    '/tmp/graft_pca/$SfToken/comps/*.parquet')),
       |pr AS (
       |  SELECT e.vec_id, pc.ci,
       |    ROUND(list_sum(list_transform(range(1, 65),

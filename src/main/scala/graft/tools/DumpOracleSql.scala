@@ -27,7 +27,12 @@ object OracleJson {
 object DumpOracleSql {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/oracle_sql.json")
-    Files.writeString(Paths.get(out), OracleJson.render(graft.SparkEntry.oracleSql))
-    println(s"wrote ${graft.SparkEntry.oracleSql.size} oracles to $out")
+    // optional 2nd arg: the sfDir the sidecar oracle paths render for
+    // (default = sf0.01, the driver gate's scale — same as
+    // SparkEntry.oracleSql)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    val oracle = graft.SparkEntry.oracleSqlFor(sfDir)
+    Files.writeString(Paths.get(out), OracleJson.render(oracle))
+    println(s"wrote ${oracle.size} oracles to $out")
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wires `tools/check.py --lint` — the DuckDB oracle result-TYPING
+  * lint — into `sbt test`, so a disallowed oracle result type (the
+  * round-5 lesson: an uncast SUM(BIGINT) promotes to HUGEINT and reds
+  * the driver's type-sensitive hash even on bit-identical values)
+  * fails the build locally instead of the driver round. Cancels
+  * cleanly on boxes without python3+duckdb (the lint is a
+  * driver-environment replica, not a library dependency).
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  private def run(cmd: Seq[String]): (Int, String) = {
+    val out = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      s => out.append(s).append('\n'), s => out.append(s).append('\n'))
+    val code = scala.sys.process.Process(cmd, new java.io.File(".")).!(logger)
+    (code, out.toString)
+  }
+
+  private lazy val duckdbAvailable =
+    scala.util.Try(run(Seq("python3", "-c", "import duckdb"))._1 == 0)
+      .getOrElse(false)
+
+  private def lint(oracle: Map[String, String]): (Int, String) = {
+    val json = java.nio.file.Files.createTempFile("oracle_lint", ".json")
+    java.nio.file.Files.writeString(json,
+      graft.tools.OracleJson.render(oracle))
+    run(Seq("python3", "tools/check.py", "--lint", TestSpark.sf,
+      json.toString))
+  }
+
+  test("every registered oracle passes the result-typing lint") {
+    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    // render sidecar paths for the spec sfDir: if the vector suites
+    // already ran in this JVM the sidecars exist and those oracles
+    // lint for real; on a fresh box they SKIP instead of failing
+    val (code, out) = lint(SparkEntry.oracleSqlFor(TestSpark.sf))
+    assert(code == 0, s"oracle typing lint failed:\n$out")
+  }
+
+  test("the lint reds an uncast SUM (HUGEINT result)") {
+    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    val (code, out) = lint(Map("bad_sum" ->
+      ("SELECT l_returnflag, SUM(l_quantity::BIGINT) AS s " +
+        "FROM lineitem GROUP BY 1")))
+    assert(code == 1, s"lint must fail a HUGEINT result column:\n$out")
+    assert(out.contains("LINT-FAIL bad_sum"), out)
+  }
+
+  test("lint mode SKIPs sidecar oracles whose inputs predate Verify") {
+    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    val (code, out) = lint(Map("fresh_sidecar" ->
+      "SELECT * FROM read_parquet('/tmp/graft_no_such_sidecar_xyz/*.parquet')"))
+    assert(code == 0, s"missing sidecar must SKIP in lint mode:\n$out")
+    assert(out.contains("SKIP fresh_sidecar"), out)
+  }
+}

@@ -43,10 +43,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"))
   }
 
-  test("kNN broadcasts the query side") {
+  test("kNN broadcasts the query side and ranks via bounded topk_by") {
     val p = plan(Vectors.knnBrute.run(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"))
+    // the rank step is the map-side bounded aggregate, never a
+    // per-query row_number window (single-task sort of n rows/query)
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+  }
+
+  test("IVF probe ranks via bounded topk_by, no per-query window sort") {
+    // the r6 scale-killer: IvfIndex.query ranked probe candidates
+    // with a row_number window — ~n*nprobe/k rows sorted in ONE task
+    // per query. The probe plan must carry the bounded aggregate and
+    // no Window at all.
+    val p = plan(Vectors.knnIvf.run(spark, sf))
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("ann_lsh ranks via bounded topk_by, no per-query window sort") {
+    val p = plan(Vectors.annLsh.run(spark, sf))
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
   }
 
   test("join strategy hints are honored") {

@@ -10,7 +10,11 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // operators whose result can legitimately be small/empty at tiny SF
-  private val mayBeEmpty = Set("dedup_embedding")
+  // (ann_lsh: 16-bit bands are a near-duplicate candidate generator
+  // and this synthetic corpus tops out at pair cos ~0.6 — see the
+  // regime note on Vectors.annLsh; VectorSpec gates the planted-dup
+  // recall instead)
+  private val mayBeEmpty = Set("dedup_embedding", "ann_lsh")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
