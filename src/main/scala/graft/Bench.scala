@@ -51,10 +51,10 @@ object Bench {
     val results = pass()
     val results2 = pass()
     // Compact on purpose: the driver keeps only the tail of the run
-    // output and sbt appends its own success line after ours, so the
-    // whole JSON line must fit well inside the last ~2 KB. 3-decimal
-    // seconds (ms resolution — below this box's run-to-run noise) and
-    // a numeric sf keep 80+ queries under that budget.
+    // output (~2 KB, minus sbt's own trailing success line), so every
+    // byte saved keeps one more per-query entry inside the kept tail.
+    // 3-decimal seconds for totals (ms resolution — below this box's
+    // run-to-run noise) and trimmed 2-decimal per-query times.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Per-query: 2 decimals with trailing zeros trimmed (10 ms is far
     // below this box's noise floor) — buys ~300 bytes of tail budget
@@ -68,10 +68,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val total2 = results2.map(_._2).sum
-    // run-2 detail only for the queries round 5 flagged as flap-prone
-    // (full second per-query map would blow the ~2 KB tail budget)
+    // run-2 detail only for the queries rounds 5-6 flagged as
+    // flap-prone (full second per-query map would blow the ~2 KB tail
+    // budget)
     val watched = Set("dedup_clusters", "dedup_simhash", "events_retention",
-      "dedup_minhash_lsh")
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf")
     val q2 = results2.filter(r => watched(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
@@ -82,7 +83,16 @@ object Bench {
       .map(_.group(1)).filter(g => scala.util.Try(g.toDouble).isSuccess &&
         !g.startsWith(".") && !g.endsWith("."))
       .getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},"q2":$q2,"queries":$qs,"sf":$sf}""")
+    // Two lines, redundant on purpose: the driver keeps only the
+    // output TAIL (~2 KB) and the 96-query map alone outgrows it —
+    // round 6's artifact lost both pair totals because they sat at
+    // the line HEAD (VERDICT r6 #3, "parsed": null). Line 1 carries
+    // the full per-query map with the totals LAST, so whatever
+    // survives truncation ends in the totals; line 2 is a compact
+    // totals-only record small enough to always land in the kept
+    // tail whole and parse.
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":$sf,"q2":$q2,"value2":${r3(total2)},"value":${r3(total)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},"q2":$q2,"sf":$sf}""")
     spark.stop()
   }
 }
