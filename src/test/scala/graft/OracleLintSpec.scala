@@ -41,6 +41,20 @@ class OracleLintSpec extends AnyFunSuite {
     assert(code == 0, s"oracle typing lint failed:\n$out")
   }
 
+  test("rendered oracles carry no unexpanded sidecar token") {
+    // the default map renders for sf0.01 and Verify renders for its
+    // own sfDir — a leftover __GRAFT_SFDIR__ literal in either means
+    // a sidecar oracle that can never bind
+    val token = graft.queries.Vectors.SfToken
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(!sql.contains(token), s"$name: unexpanded $token")
+    for ((name, sql) <- SparkEntry.oracleSqlFor("/root/testdata/sf0.1"))
+      assert(!sql.contains(token), s"$name: unexpanded $token")
+    // and the rendering really is per-dir
+    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.1")("knn_ivf")
+      .contains("_root_testdata_sf0_1"))
+  }
+
   test("the lint reds an uncast SUM (HUGEINT result)") {
     assume(duckdbAvailable, "python3+duckdb not available on this box")
     val (code, out) = lint(Map("bad_sum" ->

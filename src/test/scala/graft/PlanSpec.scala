@@ -62,6 +62,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("topk_by"), p.take(2000))
     assert(!p.contains("windowspecdefinition"), p.take(2000))
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    // "partition pruning does the probing": the cid-partitioned index
+    // scan must carry a dynamic-pruning partition filter from the
+    // broadcast probe side — without it the probe reads all k
+    // partitions and IVF degrades to a filtered full scan at 100 TB
+    assert(p.contains("dynamicpruning"), p.take(2000))
   }
 
   test("ann_lsh ranks via bounded topk_by, no per-query window sort") {
