@@ -595,7 +595,63 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** BPE tokenizer FIT (operators.BpeFit — Sennrich et al. 2016):
+    * learn the first 8 merge rules from the corpus. One distributed
+    * corpus pass (word counts, map-side combined), top-2000 vocab cap
+    * (bounded model state, the IvfIndex-sample philosophy), then 8
+    * bounded merge iterations whose only driver traffic is one argmax
+    * row each. The merge table IS the fitted tokenizer.
+    *
+    * ORACLE-CHECKED by full unrolled replay: every stage is
+    * engine-independent arithmetic — same tokenizer (parity-gated),
+    * same (freq desc, word) vocab cap, same delimited-string merge
+    * via plain `replace` (byte-identical left-to-right non-overlap
+    * semantics in Spark and DuckDB; see BpeFit's delimiter scheme),
+    * same (cnt desc, l, r) argmax tiebreak in binary string order. */
+  val bpeFit: Q = {
+    val merges = 8; val vocabCap = 2000
+    val stages = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+        |  SELECT p[1] l, p[2] r, SUM(freq)::BIGINT cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)),
+        |      i -> [a[i], a[i+1]])) p
+        |    FROM (SELECT freq, list_filter(string_split(s, '||'),
+        |      x -> x <> '') a FROM $prev))
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$i AS (
+        |  SELECT replace($prev.s, '|' || m.l || '||' || m.r || '|',
+        |    '|' || m.l || m.r || '|') s, freq
+        |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map(i =>
+      s"SELECT $i::BIGINT step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL\n")
+    Q(
+      "tokenizer_bpe_fit",
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |wf AS (
+        |  SELECT word, COUNT(*)::BIGINT freq FROM tok GROUP BY word
+        |  ORDER BY freq DESC, word LIMIT $vocabCap),
+        |w0 AS (
+        |  SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g')
+        |    || '</w>||' AS s, freq FROM wf),
+        |$stages
+        |SELECT * FROM (
+        |$union
+        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(vocabCap)
+      graft.operators.BpeFit.fit(s, words, merges)
+    }
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub, bigramLm, corpusStats)
+    freqSketch, piiScrub, bigramLm, corpusStats, bpeFit)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeFit
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("fitLocal reproduces the Sennrich corpus merges exactly") {
+    // the ACL-2016 worked example: low:5 lower:2 newest:6 widest:3.
+    // Pair counts put (e,s)/(s,t)/(t,</w>) in a 9-way tie — the
+    // (cnt desc, l asc, r asc) tiebreak picks (e,s), then the merged
+    // symbols cascade: es+t, est+</w>, then the l,o / lo,w chain.
+    val words = Array(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val merges = BpeFit.fitLocal(words, 6)
+    val got = merges.map(m => (m.left, m.right, m.cnt))
+    assert(got == Seq(
+      ("e", "s", 9L),
+      ("es", "t", 9L),
+      ("est", "</w>", 9L),
+      ("l", "o", 7L),
+      ("lo", "w", 7L),
+      ("e", "w", 6L)), got)
+  }
+
+  test("merge application is left-to-right non-overlapping") {
+    // 'aaaa' with pair (a,a): left-to-right gives aa|aa, never the
+    // overlapping a|aa|a — the same semantics as the oracle's
+    // delimited-string replace
+    val merges = BpeFit.fitLocal(Array(("aaaa", 1L)), 1)
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    assert(merges.head.cnt == 3L) // 3 adjacent occurrences counted
+    // after one (a,a) merge the word is aa aa </w> — an OVERLAPPING
+    // merge would have left a aa a </w> instead. Step 2's candidates
+    // are (aa,aa) and (aa,</w>) tied at 1; '<' sorts before 'a', so
+    // the (cnt desc, l, r) tiebreak picks (aa,</w>) — both symbols
+    // only exist if step 1 consumed non-overlapping runs
+    val two = BpeFit.fitLocal(Array(("aaaa", 1L)), 2)
+    assert((two(1).left, two(1).right) == ("aa", "</w>"), two)
+  }
+
+  test("max pair count is non-increasing across merge steps") {
+    // a merge can only create pairs whose occurrence count is bounded
+    // by the merged pair's — the argmax sequence must never rise
+    val rows = graft.queries.Text.bpeFit.run(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    val cnts = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      cnts.toSeq)
+    // merged symbol is the concatenation, and no symbol ever carries
+    // the delimiter character the oracle's encoding reserves
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(!r.getString(1).contains("|") && !r.getString(2).contains("|"))
+    }
+  }
+
+  test("fit is deterministic across runs") {
+    val a = graft.queries.Text.bpeFit.run(spark, sf).collect().map(_.toSeq)
+    val b = graft.queries.Text.bpeFit.run(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
