@@ -621,6 +621,114 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Substring-level exact dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): document pairs
+    * sharing an exact run of >= 16 consecutive tokens — the
+    * copy-paste/boilerplate regime n-gram Jaccard's whole-doc
+    * similarity misses (a 10-page doc quoting one paragraph of
+    * another has negligible Jaccard but is still a training-data
+    * leak).
+    *
+    * The suffix-array machinery of the paper is replaced by the
+    * distributed-friendly equivalent: rolling window fingerprints as
+    * the blocking structure. Shape at 100 TB:
+    *   - windows (doc, pos, fp) are ~1 row per corpus token, 24
+    *     bytes each — the scan-sized-but-narrow intermediate every
+    *     member of this family carries (cf. shingles);
+    *   - the df-filter keeps only fps seen in [2, 16] docs: unique
+    *     windows (almost all of them) die in the partial aggregate,
+    *     ultra-common boilerplate is capped (the stop-shingle
+    *     argument), so the pair join runs on rows proportional to
+    *     DUPLICATED content, not to n;
+    *   - hash-collision false pairs are removed by re-comparing the
+    *     actual token window (one deterministic example per pair:
+    *     min shared fp, min position per side) — the exact-verify
+    *     step the family's contract requires.
+    * Window fold = text_fingerprint's 40-bit polynomial (replayed
+    * in DuckDB list_reduce), so the whole path is oracle-checked. */
+  private val subW = 16
+  private val subMaxDf = 16
+
+  private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
+    val TW = 1099511627776L // 2^40, a*1000003+h stays under 2^63
+    val docsT = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("hs", transform(col("tk"),
+        t => conv(substring(md5(t), 1, 10), 16, 10).cast("long")))
+      .filter(size(col("hs")) >= subW)
+      .cache() // window explode + both verify slice sides
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, h) => (a * 1000003L + h) % TW)
+    val wf = docsT.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("hs")) - subW),
+        i => struct(i.as("pos"),
+          fold(slice(col("hs"), i + 1, lit(subW))).as("fp")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+      .cache() // df-filter + kept-window join
+    val keep = wf.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= subMaxDf).select(col("fp"))
+    val wk = wf.join(keep, "fp").cache() // pair join sides + positions
+    val dfp = wk.select(col("doc_id"), col("fp")).distinct()
+    val pairs = dfp.as("a")
+      .join(dfp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"),
+        min(col("a.fp")).as("minfp"))
+    val pp = wk.groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("pos")).as("mpos"))
+    val va = pp.select(col("doc_id").as("da"), col("fp").as("minfp"),
+      col("mpos").as("pa"))
+    val vb = pp.select(col("doc_id").as("db"), col("fp").as("minfp"),
+      col("mpos").as("pb"))
+    val ta = docsT.select(col("doc_id").as("da"), col("tk").as("tka"))
+    val tb = docsT.select(col("doc_id").as("db"), col("tk").as("tkb"))
+    pairs.join(va, Seq("da", "minfp")).join(vb, Seq("db", "minfp"))
+      .join(ta, "da").join(tb, "db")
+      .filter(slice(col("tka"), col("pa") + 1, lit(subW)) ===
+        slice(col("tkb"), col("pb") + 1, lit(subW)))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("n_shared"))
+  }
+
+  val substringDedup: Q = Q(
+    "dedup_substring",
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') tk,
+      |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) hs
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(hs) - ${subW - 1}),
+      |    i -> struct_pack(pos := i, fp := list_reduce(hs[i+1:i+$subW],
+      |      (a, h) -> (a * 1000003 + h) % 1099511627776)))) w
+      |  FROM t WHERE len(hs) >= $subW),
+      |wf AS (SELECT doc_id, w.pos AS pos, w.fp AS fp FROM win),
+      |keep AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, COUNT(DISTINCT doc_id) df FROM wf GROUP BY fp)
+      |  WHERE df BETWEEN 2 AND $subMaxDf),
+      |wk AS (SELECT wf.* FROM wf JOIN keep USING (fp)),
+      |dfp AS (SELECT DISTINCT doc_id, fp FROM wk),
+      |pairs AS (
+      |  SELECT a.doc_id da, b.doc_id db,
+      |    COUNT(DISTINCT a.fp)::BIGINT n_shared, MIN(a.fp) minfp
+      |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pp AS (SELECT doc_id, fp, MIN(pos) mpos FROM wk GROUP BY 1, 2)
+      |SELECT p.da AS doc_a, p.db AS doc_b, p.n_shared
+      |FROM pairs p
+      |JOIN pp a ON a.doc_id = p.da AND a.fp = p.minfp
+      |JOIN pp b ON b.doc_id = p.db AND b.fp = p.minfp
+      |JOIN t ta ON ta.doc_id = p.da
+      |JOIN t tb ON tb.doc_id = p.db
+      |WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    substringPairsOf(Tables.documents(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, sampleStratified, incremental)
+    decontaminate, sampleStratified, incremental, substringDedup)
 }

@@ -54,6 +54,49 @@ class DedupSpec extends AnyFunSuite {
       Set((0L, 1L)))
   }
 
+  test("dedup_substring finds planted copied runs, counts windows, ignores shorter runs") {
+    import spark.implicits._
+    // every doc gets its own unique filler vocabulary (dIxJ tokens);
+    // docs 1 and 2 embed one identical 16-token run (c0..c15) at
+    // DIFFERENT positions; docs 4 and 5 share a 20-token run (b0..b19
+    // → 5 sliding 16-windows); doc 3 carries only a 15-token prefix
+    // of doc 1's run — below the window width, must NOT pair
+    def filler(i: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(j => s"d${i}x$j")
+    val run16 = (0 until 16).map(j => s"c$j")
+    val run20 = (0 until 20).map(j => s"b$j")
+    val docs = Seq(
+      1L -> (filler(1, 5) ++ run16 ++ filler(1, 20, 5)),
+      2L -> (filler(2, 12) ++ run16 ++ filler(2, 8, 12)),
+      3L -> (filler(3, 6) ++ run16.take(15) ++ filler(3, 19, 6)),
+      4L -> (filler(4, 3) ++ run20 ++ filler(4, 17, 3)),
+      5L -> (filler(5, 9) ++ run20 ++ filler(5, 11, 9)),
+      6L -> filler(6, 40)
+    ).map { case (id, ts) => (id, ts.mkString(" ")) }
+    val got = Dedup.substringPairsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (4L, 5L)), got)
+    assert(got((1L, 2L)) == 1L, s"16-token run = exactly 1 window: $got")
+    assert(got((4L, 5L)) == 5L, s"20-token run = 5 sliding windows: $got")
+  }
+
+  test("dedup_substring pairs on the corpus genuinely share a 16-token run") {
+    // re-verify EVERY reported pair against the raw text (the query
+    // itself verifies one example window per pair)
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = Dedup.substringDedup.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (toks(r.getLong(0)), toks(r.getLong(1)))
+      val wins = a.sliding(16).toSet
+      assert(b.sliding(16).exists(wins.contains),
+        s"pair ${r.getLong(0)},${r.getLong(1)} shares no 16-token run")
+    }
+  }
+
   test("exact dedup marks no false duplicates on a corpus without any") {
     val d = Dedup.exact.run(spark, sf)
     assert(d.filter("is_dup").count() == 0)
