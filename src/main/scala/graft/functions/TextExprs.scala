@@ -119,11 +119,86 @@ case class AsciiTokenCount(child: Expression) extends UnaryExpression {
       newChild: Expression): AsciiTokenCount = copy(child = newChild)
 }
 
+/** All rolling w-element polynomial window hashes of an array<long>
+  * column in ONE compiled pass: out[i] = fold of hs[i..i+w-1] under
+  * a·1000003+h mod 2⁴⁰ — bit-identical to the per-window
+  * `aggregate(slice(hs, i+1, w), …)` HOF fold (and to the DuckDB
+  * oracle's list_reduce), but O(1) per window via the rolling
+  * recurrence h' = (h − hs[i]·B^(w−1))·B + hs[i+w] instead of O(w),
+  * with no per-window slice allocation and no interpreted lambda
+  * dispatch (the HOF form is CodegenFallback; measured ~5 s of
+  * dedup_substring's first cut at sf0.1). The modulus is 2⁴⁰, so
+  * `& MASK` is exact and intermediate wrap-around mod 2⁶⁴ is
+  * harmless (2⁴⁰ divides 2⁶⁴). Emits n−w+1 hashes; empty when the
+  * input is shorter than w. */
+case class PolyWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window width $w must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(org.apache.spark.sql.types.LongType, false) ||
+        child.dataType == ArrayType(org.apache.spark.sql.types.LongType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_window_hashes expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "poly_window_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    new GenericArrayData(PolyWindowHashes.roll(hs, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyWindowHashes.roll($c, $w));")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyWindowHashes = copy(child = newChild)
+}
+
+object PolyWindowHashes {
+  final val Base = 1000003L
+  final val Mask = (1L << 40) - 1 // mod 2^40: & is exact
+
+  /** shared by interpreted eval and generated code */
+  def roll(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): Array[Long] = {
+    val n = hs.numElements()
+    val m = n - w + 1
+    if (m <= 0) return Array.emptyLongArray
+    // B^(w-1) mod 2^40
+    var pw = 1L
+    var j = 0
+    while (j < w - 1) { pw = (pw * Base) & Mask; j += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    j = 0
+    while (j < w) { h = (h * Base + hs.getLong(j)) & Mask; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < m) {
+      h = ((h - hs.getLong(i - 1) * pw) * Base + hs.getLong(i + w - 1)) & Mask
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+}
+
 object TextExprs {
   /** tokens(c) — the codegen'd twin of
     * regexp_extract_all(lower(c), '[a-z0-9]+'). */
   def tokens(c: Column): Column =
     GraftBridge.column(AsciiTokens(GraftBridge.expression(c)))
+
+  /** All rolling w-window 40-bit polynomial hashes of an array<long>
+    * column (see PolyWindowHashes). */
+  def windowHashes(hs: Column, w: Int): Column =
+    GraftBridge.column(PolyWindowHashes(GraftBridge.expression(hs), w))
 
   /** Space-joined word n-grams from a MATERIALIZED token-array
     * attribute. The single definition of two measured pitfalls: `ts`

@@ -650,20 +650,20 @@ object Dedup {
   private val subMaxDf = 16
 
   private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
-    val TW = 1099511627776L // 2^40, a*1000003+h stays under 2^63
     val docsT = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("hs", transform(col("tk"),
         t => conv(substring(md5(t), 1, 10), 16, 10).cast("long")))
       .filter(size(col("hs")) >= subW)
       .cache() // window explode + both verify slice sides
-    def fold(arr: Column): Column =
-      aggregate(arr, lit(0L), (a, h) => (a * 1000003L + h) % TW)
-    val wf = docsT.select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("hs")) - subW),
-        i => struct(i.as("pos"),
-          fold(slice(col("hs"), i + 1, lit(subW))).as("fp")))).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+    // one compiled rolling pass per doc (functions.PolyWindowHashes):
+    // the per-window aggregate(slice(…)) HOF fold is CodegenFallback
+    // and allocated a slice per window — ~5 s of the first cut's
+    // 6.4 s at sf0.1; bit-identical values, so the oracle keeps the
+    // declarative list_reduce form
+    val wf = docsT.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.windowHashes(col("hs"), subW)))
+      .select(col("doc_id"), col("pos"), col("col").as("fp"))
       .cache() // df-filter + kept-window join
     val keep = wf.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))

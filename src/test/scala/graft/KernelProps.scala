@@ -127,9 +127,30 @@ object KernelProps extends Properties("kernels") {
     }
   }
 
+  property("rolling window hashes equal the direct per-window fold") =
+    Prop.forAll(
+      Gen.choose(1, 8),
+      Gen.listOf(Gen.choose(0L, (1L << 40) - 1))) { (w, hsList) =>
+      // PolyWindowHashes' O(1) rolling recurrence must be bit-equal
+      // to the O(w) left fold the HOF form / DuckDB list_reduce
+      // compute — for every window, any width, any 40-bit inputs
+      val hs = hsList.toArray
+      val B = graft.functions.PolyWindowHashes.Base
+      val M = (1L << 40)
+      val direct = (0 to hs.length - w).map { i =>
+        hs.slice(i, i + w).foldLeft(0L)((a, h) => (a * B + h) % M)
+      }
+      val rolled = graft.functions.PolyWindowHashes
+        .roll(new org.apache.spark.sql.catalyst.util.GenericArrayData(hs), w)
+      rolled.toSeq == direct
+    }
+
   property("pq codebooks have the promised uniform shape") =
     Prop.forAll(
-      Gen.choose(2, 40),
+      // n >= k: fit REJECTS a sample smaller than the codebook size
+      // since round 7 (VectorSpec pins the reject); the uniform
+      // fitted size adcScore's stride relies on is therefore k itself
+      Gen.choose(8, 40),
       Gen.choose(1, 4)) { (n, mPow) =>
       val m = 1 << mPow // 2, 4, 8, 16 subspaces of dim 16/m
       val d = 16
@@ -137,9 +158,8 @@ object KernelProps extends Properties("kernels") {
       val sample = Array.fill(n)(Array.fill(d)(rnd.nextDouble()))
       val k = 8
       val books = graft.operators.PqIndex.fit(sample, m, k)
-      val kk = math.min(k, n)
       books.length == m &&
-        books.forall(_.length == kk) &&
+        books.forall(_.length == k) &&
         books.forall(_.forall(_.length == d / m)) &&
         books.forall(_.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
     }
