@@ -184,6 +184,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("dedup_substring is equi-join only and windows stay compiled") {
+    val p = plan(graft.queries.Dedup.substringDedup.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the window fingerprints come from the compiled rolling pass,
+    // not the CodegenFallback per-window HOF fold
+    assert(p.contains("poly_window_hashes"), p.take(2000))
+  }
+
   test("text_bigram_lm and dedup_incremental stay equi-join only") {
     val p1 = plan(Text.bigramLm.run(spark, sf))
     assert(!p1.contains("BroadcastNestedLoopJoin"))
