@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.shuffle.partitions` sized to ~2-3x total cores and AQE
   * coalescing handling the rest; nothing in the engine assumes local
   * mode.
+  *
+  * Scan-side parallelism is file-layout-bound, not a session knob:
+  * `spark.sql.files.maxPartitionBytes` (default 128 MB) splits files
+  * only at parquet ROW-GROUP boundaries — a single-row-group file is
+  * one task no matter the setting. The local testdata tables are
+  * exactly that (one file, one row group), so cold first stages here
+  * serialize on one core; at 100 TB the input arrives as many
+  * multi-row-group files and the same plans scan wide. Writers on
+  * the sink side cap `parquet.block.size` so downstream scans stay
+  * splittable.
   */
 object GraftSession {
   def build(master: String, shufflePartitions: Int): SparkSession = {

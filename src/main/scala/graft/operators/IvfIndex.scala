@@ -34,6 +34,16 @@ import graft.functions.VectorExprs.dot
   * |             |      | ≥ k outright (enforced below) or centroids  |
   * |             |      | duplicate                                   |
   *
+  * Known representation bound: assignment/probing embed the k·dim
+  * centroid table as plan literals (centroidArray) — a pure
+  * projection, no shuffle, ideal up to k ~ 10³. Past that the
+  * expression tree itself becomes the bottleneck (codegen size), and
+  * assignment should switch to a broadcast-joined centroid DataFrame
+  * with a min_by aggregate — same arithmetic, one narrow shuffle.
+  * At the √n rule that crossover sits around n ~ 10⁶ vectors per
+  * index shard, which is also where a single coarse index would be
+  * sharded anyway.
+  *
   * Layout under `indexDir`:
   *   centroids/  (cid int, cv array<double>)           — one row per cluster
   *   vectors/    (vec_id, v, n2, partitioned by cid)   — partition pruning
