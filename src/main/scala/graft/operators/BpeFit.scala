@@ -45,6 +45,11 @@ object BpeFit {
   /** One fitted merge rule. */
   final case class Merge(step: Long, left: String, right: String, cnt: Long)
 
+  /** `||c1||c2||…||</w>||` initial symbol string for a word column —
+    * the delimited form the apply path chains `replace`s over. */
+  def delimited(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("||"), regexp_replace(word, "(.)", "$1||"), lit("</w>||"))
+
   /** In-process merge loop over a bounded (word, freq) vocabulary —
     * exposed for property tests. Words split into single-char symbols
     * plus a `</w>` end marker. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -608,9 +608,16 @@ object Text {
     * via plain `replace` (byte-identical left-to-right non-overlap
     * semantics in Spark and DuckDB; see BpeFit's delimiter scheme),
     * same (cnt desc, l, r) argmax tiebreak in binary string order. */
-  val bpeFit: Q = {
-    val merges = 8; val vocabCap = 2000
-    val stages = (1 to merges).map { i =>
+  private val bpeMerges = 8
+  private val bpeVocabCap = 2000
+
+  /** Shared oracle CTE chain for the BPE fit: per-doc tokens →
+    * (freq desc, word) capped vocabulary → delimited symbol strings →
+    * `bpeMerges` unrolled (pair-count, argmax, replace) stages. The
+    * fit query reads the m$i argmax CTEs; the apply query reuses them
+    * as its merge rules. */
+  private def bpeFitCtes: String = {
+    val stages = (1 to bpeMerges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (
         |  SELECT p[1] l, p[2] r, SUM(freq)::BIGINT cnt FROM (
@@ -625,33 +632,115 @@ object Text {
         |    '|' || m.l || m.r || '|') s, freq
         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map(i =>
+    s"""tokd AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |wf AS (
+      |  SELECT word, COUNT(*)::BIGINT freq FROM tokd GROUP BY word
+      |  ORDER BY freq DESC, word LIMIT $bpeVocabCap),
+      |w0 AS (
+      |  SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') ||
+      |    '</w>||' AS s, freq FROM wf),
+      |$stages""".stripMargin
+    // NOTE: this text is interpolated into SQL strings that call
+    // .stripMargin AGAIN — no line above may START with '||' (the
+    // second strip would eat one pipe and turn concat into bitwise-or)
+  }
+
+  private def bpeCappedWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(bpeVocabCap)
+
+  val bpeFit: Q = {
+    val union = (1 to bpeMerges).map(i =>
       s"SELECT $i::BIGINT step, l AS left_sym, r AS right_sym, " +
         s"l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL\n")
     Q(
       "tokenizer_bpe_fit",
-      s"""WITH tok AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-        |  FROM documents),
-        |wf AS (
-        |  SELECT word, COUNT(*)::BIGINT freq FROM tok GROUP BY word
-        |  ORDER BY freq DESC, word LIMIT $vocabCap),
-        |w0 AS (
-        |  SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g')
-        |    || '</w>||' AS s, freq FROM wf),
-        |$stages
+      s"""WITH $bpeFitCtes
         |SELECT * FROM (
         |$union
         |) ORDER BY step""".stripMargin) { (s, dir) =>
-      val words = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("word")).limit(vocabCap)
-      graft.operators.BpeFit.fit(s, words, merges)
+      graft.operators.BpeFit.fit(s, bpeCappedWords(s, dir), bpeMerges)
+    }
+  }
+
+  /** Apply the fitted BPE tokenizer to the WHOLE corpus — the
+    * distributed half of the fit/apply pair, and the shape that
+    * matters at 100 TB: the merge rules are `bpeMerges` collected
+    * rows (bounded model, exactly the fit's output), segmentation is
+    * computed once per DISTINCT word (the dictionary-encode trick —
+    * corpus token occurrences join the small word→n_sub table instead
+    * of re-segmenting every occurrence), and the merge application is
+    * a chain of codegen'd string `replace`s, no UDF. Output per doc:
+    * word count, BPE-symbol count, and their ratio — the
+    * tokens-per-word compression a tokenizer report cares about. A
+    * bare unmerged `</w>` counts as its own symbol (defined metric,
+    * same on both engines).
+    *
+    * ORACLE-CHECKED: reuses the fit's unrolled m$i CTEs as the merge
+    * rules and replays segmentation with the same delimited-string
+    * replaces over the distinct-word table. */
+  val bpeApply: Q = {
+    val applyStages = (1 to bpeMerges).map { i =>
+      s"""a$i AS (
+        |  SELECT word, replace(a${i - 1}.s, '|' || m.l || '||' || m.r || '|',
+        |    '|' || m.l || m.r || '|') s
+        |  FROM a${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "tokenizer_bpe_apply",
+      s"""WITH $bpeFitCtes,
+        |aw AS (SELECT DISTINCT word FROM tokd),
+        |a0 AS (
+        |  SELECT word, '||' || regexp_replace(word, '(.)', '\\1||', 'g') ||
+        |    '</w>||' AS s FROM aw),
+        |$applyStages,
+        |wn AS (
+        |  SELECT word, len(list_filter(string_split(s, '||'),
+        |    x -> x <> ''))::BIGINT n_sub
+        |  FROM a$bpeMerges),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT n_words, SUM(n_sub)::BIGINT n_bpe
+        |  FROM tokd JOIN wn USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_bpe, 0) AS n_bpe,
+        |  CASE WHEN n_words > 0
+        |    THEN FLOOR(n_bpe / n_words * 10000 + 0.5) / 10000 END AS bpe_ratio
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mergeRows = graft.operators.BpeFit
+        .fit(s, bpeCappedWords(s, dir), bpeMerges).collect()
+      val tokd = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      val segmented = mergeRows.sortBy(_.getLong(0))
+        .foldLeft(graft.operators.BpeFit.delimited(col("word"))) { (c, m) =>
+          val (l, r) = (m.getString(1), m.getString(2))
+          call_function("replace", c,
+            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
+        }
+      val wn = tokd.select(col("word")).distinct()
+        .select(col("word"), size(filter(split(segmented, "\\|\\|"),
+          x => x =!= "")).cast("long").as("n_sub"))
+      val agg = tokd.join(wn, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
+          when(col("n_words") > 0, r4(col("n_bpe") / col("n_words")))
+            .as("bpe_ratio"))
+        .orderBy(col("doc_id"))
     }
   }
 
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub, bigramLm, corpusStats, bpeFit)
+    freqSketch, piiScrub, bigramLm, corpusStats, bpeFit, bpeApply)
 }

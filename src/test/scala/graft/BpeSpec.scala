@@ -59,6 +59,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_apply covers every doc with sane segment counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Text.bpeApply.run(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (nw, nb) = (r.getLong(1), r.getLong(2))
+      // every word is >= 1 symbol after merges, and merges only
+      // shrink the chars+1-per-word initial segmentation
+      assert(nb >= nw, r.toString)
+      assert(nb <= docs(r.getLong(0)) + nw, r.toString)
+      if (nw > 0) assert(r.getDouble(3) >= 1.0, r.toString)
+    }
+  }
+
   test("fit is deterministic across runs") {
     val a = graft.queries.Text.bpeFit.run(spark, sf).collect().map(_.toSeq)
     val b = graft.queries.Text.bpeFit.run(spark, sf).collect().map(_.toSeq)
