@@ -649,7 +649,9 @@ object Dedup {
   private val subW = 16
   private val subMaxDf = 16
 
-  private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
+  /** (tokenized docs, kept windows) — the shared front half of the
+    * substring family. */
+  private def substringKeptWindows(docs: DataFrame): (DataFrame, DataFrame) = {
     val docsT = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("hs", transform(col("tk"),
@@ -668,14 +670,14 @@ object Dedup {
     val keep = wf.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= subMaxDf).select(col("fp"))
-    val wk = wf.join(keep, "fp").cache() // pair join sides + positions
-    val dfp = wk.select(col("doc_id"), col("fp")).distinct()
-    val pairs = dfp.as("a")
-      .join(dfp.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(countDistinct(col("a.fp")).as("n_shared"),
-        min(col("a.fp")).as("minfp"))
+    (docsT, wf.join(keep, "fp").cache()) // pair join sides + positions
+  }
+
+  /** Hash-collision guard shared by the substring family: one
+    * deterministic example window per pair (min shared fp, min
+    * position each side) re-compared against the raw tokens. */
+  private def substringVerify(pairs: DataFrame, wk: DataFrame,
+      docsT: DataFrame): DataFrame = {
     val pp = wk.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("mpos"))
     val va = pp.select(col("doc_id").as("da"), col("fp").as("minfp"),
@@ -691,8 +693,24 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("n_shared"))
   }
 
-  val substringDedup: Q = Q(
-    "dedup_substring",
+  private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
+    val (docsT, wk) = substringKeptWindows(docs)
+    val dfp = wk.select(col("doc_id"), col("fp")).distinct()
+    val pairs = dfp.as("a")
+      .join(dfp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"),
+        min(col("a.fp")).as("minfp"))
+    substringVerify(pairs, wk, docsT)
+  }
+
+  /** Shared oracle for the substring family: the full window → df →
+    * pair → verify chain, with an optional extra predicate on the
+    * final pair set (the incremental variant restricts to
+    * batch-involved pairs; same global df stats, so equality with
+    * the full recompute is by construction). */
+  private def substringOracle(extraPred: String): String =
     s"""WITH t AS (
       |  SELECT doc_id,
       |    regexp_extract_all(lower(text), '[a-z0-9]+') tk,
@@ -723,12 +741,45 @@ object Dedup {
       |JOIN pp b ON b.doc_id = p.db AND b.fp = p.minfp
       |JOIN t ta ON ta.doc_id = p.da
       |JOIN t tb ON tb.doc_id = p.db
-      |WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    substringPairsOf(Tables.documents(s, dir))
-      .orderBy(col("doc_a"), col("doc_b"))
+      |WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]$extraPred
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val substringDedup: Q = Q("dedup_substring", substringOracle("")) {
+    (s, dir) =>
+      substringPairsOf(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental substring dedup — the daily-ingest twin of
+    * dedup_substring, mirroring dedup_incremental's shape: the new
+    * batch (doc_id % 5 == 4, the same split) DRIVES the window join,
+    * so per ingest the work is O(batch windows × bucket occupancy),
+    * never a corpus self-join. At scale the index side's kept-window
+    * table and df stats are MAINTAINED lake state (written at index
+    * build, appended per batch — the IvfIndex.append pattern); here
+    * both derive from the one documents table so the oracle can
+    * replay the whole path. Output = the full recompute restricted
+    * to batch-involved pairs (DedupSpec asserts the equality). */
+  val substringIncremental: Q = Q(
+    "dedup_substring_incremental",
+    substringOracle("\n  AND (p.da % 5 = 4 OR p.db % 5 = 4)")) { (s, dir) =>
+    val (docsT, wk) = substringKeptWindows(Tables.documents(s, dir))
+    val bwk = wk.filter(col("doc_id") % 5 === 4)
+    // batch-vs-corpus equi-join on fp: batch-batch pairs land twice
+    // (both orientations) and self-pairs are dropped; the (da,db,fp)
+    // distinct collapses orientation dupes before counting
+    val cand = bwk.select(col("doc_id").as("xa"), col("fp"))
+      .join(wk.select(col("doc_id").as("xb"), col("fp")), Seq("fp"))
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("fp"))
+      .distinct()
+    val pairs = cand.groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"), min(col("fp")).as("minfp"))
+    substringVerify(pairs, wk, docsT).orderBy(col("doc_a"), col("doc_b"))
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, sampleStratified, incremental, substringDedup)
+    decontaminate, sampleStratified, incremental, substringDedup,
+    substringIncremental)
 }

@@ -97,6 +97,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental substring dedup equals the full recompute on batch-involved pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+    val full = Dedup.substringDedup.run(spark, sf).collect().map(key)
+      .filter { case ((a, b), _) => a % 5 == 4 || b % 5 == 4 }.toMap
+    val inc = Dedup.substringIncremental.run(spark, sf).collect()
+      .map(key).toMap
+    assert(inc == full,
+      s"missing=${full.keySet -- inc.keySet} extra=${inc.keySet -- full.keySet}")
+    assert(inc.nonEmpty, "no batch-involved substring pairs at this sf")
+  }
+
   test("exact dedup marks no false duplicates on a corpus without any") {
     val d = Dedup.exact.run(spark, sf)
     assert(d.filter("is_dup").count() == 0)
