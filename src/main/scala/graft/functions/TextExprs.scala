@@ -121,19 +121,24 @@ case class AsciiTokenCount(child: Expression) extends UnaryExpression {
 
 /** All rolling w-element polynomial window hashes of an array<long>
   * column in ONE compiled pass: out[i] = fold of hs[i..i+w-1] under
-  * a·1000003+h mod 2⁴⁰ — bit-identical to the per-window
+  * a·1000003+h mod 2^modBits — bit-identical to the per-window
   * `aggregate(slice(hs, i+1, w), …)` HOF fold (and to the DuckDB
   * oracle's list_reduce), but O(1) per window via the rolling
   * recurrence h' = (h − hs[i]·B^(w−1))·B + hs[i+w] instead of O(w),
   * with no per-window slice allocation and no interpreted lambda
   * dispatch (the HOF form is CodegenFallback; measured ~5 s of
-  * dedup_substring's first cut at sf0.1). The modulus is 2⁴⁰, so
-  * `& MASK` is exact and intermediate wrap-around mod 2⁶⁴ is
-  * harmless (2⁴⁰ divides 2⁶⁴). Emits n−w+1 hashes; empty when the
-  * input is shorter than w. */
-case class PolyWindowHashes(child: Expression, w: Int)
+  * dedup_substring's first cut at sf0.1). The modulus is a power of
+  * two, so `& mask` is exact and intermediate wrap-around mod 2⁶⁴ is
+  * harmless (2^modBits divides 2⁶⁴). Emits n−w+1 hashes; empty when
+  * the input is shorter than w. Null elements are REJECTED loudly
+  * (an ArrayData null slot reads back as 0, which would silently
+  * diverge from the null-propagating HOF fold this claims
+  * bit-identity with); producers feed non-null digest arrays. */
+case class PolyWindowHashes(child: Expression, w: Int, modBits: Int)
     extends UnaryExpression {
   require(w >= 1, s"window width $w must be >= 1")
+  require(modBits >= 1 && modBits <= 62,
+    s"modBits $modBits outside [1, 62]")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == ArrayType(org.apache.spark.sql.types.LongType, false) ||
@@ -148,13 +153,13 @@ case class PolyWindowHashes(child: Expression, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    new GenericArrayData(PolyWindowHashes.roll(hs, w))
+    new GenericArrayData(PolyWindowHashes.roll(hs, w, modBits))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.PolyWindowHashes.roll($c, $w));")
+        s"graft.functions.PolyWindowHashes.roll($c, $w, $modBits));")
 
   override protected def withNewChildInternal(
       newChild: Expression): PolyWindowHashes = copy(child = newChild)
@@ -162,26 +167,33 @@ case class PolyWindowHashes(child: Expression, w: Int)
 
 object PolyWindowHashes {
   final val Base = 1000003L
-  final val Mask = (1L << 40) - 1 // mod 2^40: & is exact
 
   /** shared by interpreted eval and generated code */
   def roll(hs: org.apache.spark.sql.catalyst.util.ArrayData,
-      w: Int): Array[Long] = {
+      w: Int, modBits: Int): Array[Long] = {
+    val mask = (1L << modBits) - 1
     val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      if (hs.isNullAt(j)) throw new IllegalArgumentException(
+        s"poly_window_hashes: null element at index $j — window hashes " +
+          "over nullable data are undefined; filter or coalesce first")
+      j += 1
+    }
     val m = n - w + 1
     if (m <= 0) return Array.emptyLongArray
-    // B^(w-1) mod 2^40
+    // B^(w-1) mod 2^modBits
     var pw = 1L
-    var j = 0
-    while (j < w - 1) { pw = (pw * Base) & Mask; j += 1 }
+    j = 0
+    while (j < w - 1) { pw = (pw * Base) & mask; j += 1 }
     val out = new Array[Long](m)
     var h = 0L
     j = 0
-    while (j < w) { h = (h * Base + hs.getLong(j)) & Mask; j += 1 }
+    while (j < w) { h = (h * Base + hs.getLong(j)) & mask; j += 1 }
     out(0) = h
     var i = 1
     while (i < m) {
-      h = ((h - hs.getLong(i - 1) * pw) * Base + hs.getLong(i + w - 1)) & Mask
+      h = ((h - hs.getLong(i - 1) * pw) * Base + hs.getLong(i + w - 1)) & mask
       out(i) = h
       i += 1
     }
@@ -195,10 +207,11 @@ object TextExprs {
   def tokens(c: Column): Column =
     GraftBridge.column(AsciiTokens(GraftBridge.expression(c)))
 
-  /** All rolling w-window 40-bit polynomial hashes of an array<long>
-    * column (see PolyWindowHashes). */
-  def windowHashes(hs: Column, w: Int): Column =
-    GraftBridge.column(PolyWindowHashes(GraftBridge.expression(hs), w))
+  /** All rolling w-window 2^modBits polynomial hashes of an
+    * array<long> column (see PolyWindowHashes). */
+  def windowHashes(hs: Column, w: Int, modBits: Int): Column =
+    GraftBridge.column(
+      PolyWindowHashes(GraftBridge.expression(hs), w, modBits))
 
   /** Space-joined word n-grams from a MATERIALIZED token-array
     * attribute. The single definition of two measured pitfalls: `ts`

@@ -120,4 +120,23 @@ object TopK {
     GraftBridge.column(
       TopKAgg(GraftBridge.expression(score), GraftBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** The ONE rank-unpack every ANN path shares: per-`key` bounded
+    * top-k of (`score`, `id`), exploded to (key, rank, idName,
+    * scoreName) with rank 1-based and the score rounded to 4dp —
+    * ordering is score desc, id asc; NaN scores are dropped by
+    * TopKAgg (callers' oracles pin that with NOT isnan). Changing the
+    * rank contract here changes knn_brute, knn_ivf, and ann_lsh
+    * together instead of silently diverging. */
+  def ranked(df: org.apache.spark.sql.DataFrame, key: String,
+      score: Column, id: Column, k: Int,
+      idName: String, scoreName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(key))
+      .agg(topkBy(score, id, k).as("top"))
+      .select(col(key), posexplode(col("top")))
+      .select(col(key), (col("pos") + 1).as("rank"),
+        col("col")("id").as(idName),
+        round(col("col")("score"), 4).as(scoreName))
+  }
 }

@@ -190,15 +190,12 @@ object IvfIndex {
     val vectors = spark.read.parquet(s"$indexDir/vectors")
       .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
         col("n2").as("nc"), col("cid"))
-    broadcast(probes).join(vectors, Seq("cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), topK)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col")("id").as("neighbor_id"),
-        round(col("col")("score"), 4).as("cos_sim"))
+    graft.functions.TopK.ranked(
+      broadcast(probes).join(vectors, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))),
+      "query_id", col("cos"), col("neighbor_id"), topK,
+      "neighbor_id", "cos_sim")
   }
 }

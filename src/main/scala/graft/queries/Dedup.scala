@@ -644,10 +644,19 @@ object Dedup {
     *     actual token window (one deterministic example per pair:
     *     min shared fp, min position per side) — the exact-verify
     *     step the family's contract requires.
-    * Window fold = text_fingerprint's 40-bit polynomial (replayed
-    * in DuckDB list_reduce), so the whole path is oracle-checked. */
+    * Window fold = text_fingerprint's polynomial, widened to 60
+    * bits: at 100 TB (~10¹³ windows) a 40-bit space would average ~9
+    * colliding docs per fp and defeat the df-filter outright, while
+    * 2⁶⁰ keeps expected collisions per fp at ~10⁻⁵ so candidates stay
+    * ∝ duplicated content. 60 is the BIGINT-safe ceiling for the
+    * oracle replay (token hashes < 2⁶⁰ fit DuckDB's int64; the fold
+    * accumulates in HUGEINT before the mod); the Spark side's
+    * power-of-two mask recurrence is exact at any width ≤ 62
+    * (functions.PolyWindowHashes). */
   private val subW = 16
   private val subMaxDf = 16
+  private val subModBits = 60
+  private val subMod = 1L << subModBits // 1152921504606846976
 
   /** (tokenized docs, kept windows) — the shared front half of the
     * substring family. */
@@ -655,7 +664,7 @@ object Dedup {
     val docsT = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("hs", transform(col("tk"),
-        t => conv(substring(md5(t), 1, 10), 16, 10).cast("long")))
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .filter(size(col("hs")) >= subW)
       .cache() // window explode + both verify slice sides
     // one compiled rolling pass per doc (functions.PolyWindowHashes):
@@ -664,7 +673,8 @@ object Dedup {
     // 6.4 s at sf0.1; bit-identical values, so the oracle keeps the
     // declarative list_reduce form
     val wf = docsT.select(col("doc_id"),
-        posexplode(graft.functions.TextExprs.windowHashes(col("hs"), subW)))
+        posexplode(graft.functions.TextExprs
+          .windowHashes(col("hs"), subW, subModBits)))
       .select(col("doc_id"), col("pos"), col("col").as("fp"))
       .cache() // df-filter + kept-window join
     val keep = wf.groupBy(col("fp"))
@@ -715,12 +725,13 @@ object Dedup {
       |  SELECT doc_id,
       |    regexp_extract_all(lower(text), '[a-z0-9]+') tk,
       |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-      |      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) hs
+      |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) hs
       |  FROM documents),
       |win AS (
       |  SELECT doc_id, unnest(list_transform(range(0, len(hs) - ${subW - 1}),
-      |    i -> struct_pack(pos := i, fp := list_reduce(hs[i+1:i+$subW],
-      |      (a, h) -> (a * 1000003 + h) % 1099511627776)))) w
+      |    i -> struct_pack(pos := i, fp := (list_reduce(
+      |      list_transform(hs[i+1:i+$subW], x -> x::HUGEINT),
+      |      (a, h) -> (a * 1000003 + h) % $subMod))::BIGINT))) w
       |  FROM t WHERE len(hs) >= $subW),
       |wf AS (SELECT doc_id, w.pos AS pos, w.fp AS fp FROM win),
       |keep AS (

@@ -685,11 +685,18 @@ object Text {
     * rules and replays segmentation with the same delimited-string
     * replaces over the distinct-word table. */
   val bpeApply: Q = {
+    // LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus exhausts
+    // before bpeMerges merges (m$i empty — fitLocal returns fewer
+    // rows and the Spark side applies only those), a cross join
+    // would empty the whole chain and zero every doc's counts; the
+    // left join passes the segmentation through unmerged instead,
+    // matching the Spark side's shorter merge fold
     val applyStages = (1 to bpeMerges).map { i =>
       s"""a$i AS (
-        |  SELECT word, replace(a${i - 1}.s, '|' || m.l || '||' || m.r || '|',
-        |    '|' || m.l || m.r || '|') s
-        |  FROM a${i - 1} CROSS JOIN m$i m)""".stripMargin
+        |  SELECT word, CASE WHEN m.l IS NULL THEN a${i - 1}.s
+        |    ELSE replace(a${i - 1}.s, '|' || m.l || '||' || m.r || '|',
+        |      '|' || m.l || m.r || '|') END s
+        |  FROM a${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
     Q(
       "tokenizer_bpe_apply",

@@ -131,15 +131,12 @@ object Vectors {
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
       col("n2").as("nc"))
-    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), 5)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col")("id").as("neighbor_id"),
-        round(col("col")("score"), 4).as("cos_sim"))
+    graft.functions.TopK.ranked(
+      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))),
+      "query_id", col("cos"), col("neighbor_id"), 5,
+      "neighbor_id", "cos_sim")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -283,16 +280,13 @@ object Vectors {
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
       col("n2").as("nc"))
-    cand.join(cv, "neighbor_id")
-      .join(broadcast(qv), "query_id")
-      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topkBy(col("cos"), col("neighbor_id"), 5)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col")("id").as("neighbor_id"),
-        round(col("col")("score"), 4).as("cos_sim"))
+    graft.functions.TopK.ranked(
+      cand.join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos",
+          dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))),
+      "query_id", col("cos"), col("neighbor_id"), 5,
+      "neighbor_id", "cos_sim")
       .orderBy(col("query_id"), col("rank"))
     }
   }

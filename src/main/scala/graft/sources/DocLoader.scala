@@ -59,10 +59,14 @@ object DocLoader {
     val p = new org.apache.hadoop.fs.Path(s"$dir/*")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listed = fs.globStatus(p) // null or empty when nothing matches
+    // mirror Spark's own listing rules: only plain FILES count, and
+    // '_'/'.'-prefixed names are metadata Spark filters out — a match
+    // the reader would ignore must not open a zero-file pass
     listed != null && listed.exists { s =>
       val n = s.getPath.getName
       val i = n.lastIndexOf('.')
-      i >= 0 && exts.contains(n.substring(i + 1).toLowerCase)
+      s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        i >= 0 && exts.contains(n.substring(i + 1).toLowerCase)
     }
   }
 

@@ -130,18 +130,24 @@ object KernelProps extends Properties("kernels") {
   property("rolling window hashes equal the direct per-window fold") =
     Prop.forAll(
       Gen.choose(1, 8),
-      Gen.listOf(Gen.choose(0L, (1L << 40) - 1))) { (w, hsList) =>
+      Gen.oneOf(40, 60), // text_fingerprint's width and the substring family's
+      Gen.listOf(Gen.choose(0L, (1L << 60) - 1))) { (w, modBits, hsList) =>
       // PolyWindowHashes' O(1) rolling recurrence must be bit-equal
       // to the O(w) left fold the HOF form / DuckDB list_reduce
-      // compute — for every window, any width, any 40-bit inputs
-      val hs = hsList.toArray
-      val B = graft.functions.PolyWindowHashes.Base
-      val M = (1L << 40)
+      // compute — for every window, any width, any in-range inputs.
+      // The reference fold runs in BigInt: at 60-bit inputs the
+      // direct a*B+h overflows a Long, which is exactly the wrap the
+      // rolling mask has to be immune to
+      val hs = hsList.map(_ & ((1L << modBits) - 1)).toArray
+      val B = BigInt(graft.functions.PolyWindowHashes.Base)
+      val M = BigInt(1) << modBits
       val direct = (0 to hs.length - w).map { i =>
-        hs.slice(i, i + w).foldLeft(0L)((a, h) => (a * B + h) % M)
+        hs.slice(i, i + w)
+          .foldLeft(BigInt(0))((a, h) => (a * B + h) % M).toLong
       }
-      val rolled = graft.functions.PolyWindowHashes
-        .roll(new org.apache.spark.sql.catalyst.util.GenericArrayData(hs), w)
+      val rolled = graft.functions.PolyWindowHashes.roll(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs),
+        w, modBits)
       rolled.toSeq == direct
     }
 

@@ -64,6 +64,17 @@ class OracleLintSpec extends AnyFunSuite {
     assert(out.contains("LINT-FAIL bad_sum"), out)
   }
 
+  test("lint mode still FAILS a typo'd table name (catalog errors are not file errors)") {
+    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    // the SKIP branch matches file-IO messages only: a DuckDB catalog
+    // error ('Table ... does not exist') must stay a LINT-FAIL or a
+    // broken oracle sails through the sbt gate to the driver round
+    val (code, out) = lint(Map("typo_table" ->
+      "SELECT * FROM documnets"))
+    assert(code == 1, s"catalog error must LINT-FAIL in lint mode:\n$out")
+    assert(out.contains("LINT-FAIL typo_table"), out)
+  }
+
   test("lint mode SKIPs sidecar oracles whose inputs predate Verify") {
     assume(duckdbAvailable, "python3+duckdb not available on this box")
     val (code, out) = lint(Map("fresh_sidecar" ->

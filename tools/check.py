@@ -53,8 +53,11 @@ def lint_types(con, oracle, lint_only=False):
             bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
                    if not _TYPE_OK.match(str(t))]
         except Exception as e:
+            # file-IO messages ONLY: a broad match (e.g. 'does not
+            # exist') would also swallow catalog errors for typo'd
+            # table names — exactly what the lint must catch
             if lint_only and re.search(
-                    r"No files found|file or directory|does not exist",
+                    r"No files found|No such file or directory",
                     str(e), re.IGNORECASE):
                 print(f"SKIP {name}: sidecar input missing pre-Verify ({e})")
                 continue
