@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, PolyWindowHashes, SimHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -19,6 +19,7 @@ import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, SimHash
   *   SELECT topk_by(score, id, 10)              -- bounded top-k agg
   *   SELECT graft_tokens(text)                  -- one-pass tokenizer
   *   SELECT gramian(vec, 64)                    -- [n|Σx|ΣxxT] moment agg
+  *   SELECT poly_window_hashes(hs, 16, 60)      -- rolling window hashes
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -61,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         GramianAgg(args(0), litInt(args(1), "gramian"))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("poly_window_hashes"),
+      new ExpressionInfo(classOf[PolyWindowHashes].getName,
+        "poly_window_hashes"),
+      (args: Seq[Expression]) =>
+        PolyWindowHashes(args(0), litInt(args(1), "poly_window_hashes"),
+          litInt(args(2), "poly_window_hashes"))))
     // size(graft_tokens(x)) → ascii_token_count(x): fused single-pass
     // token counting for every session query, SQL included
     ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)

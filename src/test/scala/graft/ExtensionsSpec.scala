@@ -8,6 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("poly_window_hashes from SQL matches the per-window fold") {
+    val r = spark.sql(
+      "SELECT poly_window_hashes(array(7L, 11L, 13L, 17L), 2, 40) AS h")
+      .collect().head.getSeq[Long](0)
+    val B = graft.functions.PolyWindowHashes.Base
+    val M = 1L << 40
+    assert(r == Seq(7L, 11L, 13L).zip(Seq(11L, 13L, 17L))
+      .map { case (a, b) => ((a * B) % M + b) % M })
+  }
+
   test("graft_dot from SQL") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
