@@ -34,15 +34,15 @@ import graft.functions.VectorExprs.dot
   * |             |      | ≥ k outright (enforced below) or centroids  |
   * |             |      | duplicate                                   |
   *
-  * Known representation bound: assignment/probing embed the k·dim
-  * centroid table as plan literals (centroidArray) — a pure
-  * projection, no shuffle, ideal up to k ~ 10³. Past that the
-  * expression tree itself becomes the bottleneck (codegen size), and
-  * assignment should switch to a broadcast-joined centroid DataFrame
-  * with a min_by aggregate — same arithmetic, one narrow shuffle.
-  * At the √n rule that crossover sits around n ~ 10⁶ vectors per
-  * index shard, which is also where a single coarse index would be
-  * sharded anyway.
+  * Representation switch: up to LiteralCentroidMax clusters the
+  * k·dim centroid table rides the expression tree as plan literals
+  * (a pure projection, no shuffle); past that, the expression tree
+  * itself would become the bottleneck (codegen size), so assignment
+  * and probe selection switch to a broadcast-joined centroid frame
+  * with a struct-min / TopKAgg aggregate — same arithmetic, same
+  * (d, cid) tiebreak, one narrow shuffle (VectorSpec asserts both
+  * paths agree bit-for-bit). At the √n rule the crossover sits
+  * around n ~ 10⁵-10⁶ vectors per index shard.
   *
   * Layout under `indexDir`:
   *   centroids/  (cid int, cv array<double>)           — one row per cluster
@@ -113,13 +113,78 @@ object IvfIndex {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
 
-  /** Nearest-centroid assignment of (vec_id, v, n2) rows. */
+  /** Past this k the centroid table stops being plan literals: the
+    * expression tree (k·dim literal nodes) would dominate codegen
+    * compile time, so assignment/probing switch to the broadcast-join
+    * plan — same arithmetic, same (d, cid) tiebreak, one narrow
+    * aggregate instead of a k-wide projection. */
+  private[operators] val LiteralCentroidMax = 256
+
+  /** Nearest-centroid assignment of (vec_id, v, n2) rows; dispatches
+    * on k (see LiteralCentroidMax). */
   private def assignTo(centers: Array[Array[Double]],
+      emb: DataFrame): DataFrame =
+    if (centers.length <= LiteralCentroidMax) assignLiteral(centers, emb)
+    else assignJoin(centers, emb)
+
+  /** k centroids inlined as plan literals — a pure projection, no
+    * shuffle, ideal for coarse quantizers. */
+  private[graft] def assignLiteral(centers: Array[Array[Double]],
       emb: DataFrame): DataFrame = {
     val centArr = centroidArray(centers)
     emb.withColumn("cid",
       array_min(transform(centArr,
         c => struct(dist2(col("v"), c("cv")).as("d"), c("cid").as("cid"))))("cid"))
+  }
+
+  /** The nprobe nearest centroids per query, exploded to one row per
+    * (query, cid). Literal path: k-literal transform + array_sort.
+    * Join path (k > LiteralCentroidMax): broadcast centroid frame +
+    * the bounded TopKAgg on negated distance — same (d, cid) order,
+    * no k-wide expression tree. */
+  private[graft] def probeSelection(centers: Array[Array[Double]],
+      queries: DataFrame, nprobe: Int, useJoin: Boolean): DataFrame =
+    if (!useJoin) {
+      val centArr = centroidArray(centers)
+      queries
+        .withColumn("cd", transform(centArr,
+          c => struct(dist2(col("vq"), c("cv")).as("d"), c("cid").as("cid"))))
+        .withColumn("cid", explode(transform(
+          slice(array_sort(col("cd")), 1, nprobe), p => p("cid"))))
+        .drop("cd")
+    } else {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val cdf = centers.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ccid", "cv")
+      val sel = queries.select(col("query_id"), col("vq"))
+        .crossJoin(broadcast(cdf))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopK.topkBy(-dist2(col("vq"), col("cv")),
+          col("ccid").cast("long"), nprobe).as("top"))
+        .select(col("query_id"), explode(col("top")("id")).as("lcid"))
+        .select(col("query_id"), col("lcid").cast("int").as("cid"))
+      queries.join(sel, "query_id")
+    }
+
+  /** Broadcast-join assignment for large k: explode each vector
+    * against the broadcast centroid frame, keep the (d, cid)-minimum
+    * per vector — identical result to assignLiteral (the struct min
+    * carries the same lexicographic tiebreak), but the centroid table
+    * rides the broadcast, not the expression tree. */
+  private[graft] def assignJoin(centers: Array[Array[Double]],
+      emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = centers.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ccid", "cv")
+    val best = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cdf))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(dist2(col("v"), col("cv")).as("d"),
+        col("ccid").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m")("cid").as("cid"))
+    emb.join(best, "vec_id")
   }
 
   /** In-process Lloyd's k-means over the sample: seeded random init,
@@ -180,13 +245,9 @@ object IvfIndex {
     * that with an explicit NOT isnan filter. */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
       topK: Int, nprobe: Int): DataFrame = {
-    val centArr = centroidArray(loadCentroids(spark, indexDir))
-    val probes = queries
-      .withColumn("cd", transform(centArr,
-        c => struct(dist2(col("vq"), c("cv")).as("d"), c("cid").as("cid"))))
-      .withColumn("cid", explode(transform(
-        slice(array_sort(col("cd")), 1, nprobe), p => p("cid"))))
-      .drop("cd")
+    val centers = loadCentroids(spark, indexDir)
+    val probes = probeSelection(centers, queries, nprobe,
+      useJoin = centers.length > LiteralCentroidMax)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
       .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
         col("n2").as("nc"), col("cid"))

@@ -89,6 +89,30 @@ class VectorSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("IVF broadcast-join assignment and probe selection equal the literal plans") {
+    import org.apache.spark.sql.functions._
+    // the large-k representation (centroids broadcast-joined instead
+    // of inlined as plan literals) must agree bit-for-bit with the
+    // literal path, including the (d, cid) tiebreak
+    val e = Vectors.emb(spark, sf).cache()
+    val rnd = new scala.util.Random(99L)
+    val centers = Array.fill(20, 64)(rnd.nextGaussian() * 0.05)
+    def asg(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg(graft.operators.IvfIndex.assignLiteral(centers, e)) ==
+      asg(graft.operators.IvfIndex.assignJoin(centers, e)))
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    def probes(useJoin: Boolean): Map[Long, Set[Int]] =
+      graft.operators.IvfIndex.probeSelection(centers, q, 4, useJoin)
+        .select("query_id", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getInt(1)).toSet
+        }
+    assert(probes(useJoin = false) == probes(useJoin = true))
+  }
+
   test("index parameter validation rejects k larger than the training sample") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
