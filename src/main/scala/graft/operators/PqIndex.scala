@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   * |           |      | be ≤ sample size (enforced below)             |
   * | shortlist | 100  | ≥ ~20·topK so ADC error rarely evicts a true  |
   * |           |      | neighbor; independent of n                    |
+  *
+  * Representation bound (the IvfIndex.LiteralCentroidMax argument):
+  * encode/dtab/adcScore inline the m·k·(dim/m) codebook values as
+  * plan literals — 1 024 nodes at the 8×16 defaults, ~16 k at
+  * classic byte-code PQ (8×256), still tractable; the combination to
+  * avoid is large m AND k=256 (m=64 → ~130 k literal nodes), where
+  * encoding should switch to a broadcast-joined codebook frame with
+  * a per-subspace struct-min — the exact pattern IvfIndex.assignJoin
+  * implements for centroids. Unlike IVF's k~√n, BOTH PQ knobs are
+  * corpus-size-independent, so the literal form is a design choice
+  * per deployment, not a scale cliff.
   */
 object PqIndex {
 
