@@ -153,10 +153,7 @@ object IvfIndex {
           slice(array_sort(col("cd")), 1, nprobe), p => p("cid"))))
         .drop("cd")
     } else {
-      val spark = queries.sparkSession
-      import spark.implicits._
-      val cdf = centers.zipWithIndex
-        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ccid", "cv")
+      val cdf = centroidFrame(queries.sparkSession, centers)
       val sel = queries.select(col("query_id"), col("vq"))
         .crossJoin(broadcast(cdf))
         .groupBy(col("query_id"))
@@ -167,25 +164,33 @@ object IvfIndex {
       queries.join(sel, "query_id")
     }
 
+  /** The centroid table as a small DataFrame for the broadcast-join
+    * paths. */
+  private def centroidFrame(spark: SparkSession,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ccid", "cv")
+  }
+
   /** Broadcast-join assignment for large k: explode each vector
     * against the broadcast centroid frame, keep the (d, cid)-minimum
     * per vector — identical result to assignLiteral (the struct min
     * carries the same lexicographic tiebreak), but the centroid table
-    * rides the broadcast, not the expression tree. */
+    * rides the broadcast, not the expression tree. The vector payload
+    * (v, n2) travels INSIDE the min struct after the (d, cid)
+    * tiebreak fields — cid is unique per centroid so the payload is
+    * never compared — keeping this a single corpus scan with map-side
+    * partial aggregation instead of scan + re-join. */
   private[graft] def assignJoin(centers: Array[Array[Double]],
-      emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cdf = centers.zipWithIndex
-      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ccid", "cv")
-    val best = emb.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(cdf))
+      emb: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroidFrame(emb.sparkSession, centers)))
       .groupBy(col("vec_id"))
       .agg(min(struct(dist2(col("v"), col("cv")).as("d"),
-        col("ccid").as("cid"))).as("m"))
-      .select(col("vec_id"), col("m")("cid").as("cid"))
-    emb.join(best, "vec_id")
-  }
+        col("ccid").as("cid"), col("v").as("v"), col("n2").as("n2")))
+        .as("m"))
+      .select(col("vec_id"), col("m")("v").as("v"),
+        col("m")("n2").as("n2"), col("m")("cid").as("cid"))
 
   /** In-process Lloyd's k-means over the sample: seeded random init,
     * empty clusters keep their previous center. Deterministic for a

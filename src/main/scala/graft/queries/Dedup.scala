@@ -640,10 +640,11 @@ object Dedup {
     *     ultra-common boilerplate is capped (the stop-shingle
     *     argument), so the pair join runs on rows proportional to
     *     DUPLICATED content, not to n;
-    *   - hash-collision false pairs are removed by re-comparing the
-    *     actual token window (one deterministic example per pair:
-    *     min shared fp, min position per side) — the exact-verify
-    *     step the family's contract requires.
+    *   - hash-collision false positives are removed by re-comparing
+    *     the actual token window for EVERY candidate (pair, fp)
+    *     triple (min position per side for that fp); n_shared counts
+    *     verified windows only — the exact-verify step the family's
+    *     contract requires.
     * Window fold = text_fingerprint's polynomial, widened to 60
     * bits: at 100 TB (~10¹³ windows) a 40-bit space would average ~9
     * colliding docs per fp and defeat the df-filter outright, while
@@ -683,36 +684,45 @@ object Dedup {
     (docsT, wf.join(keep, "fp").cache()) // pair join sides + positions
   }
 
-  /** Hash-collision guard shared by the substring family: one
-    * deterministic example window per pair (min shared fp, min
-    * position each side) re-compared against the raw tokens. */
-  private def substringVerify(pairs: DataFrame, wk: DataFrame,
+  /** Hash-collision guard shared by the substring family: EVERY
+    * candidate (pair, fp) triple is re-compared against the raw
+    * tokens (min position per side for that fp), and n_shared counts
+    * only the VERIFIED windows. A colliding fp therefore neither
+    * drops a pair (it just fails its own triple — the r7 review's
+    * single-example flaw, where a collision on the chosen example
+    * window discarded a genuinely duplicated pair) nor inflates the
+    * count. Residual approximation: a triple is checked at one
+    * position pair; failing a TRUE triple needs a within-doc fp
+    * collision on top of the cross-doc share — two simultaneous
+    * 60-bit collisions on one fp. */
+  private def substringVerifiedPairs(cand: DataFrame, wk: DataFrame,
       docsT: DataFrame): DataFrame = {
     val pp = wk.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("mpos"))
-    val va = pp.select(col("doc_id").as("da"), col("fp").as("minfp"),
+    val va = pp.select(col("doc_id").as("da"), col("fp"),
       col("mpos").as("pa"))
-    val vb = pp.select(col("doc_id").as("db"), col("fp").as("minfp"),
+    val vb = pp.select(col("doc_id").as("db"), col("fp"),
       col("mpos").as("pb"))
     val ta = docsT.select(col("doc_id").as("da"), col("tk").as("tka"))
     val tb = docsT.select(col("doc_id").as("db"), col("tk").as("tkb"))
-    pairs.join(va, Seq("da", "minfp")).join(vb, Seq("db", "minfp"))
+    cand.join(va, Seq("da", "fp")).join(vb, Seq("db", "fp"))
       .join(ta, "da").join(tb, "db")
       .filter(slice(col("tka"), col("pa") + 1, lit(subW)) ===
         slice(col("tkb"), col("pb") + 1, lit(subW)))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("n_shared"))
   }
 
   private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
     val (docsT, wk) = substringKeptWindows(docs)
     val dfp = wk.select(col("doc_id"), col("fp")).distinct()
-    val pairs = dfp.as("a")
+    val cand = dfp.as("a")
       .join(dfp.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(countDistinct(col("a.fp")).as("n_shared"),
-        min(col("a.fp")).as("minfp"))
-    substringVerify(pairs, wk, docsT)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.fp").as("fp"))
+    substringVerifiedPairs(cand, wk, docsT)
   }
 
   /** Shared oracle for the substring family: the full window → df →
@@ -740,19 +750,20 @@ object Dedup {
       |  WHERE df BETWEEN 2 AND $subMaxDf),
       |wk AS (SELECT wf.* FROM wf JOIN keep USING (fp)),
       |dfp AS (SELECT DISTINCT doc_id, fp FROM wk),
-      |pairs AS (
-      |  SELECT a.doc_id da, b.doc_id db,
-      |    COUNT(DISTINCT a.fp)::BIGINT n_shared, MIN(a.fp) minfp
-      |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pp AS (SELECT doc_id, fp, MIN(pos) mpos FROM wk GROUP BY 1, 2)
-      |SELECT p.da AS doc_a, p.db AS doc_b, p.n_shared
-      |FROM pairs p
-      |JOIN pp a ON a.doc_id = p.da AND a.fp = p.minfp
-      |JOIN pp b ON b.doc_id = p.db AND b.fp = p.minfp
-      |JOIN t ta ON ta.doc_id = p.da
-      |JOIN t tb ON tb.doc_id = p.db
-      |WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]$extraPred
+      |cand AS (
+      |  SELECT a.doc_id da, b.doc_id db, a.fp
+      |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |pp AS (SELECT doc_id, fp, MIN(pos) mpos FROM wk GROUP BY 1, 2),
+      |v AS (
+      |  SELECT c.da, c.db
+      |  FROM cand c
+      |  JOIN pp a ON a.doc_id = c.da AND a.fp = c.fp
+      |  JOIN pp b ON b.doc_id = c.db AND b.fp = c.fp
+      |  JOIN t ta ON ta.doc_id = c.da
+      |  JOIN t tb ON tb.doc_id = c.db
+      |  WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]$extraPred)
+      |SELECT da AS doc_a, db AS doc_b, COUNT(*)::BIGINT AS n_shared
+      |FROM v GROUP BY 1, 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val substringDedup: Q = Q("dedup_substring", substringOracle("")) {
@@ -773,21 +784,19 @@ object Dedup {
     * to batch-involved pairs (DedupSpec asserts the equality). */
   val substringIncremental: Q = Q(
     "dedup_substring_incremental",
-    substringOracle("\n  AND (p.da % 5 = 4 OR p.db % 5 = 4)")) { (s, dir) =>
+    substringOracle("\n    AND (c.da % 5 = 4 OR c.db % 5 = 4)")) { (s, dir) =>
     val (docsT, wk) = substringKeptWindows(Tables.documents(s, dir))
     val bwk = wk.filter(col("doc_id") % 5 === 4)
     // batch-vs-corpus equi-join on fp: batch-batch pairs land twice
     // (both orientations) and self-pairs are dropped; the (da,db,fp)
-    // distinct collapses orientation dupes before counting
+    // distinct collapses orientation dupes before verification
     val cand = bwk.select(col("doc_id").as("xa"), col("fp"))
       .join(wk.select(col("doc_id").as("xb"), col("fp")), Seq("fp"))
       .filter(col("xa") =!= col("xb"))
       .select(least(col("xa"), col("xb")).as("da"),
         greatest(col("xa"), col("xb")).as("db"), col("fp"))
       .distinct()
-    val pairs = cand.groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("n_shared"), min(col("fp")).as("minfp"))
-    substringVerify(pairs, wk, docsT).orderBy(col("doc_a"), col("doc_b"))
+    substringVerifiedPairs(cand, wk, docsT).orderBy(col("doc_a"), col("doc_b"))
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,

@@ -346,6 +346,21 @@ class ExtractorSpec extends AnyFunSuite {
       && !text.contains("hidden") && !text.contains("alt text"))
   }
 
+  test("DocLoader reads one-level-nested files and rejects a missing dir") {
+    // the glob readers expand a matched subdirectory one level; the
+    // empty-glob guard must agree or nested corpora silently vanish
+    val dir = Files.createTempDirectory("graft-nested")
+    val sub = Files.createDirectory(dir.resolve("batch1"))
+    Files.write(sub.resolve("a.txt"), "hello nested world".getBytes("UTF-8"))
+    val rows = DocLoader.load(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("text") == "hello nested world")
+    // a typo'd dir must stay a loud failure, not an empty corpus
+    intercept[IllegalArgumentException] {
+      DocLoader.load(spark, dir.toString + "/no_such_dir")
+    }
+  }
+
   test("DocLoader emits (source, page) rows for paged formats") {
     val dir = Files.createTempDirectory("graft-pages")
     Files.write(dir.resolve("two.pdf"), pdf(

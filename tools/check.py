@@ -53,10 +53,14 @@ def lint_types(con, oracle, lint_only=False):
             bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
                    if not _TYPE_OK.match(str(t))]
         except Exception as e:
-            # file-IO messages ONLY: a broad match (e.g. 'does not
-            # exist') would also swallow catalog errors for typo'd
-            # table names — exactly what the lint must catch
-            if lint_only and re.search(
+            # SKIP only file-IO errors on the /tmp/graft_ sidecar
+            # convention: a broad match would swallow catalog errors
+            # for typo'd TABLE names, and an unrestricted path match
+            # would hide a non-sidecar read_parquet typo forever. A
+            # typo'd SIDECAR path still skips here (indistinguishable
+            # from not-yet-written pre-Verify) — the post-Verify main
+            # gate is what catches those.
+            if lint_only and "/tmp/graft_" in sql and re.search(
                     r"No files found|No such file or directory",
                     str(e), re.IGNORECASE):
                 print(f"SKIP {name}: sidecar input missing pre-Verify ({e})")
