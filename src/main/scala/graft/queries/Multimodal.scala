@@ -119,5 +119,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn)
+  /** ViT-style patch extraction: the payload as a 16-wide 2D image
+    * cut into 4x4 patches — the strided-gather access pattern every
+    * vision-transformer ingest runs before embedding (patchify). Each
+    * patch is P strided substrings concatenated: pure codegen'd
+    * string ops, no UDF, patches never leave the executor. COMPLETE
+    * patch rows only (gh = len // (W·P) — a defined metric, mirrored
+    * in the oracle); docs shorter than one patch row emit nothing.
+    * Geometry is corpus-sized (docs run ~300 chars → ~16 patches
+    * each); a real 224x224/16x16 deployment only changes the two
+    * constants. Payload decode stays the documented stub (chars
+    * stand in for bytes, identically on both engines). */
+  val patchify: Q = Q(
+    "mm_patchify",
+    """WITH g AS (
+      |  SELECT doc_id, text, len(text) // 64 AS gh FROM documents),
+      |pid AS (
+      |  SELECT doc_id, text, unnest(range(0, gh * 4)) AS i
+      |  FROM g WHERE gh > 0),
+      |p AS (
+      |  SELECT doc_id, i // 4 AS patch_row, i % 4 AS patch_col,
+      |    list_reduce(list_transform(range(0, 4),
+      |      k -> substr(text, ((i // 4) * 4 + k) * 16 + (i % 4) * 4 + 1, 4)),
+      |      (a, b) -> a || b) AS patch
+      |  FROM pid)
+      |SELECT doc_id, patch_row, patch_col, md5(patch) AS patch_sig
+      |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, dir) =>
+    val W = 16; val P = 4; val gw = W / P
+    val withGrid = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / (W * P)).cast("long").as("gh"))
+      .filter(col("gh") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("gh") * gw - 1)).as("i"))
+      .select(col("doc_id"), col("text"),
+        floor(col("i") / gw).cast("long").as("patch_row"),
+        pmod(col("i"), lit(gw)).cast("long").as("patch_col"))
+    val patch = concat((0 until P).map(k =>
+      col("text").substr(
+        (col("patch_row") * P + k) * W + col("patch_col") * P + 1,
+        lit(P))): _*)
+    withGrid
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        md5(patch.cast("binary")).as("patch_sig"))
+      .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+  }
+
+  val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
+    patchify)
 }
