@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -404,7 +403,7 @@ object Vectors {
       |r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
-      |  FROM p)
+      |  FROM p WHERE NOT isnan(cos))
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.PqIndex
@@ -454,15 +453,16 @@ object Vectors {
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
       col("n2").as("nc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    shortlist.join(cv, "neighbor_id")
-      .join(broadcast(qv), "query_id")
-      .withColumn("cos", dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"))
+    // exact re-rank of the <=100-row shortlist through the same
+    // TopK.ranked contract as every other ANN path — no Window left
+    // anywhere in the family
+    graft.functions.TopK.ranked(
+      shortlist.join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos",
+          dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))),
+      "query_id", col("cos"), col("neighbor_id"), 5,
+      "neighbor_id", "cos_sim")
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -208,12 +208,12 @@ class PlanSpec extends AnyFunSuite {
     // 50-row query-table side (the bounded side — same shape as
     // knnBrute); the corpus is never a build side
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
-    // shortlisting is the bounded map-side topk_by aggregate, NOT a
-    // row_number window over the query×codes product: the window form
-    // sorts n_corpus rows in ONE task per query at scale. The only
-    // Window left is the exact re-rank over the ≤100-row shortlist.
+    // shortlisting AND the exact re-rank are both the bounded
+    // map-side topk_by aggregate — no Window anywhere in the ANN
+    // family (the window form sorts n_corpus rows in ONE task per
+    // query at scale)
     assert(p.contains("topk_by"), p.take(2000))
-    assert("windowspecdefinition".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
   }
 
   test("token-count queries run the fused ascii_token_count, not size(array)") {
