@@ -126,8 +126,9 @@ object TopK {
     * scoreName) with rank 1-based and the score rounded to 4dp —
     * ordering is score desc, id asc; NaN scores are dropped by
     * TopKAgg (callers' oracles pin that with NOT isnan). Changing the
-    * rank contract here changes knn_brute, knn_ivf, and ann_lsh
-    * together instead of silently diverging. */
+    * rank contract here changes knn_brute, knn_ivf, ann_lsh, and
+    * knn_pq's exact re-rank together instead of silently diverging
+    * (PlanSpec asserts the whole family is Window-free). */
   def ranked(df: org.apache.spark.sql.DataFrame, key: String,
       score: Column, id: Column, k: Int,
       idName: String, scoreName: String): org.apache.spark.sql.DataFrame = {

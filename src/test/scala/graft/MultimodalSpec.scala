@@ -31,9 +31,14 @@ class MultimodalSpec extends AnyFunSuite {
       assert(md5hex(patch) == r.getString(3),
         s"patch ($pr,$pc) of doc ${r.getLong(0)} diverges")
     }
-    rows.groupBy(_.getLong(0)).foreach { case (id, ps) =>
-      val gh = texts(id).length / 64
-      assert(ps.length == gh * 4, s"doc $id: ${ps.length} != ${gh * 4}")
+    // iterate the CORPUS side, not the output side: a regression that
+    // drops whole docs must fail here, not hide behind the docs that
+    // did emit
+    val byDoc = rows.groupBy(_.getLong(0))
+    texts.foreach { case (id, t) =>
+      val gh = t.length / 64
+      val got = byDoc.get(id).map(_.length).getOrElse(0)
+      assert(got == gh * 4, s"doc $id: $got patches != ${gh * 4}")
     }
   }
 }
