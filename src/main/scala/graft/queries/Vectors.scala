@@ -7,6 +7,15 @@ import graft.sources.Tables
 
 /** Vector similarity over the embeddings table (Array[Float], dim 64).
   *
+  * Zero-sign pin: every oracle ROUND whose input can be negative
+  * carries `+ 0`. Spark's `round` goes through BigDecimal and
+  * normalizes -0.0 to +0.0; DuckDB's ROUND on DOUBLE keeps -0.0, and
+  * the gate's canonicalization renders them as "-0" vs "0" — a tiny
+  * negative value that rounds to zero would hash-diverge (first seen
+  * at sf0.1: one embed_pca projection; latent in any cos_sim that
+  * ranks a near-zero negative cosine). IEEE -0.0 + 0 = +0.0 and
+  * x + 0 = x exactly for every other double, so the pin is free.
+  *
   * All arithmetic is double (floats upcast first) with a strict
   * left-fold sum, mirrored exactly in the DuckDB oracles; the
   * reference's vector store (conversadocs/bones.py:74-78,
@@ -123,7 +132,7 @@ object Vectors {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
       |  FROM p WHERE NOT isnan(cos))
-      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 50)
@@ -189,7 +198,7 @@ object Vectors {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
       |  FROM cand WHERE NOT isnan(cos))
-      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache()
     val idx = sidecarDir("ivf", dir)
@@ -264,7 +273,7 @@ object Vectors {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) rn
         |  FROM p WHERE NOT isnan(cos))
-        |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+        |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = emb(s, dir).cache() // banded ids + both scoring sides
     val banded = graft.operators.Lsh.buckets(e, planes, nBands, bitsPerBand)
@@ -404,7 +413,7 @@ object Vectors {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, neighbor_id) rn
       |  FROM p WHERE NOT isnan(cos))
-      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) AS cos_sim
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.PqIndex
     val m = 8; val k = 16
@@ -489,7 +498,7 @@ object Vectors {
       |pr AS (
       |  SELECT e.vec_id, pc.ci,
       |    ROUND(list_sum(list_transform(range(1, 65),
-      |      i -> e.v[i] * pc.comp[i])) - pc.mudot, 4) AS p
+      |      i -> e.v[i] * pc.comp[i])) - pc.mudot, 4) + 0 AS p
       |  FROM e CROSS JOIN pc)
       |SELECT vec_id, MAX(CASE WHEN ci = 0 THEN p END) AS p1,
       |  MAX(CASE WHEN ci = 1 THEN p END) AS p2
