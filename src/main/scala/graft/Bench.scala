@@ -72,7 +72,8 @@ object Bench {
     // flap-prone (full second per-query map would blow the ~2 KB tail
     // budget)
     val watched = Set("dedup_clusters", "dedup_simhash", "events_retention",
-      "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf")
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf",
+      "dedup_substring")
     val q2 = results2.filter(r => watched(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
