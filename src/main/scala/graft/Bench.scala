@@ -23,10 +23,22 @@ object Bench {
       val first = String.valueOf(e).linesIterator.take(1).mkString
       System.err.println(s"[bench] warm-up failed: ${first.take(200)}")
     }
-    def pass(): Seq[(String, Double)] =
+    // A query whose action throws must be VISIBLE in the artifact and
+    // excluded from every total: elapsed-until-throw is not a query
+    // time, and silently recording it would make the bench total DROP
+    // when a query breaks — a regression disguised as a win (VERDICT
+    // r7 #2). Correctness catches the breakage independently; the
+    // bench record carries the names so it is self-describing.
+    // fault-injection knob for verifying the error path end-to-end:
+    // SPARK_GRAFT_BREAK=<query_name> makes that query throw
+    val breakName = sys.env.get("SPARK_GRAFT_BREAK")
+    def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try {
+          if (breakName.contains(name)) sys.error("deliberate fault injection")
+          fn(spark, sfDir).count(); true
+        } catch { case _: Throwable => false }
         // capture elapsed BEFORE cache teardown: clearCache + GC belong
         // to inter-query hygiene, not to the measured query
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -34,7 +46,7 @@ object Bench {
         // nudge the JVM before the next query times itself
         spark.catalog.clearCache()
         System.gc()
-        name -> elapsed
+        (name, elapsed, ok)
       }
     // BACK-TO-BACK PAIR in one artifact: cached-plan stats and box
     // load are timing-dependent (SURVEY §5; the round-5 record showed
@@ -50,6 +62,43 @@ object Bench {
     pass()
     val results = pass()
     val results2 = pass()
+    // LIKE-FOR-LIKE SUBTOTAL (VERDICT r7 #1a): the round-7 registry,
+    // frozen by name (= the 101 keys of CORRECTNESS_r07.json). "prev" /
+    // "prev2" below are each timed pass's subtotal over exactly these
+    // queries, so round-over-round comparison is artifact-vs-artifact
+    // instead of prose arithmetic over a truncation-prone per-query
+    // map. Queries added after round 7 move value/value2 but not
+    // prev/prev2; a like-for-like drift moves prev and value together.
+    val prevRegistry: Set[String] = Set(
+      "ann_lsh", "chunk_fixed", "chunk_recursive", "chunk_sentence",
+      "conversation_replay", "corpus_clean", "corpus_mix", "corpus_sample",
+      "corpus_stats", "decontaminate", "dedup_clusters", "dedup_embedding",
+      "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_simhash", "dedup_substring",
+      "dedup_substring_incremental", "doc_load_files", "doc_stats",
+      "embed_hashing", "embed_pca", "events_anomaly", "events_funnel",
+      "events_gap_fill", "events_histogram", "events_json_extract",
+      "events_retention", "events_rolling", "events_scd2",
+      "events_sessionize", "events_top_paths", "events_variant_extract",
+      "events_window_agg", "knn_brute", "knn_ivf", "knn_pq",
+      "mm_audio_window", "mm_binary_features", "mm_frame_sample",
+      "mm_patchify", "mm_resize_nn", "q1_agg", "q3_join_topk",
+      "q5_multijoin", "q_anti_join", "q_approx_distinct",
+      "q_approx_quantiles", "q_argmax", "q_asof_join", "q_asof_native",
+      "q_bloom_join", "q_correlated", "q_cube", "q_distinct",
+      "q_filter_project", "q_freq_sketch", "q_grouping_sets",
+      "q_incremental_agg", "q_merge_upsert", "q_ntile", "q_percentiles",
+      "q_pivot", "q_range_join", "q_rollup", "q_running_sum",
+      "q_semi_join", "q_set_ops", "q_topk_global", "q_topk_per_key",
+      "q_unpivot", "q_window_rank", "qa_pipeline", "retrieval_bm25",
+      "retrieval_context", "retrieval_hybrid", "retrieval_mmr",
+      "retrieval_rrf", "retrieval_vector", "seq_pack", "sink_compaction",
+      "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+      "sink_partitioned_parquet", "sink_xml_roundtrip",
+      "summarize_extractive", "text_bigram_lm", "text_fingerprint",
+      "text_langid", "text_pii_scrub", "text_quality", "text_repetition",
+      "text_stem", "text_tfidf", "text_tokens", "token_shards",
+      "tokenizer_bpe_apply", "tokenizer_bpe_fit", "vec_quantize_int8")
     // Compact on purpose: the driver keeps only the tail of the run
     // output (~2 KB, minus sbt's own trailing success line), so every
     // byte saved keeps one more per-query entry inside the kept tail.
@@ -64,10 +113,18 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val total2 = results2.map(_._2).sum
+    // errored queries (either pass) are excluded from every total and
+    // subtotal; their names are the record
+    val errored = (results ++ results2).filter(!_._3).map(_._1).distinct.sorted
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def tot(rs: Seq[(String, Double, Boolean)], only: String => Boolean) =
+      rs.filter(r => r._3 && only(r._1)).map(_._2).sum
+    val total = tot(results, _ => true)
+    val total2 = tot(results2, _ => true)
+    val prev = tot(results, prevRegistry)
+    val prev2 = tot(results2, prevRegistry)
     // run-2 detail only for the queries rounds 5-6 flagged as
     // flap-prone (full second per-query map would blow the ~2 KB tail
     // budget)
@@ -75,7 +132,7 @@ object Bench {
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf",
       "dedup_substring")
     val q2 = results2.filter(r => watched(r._1))
-      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // The captured group must itself be a valid JSON number ("sf1."
     // or "sf..." would otherwise be emitted unquoted and corrupt the
@@ -89,11 +146,14 @@ object Bench {
     // round 6's artifact lost both pair totals because they sat at
     // the line HEAD (VERDICT r6 #3, "parsed": null). Line 1 carries
     // the full per-query map with the totals LAST, so whatever
-    // survives truncation ends in the totals; line 2 is a compact
-    // totals-only record small enough to always land in the kept
-    // tail whole and parse.
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":$sf,"q2":$q2,"value2":${r3(total2)},"value":${r3(total)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},"q2":$q2,"sf":$sf}""")
+    // survives truncation ends in the totals; line 2 (totals-only,
+    // ~350 B) is the CANONICAL record — it always lands whole in the
+    // kept tail and parses. A head-truncated line 1 is invalid JSON
+    // by construction; any consumer must scan for the LAST parseable
+    // line, never the first (ADVICE r7 #4).
+    val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q2":$q2,"sf":$sf"""
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec",$tail,"value2":${r3(total2)},"value":${r3(total)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},$tail}""")
     spark.stop()
   }
 }

@@ -69,7 +69,12 @@ case class TopKAgg(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      val sv = s.asInstanceOf[Double]
+      // + 0.0 normalizes -0.0 to +0.0: the total-order comparator ranks
+      // +0.0 strictly above -0.0, but SQL ORDER BY (the oracle's
+      // ROW_NUMBER) treats them equal and tie-breaks by id — a group
+      // holding both signs of zero inside the top-k boundary would
+      // otherwise rank differently on the two engines
+      val sv = s.asInstanceOf[Double] + 0.0
       // NaN scores are unrankable — drop them here so the total-order
       // comparator (NaN > +Inf) never promotes them into top-k slots;
       // the comparator itself stays total for buffer maintenance

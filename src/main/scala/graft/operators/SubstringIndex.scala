@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained lake state for substring-level exact dedup (the
+  * queries.Dedup substring family) — the same build/append/read
+  * lifecycle IvfIndex gives the vector side, applied to the rolling
+  * window fingerprints of Lee et al. '22 substring dedup.
+  *
+  * Layout under `indexDir`:
+  *   windows/  (doc_id, pos, fp), partitioned by fp_b = pmod(fp, 16) —
+  *             every window position whose fingerprint was
+  *             at-or-under the df cap when its batch arrived
+  *   stop/     (fp) — fingerprints whose BUILD-time document
+  *             frequency exceeded the cap (ultra-common boilerplate);
+  *             their positions are never stored
+  *
+  * Why df=1 windows are stored: a window unique at build time is
+  * promoted to a duplicate the moment one future batch re-emits it —
+  * dropping it would make the index blind to every dup whose first
+  * copy predates the index. The index is therefore ~1 row per corpus
+  * token, 24 bytes each — the same size class as the suffix array the
+  * paper builds over the corpus, and the price of exactness. The stop
+  * list is what keeps the PAIR JOIN off boilerplate: positions for
+  * over-cap fingerprints would dominate storage AND candidate fan-out,
+  * and can never re-qualify (document frequency only grows).
+  *
+  * Append is O(batch): the batch's windows are gated against the
+  * bounded stop list and appended; no index rewrite, no df
+  * re-aggregation. Document frequencies are derived AT READ, restricted
+  * to the fingerprints the reading batch actually touches (see
+  * queries.Dedup.substringIncremental) — the log-structured trade:
+  * writes stay append-only, the read pays one batch-restricted
+  * aggregation over the narrow (fp, doc_id) columns. A fingerprint
+  * that climbs over the cap through appends is excluded by that read
+  * filter; its stored positions become dead weight until compaction
+  * (sink_compaction is the operator for exactly that).
+  */
+object SubstringIndex {
+
+  private def withBucket(w: DataFrame): DataFrame =
+    w.withColumn("fp_b", pmod(col("fp"), lit(16)).cast("int"))
+
+  /** Batch-build from the full window set of the index corpus:
+    * splits over-cap fingerprints to stop/, lays the rest out
+    * partitioned by fp bucket. */
+  def build(windows: DataFrame, indexDir: String, maxDf: Int): Unit = {
+    val df = windows.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    df.filter(col("df") > maxDf).select(col("fp"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stop")
+    withBucket(windows.join(df.filter(col("df") <= maxDf)
+        .select(col("fp")), "fp"))
+      .repartition(col("fp_b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("fp_b")
+      .parquet(s"$indexDir/windows")
+  }
+
+  /** Incremental append: gate the new batch's windows against the
+    * frozen stop list, add them to the partitioned layout. Mirrors
+    * IvfIndex.append — no refit/rewrite of existing state. */
+  def append(spark: SparkSession, batchWindows: DataFrame,
+      indexDir: String): Unit =
+    withBucket(batchWindows
+        .join(spark.read.parquet(s"$indexDir/stop"), Seq("fp"), "left_anti"))
+      .repartition(col("fp_b"))
+      .write.mode(SaveMode.Append).partitionBy("fp_b")
+      .parquet(s"$indexDir/windows")
+
+  /** The maintained window table (doc_id, pos, fp). */
+  def windows(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/windows")
+      .select(col("doc_id"), col("pos"), col("fp"))
+}

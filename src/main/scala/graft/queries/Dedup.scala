@@ -659,29 +659,55 @@ object Dedup {
   private val subModBits = 60
   private val subMod = 1L << subModBits // 1152921504606846976
 
-  /** (tokenized docs, kept windows) — the shared front half of the
-    * substring family. */
-  private def substringKeptWindows(docs: DataFrame): (DataFrame, DataFrame) = {
-    val docsT = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+  /** Materialize the (pair-table-sized) result, then drop the
+    * corpus-scale caches behind it: repeated invocations (a bench
+    * pass pair runs each substring query twice) must not accumulate
+    * cached datasets and lean on LRU eviction (ADVICE r7 #3). The
+    * result itself stays cached — one small entry instead of several
+    * scan-sized ones — and the caller's single action reads the
+    * materialized rows. */
+  private def releasedAfter(result: DataFrame,
+      caches: DataFrame*): DataFrame = {
+    val out = result.cache()
+    out.count()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** Tokenized docs (doc_id, tk, hs) with >= one full window — the
+    * verify-side slice input of the substring family. */
+  private def substringDocsT(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("hs", transform(col("tk"),
         t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .filter(size(col("hs")) >= subW)
-      .cache() // window explode + both verify slice sides
-    // one compiled rolling pass per doc (functions.PolyWindowHashes):
-    // the per-window aggregate(slice(…)) HOF fold is CodegenFallback
-    // and allocated a slice per window — ~5 s of the first cut's
-    // 6.4 s at sf0.1; bit-identical values, so the oracle keeps the
-    // declarative list_reduce form
-    val wf = docsT.select(col("doc_id"),
+
+  /** Rolling window fingerprints (doc_id, pos, fp) — one compiled
+    * rolling pass per doc (functions.PolyWindowHashes): the
+    * per-window aggregate(slice(…)) HOF fold is CodegenFallback and
+    * allocated a slice per window — ~5 s of the first cut's 6.4 s at
+    * sf0.1; bit-identical values, so the oracle keeps the declarative
+    * list_reduce form. */
+  private def substringWindowsOf(docsT: DataFrame): DataFrame =
+    docsT.select(col("doc_id"),
         posexplode(graft.functions.TextExprs
           .windowHashes(col("hs"), subW, subModBits)))
       .select(col("doc_id"), col("pos"), col("col").as("fp"))
+
+  /** (tokenized docs, all windows, kept windows) — the shared front
+    * half of the one-shot substring path; all three come back cached
+    * (callers release via releasedAfter). */
+  private def substringKeptWindows(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docsT = substringDocsT(docs)
+      .cache() // window explode + both verify slice sides
+    val wf = substringWindowsOf(docsT)
       .cache() // df-filter + kept-window join
     val keep = wf.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= subMaxDf).select(col("fp"))
-    (docsT, wf.join(keep, "fp").cache()) // pair join sides + positions
+    // pair join sides + positions
+    (docsT, wf, wf.join(keep, "fp").cache())
   }
 
   /** Hash-collision guard shared by the substring family: EVERY
@@ -715,14 +741,14 @@ object Dedup {
   }
 
   private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
-    val (docsT, wk) = substringKeptWindows(docs)
+    val (docsT, wf, wk) = substringKeptWindows(docs)
     val dfp = wk.select(col("doc_id"), col("fp")).distinct()
     val cand = dfp.as("a")
       .join(dfp.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.fp").as("fp"))
-    substringVerifiedPairs(cand, wk, docsT)
+    releasedAfter(substringVerifiedPairs(cand, wk, docsT), docsT, wf, wk)
   }
 
   /** Shared oracle for the substring family: the full window → df →
@@ -773,21 +799,47 @@ object Dedup {
   }
 
   /** Incremental substring dedup — the daily-ingest twin of
-    * dedup_substring, mirroring dedup_incremental's shape: the new
-    * batch (doc_id % 5 == 4, the same split) DRIVES the window join,
-    * so per ingest the work is O(batch windows × bucket occupancy),
-    * never a corpus self-join. At scale the index side's kept-window
-    * table and df stats are MAINTAINED lake state (written at index
-    * build, appended per batch — the IvfIndex.append pattern); here
-    * both derive from the one documents table so the oracle can
-    * replay the whole path. Output = the full recompute restricted
-    * to batch-involved pairs (DedupSpec asserts the equality). */
+    * dedup_substring, and the full lake lifecycle: the window table
+    * is MAINTAINED state (operators.SubstringIndex — built once from
+    * the pre-batch corpus, the new batch appended against the frozen
+    * stop list, the IvfIndex build/append pattern), and the query
+    * derives every window from the INDEX, not from the corpus. The
+    * batch (doc_id % 5 == 4, the same split as dedup_incremental)
+    * DRIVES the window equi-join, so per ingest the work is O(batch
+    * windows × bucket occupancy), never a corpus self-join; document
+    * frequencies are aggregated at read over the index restricted to
+    * the batch's fingerprints (the log-structured trade documented on
+    * SubstringIndex). Only the exact-verify step touches the corpus
+    * table — a targeted token read of candidate docs, which is where
+    * the corpus lives in a real lake. Output = the full recompute
+    * restricted to batch-involved pairs (DedupSpec asserts the
+    * equality, which also proves index state ≡ derive-from-corpus). */
   val substringIncremental: Q = Q(
     "dedup_substring_incremental",
     substringOracle("\n    AND (c.da % 5 = 4 OR c.db % 5 = 4)")) { (s, dir) =>
-    val (docsT, wk) = substringKeptWindows(Tables.documents(s, dir))
-    val bwk = wk.filter(col("doc_id") % 5 === 4)
-    // batch-vs-corpus equi-join on fp: batch-batch pairs land twice
+    substringIncrementalOf(s, Tables.documents(s, dir),
+      Vectors.sidecarDir("subidx", dir))
+  }
+
+  /** The lake lifecycle + query of dedup_substring_incremental,
+    * parameterized for the spec's planted corpora. */
+  private[graft] def substringIncrementalOf(s: SparkSession,
+      docs: DataFrame, idx: String): DataFrame = {
+    val isBatch = col("doc_id") % 5 === 4
+    val docsT = substringDocsT(docs)
+      .cache() // window derivation + both verify slice sides
+    val wf = substringWindowsOf(docsT).cache() // build + append inputs
+    graft.operators.SubstringIndex.build(wf.filter(!isBatch), idx, subMaxDf)
+    graft.operators.SubstringIndex.append(s, wf.filter(isBatch), idx)
+    // from here on, window state comes only from the index
+    val w = graft.operators.SubstringIndex.windows(s, idx)
+      .cache() // batch-fp restriction + df aggregation + both join sides
+    val kept = w.join(w.filter(isBatch).select(col("fp")).distinct(), "fp")
+      .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= subMaxDf).select(col("fp"))
+    val wk = w.join(kept, "fp").cache()
+    val bwk = wk.filter(isBatch)
+    // batch-vs-index equi-join on fp: batch-batch pairs land twice
     // (both orientations) and self-pairs are dropped; the (da,db,fp)
     // distinct collapses orientation dupes before verification
     val cand = bwk.select(col("doc_id").as("xa"), col("fp"))
@@ -796,7 +848,10 @@ object Dedup {
       .select(least(col("xa"), col("xb")).as("da"),
         greatest(col("xa"), col("xb")).as("db"), col("fp"))
       .distinct()
-    substringVerifiedPairs(cand, wk, docsT).orderBy(col("doc_a"), col("doc_b"))
+    releasedAfter(
+      substringVerifiedPairs(cand, wk, docsT)
+        .orderBy(col("doc_a"), col("doc_b")),
+      docsT, wf, w, wk)
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,

@@ -73,7 +73,13 @@ object DocLoader {
     }
     val listed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*"))
     listed != null && listed.exists { s =>
+      val n = s.getPath.getName
       if (s.isFile) matches(s)
+      // Spark's file listing skips hidden ('_'/'.')-prefixed
+      // subdirectories entirely — counting their contents here would
+      // make the guard return true while the reader matches nothing,
+      // reintroducing the FileNotFoundException noise it suppresses
+      else if (n.startsWith("_") || n.startsWith(".")) false
       else scala.util.Try(fs.listStatus(s.getPath)).toOption
         .exists(_.exists(matches))
     }

@@ -109,6 +109,33 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "no batch-involved substring pairs at this sf")
   }
 
+  test("substring index lifecycle: stop list gates boilerplate, append promotes df=1 windows") {
+    import spark.implicits._
+    def filler(i: Int, n: Int): Seq[String] = (0 until n).map(j => s"f${i}x$j")
+    val boiler = (0 until 16).map(i => s"bp$i") // in 17 index docs -> stop
+    val unique = (0 until 16).map(i => s"uq$i") // df=1 at build -> promoted
+    // 17 non-batch ids (id % 5 != 4) carry the boilerplate run; doc 1
+    // additionally carries the unique run; batch doc 24 carries BOTH.
+    // Doc 1 orders them unique-then-boiler while doc 24 is
+    // boiler-then-unique, so no boundary-straddling window is shared
+    // and the only kept shared fp is the pure unique-run window
+    val indexIds = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 10L, 11L, 12L, 13L,
+      15L, 16L, 17L, 18L, 20L, 21L)
+    val docs = indexIds.map { id =>
+      val body = if (id == 1L) unique ++ boiler else boiler
+      (id, (filler(id.toInt, 4) ++ body).mkString(" "))
+    } :+ ((24L, (filler(24, 4) ++ boiler ++ unique).mkString(" ")))
+    val got = Dedup.substringIncrementalOf(spark,
+        docs.toDF("doc_id", "text"), "/tmp/graft_subidx_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // boilerplate fps: build df = 17 > 16 -> stop list; the batch's
+    // copies are gated at append, so NO (i, 24) pair arises from them.
+    // unique-run fps: df=1 at build (stored), promoted to df=2 by the
+    // append -> exactly the (1, 24) pair, one window per fp
+    assert(got.keySet == Set((1L, 24L)), got)
+    assert(got((1L, 24L)) == 1L, s"16-token run = exactly 1 window: $got")
+  }
+
   test("exact dedup marks no false duplicates on a corpus without any") {
     val d = Dedup.exact.run(spark, sf)
     assert(d.filter("is_dup").count() == 0)
