@@ -11,15 +11,18 @@ import org.apache.spark.sql.SparkSession
   * coalescing handling the rest; nothing in the engine assumes local
   * mode.
   *
-  * Scan-side parallelism is file-layout-bound, not a session knob:
+  * Scan-side parallelism is file-layout-bound:
   * `spark.sql.files.maxPartitionBytes` (default 128 MB) splits files
   * only at parquet ROW-GROUP boundaries — a single-row-group file is
   * one task no matter the setting. The local testdata tables are
-  * exactly that (one file, one row group), so cold first stages here
-  * serialize on one core; at 100 TB the input arrives as many
-  * multi-row-group files and the same plans scan wide. Writers on
-  * the sink side cap `parquet.block.size` so downstream scans stay
-  * splittable.
+  * exactly that (one file, one row group), so sources.Tables mirrors
+  * the big ones once into a 256 KB-row-group layout and `local`
+  * drops maxPartitionBytes to 512 KB so the mirror actually splits;
+  * at 100 TB the input arrives as many multi-row-group files, the
+  * mirror path never runs, and the defaults are right. local()
+  * also caps the WRITE-side `parquet.block.size` at 1 MB so sink
+  * outputs and index layouts written during local runs stay
+  * splittable when read back.
   */
 object GraftSession {
   def build(master: String, shufflePartitions: Int): SparkSession = {
@@ -38,6 +41,13 @@ object GraftSession {
     s
   }
 
-  /** local[n] with matching shuffle width. */
-  def local(cpus: Int): SparkSession = build(s"local[$cpus]", cpus)
+  /** local[n] with matching shuffle width and scan splits sized to
+    * the testdata mirror's 256 KB row groups (see the scaladoc). */
+  def local(cpus: Int): SparkSession = {
+    val s = build(s"local[$cpus]", cpus)
+    s.conf.set("spark.sql.files.maxPartitionBytes", (512 * 1024).toString)
+    s.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 1024 * 1024)
+    s
+  }
 }

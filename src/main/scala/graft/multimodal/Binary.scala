@@ -9,13 +9,90 @@ import org.apache.spark.sql.functions._
   * mapInPandas: one iterator in, one iterator out, no per-row
   * interpreter round trips, schema declared up front.
   *
-  * The codecs themselves are STUBBED (no image/audio libraries in
+  * IMAGE decode is REAL: [[ImageCodec]] goes through javax.imageio,
+  * whose PNG/BMP/GIF readers ship inside the JDK — no external
+  * libraries. Audio/video codecs remain STUBBED (no such libraries in
   * this container): [[StubDecoder.decode]] derives deterministic
-  * features from the raw bytes. A real deployment swaps only that
+  * features from the raw bytes. A real deployment swaps only the stub
   * function; the Spark plumbing — binary column, batch iterator,
   * output schema, partition-preserving shape — is exactly what ships.
   */
 object Binary {
+
+  /** One decoded image: dimensions, channel count, and exact per-band
+    * pixel sums (integers, so the feature row is bit-deterministic —
+    * PNG is lossless and getRGB is exact sRGB). */
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Pure-JVM image codec (javax.imageio). */
+  object ImageCodec {
+
+    /** Decode one payload; None when no JDK reader claims the bytes —
+      * the per-row failure must not kill the partition (a 100 TB
+      * crawl WILL contain corrupt images). */
+    def decode(docId: Long, payload: Array[Byte]): Option[DecodedImage] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(docId, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, sr, sg, sb))
+      }
+    }
+
+    /** Deterministic planted RGB PNG: pixel (x, y) of image `seed` is
+      * (r, g, b) = ((7·seed + 13·x + 31·y) mod 256, (3·seed + 5·x +
+      * 11·y) mod 256, (seed + x + y) mod 256). The formula is the
+      * spec's independent recompute target; the PNG round trip is
+      * lossless, so decode must reproduce these values exactly. */
+    def plantedPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (plantedBand(7 * seed + 13 * x + 31 * y) << 16)
+            | (plantedBand(3 * seed + 5 * x + 11 * y) << 8)
+            | plantedBand(seed + x + y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    private def plantedBand(v: Long): Int = (v % 256).toInt & 0xFF
+
+    /** Batched decode over (doc_id, data) — same mapPartitions shape
+      * as decodeBatch; undecodable payloads drop out (flatMap). */
+    def decodeImages(s: SparkSession,
+        payloads: DataFrame): Dataset[DecodedImage] = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          // per-partition init point (ImageIO scans its reader
+          // registry once per JVM; nothing else to set up)
+          batch.flatMap { case (id, bytes) => decode(id, bytes) }
+        }
+    }
+  }
 
   /** One decoded record: byte length and leading byte (the shape a
     * real decoder would extend with width/height/duration/...). */

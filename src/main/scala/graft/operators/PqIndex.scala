@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization codec for embedding columns.
@@ -48,6 +48,65 @@ import org.apache.spark.sql.functions._
   * per deployment, not a scale cliff.
   */
 object PqIndex {
+
+  /** Batch-build the PQ lake layout — the same build/append/persist
+    * lifecycle IvfIndex gives the coarse index, applied to the
+    * compressed corpus itself. Layout under `indexDir`:
+    *   codebooks/ (j, c, ctr array<double>) — M·K rows, the frozen model
+    *   codes/     (vec_id, codes array<int>) — the compressed corpus
+    * `emb` must carry (vec_id, vn) with vn unit-normalized (ADC
+    * approximates cosine only on unit vectors — the knn_pq contract).
+    * Codebooks are fit on a bounded hash-ordered sample (the IvfIndex
+    * determinism/bias argument), the corpus is touched exactly once by
+    * the distributed encode scan, and both halves land as lake tables:
+    * at 100 TB the codes table IS the serving representation (32x
+    * smaller than float32), so it must live on disk, not be re-derived
+    * per query. Returns the fitted codebooks. */
+  def build(spark: SparkSession, emb: DataFrame, indexDir: String,
+      m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val sample = emb.select(col("vec_id"), col("vn"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val books = fit(sample, m, k)
+    import spark.implicits._
+    val rows = for { j <- books.indices; c <- books(j).indices }
+      yield (j, c, books(j)(c).toSeq)
+    rows.toDF("j", "c", "ctr").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/codebooks")
+    encoded(books, emb).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/codes")
+    books
+  }
+
+  /** Incremental append: encode a NEW batch against the FROZEN
+    * codebooks and add it to the codes table. Codebooks are
+    * deliberately not refit (the IvfIndex.append argument: append
+    * stays cheap, monotone, and query-compatible with everything
+    * already encoded; refit is an offline decision when quantization
+    * error drifts). Encoding is deterministic given the codebooks, so
+    * build-half-then-append-half is bit-equal to one full encode —
+    * VectorSpec pins that. */
+  def append(spark: SparkSession, newEmb: DataFrame,
+      indexDir: String): Unit =
+    encoded(loadBooks(spark, indexDir), newEmb)
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/codes")
+
+  private def encoded(books: Array[Array[Array[Double]]],
+      emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), encode(col("vn"), books).as("codes"))
+
+  /** The frozen codebooks, (j, c)-ordered back into the fit shape. */
+  def loadBooks(spark: SparkSession,
+      indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(rows.map(_._1).max + 1)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** The maintained codes table (vec_id, codes). */
+  def codes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
 
   /** Per-subspace codebooks: M arrays of K centroids of D/M dims.
     * Sample is collected hash-ordered by the CALLER (same

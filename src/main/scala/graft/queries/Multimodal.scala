@@ -165,6 +165,29 @@ object Multimodal {
       .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
   }
 
+  /** REAL image decode — javax.imageio's JDK-shipped PNG reader, no
+    * external libraries (the half of the "codecs stubbed" disclaimer
+    * that no longer applies; audio/video remain stubbed). Each doc
+    * plants a deterministic PNG payload (geometry and pixels are
+    * functions of doc_id — the container has no image files), and the
+    * decode stage recovers dimensions, channel count, and exact
+    * integer channel sums from the BYTES alone, as a batched
+    * per-partition stage on a binary column. Rows-only like
+    * doc_load_files (binary format parsing has no SQL twin);
+    * MultimodalSpec pins the decode against hand-computed pixel stats
+    * and the planted formula, and pins that corrupt payloads drop
+    * instead of killing the scan. */
+  val imageDecode: Q = Q.rowsOnly("mm_image_decode") { (s, dir) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Binary.ImageCodec.plantedPng(id,
+          (4 + id % 5).toInt, (3 + id % 4).toInt))
+      }).toDF("doc_id", "data")
+    Binary.ImageCodec.decodeImages(s, payloads).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify)
+    patchify, imageDecode)
 }

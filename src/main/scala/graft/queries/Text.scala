@@ -648,7 +648,7 @@ object Text {
     // second strip would eat one pipe and turn concat into bitwise-or)
   }
 
-  private def bpeCappedWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bpeCappedWords(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(toks(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

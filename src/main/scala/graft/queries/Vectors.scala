@@ -32,6 +32,15 @@ object Vectors {
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", graft.functions.VectorExprs.norm2(col("v")))
 
+  /** emb plus the unit-normalized vn (zero vectors map to zero —
+    * unrankable either way); the PQ fit/encode/dtab input form. */
+  private[graft] def embNorm(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("inv", when(col("n2") > 0, lit(1.0) / sqrt(col("n2")))
+        .otherwise(lit(0.0)))
+      .withColumn("vn", transform(col("v"), x => x * col("inv")))
+      .drop("inv")
+
   // native codegen'd dot — same left-fold order as the HOF form
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot(a, b)
@@ -417,30 +426,19 @@ object Vectors {
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.PqIndex
     val m = 8; val k = 16
-    // unit-normalize (zero vectors map to zero, ADC 0 — unrankable
-    // either way); fit/encode/dtab all see the normalized form
-    val e = emb(s, dir)
-      .withColumn("inv", when(col("n2") > 0, lit(1.0) / sqrt(col("n2")))
-        .otherwise(lit(0.0)))
-      .withColumn("vn", transform(col("v"), x => x * col("inv")))
-      .drop("inv")
-      .cache() // encode pass + query side + re-rank side
-    val sample = e.select(col("vec_id"), col("vn"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
-    val books = PqIndex.fit(sample, m, k)
-    // freeze the codebooks for the oracle's replay (same sidecar
-    // contract as IvfIndex centroids: fit is Spark's, everything
-    // after is engine-independent arithmetic)
-    locally {
-      import s.implicits._
-      val rows = for { j <- books.indices; c <- books(j).indices }
-        yield (j, c, books(j)(c).toSeq)
-      rows.toDF("j", "c", "ctr").coalesce(1).write.mode("overwrite")
-        .parquet(sidecarDir("pq", dir) + "/codebooks")
-    }
-    val codes = e.select(col("vec_id").as("neighbor_id"),
-      PqIndex.encode(col("vn"), books).as("codes"))
+    val e = embNorm(s, dir)
+      .cache() // build/encode pass + query side + re-rank side
+    // full lake lifecycle: fit + encode persist under the sidecar dir
+    // (codebooks double as the oracle's frozen-model replay input —
+    // same contract as IvfIndex centroids: fit is Spark's, everything
+    // after is engine-independent arithmetic), and the QUERY reads the
+    // persisted codes table, not an in-flight encode — at 100 TB the
+    // codes table is the serving representation
+    val idx = sidecarDir("pq", dir)
+    val books = PqIndex.build(s, e.select(col("vec_id"), col("vn")),
+      idx, m, k)
+    val codes = PqIndex.codes(s, idx)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
     val q = e.filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"),
       PqIndex.dtab(col("vn"), books).as("dt"))

@@ -15,8 +15,57 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables larger than this get a splittable mirror; smaller ones
+    * are broadcast-side dims where one task is already right. */
+  private val MirrorThreshold = 512L * 1024
+
+  /** SPLITTABLE-SCAN MIRROR (VERDICT r7 #8). The local testdata
+    * tables are one file with ONE parquet row group, and Spark can
+    * split a file only at row-group boundaries — so every cold first
+    * stage serialized on one core at local[32] no matter what
+    * `spark.sql.files.maxPartitionBytes` says. At 100 TB the input
+    * arrives as many multi-row-group files and none of this path
+    * runs; locally, the first read of a big table rewrites it ONCE
+    * under /tmp/graft_mirror with 256 KB row groups (row order
+    * preserved: single-task write, no shuffle — bytes identical,
+    * layout finer), and every later read scans the mirror in
+    * parallel. The mirror key embeds the source (size, mtime), so a
+    * regenerated testdata table self-invalidates; GRAFT_NO_MIRROR=1
+    * opts out (the A/B knob the bench comparison uses). DuckDB
+    * oracles keep reading the ORIGINAL files — same rows either way. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(resolve(spark, dir, name))
+
+  private def resolve(spark: SparkSession, dir: String,
+      name: String): String = {
+    val srcPath = s"$dir/$name.parquet"
+    if (sys.env.contains("GRAFT_NO_MIRROR")) return srcPath
+    val src = new java.io.File(srcPath)
+    if (!src.isFile || src.length < MirrorThreshold) return srcPath
+    val sane = dir.replaceAll("/+$", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val dst = new java.io.File(
+      s"/tmp/graft_mirror/$sane/$name-${src.length}-${src.lastModified}")
+    if (!dst.isDirectory) synchronized {
+      if (!dst.isDirectory) {
+        dst.getParentFile.mkdirs()
+        val tmp = new java.io.File(dst.getParent,
+          s".${dst.getName}-${ProcessHandle.current.pid}.tmp")
+        spark.read.parquet(srcPath).coalesce(1).write
+          .option("parquet.block.size", 256 * 1024)
+          .mode("overwrite").parquet(tmp.getPath)
+        // atomic publish; a concurrent process winning the race is
+        // fine — its mirror has identical content
+        if (!tmp.renameTo(dst)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp)
+          if (!dst.isDirectory) return srcPath // failed, nobody built it
+        }
+      }
+    }
+    dst.getPath
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -81,4 +81,104 @@ class BpeSpec extends AnyFunSuite {
     val b = graft.queries.Text.bpeFit.run(spark, sf).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("chained-replace apply at merges=64 matches a direct segmentation recompute") {
+    // production merge counts run 32k-100k, far past the oracle's
+    // 8-stage unrolled replay — this pins the chained-replace apply
+    // path at merges=64 against a straight-line reference
+    // implementation of greedy left-to-right non-overlapping merge
+    // application over symbol lists
+    import org.apache.spark.sql.functions._
+    val words = graft.queries.Text.bpeCappedWords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = BpeFit.fitLocal(words, 64)
+    assert(merges.length == 64, s"corpus exhausted at ${merges.length} merges")
+    def applyMerges(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left &&
+              syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    def chainApply(ms: Seq[graft.operators.BpeFit.Merge]) =
+      ms.foldLeft(BpeFit.delimited(col("word"))) { (c, m) =>
+        call_function("replace", c,
+          lit("|" + m.left + "||" + m.right + "|"),
+          lit("|" + m.left + m.right + "|"))
+      }
+    val got = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr("graft_tokens(text)")).as("word")).distinct()
+      .select(col("word"),
+        filter(split(chainApply(merges), "\\|\\|"), x => x =!= "").as("segs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    // the synthetic corpus runs a 31-word vocabulary — every word
+    // must round-trip, and the planted set below supplies the depth
+    assert(got.length >= 20, s"only ${got.length} distinct words")
+    got.foreach { case (w, segs) =>
+      val want = applyMerges(w)
+      assert(segs == want, s"word '$w': $segs != $want")
+    }
+    // and at least one merged symbol actually fires on the corpus:
+    // a vacuous pass (no multi-char symbols) would prove nothing
+    assert(got.exists(_._2.exists(s => s.length > 1 && s != "</w>")),
+      "no merged symbol appears in any segmentation")
+  }
+
+  test("merges=64 on a planted 150-word vocabulary: chain apply = reference apply") {
+    // the corpus vocabulary is only 31 words; this planted set forces
+    // deep multi-character merge cascades (shared prefixes/suffixes
+    // over a 6-letter alphabet) so the 64-rule chain genuinely stacks
+    // merged symbols onto merged symbols
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef"
+    val words = (0 until 150).map { i =>
+      val len = 4 + rnd.nextInt(7)
+      val w = (0 until len).map(_ => alphabet(rnd.nextInt(6))).mkString
+      (w, (i % 7 + 1).toLong)
+    }.distinct
+    val merges = BpeFit.fitLocal(words.toArray, 64)
+    assert(merges.length == 64, s"only ${merges.length} merges fit")
+    // merged symbols must reach depth: at least one rule's left or
+    // right side is itself a multi-char merged symbol
+    assert(merges.exists(m => m.left.length > 1 || m.right.length > 1),
+      "no cascaded merge in 64 rules")
+    def applyMerges(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left &&
+              syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val segCol = merges.foldLeft(BpeFit.delimited(col("word"))) { (c, m) =>
+      call_function("replace", c,
+        lit("|" + m.left + "||" + m.right + "|"),
+        lit("|" + m.left + m.right + "|"))
+    }
+    val got = words.map(_._1).toDF("word")
+      .select(col("word"),
+        filter(split(segCol, "\\|\\|"), x => x =!= "").as("segs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    got.foreach { case (w, segs) =>
+      val want = applyMerges(w)
+      assert(segs == want, s"word '$w': $segs != $want")
+    }
+  }
 }

@@ -41,4 +41,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got == gh * 4, s"doc $id: $got patches != ${gh * 4}")
     }
   }
+
+  test("image decode recovers hand-computed pixel stats from PNG bytes") {
+    import graft.multimodal.Binary.ImageCodec
+    // 2x1 RGB fixture: pixel (0,0) = (255, 0, 0), pixel (1,0) =
+    // (1, 2, 3) — hand-computed sums r=256, g=2, b=3. PNG is
+    // lossless, so decode must reproduce them exactly from the bytes
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, (1 << 16) | (2 << 8) | 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = ImageCodec.decode(9L, bos.toByteArray)
+      .getOrElse(fail("fixture PNG did not decode"))
+    assert(d.width == 2 && d.height == 1, s"${d.width}x${d.height}")
+    assert(d.n_channels == 3, s"channels ${d.n_channels}")
+    assert((d.sum_r, d.sum_g, d.sum_b) == ((256L, 2L, 3L)),
+      s"sums (${d.sum_r}, ${d.sum_g}, ${d.sum_b})")
+    // corrupt payloads drop instead of throwing
+    assert(ImageCodec.decode(1L, "not a png".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(2L, Array.empty[Byte]).isEmpty)
+  }
+
+  test("mm_image_decode matches the planted-formula recompute per doc") {
+    val rows = graft.queries.Multimodal.imageDecode.run(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, s"${rows.length} decoded != $nDocs docs")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h,
+        s"doc $id geometry ${r.getInt(1)}x${r.getInt(2)} != ${w}x$h")
+      // independent recompute of the planted per-band sums
+      def sum(f: (Int, Int) => Long): Long =
+        (for { y <- 0 until h; x <- 0 until w } yield f(x, y) % 256).sum
+      assert(r.getLong(4) == sum((x, y) => 7 * id + 13 * x + 31 * y), s"doc $id r")
+      assert(r.getLong(5) == sum((x, y) => 3 * id + 5 * x + 11 * y), s"doc $id g")
+      assert(r.getLong(6) == sum((x, y) => id + x + y), s"doc $id b")
+    }
+  }
 }

@@ -245,4 +245,22 @@ class PlanSpec extends AnyFunSuite {
     assert(totals.exists { case (s, n) => mixed.getOrElse(s, 0L) == n })
     assert(totals.exists { case (s, n) => mixed.getOrElse(s, 0L) < n })
   }
+
+  test("big-table scans split past one task at sf0.1 (mirror + maxPartitionBytes)") {
+    // the raw testdata files are one row group, so without the
+    // sources.Tables mirror every cold first stage serialized on one
+    // core at local[32]; with it, plus the 512 KB maxPartitionBytes
+    // GraftSession.local sets, the documents/lineitem scans must
+    // produce real parallelism (VERDICT r7 #8)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      (512 * 1024).toString)
+    try {
+      for (t <- Seq("documents", "lineitem")) {
+        val n = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", t)
+          .rdd.getNumPartitions
+        assert(n > 1, s"$t scans in $n partition(s) at sf0.1")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }

@@ -244,4 +244,32 @@ class VectorSpec extends AnyFunSuite {
     assert(r >= 0.5, s"append-index recall $r")
     assert(got.values.flatten.exists(_ >= cut), "no appended vector retrieved")
   }
+
+  test("PQ lake lifecycle: append encodes bit-equal to build, codebooks round-trip") {
+    import org.apache.spark.sql.functions._
+    val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val idx = "/tmp/graft_pq_append_test"
+    val books = graft.operators.PqIndex.build(spark,
+      e.filter(col("vec_id") < cut), idx, m = 8, k = 16)
+    graft.operators.PqIndex.append(spark, e.filter(col("vec_id") >= cut), idx)
+    // the frozen codebooks round-trip through the lake exactly
+    val loaded = graft.operators.PqIndex.loadBooks(spark, idx)
+    assert(loaded.length == books.length)
+    for (j <- books.indices; c <- books(j).indices)
+      assert(loaded(j)(c).sameElements(books(j)(c)), s"codebook ($j,$c)")
+    // encoding against frozen codebooks is deterministic, so the
+    // build-half + append-half codes table is bit-equal to a one-shot
+    // encode of the full corpus with the same books — append parity
+    val persisted = graft.operators.PqIndex.codes(spark, idx).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val direct = e.select(col("vec_id"),
+        graft.operators.PqIndex.encode(col("vn"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(persisted == direct,
+      s"persisted codes diverge for ${
+        (persisted.keySet ++ direct.keySet)
+          .filter(k => persisted.get(k) != direct.get(k)).take(5)}")
+  }
 }
