@@ -107,7 +107,7 @@ object IvfIndex {
       .repartition(col("cid")).write.mode(SaveMode.Append)
       .partitionBy("cid").parquet(s"$indexDir/vectors")
 
-  private def loadCentroids(spark: SparkSession,
+  private[operators] def loadCentroids(spark: SparkSession,
       indexDir: String): Array[Array[Double]] =
     spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained lake state for shingle-based near-dedup (the
+  * queries.Dedup incremental path) — the third index to get the
+  * build/append/read lifecycle (IvfIndex, SubstringIndex): the
+  * already-indexed corpus's distinct (doc_id, shingle-hash) rows,
+  * per-doc shingle counts, and the build-time hot-shingle stop list.
+  *
+  * Layout under `indexDir`:
+  *   shingles/ (doc_id, s), partitioned by s_b = pmod(s, 16) — one
+  *             row per distinct (doc, shingle); the candidate join's
+  *             equi-key side AND the exact-verify source (shingle-set
+  *             Jaccard is fully computable from the index — unlike
+  *             the substring index, no corpus re-read at verify)
+  *   sizes/    (doc_id, n) — Jaccard denominators
+  *   stop/     (s) — shingles hot at BUILD (df·2 > n_index_docs)
+  *
+  * The stop list is deliberately FROZEN at build: the ingest consults
+  * the index's stop list, it does not rescan the corpus to rebuild
+  * one (the dedup_incremental contract since round 5; refreshing it
+  * is an offline compaction decision, exactly like IVF centroid
+  * refit). Appends therefore add batch shingles and sizes only —
+  * O(batch) writes, no index rewrite — and batch hot-shingle rows ARE
+  * appended, because the exact-verify hot-correction needs the
+  * batch's memberships too.
+  */
+object ShingleIndex {
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("s_b", pmod(col("s"), lit(16)).cast("int"))
+
+  /** Batch-build from the index corpus's distinct (doc_id, s) rows. */
+  def build(spark: SparkSession, shingles: DataFrame,
+      indexDir: String): Unit = {
+    shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/sizes")
+    // doc count read back from the just-written sizes table: cheaper
+    // than re-running the shingle pipeline for one scalar
+    val nd = spark.read.parquet(s"$indexDir/sizes").count()
+    shingles.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 > lit(nd)).select(col("s"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stop")
+    withBucket(shingles).repartition(col("s_b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("s_b")
+      .parquet(s"$indexDir/shingles")
+  }
+
+  /** Incremental append: the batch's shingles and sizes, nothing
+    * else touched. */
+  def append(batchShingles: DataFrame, indexDir: String): Unit = {
+    batchShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/sizes")
+    withBucket(batchShingles).repartition(col("s_b"))
+      .write.mode(SaveMode.Append).partitionBy("s_b")
+      .parquet(s"$indexDir/shingles")
+  }
+
+  def shingles(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/shingles").select(col("doc_id"), col("s"))
+
+  def sizes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/sizes")
+
+  def stop(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/stop")
+}

@@ -552,17 +552,21 @@ object Dedup {
   /** Incremental near-dedup — the daily-ingest shape: a NEW batch of
     * docs (here doc_id % 5 = 4 stands in for today's crawl) checked
     * against the already-indexed corpus WITHOUT re-running the corpus
-    * self-join. Candidate generation touches only pairs with a new
-    * doc on at least one side: new-vs-index through the index's
+    * self-join — and, since round 8, against REAL maintained lake
+    * state: operators.ShingleIndex holds the indexed shingle rows,
+    * per-doc sizes, and the build-time stop list; the batch is
+    * appended (O(batch) writes) and the query derives everything from
+    * the index — including the exact verify, because shingle-set
+    * Jaccard is fully computable from stored shingles (no corpus
+    * re-read at all). Candidate generation touches only pairs with a
+    * new doc on at least one side: new-vs-index through the index's
     * shingle table, new-vs-new within the batch; index-vs-index pairs
     * were found when the index was built and are never re-derived.
-    * The stop-shingle list is the INDEX's (df over indexed docs only)
-    * — the ingest consults the index's stop list, it does not rescan
-    * the corpus to rebuild one. Verification is the shared
-    * verifiedJaccard: exact over the full shingle sets of the
-    * involved docs only. Per-ingest cost is O(batch x collisions),
-    * independent of corpus size — the property that makes near-dedup
-    * sustainable at 100 TB/day. */
+    * The stop-shingle list is the INDEX's (df over indexed docs only,
+    * frozen at build) — the ingest consults it, it does not rescan
+    * the corpus to rebuild one. Per-ingest cost is O(batch x
+    * collisions), independent of corpus size — the property that
+    * makes near-dedup sustainable at 100 TB/day. */
   val incremental: Q = Q(
     "dedup_incremental",
     """WITH toksv AS (
@@ -592,12 +596,22 @@ object Dedup {
       |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
       |WHERE i / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    shingleIncrementalOf(s, Tables.documents(s, dir),
+      Vectors.sidecarDir("shidx", dir))
+  }
+
+  /** The lake lifecycle + query of dedup_incremental, parameterized
+    * for the spec's planted corpora. */
+  private[graft] def shingleIncrementalOf(s: SparkSession,
+      docs: DataFrame, idx: String): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
-    val sh = hashedShingles(s, dir).cache()
-    val sz = docSizes(sh).cache()
-    val shOld = sh.filter(!isNew)
-    val nOld = sz.filter(!isNew).count()
-    val hotK = broadcast(hotShingleKeys(shOld, nOld))
+    val shAll = hashedShinglesOf(docs).cache() // build + append inputs
+    graft.operators.ShingleIndex.build(s, shAll.filter(!isNew), idx)
+    graft.operators.ShingleIndex.append(shAll.filter(isNew), idx)
+    // from here on, shingle state comes only from the index
+    val sh = graft.operators.ShingleIndex.shingles(s, idx).cache()
+    val sz = graft.operators.ShingleIndex.sizes(s, idx).cache()
+    val hotK = broadcast(graft.operators.ShingleIndex.stop(s, idx))
     val rare = sh.join(hotK, Seq("s"), "left_anti")
     val rareNew = rare.filter(isNew)
     // Rare-shingle intersection counts fall straight out of the
@@ -617,8 +631,10 @@ object Dedup {
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cr"))
     val cr = crNO.unionByName(crNN).cache() // contract of addHotCorrection
-    jaccardFrom(addHotCorrection(cr, sh, hotK), sz)
-      .orderBy(col("doc_a"), col("doc_b"))
+    releasedAfter(
+      jaccardFrom(addHotCorrection(cr, sh, hotK), sz)
+        .orderBy(col("doc_a"), col("doc_b")),
+      shAll, sh, sz, cr)
   }
 
   /** Substring-level exact dedup (Lee et al., "Deduplicating Training

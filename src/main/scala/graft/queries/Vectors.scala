@@ -473,6 +473,119 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ top-5 — the composed billion-scale ANN pipeline
+    * (operators.IvfPq, Jégou et al. 2011): coarse cells prune the
+    * corpus, PQ codes compress it, and the codes table is partitioned
+    * BY CELL, so a probe is a partition-pruned read of
+    * 32x-compressed rows — per query the bytes touched are
+    * (nprobe/k) × (1/32) of raw. ADC-score the probed cells,
+    * TopKAgg shortlist-100, exact cosine re-rank through the shared
+    * TopK.ranked contract. Both models fit on one bounded
+    * hash-ordered sample; one assign+encode corpus scan.
+    *
+    * ORACLE-CHECKED like knn_ivf + knn_pq combined: the two fits have
+    * no SQL twin, but both persisted models are frozen data, and
+    * DuckDB replays assignment, probe selection, codes, ADC tables,
+    * the probed-cell-restricted ADC scoring, shortlist, and exact
+    * re-rank from the raw embeddings plus the two sidecars. Recall
+    * vs knnBrute and append parity are gated in VectorSpec. */
+  val knnIvfPq: Q = Q(
+    "knn_ivfpq",
+    s"""WITH $oracleEmb,
+      |nv AS (
+      |  SELECT vec_id, v, n2, list_transform(v, x -> x *
+      |    (CASE WHEN n2 > 0 THEN 1.0 / sqrt(n2) ELSE 0.0 END)) AS vn
+      |  FROM n),
+      |cent AS (
+      |  SELECT cid, cv FROM read_parquet(
+      |    '/tmp/graft_ivfpq/$SfToken/centroids/*.parquet')),
+      |bk AS (
+      |  SELECT j, c, ctr FROM read_parquet(
+      |    '/tmp/graft_ivfpq/$SfToken/codebooks/*.parquet')),
+      |kk AS (SELECT COUNT(*)::INT AS n FROM bk WHERE j = 0),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT a.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.vn) + 1),
+      |          i -> (a.vn[i] - c.cv[i]) * (a.vn[i] - c.cv[i]))), c.cid) rn
+      |    FROM nv a CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |cd AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT nv.vec_id, bk.j, bk.c,
+      |      ROW_NUMBER() OVER (PARTITION BY nv.vec_id, bk.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> (nv.vn[bk.j * 8 + i] - bk.ctr[i])
+      |             * (nv.vn[bk.j * 8 + i] - bk.ctr[i]))), bk.c) rn
+      |    FROM nv CROSS JOIN bk)
+      |  WHERE rn = 1),
+      |codes AS (SELECT vec_id, list(c ORDER BY j) AS cs FROM cd GROUP BY vec_id),
+      |probe AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.vec_id query_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.vn) + 1),
+      |          i -> (q.vn[i] - c.cv[i]) * (q.vn[i] - c.cv[i]))), c.cid) rn
+      |    FROM nv q CROSS JOIN cent c WHERE q.vec_id < 50)
+      |  WHERE rn <= 4),
+      |dtv AS (
+      |  SELECT nv.vec_id AS query_id, bk.j, bk.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> nv.vn[bk.j * 8 + i] * bk.ctr[i])) AS d
+      |  FROM nv CROSS JOIN bk WHERE nv.vec_id < 50),
+      |dt AS (
+      |  SELECT query_id, list(d ORDER BY j, c) AS dts FROM dtv GROUP BY query_id),
+      |adc AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      j -> dts[(j - 1) * kk.n + cs[j] + 1])) AS adc
+      |  FROM probe p
+      |  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |  JOIN codes ON codes.vec_id = a.vec_id
+      |  JOIN dt ON dt.query_id = p.query_id
+      |  CROSS JOIN kk),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc DESC, neighbor_id) rn
+      |    FROM adc WHERE NOT isnan(adc))
+      |  WHERE rn <= 100),
+      |p AS (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> q.v[i] * c.v[i])) / sqrt(q.n2 * c.n2) AS cos
+      |  FROM short sl JOIN n q ON q.vec_id = sl.query_id
+      |  JOIN n c ON c.vec_id = sl.neighbor_id),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) rn
+      |  FROM p WHERE NOT isnan(cos))
+      |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import graft.operators.IvfPq
+    val e = embNorm(s, dir)
+      .cache() // build scan + query sides + exact re-rank sides
+    val idx = sidecarDir("ivfpq", dir)
+    IvfPq.build(s, e.select(col("vec_id"), col("vn")), idx,
+      kCells = 16, m = 8, kCodes = 16)
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("vn").as("vq"))
+    val short = IvfPq.shortlist(s, idx, q, nprobe = 4, shortlistK = 100)
+    val qv = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+      col("n2").as("nc"))
+    graft.functions.TopK.ranked(
+      short.join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos",
+          dot(col("vq"), col("vc")) / sqrt(col("nq") * col("nc"))),
+      "query_id", col("cos"), col("neighbor_id"), 5,
+      "neighbor_id", "cos_sim")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Distributed PCA projection — dimensionality reduction as a
     * pipeline operator: ONE mergeable moment pass (graft.operators.Pca
     * / functions.GramianAgg: constant 1+d+d² buffer, map-side
@@ -521,5 +634,5 @@ object Vectors {
   }
 
   val all: Seq[Q] = Seq(embeddingNearDup, knnBrute, knnIvf, annLsh,
-    quantizeInt8, knnPq, embedPca)
+    quantizeInt8, knnPq, knnIvfPq, embedPca)
 }

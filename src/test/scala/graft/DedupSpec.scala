@@ -136,6 +136,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got((1L, 24L)) == 1L, s"16-token run = exactly 1 window: $got")
   }
 
+  test("shingle index lifecycle: batch pairs via lake state, index pairs not re-derived") {
+    import spark.implicits._
+    // A=1 and B=2 are near-identical index docs; the batch doc C=24
+    // is an exact copy of A; ten unrelated index docs keep the
+    // A/B-shared shingles under the hot cap (df=2 of 12 index docs).
+    // The output must contain exactly the batch-involved pairs —
+    // (1,24) at 1.0 and (2,24) at B's similarity — and must NOT
+    // re-derive the index-resident (1,2) pair
+    val base = (0 until 40).map(i => s"t$i")
+    val docs = Seq(
+      1L -> base.mkString(" "),
+      2L -> (base.dropRight(1) :+ "zz").mkString(" "),
+      24L -> base.mkString(" ")) ++
+      Seq(3L, 5L, 6L, 7L, 8L, 10L, 11L, 12L, 13L, 15L).map(id =>
+        id -> (0 until 40).map(i => s"u${id}x$i").mkString(" "))
+    val got = Dedup.shingleIncrementalOf(spark,
+        docs.toDF("doc_id", "text"), "/tmp/graft_shidx_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 24L), (2L, 24L)), got)
+    assert(got((1L, 24L)) == 1.0, got)
+    assert(got((2L, 24L)) >= 0.8 && got((2L, 24L)) < 1.0, got)
+  }
+
   test("exact dedup marks no false duplicates on a corpus without any") {
     val d = Dedup.exact.run(spark, sf)
     assert(d.filter("is_dup").count() == 0)

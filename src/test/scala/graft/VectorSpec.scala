@@ -245,6 +245,39 @@ class VectorSpec extends AnyFunSuite {
     assert(got.values.flatten.exists(_ >= cut), "no appended vector retrieved")
   }
 
+  test("IVF-PQ recall@5 vs brute force") {
+    // probe recall bounds it (same 16-cell/4-probe geometry as IVF);
+    // ADC error is mostly absorbed by the 100-deep exact re-rank
+    val r = recall(topk(Vectors.knnIvfPq.run(spark, sf)))
+    assert(r >= 0.5, s"IVF-PQ recall $r")
+  }
+
+  test("IVF-PQ lake lifecycle: append assigns+encodes bit-equal to build") {
+    import org.apache.spark.sql.functions._
+    val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val idx = "/tmp/graft_ivfpq_append_test"
+    val (centers, books) = graft.operators.IvfPq.build(spark,
+      e.filter(col("vec_id") < cut), idx, kCells = 16, m = 8, kCodes = 16)
+    graft.operators.IvfPq.append(spark, e.filter(col("vec_id") >= cut), idx)
+    // cell assignment and codes of the appended half must equal a
+    // one-shot encode against the same frozen models
+    val persisted = graft.operators.IvfPq.codes(spark, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("cid"), r.getSeq[Int](1))))
+      .toMap
+    val direct = graft.operators.IvfIndex.assignLiteral(centers,
+        e.select(col("vec_id"), col("vn").as("v")))
+      .select(col("vec_id"),
+        graft.operators.PqIndex.encode(col("v"), books).as("codes"),
+        col("cid"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getSeq[Int](1)))).toMap
+    assert(persisted == direct,
+      s"diverging ids: ${(persisted.keySet ++ direct.keySet)
+        .filter(k => persisted.get(k) != direct.get(k)).take(5)}")
+  }
+
   test("PQ lake lifecycle: append encodes bit-equal to build, codebooks round-trip") {
     import org.apache.spark.sql.functions._
     val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
