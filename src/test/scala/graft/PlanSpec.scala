@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(2000))
   }
 
+  test("IVF-PQ probe prunes code partitions and ranks via bounded topk_by") {
+    // same contract as the IVF probe, on the compressed layout: the
+    // cid-partitioned CODES scan must carry a dynamic-pruning filter
+    // from the broadcast probe side (a probe that reads all cells
+    // reads the whole compressed corpus), and both the ADC shortlist
+    // and the exact re-rank must be the bounded aggregate — no Window
+    // anywhere in the pipeline.
+    val p = plan(Vectors.knnIvfPq.run(spark, sf))
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+    assert(p.contains("dynamicpruning"), p.take(2000))
+  }
+
   test("ann_lsh ranks via bounded topk_by, no per-query window sort") {
     val p = plan(Vectors.annLsh.run(spark, sf))
     assert(p.contains("topk_by"), p.take(2000))
