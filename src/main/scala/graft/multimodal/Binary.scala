@@ -92,6 +92,60 @@ object Binary {
           batch.flatMap { case (id, bytes) => decode(id, bytes) }
         }
     }
+
+    /** Nearest-neighbor integer-factor downsample on a decoded
+      * raster: out(x, y) = in(x·f, y·f), output dims = ceil(dim/f) —
+      * the defined kernel MultimodalSpec recomputes from the planted
+      * formula. Runs on the executor inside the same batch stage as
+      * the decode; a real deployment swaps the kernel (bilinear,
+      * Lanczos) inside the identical decode→kernel→stats shape. */
+    def resizeNn(img: java.awt.image.BufferedImage,
+        f: Int): java.awt.image.BufferedImage = {
+      val w = (img.getWidth + f - 1) / f
+      val h = (img.getHeight + f - 1) / f
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(x * f, y * f))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode + NN-downsample + stats in one batched stage. */
+    def decodeResized(s: SparkSession, payloads: DataFrame,
+        f: Int): Dataset[DecodedImage] = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val r = resizeNn(img, f)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < r.getHeight) {
+              var x = 0
+              while (x < r.getWidth) {
+                val rgb = r.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            Some(DecodedImage(id, r.getWidth, r.getHeight,
+              r.getColorModel.getNumComponents, sr, sg, sb))
+          }
+        })
+    }
   }
 
   /** One decoded record: byte length and leading byte (the shape a

@@ -188,6 +188,24 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-decode image resize — the genuine decode→kernel→stats
+    * pipeline on actual pixel rasters (mm_resize_nn is the
+    * byte-stream analogue): decode the planted PNG, nearest-neighbor
+    * 2x downsample (out(x,y) = in(2x,2y), dims = ceil(dim/2)), exact
+    * integer channel sums of the RESULT. Rows-only like
+    * mm_image_decode; MultimodalSpec recomputes the downsampled sums
+    * straight from the planted pixel formula. */
+  val imageResize: Q = Q.rowsOnly("mm_image_resize") { (s, dir) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Binary.ImageCodec.plantedPng(id,
+          (4 + id % 5).toInt, (3 + id % 4).toInt))
+      }).toDF("doc_id", "data")
+    Binary.ImageCodec.decodeResized(s, payloads, f = 2).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify, imageDecode)
+    patchify, imageDecode, imageResize)
 }

@@ -64,6 +64,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decode(2L, Array.empty[Byte]).isEmpty)
   }
 
+  test("mm_image_resize: downsampled stats match the planted formula at stride 2") {
+    val rows = graft.queries.Multimodal.imageResize.run(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, s"${rows.length} decoded != $nDocs docs")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val (wo, ho) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getInt(1) == wo && r.getInt(2) == ho,
+        s"doc $id geometry ${r.getInt(1)}x${r.getInt(2)} != ${wo}x$ho")
+      // NN at stride 2 keeps exactly the even-coordinate pixels of
+      // the planted image — recompute their band sums directly
+      def sum(f: (Int, Int) => Long): Long =
+        (for { y <- 0 until ho; x <- 0 until wo }
+          yield f(2 * x, 2 * y) % 256).sum
+      assert(r.getLong(4) == sum((x, y) => 7 * id + 13 * x + 31 * y), s"doc $id r")
+      assert(r.getLong(5) == sum((x, y) => 3 * id + 5 * x + 11 * y), s"doc $id g")
+      assert(r.getLong(6) == sum((x, y) => id + x + y), s"doc $id b")
+    }
+  }
+
   test("mm_image_decode matches the planted-formula recompute per doc") {
     val rows = graft.queries.Multimodal.imageDecode.run(spark, sf).collect()
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
