@@ -116,11 +116,15 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // errored queries (either pass) are excluded from every total and
-    // subtotal; their names are the record
-    val errored = (results ++ results2).filter(!_._3).map(_._1).distinct.sorted
+    // subtotal IN BOTH PASSES — a query that succeeds in pass 1 and
+    // throws in pass 2 must not leave its pass-1 time skewing the
+    // pair comparison; their names are the record
+    val errored =
+      (results ++ results2).filter(!_._3).map(_._1).distinct.sorted
+    val erroredSet = errored.toSet
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     def tot(rs: Seq[(String, Double, Boolean)], only: String => Boolean) =
-      rs.filter(r => r._3 && only(r._1)).map(_._2).sum
+      rs.filter(r => !erroredSet(r._1) && only(r._1)).map(_._2).sum
     val total = tot(results, _ => true)
     val total2 = tot(results2, _ => true)
     val prev = tot(results, prevRegistry)

@@ -28,31 +28,47 @@ object Binary {
   /** Pure-JVM image codec (javax.imageio). */
   object ImageCodec {
 
-    /** Decode one payload; None when no JDK reader claims the bytes —
-      * the per-row failure must not kill the partition (a 100 TB
+    /** Read one payload into a raster; None when no JDK reader claims
+      * the bytes OR a reader blows up on malformed input — JDK
+      * ImageIO readers throw RuntimeExceptions (AIOOBE in the GIF
+      * reader, NegativeArraySize in BMP) on crafted/truncated files,
+      * and a per-row failure must not kill the partition (a 100 TB
       * crawl WILL contain corrupt images). */
-    def decode(docId: Long, payload: Array[Byte]): Option[DecodedImage] = {
-      val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
-            sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
+    private def readImage(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Exact integer per-band sums over a raster — the one stats
+      * kernel both decode paths share. */
+    private def bandSums(
+        img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+          sb += rgb & 0xFF
+          x += 1
         }
-        Some(DecodedImage(docId, img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents, sr, sg, sb))
+        y += 1
       }
+      (sr, sg, sb)
     }
+
+    private def stats(docId: Long,
+        img: java.awt.image.BufferedImage): DecodedImage = {
+      val (sr, sg, sb) = bandSums(img)
+      DecodedImage(docId, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, sr, sg, sb)
+    }
+
+    /** Decode one payload to its stats row; None on undecodable. */
+    def decode(docId: Long, payload: Array[Byte]): Option[DecodedImage] =
+      readImage(payload).map(stats(docId, _))
 
     /** Deterministic planted RGB PNG: pixel (x, y) of image `seed` is
       * (r, g, b) = ((7·seed + 13·x + 31·y) mod 256, (3·seed + 5·x +
@@ -117,33 +133,15 @@ object Binary {
       out
     }
 
-    /** Decode + NN-downsample + stats in one batched stage. */
+    /** Decode + NN-downsample + stats in one batched stage — the same
+      * readImage/bandSums kernels as decode, with the resize kernel
+      * between them. */
     def decodeResized(s: SparkSession, payloads: DataFrame,
         f: Int): Dataset[DecodedImage] = {
       import s.implicits._
       payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, bytes) =>
-          val img = try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
-          if (img == null) None
-          else {
-            val r = resizeNn(img, f)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < r.getHeight) {
-              var x = 0
-              while (x < r.getWidth) {
-                val rgb = r.getRGB(x, y)
-                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
-                sb += rgb & 0xFF
-                x += 1
-              }
-              y += 1
-            }
-            Some(DecodedImage(id, r.getWidth, r.getHeight,
-              r.getColorModel.getNumComponents, sr, sg, sb))
-          }
+          readImage(bytes).map(img => stats(id, resizeNn(img, f)))
         })
     }
   }

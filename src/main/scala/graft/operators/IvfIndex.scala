@@ -73,12 +73,20 @@ object IvfIndex {
     * Quantizer quality is guarded by VectorSpec's recall-vs-brute
     * assertion (>= 0.55 on this near-random test corpus, where
     * clusters barely exist; structured corpora probe far better). */
+  /** Bounded hash-ordered model-fit sample — deterministic AND
+    * unbiased (an id-prefix sample would skew on any corpus where
+    * vec_id correlates with content); the ONE sampling contract every
+    * index fit shares (IVF, PQ, IVF-PQ). */
+  private[operators] def fitSample(emb: DataFrame,
+      vecCol: String): Array[Array[Double]] =
+    emb.select(col("vec_id"), col(vecCol))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       k: Int, seed: Long = 42L): Unit = {
     require(k >= 1, s"IVF cluster count k=$k must be >= 1")
-    val sample = emb.select(col("vec_id"), col("v"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val sample = fitSample(emb, "v")
     require(sample.length >= k,
       s"IVF k=$k exceeds the ${sample.length}-row quantizer sample — " +
         "fewer training vectors than requested clusters can only " +

@@ -36,9 +36,7 @@ object IvfPq {
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       kCells: Int, m: Int, kCodes: Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val sample = emb.select(col("vec_id"), col("vn"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val sample = IvfIndex.fitSample(emb, "vn")
     require(sample.length >= math.max(kCells, kCodes),
       s"IVF-PQ sample ${sample.length} smaller than k")
     val centers = IvfIndex.lloyd(sample, kCells, seed = 42L, iters = 10)
@@ -47,10 +45,7 @@ object IvfPq {
     centers.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
       .toDF("cid", "cv").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
-    (for { j <- books.indices; c <- books(j).indices }
-      yield (j, c, books(j)(c).toSeq))
-      .toDF("j", "c", "ctr").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/codebooks")
+    PqIndex.persistBooks(spark, books, s"$indexDir/codebooks")
     writeCodes(centers, books, emb, SaveMode.Overwrite, indexDir)
     (centers, books)
   }
@@ -63,16 +58,26 @@ object IvfPq {
 
   /** The one corpus scan: nearest-cell assignment + PQ encode, laid
     * out partitioned by cell (repartition first — the IvfIndex
-    * argument: otherwise every task writes a file per cell). */
+    * argument: otherwise every task writes a file per cell).
+    * Assignment honors the LiteralCentroidMax dispatch exactly like
+    * IvfIndex.build and the probe side: past it, k·dim centroid
+    * literals would blow up codegen, so assignment switches to the
+    * broadcast-join plan (spec-asserted bit-equal in VectorSpec). */
   private def writeCodes(centers: Array[Array[Double]],
       books: Array[Array[Array[Double]]], emb: DataFrame,
-      mode: SaveMode, indexDir: String): Unit =
-    IvfIndex.assignLiteral(centers,
-        emb.select(col("vec_id"), col("vn").as("v")))
+      mode: SaveMode, indexDir: String): Unit = {
+    val withV = emb.select(col("vec_id"), col("vn").as("v"))
+    val assigned =
+      if (centers.length <= IvfIndex.LiteralCentroidMax)
+        IvfIndex.assignLiteral(centers, withV)
+      else IvfIndex.assignJoin(centers, withV.withColumn("n2",
+        graft.functions.VectorExprs.norm2(col("v"))))
+    assigned
       .select(col("vec_id"), PqIndex.encode(col("v"), books).as("codes"),
         col("cid"))
       .repartition(col("cid"))
       .write.mode(mode).partitionBy("cid").parquet(s"$indexDir/codes")
+  }
 
   def codes(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/codes")

@@ -64,18 +64,22 @@ object PqIndex {
     * per query. Returns the fitted codebooks. */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String,
       m: Int, k: Int): Array[Array[Array[Double]]] = {
-    val sample = emb.select(col("vec_id"), col("vn"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(4096).collect().map(_.getSeq[Double](1).toArray)
-    val books = fit(sample, m, k)
-    import spark.implicits._
-    val rows = for { j <- books.indices; c <- books(j).indices }
-      yield (j, c, books(j)(c).toSeq)
-    rows.toDF("j", "c", "ctr").coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/codebooks")
+    val books = fit(IvfIndex.fitSample(emb, "vn"), m, k)
+    persistBooks(spark, books, s"$indexDir/codebooks")
     encoded(books, emb).write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/codes")
     books
+  }
+
+  /** The (j, c, ctr) codebook lake format loadBooks reads — one
+    * definition shared by PqIndex.build and IvfPq.build. */
+  private[operators] def persistBooks(spark: SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    (for { j <- books.indices; c <- books(j).indices }
+      yield (j, c, books(j)(c).toSeq))
+      .toDF("j", "c", "ctr").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** Incremental append: encode a NEW batch against the FROZEN

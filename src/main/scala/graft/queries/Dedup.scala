@@ -596,10 +596,10 @@ object Dedup {
       |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
       |WHERE i / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // index path keyed to the source version; built once — the
-    // read-side ingest query never touches the corpus at all
+    // index path keyed to the source + format version; built once —
+    // the read-side ingest query never touches the corpus at all
     shingleIncrementalOf(s, Tables.documents(s, dir),
-      Vectors.sidecarDir("shidx", dir) + "/" + sourceKey(dir),
+      Vectors.sidecarDir("shidx", dir) + "/" + sourceKey(dir, "g3-xx64"),
       fresh = false)
   }
 
@@ -609,13 +609,14 @@ object Dedup {
   private[graft] def shingleIncrementalOf(s: SparkSession,
       docs: DataFrame, idx: String, fresh: Boolean = true): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
-    val doBuild = { () =>
+    val doBuild = { (target: String) =>
       val shAll = hashedShinglesOf(docs).cache() // build + append inputs
-      graft.operators.ShingleIndex.build(s, shAll.filter(!isNew), idx)
-      graft.operators.ShingleIndex.append(shAll.filter(isNew), idx)
+      graft.operators.ShingleIndex.build(s, shAll.filter(!isNew), target)
+      graft.operators.ShingleIndex.append(shAll.filter(isNew), target)
       shAll.unpersist()
+      ()
     }
-    if (fresh) doBuild() else buildOnce(idx)(doBuild())
+    if (fresh) doBuild(idx) else buildOnce(idx)(doBuild)
     // from here on, shingle state comes only from the index
     val sh = graft.operators.ShingleIndex.shingles(s, idx).cache()
     val sz = graft.operators.ShingleIndex.sizes(s, idx).cache()
@@ -691,19 +692,39 @@ object Dedup {
     * caller keys the index path to the source table's (size, mtime),
     * so a regenerated corpus self-invalidates. Specs bypass this
     * (fresh = true) to exercise the lifecycle itself. */
-  private def buildOnce(idxDir: String)(build: => Unit): Unit = {
-    val marker = new java.io.File(idxDir, "_GRAFT_INDEX_COMPLETE")
-    if (!marker.isFile) {
-      build
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+  private def buildOnce(idxDir: String)(build: String => Unit): Unit = {
+    if (!new java.io.File(idxDir, "_GRAFT_INDEX_COMPLETE").isFile) {
+      // build into a process-private dir, publish by ATOMIC RENAME
+      // (the Tables mirror scheme): two processes racing here each
+      // build a complete, equivalent index and one rename wins —
+      // never a half-Overwritten half-appended hybrid under a marker
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      // a markerless idxDir is a crashed partial build — clear it so
+      // the rename below can land (rename onto an existing dir fails)
+      val dst = new java.io.File(idxDir)
+      if (dst.isDirectory) rm(dst)
+      val tmp = new java.io.File(
+        idxDir + ".build-" + ProcessHandle.current.pid)
+      build(tmp.getPath)
+      new java.io.File(tmp, "_GRAFT_INDEX_COMPLETE").createNewFile()
+      if (!tmp.renameTo(dst)) {
+        rm(tmp) // lost the race; the winner's index is equivalent
+        require(new java.io.File(dst, "_GRAFT_INDEX_COMPLETE").isFile,
+          s"index publish failed and no complete winner exists: $idxDir")
+      }
     }
   }
 
-  /** Source-version key for index paths (the Tables mirror scheme). */
-  private def sourceKey(dir: String): String = {
+  /** Source-version + FORMAT-version key for index paths (the Tables
+    * mirror scheme). `fmt` must change whenever the index derivation
+    * changes (window width, fingerprint scheme, shingle width, stop
+    * rule, layout) — otherwise a code change would silently serve a
+    * stale incompatible index from /tmp. */
+  private def sourceKey(dir: String, fmt: String): String = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    s"${f.length}-${f.lastModified}"
+    s"${f.length}-${f.lastModified}-$fmt"
   }
 
   /** Materialize the (pair-table-sized) result, then drop the
@@ -864,11 +885,13 @@ object Dedup {
   val substringIncremental: Q = Q(
     "dedup_substring_incremental",
     substringOracle("\n    AND (c.da % 5 = 4 OR c.db % 5 = 4)")) { (s, dir) =>
-    // index path keyed to the source version; built once, then every
-    // invocation measures the real per-ingest cost (read-side query;
-    // the verify still tokenizes candidate docs from the corpus)
+    // index path keyed to the source + format version; built once,
+    // then every invocation measures the real per-ingest cost
+    // (read-side query; the verify still tokenizes candidate docs
+    // from the corpus)
     substringIncrementalOf(s, Tables.documents(s, dir),
-      Vectors.sidecarDir("subidx", dir) + "/" + sourceKey(dir),
+      Vectors.sidecarDir("subidx", dir) + "/" +
+        sourceKey(dir, s"w$subW-m$subModBits-df$subMaxDf"),
       fresh = false)
   }
 
@@ -880,13 +903,15 @@ object Dedup {
     val isBatch = col("doc_id") % 5 === 4
     val docsT = substringDocsT(docs)
       .cache() // window derivation + both verify slice sides
-    val doBuild = { () =>
+    val doBuild = { (target: String) =>
       val wf = substringWindowsOf(docsT).cache() // build + append inputs
-      graft.operators.SubstringIndex.build(wf.filter(!isBatch), idx, subMaxDf)
-      graft.operators.SubstringIndex.append(s, wf.filter(isBatch), idx)
+      graft.operators.SubstringIndex.build(
+        wf.filter(!isBatch), target, subMaxDf)
+      graft.operators.SubstringIndex.append(s, wf.filter(isBatch), target)
       wf.unpersist()
+      ()
     }
-    if (fresh) doBuild() else buildOnce(idx)(doBuild())
+    if (fresh) doBuild(idx) else buildOnce(idx)(doBuild)
     // from here on, window state comes only from the index
     val w = graft.operators.SubstringIndex.windows(s, idx)
       .cache() // batch-fp restriction + df aggregation + both join sides

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Binary
@@ -177,14 +178,21 @@ object Multimodal {
     * MultimodalSpec pins the decode against hand-computed pixel stats
     * and the planted formula, and pins that corrupt payloads drop
     * instead of killing the scan. */
-  val imageDecode: Q = Q.rowsOnly("mm_image_decode") { (s, dir) =>
+  /** The planted PNG payload column both mm_image_* queries decode:
+    * geometry (4 + id%5) x (3 + id%4), pixels from the ImageCodec
+    * planted formula — ONE definition, because the formula is also
+    * the spec's recompute target. */
+  private def plantedPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         (id, Binary.ImageCodec.plantedPng(id,
           (4 + id % 5).toInt, (3 + id % 4).toInt))
       }).toDF("doc_id", "data")
-    Binary.ImageCodec.decodeImages(s, payloads).toDF()
+  }
+
+  val imageDecode: Q = Q.rowsOnly("mm_image_decode") { (s, dir) =>
+    Binary.ImageCodec.decodeImages(s, plantedPayloads(s, dir)).toDF()
       .orderBy(col("doc_id"))
   }
 
@@ -196,13 +204,7 @@ object Multimodal {
     * mm_image_decode; MultimodalSpec recomputes the downsampled sums
     * straight from the planted pixel formula. */
   val imageResize: Q = Q.rowsOnly("mm_image_resize") { (s, dir) =>
-    import s.implicits._
-    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        (id, Binary.ImageCodec.plantedPng(id,
-          (4 + id % 5).toInt, (3 + id % 4).toInt))
-      }).toDF("doc_id", "data")
-    Binary.ImageCodec.decodeResized(s, payloads, f = 2).toDF()
+    Binary.ImageCodec.decodeResized(s, plantedPayloads(s, dir), f = 2).toDF()
       .orderBy(col("doc_id"))
   }
 

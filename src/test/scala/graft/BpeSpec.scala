@@ -8,6 +8,38 @@ class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  /** Reference greedy left-to-right non-overlapping merge application
+    * over symbol lists — the semantics both merges=64 tests pin the
+    * chained-replace apply path against (ONE copy on purpose). */
+  private def applyMergesRef(word: String,
+      merges: Seq[BpeFit.Merge]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+    merges.foreach { m =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == m.left &&
+            syms(i + 1) == m.right) {
+          out += m.left + m.right; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  /** The production apply path: the delimited segmentation folded
+    * through one codegen'd replace per merge rule. */
+  private def chainApply(
+      merges: Seq[BpeFit.Merge]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    merges.foldLeft(BpeFit.delimited(col("word"))) { (c, m) =>
+      call_function("replace", c,
+        lit("|" + m.left + "||" + m.right + "|"),
+        lit("|" + m.left + m.right + "|"))
+    }
+  }
+
   test("fitLocal reproduces the Sennrich corpus merges exactly") {
     // the ACL-2016 worked example: low:5 lower:2 newest:6 widest:3.
     // Pair counts put (e,s)/(s,t)/(t,</w>) in a 9-way tie — the
@@ -93,27 +125,6 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     val merges = BpeFit.fitLocal(words, 64)
     assert(merges.length == 64, s"corpus exhausted at ${merges.length} merges")
-    def applyMerges(word: String): Seq[String] = {
-      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
-      merges.foreach { m =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == m.left &&
-              syms(i + 1) == m.right) {
-            out += m.left + m.right; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toSeq
-      }
-      syms
-    }
-    def chainApply(ms: Seq[graft.operators.BpeFit.Merge]) =
-      ms.foldLeft(BpeFit.delimited(col("word"))) { (c, m) =>
-        call_function("replace", c,
-          lit("|" + m.left + "||" + m.right + "|"),
-          lit("|" + m.left + m.right + "|"))
-      }
     val got = graft.sources.Tables.documents(spark, sf)
       .select(explode(expr("graft_tokens(text)")).as("word")).distinct()
       .select(col("word"),
@@ -123,7 +134,7 @@ class BpeSpec extends AnyFunSuite {
     // must round-trip, and the planted set below supplies the depth
     assert(got.length >= 20, s"only ${got.length} distinct words")
     got.foreach { case (w, segs) =>
-      val want = applyMerges(w)
+      val want = applyMergesRef(w, merges)
       assert(segs == want, s"word '$w': $segs != $want")
     }
     // and at least one merged symbol actually fires on the corpus:
@@ -152,32 +163,12 @@ class BpeSpec extends AnyFunSuite {
     // right side is itself a multi-char merged symbol
     assert(merges.exists(m => m.left.length > 1 || m.right.length > 1),
       "no cascaded merge in 64 rules")
-    def applyMerges(word: String): Seq[String] = {
-      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
-      merges.foreach { m =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == m.left &&
-              syms(i + 1) == m.right) {
-            out += m.left + m.right; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toSeq
-      }
-      syms
-    }
-    val segCol = merges.foldLeft(BpeFit.delimited(col("word"))) { (c, m) =>
-      call_function("replace", c,
-        lit("|" + m.left + "||" + m.right + "|"),
-        lit("|" + m.left + m.right + "|"))
-    }
     val got = words.map(_._1).toDF("word")
       .select(col("word"),
-        filter(split(segCol, "\\|\\|"), x => x =!= "").as("segs"))
+        filter(split(chainApply(merges), "\\|\\|"), x => x =!= "").as("segs"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1))
     got.foreach { case (w, segs) =>
-      val want = applyMerges(w)
+      val want = applyMergesRef(w, merges)
       assert(segs == want, s"word '$w': $segs != $want")
     }
   }
