@@ -8,7 +8,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.localBench(cpus)
     // Warm the JVM/codegen and the parquet footers so the first timed
     // query isn't charged for session startup. A warm-up failure must
     // not kill the bench — the timed queries guard themselves.
@@ -113,8 +113,6 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     // errored queries (either pass) are excluded from every total and
     // subtotal IN BOTH PASSES — a query that succeeds in pass 1 and
     // throws in pass 2 must not leave its pass-1 time skewing the
@@ -123,21 +121,35 @@ object Bench {
       (results ++ results2).filter(!_._3).map(_._1).distinct.sorted
     val erroredSet = errored.toSet
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query map excludes errored queries: their elapsed-until-throw
+    // is not a measurement, and a partial time in the map would stop
+    // the map reconciling with the totals (ADVICE r8); their names are
+    // already in "errors"
+    val qs = results.filter(r => !erroredSet(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double, Boolean)], only: String => Boolean) =
       rs.filter(r => !erroredSet(r._1) && only(r._1)).map(_._2).sum
     val total = tot(results, _ => true)
     val total2 = tot(results2, _ => true)
     val prev = tot(results, prevRegistry)
     val prev2 = tot(results2, prevRegistry)
-    // run-2 detail only for the queries rounds 5-6 flagged as
-    // flap-prone (full second per-query map would blow the ~2 KB tail
-    // budget)
+    // BOTH passes' detail for the queries rounds 5-8 flagged as
+    // flap-prone (the full per-pass maps would blow the ~2 KB tail
+    // budget). "q1" exists because the big per-query map is printed
+    // alphabetically with the dedup_* family at its HEAD — precisely
+    // the watched queries' pass-1 times were ALWAYS lost to the tail
+    // truncation, so an excursion like r8's dedup_minhash_lsh 16.19 s
+    // pass-2 had no pass-1 witness in the artifact (VERDICT r8 #1/#2a).
     val watched = Set("dedup_clusters", "dedup_simhash", "events_retention",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf",
       "dedup_substring")
-    val q2 = results2.filter(r => watched(r._1))
-      .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.filter(r => watched(r._1) && !erroredSet(r._1))
+        .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+    val q1 = qmap(results)
+    val q2 = qmap(results2)
     // The captured group must itself be a valid JSON number ("sf1."
     // or "sf..." would otherwise be emitted unquoted and corrupt the
     // line); anything unparseable falls back to the quoted dir.
@@ -155,7 +167,7 @@ object Bench {
     // kept tail and parses. A head-truncated line 1 is invalid JSON
     // by construction; any consumer must scan for the LAST parseable
     // line, never the first (ADVICE r7 #4).
-    val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q2":$q2,"sf":$sf"""
+    val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q1":$q1,"q2":$q2,"sf":$sf"""
     println(s"""{"queries":$qs,"metric":"total","unit":"sec",$tail,"value2":${r3(total2)},"value":${r3(total)}}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},$tail}""")
     spark.stop()

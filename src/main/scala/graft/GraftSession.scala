@@ -16,13 +16,12 @@ import org.apache.spark.sql.SparkSession
   * only at parquet ROW-GROUP boundaries — a single-row-group file is
   * one task no matter the setting. The local testdata tables are
   * exactly that (one file, one row group), so sources.Tables mirrors
-  * the big ones once into a 256 KB-row-group layout and `local`
-  * drops maxPartitionBytes to 512 KB so the mirror actually splits;
-  * at 100 TB the input arrives as many multi-row-group files, the
-  * mirror path never runs, and the defaults are right. local()
-  * also caps the WRITE-side `parquet.block.size` at 1 MB so sink
-  * outputs and index layouts written during local runs stay
-  * splittable when read back.
+  * the big ones once into a 256 KB-row-group layout and the
+  * TESTDATA-SCOPED profile `localBench` drops maxPartitionBytes to
+  * 512 KB so the mirror actually splits. Plain `local` keeps the
+  * defaults: on normal many-file inputs a 512 KB bin-pack would
+  * explode task counts for nothing (ADVICE r8) — at 100 TB the input
+  * arrives as many multi-row-group files and the defaults are right.
   */
 object GraftSession {
   def build(master: String, shufflePartitions: Int): SparkSession = {
@@ -35,16 +34,27 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the events table carries TIMESTAMP(NANOS), which Spark 4
+      // rejects by default; set once here, not inside a table loader
+      // (VERDICT r8 #4 — a loader must not mutate session state)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** local[n] with matching shuffle width and scan splits sized to
-    * the testdata mirror's 256 KB row groups (see the scaladoc). */
-  def local(cpus: Int): SparkSession = {
-    val s = build(s"local[$cpus]", cpus)
+  /** local[n] with matching shuffle width and default scan splits —
+    * the profile for arbitrary local data. */
+  def local(cpus: Int): SparkSession = build(s"local[$cpus]", cpus)
+
+  /** The Bench/Verify/TimeQuery profile: `local` plus scan splits
+    * sized to the testdata mirror's 256 KB row groups (see the
+    * scaladoc) and a 1 MB WRITE-side `parquet.block.size` so sink
+    * outputs and index layouts written during these runs stay
+    * splittable when read back at testdata scale. */
+  def localBench(cpus: Int): SparkSession = {
+    val s = local(cpus)
     s.conf.set("spark.sql.files.maxPartitionBytes", (512 * 1024).toString)
     s.sparkContext.hadoopConfiguration
       .setInt("parquet.block.size", 1024 * 1024)

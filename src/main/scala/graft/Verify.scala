@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.localBench(cpus)
     new java.io.File(outDir).mkdirs()
     // Guard the AsciiTokens ≡ regex-tokenizer contract on THIS corpus.
     // The codegen'd fast tokenizer (functions/TextExprs.scala) is

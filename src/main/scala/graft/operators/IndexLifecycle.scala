@@ -1,0 +1,106 @@
+package graft.operators
+
+/** Build-once lifecycle for maintained lake indexes (ShingleIndex,
+  * SubstringIndex, IvfIndex, PqIndex, IvfPq, the PCA sidecar).
+  *
+  * A real ingest builds its index ONCE and appends per batch;
+  * re-deriving the whole index on every query would bill every read
+  * for the build. The guard here makes that the default for every
+  * index-backed query: the index lives at a STABLE path (so oracle
+  * SQL can read its frozen-model sidecars), and the completion marker
+  * CONTAINS the source+format version key — freshness and
+  * completeness are one atomic check. A regenerated corpus or a
+  * changed derivation bumps the key, the marker mismatches, and the
+  * index rebuilds in place; no versioned sibling dirs accumulate
+  * under /tmp (the r8 ADVICE growth finding).
+  *
+  * Publish is by atomic rename of a process-private build dir. Two
+  * processes racing build equivalent indexes and one rename wins —
+  * never a half-overwritten hybrid under a marker. The stale previous
+  * dir is renamed ASIDE before deletion and the marker is re-checked
+  * immediately before that move (the r8 ADVICE TOCTOU finding: a
+  * racer may have published a complete index between our freshness
+  * check and our publish — deleting it would orphan the racer's
+  * lazily-evaluated readers mid-scan).
+  */
+object IndexLifecycle {
+
+  private val Marker = "_GRAFT_INDEX_COMPLETE"
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  /** The key the published index at `dir` was built under, if its
+    * marker exists. A contentless marker (pre-r9 layout) reads as ""
+    * and matches no key — legacy indexes rebuild once. */
+  private def publishedKey(dir: java.io.File): Option[String] = {
+    val m = new java.io.File(dir, Marker)
+    if (!m.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim)
+  }
+
+  /** Source-version + FORMAT-version key for index freshness. `fmt`
+    * must change whenever the index derivation changes (window width,
+    * fingerprint scheme, shingle width, stop rule, quantizer knobs,
+    * layout) — otherwise a code change would silently serve a stale
+    * incompatible index from /tmp.
+    *
+    * For a single-file source, (length, mtime) is the version. For a
+    * DIRECTORY-style parquet source those two reflect nothing about
+    * content (the r8 ADVICE staleness finding), so the key is derived
+    * from the leaf files instead: an MD5 over every leaf's relative
+    * path, length, and mtime — any rewrite of any part changes it. */
+  def sourceKey(srcPath: String, fmt: String): String = {
+    val f = new java.io.File(srcPath)
+    if (f.isFile) s"${f.length}-${f.lastModified}-$fmt"
+    else if (f.isDirectory) {
+      def leaves(x: java.io.File): Seq[java.io.File] =
+        Option(x.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .flatMap(c => if (c.isDirectory) leaves(c) else Seq(c))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      leaves(f).foreach { l =>
+        md.update(s"${l.getName}:${l.length}:${l.lastModified}|"
+          .getBytes("UTF-8"))
+      }
+      val hex = md.digest().take(8).map("%02x".format(_)).mkString
+      s"d$hex-$fmt"
+    } else s"absent-$fmt" // build runs and fails with the real error
+  }
+
+  /** Run `build` into a private dir and publish it at `idxDir` —
+    * unless a complete index built under the SAME `key` is already
+    * published there, in which case this is a no-op and the caller
+    * reads the existing state. Specs that exercise the lifecycle
+    * itself bypass this and call their build directly. */
+  def buildOnce(idxDir: String, key: String)(build: String => Unit): Unit = {
+    val dst = new java.io.File(idxDir)
+    if (publishedKey(dst).contains(key)) return
+    val tmp = new java.io.File(
+      idxDir + ".build-" + ProcessHandle.current.pid)
+    rm(tmp) // a crashed same-pid build (pid reuse) must not pollute ours
+    build(tmp.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, Marker).toPath, key.getBytes("UTF-8"))
+    // Re-check at publish time: a racer finishing first published an
+    // equivalent index — keep theirs, never delete a complete
+    // matching index out from under its readers (TOCTOU guard).
+    if (publishedKey(dst).contains(key)) { rm(tmp); return }
+    if (dst.exists()) {
+      // stale key or crashed partial build: move it ASIDE first so
+      // the published path never holds a half-deleted tree, then
+      // delete the aside copy
+      val aside = new java.io.File(
+        idxDir + ".old-" + ProcessHandle.current.pid)
+      rm(aside)
+      if (dst.renameTo(aside)) rm(aside)
+      else if (publishedKey(dst).contains(key)) { rm(tmp); return }
+    }
+    if (!tmp.renameTo(new java.io.File(idxDir))) {
+      rm(tmp) // lost the race; the winner's index must be equivalent
+      require(publishedKey(new java.io.File(idxDir)).contains(key),
+        s"index publish failed and no matching winner exists: $idxDir")
+    }
+  }
+}

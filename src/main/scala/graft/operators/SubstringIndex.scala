@@ -72,4 +72,55 @@ object SubstringIndex {
   def windows(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/windows")
       .select(col("doc_id"), col("pos"), col("fp"))
+
+  /** Offline compaction — the sink_compaction shape applied to index
+    * state. Appends only ever ADD rows, so a fingerprint whose
+    * document frequency climbs over the cap through appends keeps its
+    * stored positions as dead weight: the read path's df filter
+    * excludes them from every result, but every read still scans and
+    * aggregates them. This pass re-aggregates df over the full
+    * appended state, PROMOTES over-cap fingerprints to stop/ (document
+    * frequency only grows — they can never re-qualify), drops their
+    * positions, and rewrites the bucket partitions (also folding the
+    * many small per-append files back into one layout pass).
+    *
+    * Reads are equivalent before/after by construction: the dropped
+    * positions are exactly those the read-side `df <= maxDf` filter
+    * already excluded, and the grown stop list only gates fps whose
+    * windows no longer exist. Publish follows the IndexLifecycle
+    * scheme — build aside, atomic rename swap — so a concurrent
+    * reader never sees a half-rewritten tree; the freshness marker
+    * (if present) is carried over unchanged, because compaction
+    * changes the layout, not the logical content. */
+  def compact(spark: SparkSession, indexDir: String, maxDf: Int): Unit = {
+    val w = windows(spark, indexDir).cache()
+    val over = w.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val pid = ProcessHandle.current.pid
+    val tmp = new java.io.File(s"$indexDir.compact-$pid")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(tmp)
+    spark.read.parquet(s"$indexDir/stop").select(col("fp"))
+      .union(over).distinct()
+      .coalesce(1).write.parquet(tmp.getPath + "/stop")
+    withBucket(w.join(over, Seq("fp"), "left_anti"))
+      .repartition(col("fp_b"))
+      .write.partitionBy("fp_b").parquet(tmp.getPath + "/windows")
+    w.unpersist()
+    val marker = new java.io.File(indexDir, "_GRAFT_INDEX_COMPLETE")
+    if (marker.isFile)
+      java.nio.file.Files.copy(marker.toPath,
+        new java.io.File(tmp, "_GRAFT_INDEX_COMPLETE").toPath)
+    // swap: old tree aside (open readers keep their file handles),
+    // compacted tree in, aside deleted
+    val dst = new java.io.File(indexDir)
+    val aside = new java.io.File(s"$indexDir.old-$pid")
+    rm(aside)
+    require(dst.renameTo(aside) && tmp.renameTo(dst),
+      s"compaction publish failed for $indexDir")
+    rm(aside)
+  }
 }

@@ -31,7 +31,7 @@ object Dedup {
     * distinct, so the shuffle moves 16-byte (long, long) rows instead
     * of ~30-char shingle strings; the string never leaves the map
     * side. */
-  private[queries] def hashedShinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), explode(gramsOf(col("ts"))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("s"))
@@ -596,18 +596,20 @@ object Dedup {
       |FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
       |WHERE i / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // index path keyed to the source + format version; built once —
-    // the read-side ingest query never touches the corpus at all
+    // stable index path; freshness keyed to the source + format
+    // version via the marker — built once, the read-side ingest query
+    // never touches the corpus at all
     shingleIncrementalOf(s, Tables.documents(s, dir),
-      Vectors.sidecarDir("shidx", dir) + "/" + sourceKey(dir, "g3-xx64"),
-      fresh = false)
+      Vectors.sidecarDir("shidx", dir),
+      fresh = false, key = sourceKey(dir, "g3-xx64"))
   }
 
   /** The lake lifecycle + query of dedup_incremental, parameterized
     * for the spec's planted corpora. fresh=true always rebuilds
-    * (spec mode); fresh=false builds-if-absent. */
+    * (spec mode); fresh=false builds-if-absent under `key`. */
   private[graft] def shingleIncrementalOf(s: SparkSession,
-      docs: DataFrame, idx: String, fresh: Boolean = true): DataFrame = {
+      docs: DataFrame, idx: String, fresh: Boolean = true,
+      key: String = ""): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
     val doBuild = { (target: String) =>
       val shAll = hashedShinglesOf(docs).cache() // build + append inputs
@@ -616,13 +618,27 @@ object Dedup {
       shAll.unpersist()
       ()
     }
-    if (fresh) doBuild(idx) else buildOnce(idx)(doBuild)
+    if (fresh) doBuild(idx)
+    else graft.operators.IndexLifecycle.buildOnce(idx, key)(doBuild)
+    shingleBatchPairs(s, idx, _.filter(isNew), _.filter(!isNew))
+  }
+
+  /** The READ side of the shingle ingest — batch-involved near-dup
+    * pairs from index state alone. `splitNew`/`splitOld` partition
+    * any frame carrying doc_id into the batch and index sides: the
+    * batch query passes doc_id-predicate filters (cheapest), the
+    * streaming twin passes broadcast semi/anti joins against the
+    * micro-batch's id frame (trigger-bounded, so always
+    * broadcastable). Shared so both ingest shapes are ONE dataflow. */
+  private[graft] def shingleBatchPairs(s: SparkSession, idx: String,
+      splitNew: DataFrame => DataFrame,
+      splitOld: DataFrame => DataFrame): DataFrame = {
     // from here on, shingle state comes only from the index
     val sh = graft.operators.ShingleIndex.shingles(s, idx).cache()
     val sz = graft.operators.ShingleIndex.sizes(s, idx).cache()
     val hotK = broadcast(graft.operators.ShingleIndex.stop(s, idx))
     val rare = sh.join(hotK, Seq("s"), "left_anti")
-    val rareNew = rare.filter(isNew)
+    val rareNew = splitNew(rare)
     // Rare-shingle intersection counts fall straight out of the
     // candidate joins (the cappedInter trick) — no all-pairs self-join
     // followed by a distinct, and no re-join of the corpus to count.
@@ -630,7 +646,7 @@ object Dedup {
     // new-vs-index (disjoint sides, each shared rare shingle appears
     // exactly once per pair) and within-batch (da < db self-join).
     val crNO = rareNew.select(col("doc_id").as("na"), col("s"))
-      .join(rare.filter(!isNew).select(col("doc_id").as("ob"), col("s")),
+      .join(splitOld(rare).select(col("doc_id").as("ob"), col("s")),
         Seq("s"))
       .select(least(col("na"), col("ob")).as("da"),
         greatest(col("na"), col("ob")).as("db"))
@@ -684,48 +700,15 @@ object Dedup {
   private val subModBits = 60
   private val subMod = 1L << subModBits // 1152921504606846976
 
-  /** Build-if-absent guard for maintained lake indexes: a real
-    * ingest builds its index ONCE and appends per batch — re-deriving
-    * the whole index on every query would bill every read for the
-    * build (measured: +5 s of the 6.7 s warm substring-incremental).
-    * The marker lands only after a complete build+append, and the
-    * caller keys the index path to the source table's (size, mtime),
-    * so a regenerated corpus self-invalidates. Specs bypass this
-    * (fresh = true) to exercise the lifecycle itself. */
-  private def buildOnce(idxDir: String)(build: String => Unit): Unit = {
-    if (!new java.io.File(idxDir, "_GRAFT_INDEX_COMPLETE").isFile) {
-      // build into a process-private dir, publish by ATOMIC RENAME
-      // (the Tables mirror scheme): two processes racing here each
-      // build a complete, equivalent index and one rename wins —
-      // never a half-Overwritten half-appended hybrid under a marker
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      // a markerless idxDir is a crashed partial build — clear it so
-      // the rename below can land (rename onto an existing dir fails)
-      val dst = new java.io.File(idxDir)
-      if (dst.isDirectory) rm(dst)
-      val tmp = new java.io.File(
-        idxDir + ".build-" + ProcessHandle.current.pid)
-      build(tmp.getPath)
-      new java.io.File(tmp, "_GRAFT_INDEX_COMPLETE").createNewFile()
-      if (!tmp.renameTo(dst)) {
-        rm(tmp) // lost the race; the winner's index is equivalent
-        require(new java.io.File(dst, "_GRAFT_INDEX_COMPLETE").isFile,
-          s"index publish failed and no complete winner exists: $idxDir")
-      }
-    }
-  }
-
-  /** Source-version + FORMAT-version key for index paths (the Tables
-    * mirror scheme). `fmt` must change whenever the index derivation
-    * changes (window width, fingerprint scheme, shingle width, stop
-    * rule, layout) — otherwise a code change would silently serve a
-    * stale incompatible index from /tmp. */
-  private def sourceKey(dir: String, fmt: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    s"${f.length}-${f.lastModified}-$fmt"
-  }
+  /** Source+format version key of this sfDir's documents table — the
+    * freshness key operators.IndexLifecycle.buildOnce checks against
+    * the published index's marker (which CONTAINS the key it was
+    * built under, so the index lives at a STABLE path and a source or
+    * format change rebuilds it in place — no versioned sibling dirs
+    * under /tmp, and directory-style sources key off their leaf
+    * files; both r8 ADVICE findings). */
+  private def sourceKey(dir: String, fmt: String): String =
+    graft.operators.IndexLifecycle.sourceKey(s"$dir/documents.parquet", fmt)
 
   /** Materialize the (pair-table-sized) result, then drop the
     * corpus-scale caches behind it: repeated invocations (a bench
@@ -885,21 +868,21 @@ object Dedup {
   val substringIncremental: Q = Q(
     "dedup_substring_incremental",
     substringOracle("\n    AND (c.da % 5 = 4 OR c.db % 5 = 4)")) { (s, dir) =>
-    // index path keyed to the source + format version; built once,
-    // then every invocation measures the real per-ingest cost
-    // (read-side query; the verify still tokenizes candidate docs
-    // from the corpus)
+    // stable index path; freshness keyed to the source + format
+    // version via the marker — built once, then every invocation
+    // measures the real per-ingest cost (read-side query; the verify
+    // still tokenizes candidate docs from the corpus)
     substringIncrementalOf(s, Tables.documents(s, dir),
-      Vectors.sidecarDir("subidx", dir) + "/" +
-        sourceKey(dir, s"w$subW-m$subModBits-df$subMaxDf"),
-      fresh = false)
+      Vectors.sidecarDir("subidx", dir),
+      fresh = false, key = sourceKey(dir, s"w$subW-m$subModBits-df$subMaxDf"))
   }
 
   /** The lake lifecycle + query of dedup_substring_incremental,
     * parameterized for the spec's planted corpora. fresh=true always
-    * rebuilds (spec mode); fresh=false builds-if-absent. */
+    * rebuilds (spec mode); fresh=false builds-if-absent under `key`. */
   private[graft] def substringIncrementalOf(s: SparkSession,
-      docs: DataFrame, idx: String, fresh: Boolean = true): DataFrame = {
+      docs: DataFrame, idx: String, fresh: Boolean = true,
+      key: String = ""): DataFrame = {
     val isBatch = col("doc_id") % 5 === 4
     val docsT = substringDocsT(docs)
       .cache() // window derivation + both verify slice sides
@@ -911,7 +894,8 @@ object Dedup {
       wf.unpersist()
       ()
     }
-    if (fresh) doBuild(idx) else buildOnce(idx)(doBuild)
+    if (fresh) doBuild(idx)
+    else graft.operators.IndexLifecycle.buildOnce(idx, key)(doBuild)
     // from here on, window state comes only from the index
     val w = graft.operators.SubstringIndex.windows(s, idx)
       .cache() // batch-fp restriction + df aggregation + both join sides

@@ -208,6 +208,32 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode — javax.sound.sampled's JDK-shipped WAV/PCM
+    * reader, no external libraries (retires the audio half of the
+    * "codecs stubbed" disclaimer; video remains the stub). Each doc
+    * plants a deterministic mono 16-bit WAV (sample values are a
+    * function of doc_id — the container has no audio files), and the
+    * decode stage recovers sample rate, channel count, bit depth, and
+    * exact integer sample sums from the BYTES alone — RIFF container
+    * parse included — as a batched per-partition stage on a binary
+    * column. Rows-only like mm_image_decode (binary format parsing
+    * has no SQL twin); MultimodalSpec pins the decode against the
+    * planted sample formula and pins that corrupt payloads drop
+    * instead of killing the scan. */
+  private def plantedWavPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Binary.AudioCodec.plantedWav(id,
+          nSamples = (64 + id % 97).toInt, sampleRate = 8000))
+      }).toDF("doc_id", "data")
+  }
+
+  val audioDecode: Q = Q.rowsOnly("mm_audio_decode") { (s, dir) =>
+    Binary.AudioCodec.decodeAudios(s, plantedWavPayloads(s, dir)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify, imageDecode, imageResize)
+    patchify, imageDecode, imageResize, audioDecode)
 }

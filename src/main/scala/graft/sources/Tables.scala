@@ -55,10 +55,19 @@ object Tables {
           .mode("overwrite").parquet(tmp.getPath)
         // atomic publish; a concurrent process winning the race is
         // fine — its mirror has identical content
-        if (!tmp.renameTo(dst)) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        if (tmp.renameTo(dst)) {
+          // a regenerated testdata table leaves its old (size, mtime)
+          // mirror behind — reap stale siblings of this table on
+          // publish so /tmp doesn't grow unbounded (ADVICE r8)
+          Option(dst.getParentFile.listFiles()).toSeq.flatten
+            .filter(f => f.getName != dst.getName &&
+              f.getName.matches(
+                java.util.regex.Pattern.quote(name) + "-\\d+-\\d+"))
+            .foreach(rm)
+        } else {
           rm(tmp)
           if (!dst.isDirectory) return srcPath // failed, nobody built it
         }
@@ -75,11 +84,12 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** The events table carries a TIMESTAMP(NANOS) parquet column, which
-    * Spark 4 rejects by default. Read nanos as long and convert to a
-    * micros timestamp (the generator wrote whole-micro values, so this
-    * is lossless and matches DuckDB's micros truncation). */
+    * Spark 4 rejects by default; GraftSession.build sets the
+    * nanos-as-long legacy flag once at session construction. Convert
+    * the long to a micros timestamp (the generator wrote whole-micro
+    * values, so this is lossless and matches DuckDB's micros
+    * truncation). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -249,6 +249,48 @@ object StreamOps {
     *
     * Bounds: state is O(events per user-hour) — the data-rate bound
     * every trailing-window stream carries; eviction keeps it tight. */
+  /** Streaming twin of the dedup_incremental INGEST — the
+    * queries.Dedup "100 TB/day" claim is a streaming claim, and this
+    * is its shape: a stream of new (doc_id, text) docs drives a
+    * foreachBatch sink (Structured Streaming's idiom for a custom
+    * lake write) in which each micro-batch (1) APPENDS its shingles
+    * and sizes to the maintained ShingleIndex — O(batch) writes, the
+    * batch lifecycle's own append — and (2) emits the batch-involved
+    * near-dup pairs (batch-vs-index and within-batch) computed from
+    * index state alone, through EXACTLY the read dataflow of the
+    * batch query (Dedup.shingleBatchPairs; batch membership is a
+    * broadcast semi/anti join on the micro-batch's trigger-bounded id
+    * frame instead of the batch query's doc_id predicate).
+    *
+    * Append order makes cross-micro-batch pairs exact: a pair whose
+    * sides arrive in different micro-batches surfaces when the LATER
+    * side arrives — its partner is index state by then — so a full
+    * replay emits exactly the batch-involved pair set of the one-shot
+    * ingest, whatever the batch boundaries (StreamingSpec asserts
+    * equality with shingleIncrementalOf on the same docs, split
+    * across micro-batches). Exactly-once caveat, documented not
+    * hidden: parquet-append + emit is not transactional across a
+    * mid-batch crash — a real deployment pairs this with an
+    * idempotent sink keyed on (epoch, pair), the standard foreachBatch
+    * discipline. */
+  def shingleIngest(s: SparkSession, docs: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bsh = graft.queries.Dedup.hashedShinglesOf(batch).cache()
+        graft.operators.ShingleIndex.append(bsh, indexDir)
+        val ids = broadcast(bsh.select(col("doc_id")).distinct())
+        graft.queries.Dedup.shingleBatchPairs(s, indexDir,
+            _.join(ids, Seq("doc_id"), "left_semi"),
+            _.join(ids, Seq("doc_id"), "left_anti"))
+          .write.mode("append").parquet(outDir)
+        bsh.unpersist()
+        ()
+      }
+      .start()
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

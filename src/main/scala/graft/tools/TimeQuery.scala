@@ -11,7 +11,7 @@ object TimeQuery {
     // Bench-identical session (AQE, extensions, shuffle width) so
     // timings here predict BENCH_r{N} — a plain builder session
     // diverged 3x on AQE-sensitive plans.
-    val spark = graft.GraftSession.local(cpus)
+    val spark = graft.GraftSession.localBench(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     names.foreach { name =>

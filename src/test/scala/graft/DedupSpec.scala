@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 import graft.queries.Dedup
 
@@ -134,6 +135,58 @@ class DedupSpec extends AnyFunSuite {
     // append -> exactly the (1, 24) pair, one window per fp
     assert(got.keySet == Set((1L, 24L)), got)
     assert(got((1L, 24L)) == 1L, s"16-token run = exactly 1 window: $got")
+  }
+
+  test("substring index compaction: climbed fps promoted to stop, positions dropped, reads equivalent") {
+    import spark.implicits._
+    val dir = "/tmp/graft_subidx_compact_spec"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+    // cap 2: fp 10 builds at df=2 (docs 1,2 — stored); fp 20 df=2
+    // (docs 1,3); fp 30 builds OVER cap (docs 1,2,3 > 2 — stop)
+    val w0 = Seq((1L, 0, 10L), (2L, 0, 10L), (1L, 1, 20L), (3L, 0, 20L),
+      (1L, 2, 30L), (2L, 1, 30L), (3L, 1, 30L)).toDF("doc_id", "pos", "fp")
+    graft.operators.SubstringIndex.build(w0, dir, maxDf = 2)
+    // two appends climb fp 10 to df=4 > cap; fp 30 is gated by stop/
+    graft.operators.SubstringIndex.append(spark,
+      Seq((4L, 0, 10L), (4L, 1, 30L)).toDF("doc_id", "pos", "fp"), dir)
+    graft.operators.SubstringIndex.append(spark,
+      Seq((9L, 0, 10L)).toDF("doc_id", "pos", "fp"), dir)
+    // the read-side contract: kept fps have 2 <= df <= cap
+    def kept(): Map[Long, Set[(Long, Int)]] = {
+      val w = graft.operators.SubstringIndex.windows(spark, dir).cache()
+      val k = w.groupBy("fp").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2 && col("df") <= 2).select("fp")
+      val m = w.join(k, "fp").collect()
+        .groupBy(_.getAs[Long]("fp"))
+        .map { case (fp, rs) => fp -> rs.map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"))).toSet }
+      w.unpersist(); m
+    }
+    val before = kept()
+    assert(before.keySet == Set(20L), before) // fp 10 dead weight, excluded
+    // pre-compact: fp 10's 4 positions are still physically stored
+    assert(graft.operators.SubstringIndex.windows(spark, dir)
+      .filter(col("fp") === 10L).count() == 4)
+    graft.operators.SubstringIndex.compact(spark, dir, maxDf = 2)
+    assert(kept() == before) // reads equivalent
+    // positions gone, fp promoted to the stop list
+    assert(graft.operators.SubstringIndex.windows(spark, dir)
+      .filter(col("fp") === 10L).count() == 0)
+    val stop = spark.read.parquet(s"$dir/stop")
+      .collect().map(_.getLong(0)).toSet
+    assert(stop == Set(10L, 30L), stop)
+    // a post-compact append is gated by the GROWN stop list: fp 10
+    // (promoted by compaction) drops, fp 20 (still under cap at
+    // append time) stores
+    graft.operators.SubstringIndex.append(spark,
+      Seq((14L, 0, 10L), (14L, 0, 20L)).toDF("doc_id", "pos", "fp"), dir)
+    assert(graft.operators.SubstringIndex.windows(spark, dir)
+      .filter(col("fp") === 10L).count() == 0)
+    assert(graft.operators.SubstringIndex.windows(spark, dir)
+      .filter(col("fp") === 20L && col("doc_id") === 14L).count() == 1)
   }
 
   test("shingle index lifecycle: batch pairs via lake state, index pairs not re-derived") {

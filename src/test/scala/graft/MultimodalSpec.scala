@@ -85,6 +85,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode recovers hand-assembled RIFF/PCM fixture stats from WAV bytes") {
+    import graft.multimodal.Binary.AudioCodec
+    // hand-assemble the RIFF container (independent of the JDK's
+    // writer): mono 16-bit PCM at 8000 Hz, samples [1000, -2, 3] —
+    // sum = 1001, sum_abs = 1005
+    val samples = Seq(1000, -2, 3)
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val d = AudioCodec.decode(9L, bb.array())
+      .getOrElse(fail("fixture WAV did not decode"))
+    assert(d.sample_rate == 8000 && d.n_channels == 1 && d.bits == 16,
+      s"${d.sample_rate}/${d.n_channels}/${d.bits}")
+    assert(d.n_samples == 3, s"n_samples ${d.n_samples}")
+    assert((d.sum_samples, d.sum_abs) == ((1001L, 1005L)),
+      s"sums (${d.sum_samples}, ${d.sum_abs})")
+    // corrupt payloads drop instead of throwing
+    assert(AudioCodec.decode(1L, "not a wav".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decode(2L, Array.empty[Byte]).isEmpty)
+    assert(AudioCodec.decode(3L, bb.array().take(20)).isEmpty)
+  }
+
+  test("mm_audio_decode matches the planted-sample-formula recompute per doc") {
+    import graft.multimodal.Binary.AudioCodec
+    val rows = graft.queries.Multimodal.audioDecode.run(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, s"${rows.length} decoded != $nDocs docs")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 97).toInt
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16,
+        s"doc $id format ${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}")
+      assert(r.getLong(4) == n, s"doc $id n_samples ${r.getLong(4)} != $n")
+      // independent recompute of the planted sample sums
+      val vals = (0 until n).map(AudioCodec.plantedSample(id, _))
+      assert(r.getLong(5) == vals.map(_.toLong).sum, s"doc $id sum")
+      assert(r.getLong(6) == vals.map(v => math.abs(v.toLong)).sum,
+        s"doc $id sum_abs")
+    }
+  }
+
   test("mm_image_decode matches the planted-formula recompute per doc") {
     val rows = graft.queries.Multimodal.imageDecode.run(spark, sf).collect()
     val nDocs = graft.sources.Tables.documents(spark, sf).count()

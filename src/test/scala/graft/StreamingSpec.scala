@@ -299,4 +299,52 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "event_id", "history_len")
     assert(asSet(got) == asSet(want))
   }
+
+  test("streaming shingle ingest: foreachBatch append + pairs == batch incremental across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val idxDir = "/tmp/graft_shidx_stream_spec"
+    val outDir = "/tmp/graft_shidx_stream_out"
+    Seq(idxDir, outDir, outDir + "_ckpt", "/tmp/graft_shidx_stream_batch")
+      .foreach(d => rm(new java.io.File(d)))
+    // pre-existing index corpus: near-identical A=1/B=2 plus ten
+    // unrelated docs keeping their shared shingles under the hot cap
+    val base = (0 until 40).map(i => s"t$i")
+    val idxDocs = Seq(
+      1L -> base.mkString(" "),
+      2L -> (base.dropRight(1) :+ "zz").mkString(" ")) ++
+      Seq(3L, 5L, 6L, 7L, 8L, 10L, 11L, 12L, 13L, 15L).map(id =>
+        id -> (0 until 40).map(i => s"u${id}x$i").mkString(" "))
+    // two micro-batches, each one new doc copying A: the (24, 29)
+    // pair CROSSES the micro-batch boundary — it must surface when 29
+    // arrives, because 24 is index state by then
+    val b1 = Seq(24L -> base.mkString(" "))
+    val b2 = Seq(29L -> base.mkString(" "))
+    graft.operators.ShingleIndex.build(spark,
+      graft.queries.Dedup.hashedShinglesOf(idxDocs.toDF("doc_id", "text")),
+      idxDir)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamOps.shingleIngest(spark,
+      ms.toDF().toDF("doc_id", "text"), idxDir, outDir)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // one-shot batch ingest of the same docs (new = id % 5 == 4)
+    val want = graft.queries.Dedup.shingleIncrementalOf(spark,
+        (idxDocs ++ b1 ++ b2).toDF("doc_id", "text"),
+        "/tmp/graft_shidx_stream_batch")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    assert(got.contains((24L, 29L)), "cross-micro-batch pair must surface")
+    assert(got((1L, 24L)) == 1.0 && got((24L, 29L)) == 1.0, got)
+  }
 }
