@@ -228,6 +228,116 @@ object Binary {
     }
   }
 
+  /** One decoded video frame: frame index within its container plus
+    * dimensions and the exact integer gray sum (the planted frames
+    * are 8-bit indexed grayscale — palette lookup is lossless, so the
+    * per-frame stats are bit-deterministic recompute targets). */
+  final case class DecodedFrame(doc_id: Long, frame_id: Int, width: Int,
+      height: Int, sum_gray: Long)
+
+  /** Pure-JVM multi-frame decode — javax.imageio's JDK-shipped
+    * animated-GIF reader: a REAL multi-frame container (frame
+    * extraction, the access pattern every video ingest runs), no
+    * external libraries. Proprietary video codecs (H.264 etc.) stay
+    * out of scope — no codec libraries exist in this container — but
+    * the container-parse → per-frame-decode → per-frame-stats shape
+    * is the real pipeline, not a stub. */
+  object VideoCodec {
+
+    /** All frames of one payload; empty when no JDK reader claims the
+      * bytes or the reader blows up mid-container (corrupt clips must
+      * not kill the partition). */
+    def decodeFrames(docId: Long, payload: Array[Byte]): Seq[DecodedFrame] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              (0 until n).map { i =>
+                val img = r.read(i)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += img.getRGB(x, y) & 0xFF // gray: r == g == b
+                    x += 1
+                  }
+                  y += 1
+                }
+                DecodedFrame(docId, i, img.getWidth, img.getHeight, sum)
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+    /** Deterministic planted animated GIF: `nFrames` full-size 8-bit
+      * indexed-GRAYSCALE frames (palette gray i = (i, i, i) — GIF's
+      * palette model reproduces indexed pixels exactly, unlike a
+      * quantized RGB write), pixel (x, y) of frame f of clip `seed` =
+      * (seed + 13·x + 31·y + 7·f) mod 256 — the spec's independent
+      * recompute target. Written through the JDK's own GIF sequence
+      * writer, so decode genuinely parses the animated container. */
+    def plantedGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        // the JDK GIF writer INTERLACES by default, and its own reader
+        // hands interlaced frames back row-permuted — write plain
+        // scan-order frames (measured: 3-row frame came back
+        // [r0, 0s, r1] without this)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0,
+                ((seed + 13 * x + 31 * y + 7 * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Batched frame extraction over (doc_id, data) — one row per
+      * frame; the same mapPartitions shape as decodeImages, with
+      * flatMap fanning each clip out to its frames (frames never
+      * leave the executor as images — only their stat rows). */
+    def decodeVideos(s: SparkSession,
+        payloads: DataFrame): Dataset[DecodedFrame] = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          decodeFrames(id, bytes)
+        })
+    }
+  }
+
   /** One decoded record: byte length and leading byte (the shape a
     * real decoder would extend with width/height/duration/...). */
   final case class Decoded(doc_id: Long, n_bytes: Int, first_byte: Int)

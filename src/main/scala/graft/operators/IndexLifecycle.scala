@@ -69,6 +69,30 @@ object IndexLifecycle {
     } else s"absent-$fmt" // build runs and fails with the real error
   }
 
+  /** In-place maintenance publish (compaction): run `rewrite` into a
+    * process-private dir, carry the freshness marker over unchanged
+    * (compaction changes the LAYOUT, not the logical content a key
+    * describes), and swap by rename — the old tree goes ASIDE first,
+    * so the published path never holds a half-deleted tree and open
+    * readers keep their file handles on the aside copy until it is
+    * reaped. */
+  def republish(idxDir: String)(rewrite: String => Unit): Unit = {
+    val pid = ProcessHandle.current.pid
+    val tmp = new java.io.File(s"$idxDir.compact-$pid")
+    rm(tmp)
+    rewrite(tmp.getPath)
+    val marker = new java.io.File(idxDir, Marker)
+    if (marker.isFile)
+      java.nio.file.Files.copy(marker.toPath,
+        new java.io.File(tmp, Marker).toPath)
+    val dst = new java.io.File(idxDir)
+    val aside = new java.io.File(s"$idxDir.old-$pid")
+    rm(aside)
+    require(dst.renameTo(aside) && tmp.renameTo(dst),
+      s"compaction publish failed for $idxDir")
+    rm(aside)
+  }
+
   /** Run `build` into a private dir and publish it at `idxDir` —
     * unless a complete index built under the SAME `key` is already
     * published there, in which case this is a no-op and the caller

@@ -66,4 +66,31 @@ object ShingleIndex {
 
   def stop(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/stop")
+
+  /** Offline compaction — the stop-list refresh the scaladoc above
+    * defers to ("an offline compaction decision, exactly like IVF
+    * centroid refit"): re-derive document frequencies and the doc
+    * count over the FULL appended state and rewrite stop/ from them,
+    * folding the per-append small files back into one partitioned
+    * layout pass. Unlike SubstringIndex.compact nothing is dropped —
+    * hot-shingle membership rows are load-bearing here (the
+    * exact-verify hot correction reads them) — so compaction leaves
+    * the index bit-equivalent to a FRESH BUILD over the same docs
+    * (asserted in DedupSpec): shingles and sizes identical, stop
+    * re-derived at current df/doc-count, so shingles that became hot
+    * through appends finally leave the candidate join. Publish is the
+    * shared IndexLifecycle aside-and-rename swap. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val sh = shingles(spark, indexDir).cache()
+    val nd = sizes(spark, indexDir).count()
+    IndexLifecycle.republish(indexDir) { tmp =>
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") * 2 > lit(nd)).select(col("s"))
+        .coalesce(1).write.parquet(tmp + "/stop")
+      withBucket(sh).repartition(col("s_b"))
+        .write.partitionBy("s_b").parquet(tmp + "/shingles")
+      sizes(spark, indexDir).coalesce(1).write.parquet(tmp + "/sizes")
+    }
+    sh.unpersist()
+  }
 }

@@ -97,30 +97,14 @@ object SubstringIndex {
     val over = w.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
-    val pid = ProcessHandle.current.pid
-    val tmp = new java.io.File(s"$indexDir.compact-$pid")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    IndexLifecycle.republish(indexDir) { tmp =>
+      spark.read.parquet(s"$indexDir/stop").select(col("fp"))
+        .union(over).distinct()
+        .coalesce(1).write.parquet(tmp + "/stop")
+      withBucket(w.join(over, Seq("fp"), "left_anti"))
+        .repartition(col("fp_b"))
+        .write.partitionBy("fp_b").parquet(tmp + "/windows")
     }
-    rm(tmp)
-    spark.read.parquet(s"$indexDir/stop").select(col("fp"))
-      .union(over).distinct()
-      .coalesce(1).write.parquet(tmp.getPath + "/stop")
-    withBucket(w.join(over, Seq("fp"), "left_anti"))
-      .repartition(col("fp_b"))
-      .write.partitionBy("fp_b").parquet(tmp.getPath + "/windows")
     w.unpersist()
-    val marker = new java.io.File(indexDir, "_GRAFT_INDEX_COMPLETE")
-    if (marker.isFile)
-      java.nio.file.Files.copy(marker.toPath,
-        new java.io.File(tmp, "_GRAFT_INDEX_COMPLETE").toPath)
-    // swap: old tree aside (open readers keep their file handles),
-    // compacted tree in, aside deleted
-    val dst = new java.io.File(indexDir)
-    val aside = new java.io.File(s"$indexDir.old-$pid")
-    rm(aside)
-    require(dst.renameTo(aside) && tmp.renameTo(dst),
-      s"compaction publish failed for $indexDir")
-    rm(aside)
   }
 }

@@ -234,6 +234,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL multi-frame video-style decode — javax.imageio's JDK-shipped
+    * animated-GIF reader (a genuine multi-frame container; proprietary
+    * codecs like H.264 stay disclosed out-of-scope, no codec libs in
+    * this container). Each doc plants a deterministic animated GIF
+    * (frame count, geometry, and grayscale pixels are functions of
+    * doc_id), and the decode stage extracts EVERY frame from the
+    * container bytes — one output row per frame with exact integer
+    * gray sums — as a batched per-partition stage. Rows-only like
+    * mm_image_decode; MultimodalSpec recomputes per-frame sums from
+    * the planted formula and pins the corrupt-drop contract. */
+  private def plantedGifPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Binary.VideoCodec.plantedGif(id,
+          (4 + id % 5).toInt, (3 + id % 4).toInt, (2 + id % 4).toInt))
+      }).toDF("doc_id", "data")
+  }
+
+  val videoFrames: Q = Q.rowsOnly("mm_video_frames") { (s, dir) =>
+    Binary.VideoCodec.decodeVideos(s, plantedGifPayloads(s, dir)).toDF()
+      .orderBy(col("doc_id"), col("frame_id"))
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify, imageDecode, imageResize, audioDecode)
+    patchify, imageDecode, imageResize, audioDecode, videoFrames)
 }

@@ -222,12 +222,18 @@ object Vectors {
       |  FROM cand WHERE NOT isnan(cos))
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    val e = emb(s, dir).cache()
     val idx = sidecarDir("ivf", dir)
     graft.operators.IndexLifecycle.buildOnce(idx, embKey(dir, "ivf-k16")) {
-      tmp => graft.operators.IvfIndex.build(s, e, tmp, k = 16)
+      tmp =>
+        // corpus cache is a BUILD concern (k-means touches e per
+        // iteration); the serving path below reads only the 50 query
+        // rows — a pruned parquet scan, no corpus cache, no full scan
+        val e = emb(s, dir).cache()
+        graft.operators.IvfIndex.build(s, e, tmp, k = 16)
+        e.unpersist()
+        ()
     }
-    val q = e.filter(col("vec_id") < 50).select(
+    val q = emb(s, dir).filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
     graft.operators.IvfIndex.query(s, idx, q, topK = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
@@ -441,8 +447,6 @@ object Vectors {
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.PqIndex
     val m = 8; val k = 16
-    val e = embNorm(s, dir)
-      .cache() // build/encode pass + query side + re-rank side
     // full lake lifecycle: fit + encode persist under the sidecar dir
     // (codebooks double as the oracle's frozen-model replay input —
     // same contract as IvfIndex centroids: fit is Spark's, everything
@@ -452,9 +456,15 @@ object Vectors {
     val idx = sidecarDir("pq", dir)
     graft.operators.IndexLifecycle.buildOnce(idx, embKey(dir, s"pq-m$m-k$k")) {
       tmp =>
-        PqIndex.build(s, e.select(col("vec_id"), col("vn")), tmp, m, k)
+        // corpus cache is a BUILD concern (fit + encode passes); the
+        // serving path reads two pruned 50-row query sides plus ONE
+        // full re-rank scan — no corpus cache in the probe path
+        val eb = embNorm(s, dir).cache()
+        PqIndex.build(s, eb.select(col("vec_id"), col("vn")), tmp, m, k)
+        eb.unpersist()
         ()
     }
+    val e = embNorm(s, dir)
     // the frozen model is read back from the lake either way (doubles
     // round-trip parquet bit-exactly), so build-run and warm-run plans
     // are identical
@@ -586,15 +596,19 @@ object Vectors {
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import graft.operators.IvfPq
-    val e = embNorm(s, dir)
-      .cache() // build scan + query sides + exact re-rank sides
     val idx = sidecarDir("ivfpq", dir)
     graft.operators.IndexLifecycle.buildOnce(idx,
       embKey(dir, "ivfpq-c16-m8-k16")) { tmp =>
-      IvfPq.build(s, e.select(col("vec_id"), col("vn")), tmp,
+      // corpus cache is a BUILD concern (coarse k-means + residual
+      // fit + encode); the serving path reads two pruned 50-row query
+      // sides plus ONE full re-rank scan — no corpus cache
+      val eb = embNorm(s, dir).cache()
+      IvfPq.build(s, eb.select(col("vec_id"), col("vn")), tmp,
         kCells = 16, m = 8, kCodes = 16)
+      eb.unpersist()
       ()
     }
+    val e = embNorm(s, dir)
     val q = e.filter(col("vec_id") < 50).select(
       col("vec_id").as("query_id"), col("vn").as("vq"))
     val short = IvfPq.shortlist(s, idx, q, nprobe = 4, shortlistK = 100)
@@ -640,11 +654,13 @@ object Vectors {
       |SELECT vec_id, MAX(CASE WHEN ci = 0 THEN p END) AS p1,
       |  MAX(CASE WHEN ci = 1 THEN p END) AS p2
       |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    val e = emb(s, dir).cache() // moment pass (build only) + projection
     val idx = sidecarDir("pca", dir)
     graft.operators.IndexLifecycle.buildOnce(idx, embKey(dir, "pca-d64-k2")) {
       tmp =>
-        val (mean, comps) = graft.operators.Pca.fit(e, "v", d = 64, k = 2)
+        // the moment pass is one aggregation — no cache needed even
+        // at build; the warm path below is ONE projection scan
+        val (mean, comps) = graft.operators.Pca.fit(emb(s, dir), "v",
+          d = 64, k = 2)
         def mu(c: Array[Double]): Double =
           c.zip(mean).map { case (ci, mi) => ci * mi }.sum
         // freeze (axis, mean-dot) — the oracle's replay input AND the
@@ -663,7 +679,7 @@ object Vectors {
       .sortBy(_._1)
     def proj(c: Array[Double], mudot: Double): Column =
       dot(col("v"), array(c.toIndexedSeq.map(lit(_)): _*)) - lit(mudot)
-    e.select(col("vec_id"),
+    emb(s, dir).select(col("vec_id"),
         round(proj(pcs(0)._2, pcs(0)._3), 4).as("p1"),
         round(proj(pcs(1)._2, pcs(1)._3), 4).as("p2"))
       .orderBy(col("vec_id"))

@@ -213,6 +213,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got((2L, 24L)) >= 0.8 && got((2L, 24L)) < 1.0, got)
   }
 
+  test("shingle index compaction: state equals a fresh build over the appended corpus") {
+    import spark.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val dirA = "/tmp/graft_shidx_compact_a" // build + append + compact
+    val dirB = "/tmp/graft_shidx_compact_b" // fresh build over everything
+    Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))
+    // shingle 100: df=2 of nd=4 at build (2·2 > 4 false → not hot);
+    // two appended docs carry it too → df=4 of nd=6 (8 > 6 → hot),
+    // but append never refreshes stop/ — that's compaction's job
+    val idxSh = Seq((1L, 100L), (1L, 1L), (2L, 100L), (2L, 2L),
+      (3L, 3L), (4L, 4L)).toDF("doc_id", "s")
+    val batchSh = Seq((5L, 100L), (5L, 5L), (6L, 100L), (6L, 6L))
+      .toDF("doc_id", "s")
+    graft.operators.ShingleIndex.build(spark, idxSh, dirA)
+    graft.operators.ShingleIndex.append(batchSh, dirA)
+    assert(graft.operators.ShingleIndex.stop(spark, dirA).count() == 0,
+      "append must not refresh the stop list")
+    graft.operators.ShingleIndex.compact(spark, dirA)
+    graft.operators.ShingleIndex.build(spark, idxSh.union(batchSh), dirB)
+    def state(d: String) = (
+      graft.operators.ShingleIndex.stop(spark, d)
+        .collect().map(_.getLong(0)).toSet,
+      graft.operators.ShingleIndex.shingles(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      graft.operators.ShingleIndex.sizes(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (stopA, shA, szA) = state(dirA)
+    val (stopB, shB, szB) = state(dirB)
+    assert(stopA == Set(100L), stopA)
+    assert(stopA == stopB && shA == shB && szA == szB,
+      s"compacted != fresh: stop $stopA/$stopB sh ${shA.size}/${shB.size}")
+  }
+
   test("exact dedup marks no false duplicates on a corpus without any") {
     val d = Dedup.exact.run(spark, sf)
     assert(d.filter("is_dup").count() == 0)

@@ -133,6 +133,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video decode: animated-GIF frames round-trip the indexed palette exactly") {
+    import graft.multimodal.Binary.VideoCodec
+    // 3-frame 2x2 fixture through the planted writer, decoded back:
+    // frame count, geometry, and the per-frame formula sums
+    val frames = VideoCodec.decodeFrames(5L, VideoCodec.plantedGif(5L, 2, 2, 3))
+    assert(frames.length == 3, s"${frames.length} frames")
+    frames.foreach { f =>
+      assert(f.width == 2 && f.height == 2, s"${f.width}x${f.height}")
+      val want = (for { y <- 0 until 2; x <- 0 until 2 }
+        yield (5L + 13 * x + 31 * y + 7 * f.frame_id) % 256).sum
+      assert(f.sum_gray == want, s"frame ${f.frame_id}: ${f.sum_gray} != $want")
+    }
+    // corrupt payloads drop instead of throwing
+    assert(VideoCodec.decodeFrames(1L, "not a gif".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decodeFrames(2L, Array.empty[Byte]).isEmpty)
+  }
+
+  test("mm_video_frames matches the planted-formula recompute per frame") {
+    val rows = graft.queries.Multimodal.videoFrames.run(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.length == nDocs.map(id => (2 + id % 4).toInt).sum,
+      "one row per planted frame")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val fi = r.getInt(1)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      assert(fi < (2 + id % 4).toInt, s"doc $id stray frame $fi")
+      assert(r.getInt(2) == w && r.getInt(3) == h,
+        s"doc $id geometry ${r.getInt(2)}x${r.getInt(3)} != ${w}x$h")
+      val want = (for { y <- 0 until h; x <- 0 until w }
+        yield (id + 13 * x + 31 * y + 7 * fi) % 256).sum
+      assert(r.getLong(4) == want, s"doc $id frame $fi sum")
+    }
+  }
+
   test("mm_image_decode matches the planted-formula recompute per doc") {
     val rows = graft.queries.Multimodal.imageDecode.run(spark, sf).collect()
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
