@@ -148,7 +148,11 @@ object Binary {
 
   /** One decoded audio clip: container metadata plus exact integer
     * sample stats (PCM is lossless, so sum/sum-of-abs over the 16-bit
-    * samples are bit-deterministic recompute targets). */
+    * samples are bit-deterministic recompute targets). `n_samples`
+    * counts TOTAL samples across channels — the same population the
+    * sums range over, so mean = sum_samples / n_samples is well-typed
+    * for any channel count (per-channel frames = n_samples /
+    * n_channels). */
   final case class DecodedAudio(doc_id: Long, sample_rate: Int,
       n_channels: Int, bits: Int, n_samples: Long, sum_samples: Long,
       sum_abs: Long)
@@ -186,7 +190,7 @@ object Binary {
             }
           }
           Some(DecodedAudio(docId, fmt.getSampleRate.toInt, ch, bits,
-            n / math.max(ch, 1), sum, sabs))
+            n, sum, sabs))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -27,7 +27,9 @@ object IndexLifecycle {
 
   private val Marker = "_GRAFT_INDEX_COMPLETE"
 
-  private def rm(f: java.io.File): Unit = {
+  /** Recursive tree delete — the one shared copy (Tables and the
+    * lifecycle specs use it too). */
+  private[graft] def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
   }
 
@@ -60,9 +62,12 @@ object IndexLifecycle {
         Option(x.listFiles()).toSeq.flatten.sortBy(_.getName)
           .flatMap(c => if (c.isDirectory) leaves(c) else Seq(c))
       val md = java.security.MessageDigest.getInstance("MD5")
+      val rootLen = f.getPath.length
       leaves(f).foreach { l =>
-        md.update(s"${l.getName}:${l.length}:${l.lastModified}|"
-          .getBytes("UTF-8"))
+        // RELATIVE path, not basename: moving a same-named file
+        // between partition subdirs must change the key
+        val rel = l.getPath.drop(rootLen)
+        md.update(s"$rel:${l.length}:${l.lastModified}|".getBytes("UTF-8"))
       }
       val hex = md.digest().take(8).map("%02x".format(_)).mkString
       s"d$hex-$fmt"
@@ -73,23 +78,42 @@ object IndexLifecycle {
     * process-private dir, carry the freshness marker over unchanged
     * (compaction changes the LAYOUT, not the logical content a key
     * describes), and swap by rename — the old tree goes ASIDE first,
-    * so the published path never holds a half-deleted tree and open
-    * readers keep their file handles on the aside copy until it is
-    * reaped. */
+    * then the rewritten tree renames in. The published path is absent
+    * only for the instant between those two renames (a truly atomic
+    * directory SWAP does not exist in portable Java); open readers
+    * keep their file handles on the aside copy until it is reaped.
+    *
+    * Race guard: the marker is captured BEFORE the rewrite reads any
+    * state and compared again at swap time — if a concurrent
+    * buildOnce republished under a different key mid-compaction (the
+    * source changed under us), this compaction's output describes
+    * superseded state, so it ABORTS and leaves the racer's fresh
+    * index in place rather than stamping old content with a new key. */
   def republish(idxDir: String)(rewrite: String => Unit): Unit = {
     val pid = ProcessHandle.current.pid
+    val dst = new java.io.File(idxDir)
+    val keyAtStart = publishedKey(dst)
     val tmp = new java.io.File(s"$idxDir.compact-$pid")
     rm(tmp)
     rewrite(tmp.getPath)
-    val marker = new java.io.File(idxDir, Marker)
-    if (marker.isFile)
-      java.nio.file.Files.copy(marker.toPath,
-        new java.io.File(tmp, Marker).toPath)
-    val dst = new java.io.File(idxDir)
+    keyAtStart.foreach { k =>
+      java.nio.file.Files.write(
+        new java.io.File(tmp, Marker).toPath, k.getBytes("UTF-8"))
+    }
+    if (publishedKey(dst) != keyAtStart) { rm(tmp); return } // superseded
     val aside = new java.io.File(s"$idxDir.old-$pid")
     rm(aside)
-    require(dst.renameTo(aside) && tmp.renameTo(dst),
-      s"compaction publish failed for $idxDir")
+    if (!dst.renameTo(aside)) {
+      rm(tmp) // never leak an index-sized build dir
+      sys.error(s"compaction publish failed (aside rename) for $idxDir")
+    }
+    if (!tmp.renameTo(dst)) {
+      // restore the original tree before failing — the published path
+      // must not stay absent
+      aside.renameTo(dst)
+      rm(tmp)
+      sys.error(s"compaction publish failed (swap rename) for $idxDir")
+    }
     rm(aside)
   }
 
@@ -99,6 +123,10 @@ object IndexLifecycle {
     * reads the existing state. Specs that exercise the lifecycle
     * itself bypass this and call their build directly. */
   def buildOnce(idxDir: String, key: String)(build: String => Unit): Unit = {
+    // an empty key would match a contentless pre-r9 marker (or a prior
+    // empty-key publish) and freeze the index forever — every caller
+    // must key to its source+format version
+    require(key.nonEmpty, s"buildOnce requires a freshness key: $idxDir")
     val dst = new java.io.File(idxDir)
     if (publishedKey(dst).contains(key)) return
     val tmp = new java.io.File(

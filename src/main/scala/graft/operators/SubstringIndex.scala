@@ -94,9 +94,12 @@ object SubstringIndex {
     * changes the layout, not the logical content. */
   def compact(spark: SparkSession, indexDir: String, maxDf: Int): Unit = {
     val w = windows(spark, indexDir).cache()
+    // cached: the tiny over-cap fp list feeds BOTH writes below —
+    // uncached, the corpus-token-scale countDistinct would run twice
     val over = w.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
+      .cache()
     IndexLifecycle.republish(indexDir) { tmp =>
       spark.read.parquet(s"$indexDir/stop").select(col("fp"))
         .union(over).distinct()
@@ -105,6 +108,7 @@ object SubstringIndex {
         .repartition(col("fp_b"))
         .write.partitionBy("fp_b").parquet(tmp + "/windows")
     }
+    over.unpersist()
     w.unpersist()
   }
 }

@@ -55,17 +55,20 @@ object Tables {
           .mode("overwrite").parquet(tmp.getPath)
         // atomic publish; a concurrent process winning the race is
         // fine — its mirror has identical content
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
+        import graft.operators.IndexLifecycle.rm
         if (tmp.renameTo(dst)) {
           // a regenerated testdata table leaves its old (size, mtime)
           // mirror behind — reap stale siblings of this table on
-          // publish so /tmp doesn't grow unbounded (ADVICE r8)
+          // publish so /tmp doesn't grow unbounded (ADVICE r8). Only
+          // siblings quiet for >30 min: a just-superseded mirror may
+          // still back lazy frames in a concurrently running process
+          // (their source just changed, but don't yank files mid-scan)
+          val grace = System.currentTimeMillis - 30L * 60 * 1000
           Option(dst.getParentFile.listFiles()).toSeq.flatten
             .filter(f => f.getName != dst.getName &&
               f.getName.matches(
-                java.util.regex.Pattern.quote(name) + "-\\d+-\\d+"))
+                java.util.regex.Pattern.quote(name) + "-\\d+-\\d+") &&
+              f.lastModified < grace)
             .foreach(rm)
         } else {
           rm(tmp)

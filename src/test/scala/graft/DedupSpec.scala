@@ -140,9 +140,7 @@ class DedupSpec extends AnyFunSuite {
   test("substring index compaction: climbed fps promoted to stop, positions dropped, reads equivalent") {
     import spark.implicits._
     val dir = "/tmp/graft_subidx_compact_spec"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    import graft.operators.IndexLifecycle.rm
     rm(new java.io.File(dir))
     // cap 2: fp 10 builds at df=2 (docs 1,2 — stored); fp 20 df=2
     // (docs 1,3); fp 30 builds OVER cap (docs 1,2,3 > 2 — stop)
@@ -215,9 +213,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("shingle index compaction: state equals a fresh build over the appended corpus") {
     import spark.implicits._
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    import graft.operators.IndexLifecycle.rm
     val dirA = "/tmp/graft_shidx_compact_a" // build + append + compact
     val dirB = "/tmp/graft_shidx_compact_b" // fresh build over everything
     Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))

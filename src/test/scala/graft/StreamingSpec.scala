@@ -303,9 +303,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming shingle ingest: foreachBatch append + pairs == batch incremental across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    import graft.operators.IndexLifecycle.rm
     val idxDir = "/tmp/graft_shidx_stream_spec"
     val outDir = "/tmp/graft_shidx_stream_out"
     Seq(idxDir, outDir, outDir + "_ckpt", "/tmp/graft_shidx_stream_batch")
