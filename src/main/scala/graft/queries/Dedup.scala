@@ -727,7 +727,7 @@ object Dedup {
 
   /** Tokenized docs (doc_id, tk, hs) with >= one full window — the
     * verify-side slice input of the substring family. */
-  private def substringDocsT(docs: DataFrame): DataFrame =
+  private[graft] def substringDocsT(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("hs", transform(col("tk"),
         t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
@@ -739,7 +739,7 @@ object Dedup {
     * allocated a slice per window — ~5 s of the first cut's 6.4 s at
     * sf0.1; bit-identical values, so the oracle keeps the declarative
     * list_reduce form. */
-  private def substringWindowsOf(docsT: DataFrame): DataFrame =
+  private[graft] def substringWindowsOf(docsT: DataFrame): DataFrame =
     docsT.select(col("doc_id"),
         posexplode(graft.functions.TextExprs
           .windowHashes(col("hs"), subW, subModBits)))
@@ -896,14 +896,38 @@ object Dedup {
     }
     if (fresh) doBuild(idx)
     else graft.operators.IndexLifecycle.buildOnce(idx, key)(doBuild)
+    substringBatchPairs(s, idx, _.filter(isBatch), docsT)
+  }
+
+  /** Ingest bootstrap: build the substring index from an index corpus
+    * alone (no batch split) — what a deployment runs once before the
+    * streaming ingest (StreamOps.substringIngest) takes over appends. */
+  private[graft] def substringIndexBuild(s: SparkSession,
+      docs: DataFrame, idx: String): Unit = {
+    val docsT = substringDocsT(docs).cache()
+    val wf = substringWindowsOf(docsT)
+    graft.operators.SubstringIndex.build(wf, idx, subMaxDf)
+    docsT.unpersist()
+  }
+
+  /** The READ side of the substring ingest — batch-involved shared-run
+    * pairs from index state plus the corpus for the exact verify.
+    * `splitNew` restricts any frame carrying doc_id to the batch side
+    * (the batch query passes a doc_id-predicate filter; the streaming
+    * twin passes a broadcast semi-join on the micro-batch's id frame).
+    * `docsT` is the tokenized doc store covering every candidate doc
+    * (the verify re-compares actual token windows — the index stores
+    * fingerprints, not text). Takes ownership of docsT's cache. */
+  private[graft] def substringBatchPairs(s: SparkSession, idx: String,
+      splitNew: DataFrame => DataFrame, docsT: DataFrame): DataFrame = {
     // from here on, window state comes only from the index
     val w = graft.operators.SubstringIndex.windows(s, idx)
       .cache() // batch-fp restriction + df aggregation + both join sides
-    val kept = w.join(w.filter(isBatch).select(col("fp")).distinct(), "fp")
+    val kept = w.join(splitNew(w).select(col("fp")).distinct(), "fp")
       .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= subMaxDf).select(col("fp"))
     val wk = w.join(kept, "fp").cache()
-    val bwk = wk.filter(isBatch)
+    val bwk = splitNew(wk)
     // batch-vs-index equi-join on fp: batch-batch pairs land twice
     // (both orientations) and self-pairs are dropped; the (da,db,fp)
     // distinct collapses orientation dupes before verification

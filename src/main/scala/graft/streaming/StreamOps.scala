@@ -291,6 +291,48 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of the dedup_substring_incremental ingest — the
+    * substring family's shape of shingleIngest, plus the piece that
+    * family uniquely needs: the DOC STORE. The substring index holds
+    * window fingerprints, not text, and the exact verify re-compares
+    * actual token windows — so each micro-batch (1) appends the batch
+    * docs to the lake's document table, (2) appends the batch's
+    * window fingerprints to the maintained SubstringIndex (gated by
+    * the frozen stop list — O(batch) writes), and (3) emits the
+    * batch-involved verified shared-run pairs through EXACTLY the
+    * read dataflow of the batch query (Dedup.substringBatchPairs;
+    * batch membership via a broadcast semi-join on the micro-batch's
+    * trigger-bounded id frame). Cross-micro-batch pairs surface when
+    * the later side arrives, so a full replay emits exactly the
+    * batch-involved pair set of the one-shot ingest (StreamingSpec).
+    * Same exactly-once caveat as shingleIngest: parquet-append + emit
+    * is not transactional across a mid-batch crash; a real deployment
+    * keys the sink on (epoch, pair). */
+  def substringIngest(s: SparkSession, docs: DataFrame, indexDir: String,
+      docStoreDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(docStoreDir)
+        val ids = broadcast(batch.select(col("doc_id")).distinct())
+        // tokenized doc store covers every candidate doc: index docs
+        // for the verify's far side, the just-appended batch for the
+        // near side (substringBatchPairs takes ownership of the cache)
+        val docsT = graft.queries.Dedup.substringDocsT(
+          s.read.parquet(docStoreDir)).cache()
+        graft.operators.SubstringIndex.append(s,
+          graft.queries.Dedup.substringWindowsOf(
+            docsT.join(ids, Seq("doc_id"), "left_semi")), indexDir)
+        graft.queries.Dedup.substringBatchPairs(s, indexDir,
+            _.join(ids, Seq("doc_id"), "left_semi"), docsT)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

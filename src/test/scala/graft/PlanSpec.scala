@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(2000))
   }
 
+  test("ANN warm probe paths: query side pushed to the scan, no corpus cache") {
+    // the serving-path contract behind the buildOnce lifecycle: with
+    // the index published, the timed query must read the 50 query
+    // rows through parquet pushdown (not materialize the embeddings
+    // table into cache — a corpus-scale cache in the probe path is
+    // the 100 TB anti-pattern the round-9 restructure removed)
+    for (q <- Seq(Vectors.knnIvf, Vectors.knnIvfPq, Vectors.embedPca)) {
+      val p = plan(q.run(spark, sf))
+      assert(!p.contains("InMemoryTableScan"),
+        s"${q.name}: corpus cache in the serving path\n${p.take(2000)}")
+    }
+    val p = plan(Vectors.knnIvf.run(spark, sf))
+    assert(p.contains("LessThan(vec_id,50)"),
+      s"query-side filter not pushed to the scan\n${p.take(3000)}")
+  }
+
   test("ann_lsh ranks via bounded topk_by, no per-query window sort") {
     val p = plan(Vectors.annLsh.run(spark, sf))
     assert(p.contains("topk_by"), p.take(2000))

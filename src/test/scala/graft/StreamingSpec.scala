@@ -345,4 +345,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((24L, 29L)), "cross-micro-batch pair must surface")
     assert(got((1L, 24L)) == 1.0 && got((24L, 29L)) == 1.0, got)
   }
+
+  test("streaming substring ingest: doc store + index appends + pairs == batch incremental") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IndexLifecycle.rm
+    val idxDir = "/tmp/graft_subidx_stream_spec"
+    val storeDir = "/tmp/graft_subidx_stream_store"
+    val outDir = "/tmp/graft_subidx_stream_out"
+    Seq(idxDir, storeDir, outDir, outDir + "_ckpt",
+      "/tmp/graft_subidx_stream_batch").foreach(d => rm(new java.io.File(d)))
+    // the DedupSpec substring-lifecycle corpus: 17 index docs carry a
+    // 16-token boilerplate run (df 17 > cap 16 → stop), doc 1 also a
+    // unique 16-token run; streamed docs 24 and 29 copy the unique run
+    def filler(i: Int, n: Int): Seq[String] = (0 until n).map(j => s"f${i}x$j")
+    val boiler = (0 until 16).map(i => s"bp$i")
+    val unique = (0 until 16).map(i => s"uq$i")
+    val indexIds = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 10L, 11L, 12L, 13L,
+      15L, 16L, 17L, 18L, 20L, 21L)
+    val idxDocs = indexIds.map { id =>
+      val body = if (id == 1L) unique ++ boiler else boiler
+      (id, (filler(id.toInt, 4) ++ body).mkString(" "))
+    }
+    val b1 = Seq(24L -> (filler(24, 4) ++ boiler ++ unique).mkString(" "))
+    val b2 = Seq(29L -> (filler(29, 4) ++ unique ++ filler(29, 8)).mkString(" "))
+    // pre-seed the lake: doc store + index built from the index corpus
+    val idxDf = idxDocs.toDF("doc_id", "text")
+    idxDf.write.parquet(storeDir)
+    graft.queries.Dedup.substringIndexBuild(spark, idxDf, idxDir)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamOps.substringIngest(spark,
+      ms.toDF().toDF("doc_id", "text"), idxDir, storeDir, outDir)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+    val got = spark.read.parquet(outDir).collect().map(key).toMap
+    // one-shot batch ingest of the same docs (new = id % 5 == 4)
+    val want = graft.queries.Dedup.substringIncrementalOf(spark,
+        (idxDocs ++ b1 ++ b2).toDF("doc_id", "text"),
+        "/tmp/graft_subidx_stream_batch")
+      .collect().map(key).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    assert(got.keySet == Set((1L, 24L), (1L, 29L), (24L, 29L)), got)
+    assert(got.values.toSet == Set(1L), "one shared 16-token window each")
+  }
 }
