@@ -222,21 +222,111 @@ object Vectors {
       |  FROM cand WHERE NOT isnan(cos))
       |SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val q = emb(s, dir).filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
+    graft.operators.IvfIndex.query(s, ivfIndexOf(s, dir), q,
+        topK = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** THE maintained IVF index of a corpus dir — built at most once
+    * per source+format version (IndexLifecycle.buildOnce). Shared by
+    * every consumer of the coarse quantizer: knn_ivf probes it,
+    * dedup_embedding_incremental blocks on its cells, the streaming
+    * vector ingest bootstraps from it — one lake index, many serving
+    * paths, which is the amortization a 100 TB index exists for. */
+  private[graft] def ivfIndexOf(s: SparkSession, dir: String): String = {
     val idx = sidecarDir("ivf", dir)
     graft.operators.IndexLifecycle.buildOnce(idx, embKey(dir, "ivf-k16")) {
       tmp =>
         // corpus cache is a BUILD concern (k-means touches e per
-        // iteration); the serving path below reads only the 50 query
-        // rows — a pruned parquet scan, no corpus cache, no full scan
+        // iteration); the serving paths read only pruned query rows
+        // or the partitioned vectors table — no corpus cache
         val e = emb(s, dir).cache()
         graft.operators.IvfIndex.build(s, e, tmp, k = 16)
         e.unpersist()
         ()
     }
-    val q = emb(s, dir).filter(col("vec_id") < 50).select(
-      col("vec_id").as("query_id"), col("v").as("vq"), col("n2").as("nq"))
-    graft.operators.IvfIndex.query(s, idx, q, topK = 5, nprobe = 4)
-      .orderBy(col("query_id"), col("rank"))
+    idx
+  }
+
+  /** The READ side of the embedding ingest — batch-involved same-cell
+    * near-dup pairs from the maintained IVF index state alone (no
+    * corpus re-read: the index's vectors table carries v and n2).
+    * `splitNew` restricts one join side to the batch (the batch query
+    * passes a vec_id-predicate filter; the streaming twin a broadcast
+    * semi-join on the micro-batch's id frame). Candidates share a
+    * coarse cell, then pay the exact cosine verify; batch-batch pairs
+    * land in both orientations with bit-identical cosines (per-term
+    * products and the norm product are commutative), so the distinct
+    * collapses them. NaN cosines (zero-norm vectors) are dropped
+    * explicitly — Spark and DuckDB both order NaN above every double,
+    * so a bare >= threshold would KEEP them. */
+  private[graft] def embeddingBatchPairs(s: SparkSession, idx: String,
+      splitNew: DataFrame => DataFrame, thresh: Double): DataFrame = {
+    val vs = s.read.parquet(s"$idx/vectors")
+    val bat = splitNew(vs).select(col("cid"), col("vec_id").as("da"),
+      col("v").as("va"), col("n2").as("na"))
+    val rest = vs.select(col("cid"), col("vec_id").as("db"),
+      col("v").as("vb"), col("n2").as("nb"))
+    bat.join(rest, Seq("cid"))
+      .filter(col("da") =!= col("db"))
+      .withColumn("cos", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
+      .filter(col("cos") >= thresh && !isnan(col("cos")))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        round(col("cos"), 4).as("cos_sim"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup for an incremental batch (vec_id % 5 == 4,
+    * ~20%) against the MAINTAINED IVF index — the online-ingest shape
+    * of dedup_embedding, and the third index-backed incremental after
+    * the shingle and substring families. Candidate generation is
+    * same-cell blocking on the index's coarse cells (the standard IVF
+    * recall trade: a pair split by a cell boundary is not a
+    * candidate — exactly knn_ivf's probe semantics, disclosed rather
+    * than hidden; dedup_embedding remains the exact all-pairs form
+    * when losslessness at cos 0.5 is required). Threshold 0.45 sits
+    * below the exact query's 0.5 because the cell already pre-filters
+    * geometrically. The index is the SAME lake state knn_ivf probes
+    * (ivfIndexOf): one maintained index, search + dedup serving paths.
+    *
+    * ORACLE-CHECKED: assignment is deterministic arithmetic off the
+    * persisted centroids (the knn_ivf replay), the cell join and
+    * cosine verify are plain SQL. At 100 TB: the candidate join is a
+    * cid equi-join against a cid-partitioned table — per-batch cost
+    * O(batch x cell occupancy), nothing all-pairs. */
+  val embeddingIncremental: Q = Q(
+    "dedup_embedding_incremental",
+    s"""WITH $oracleEmb,
+      |cent AS (
+      |  SELECT cid, cv FROM read_parquet(
+      |    '/tmp/graft_ivf/$SfToken/centroids/*.parquet')),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT a.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))), c.cid) rn
+      |    FROM n a CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |p AS (
+      |  SELECT a.vec_id ia, b.vec_id ib,
+      |    list_sum(list_transform(range(1, len(na.v) + 1),
+      |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2) AS cos
+      |  FROM asg a
+      |  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id
+      |  JOIN n nb ON nb.vec_id = b.vec_id
+      |  WHERE a.vec_id % 5 = 4)
+      |SELECT DISTINCT LEAST(ia, ib) AS doc_a, GREATEST(ia, ib) AS doc_b,
+      |  ROUND(cos, 4) AS cos_sim
+      |FROM p WHERE cos >= 0.45 AND NOT isnan(cos)
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    embeddingBatchPairs(s, ivfIndexOf(s, dir),
+      _.filter(col("vec_id") % 5 === 4), 0.45)
   }
 
   /** Random-hyperplane LSH: 64-bit signature as 4 bands x 16 bits
@@ -685,6 +775,6 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(embeddingNearDup, knnBrute, knnIvf, annLsh,
-    quantizeInt8, knnPq, knnIvfPq, embedPca)
+  val all: Seq[Q] = Seq(embeddingNearDup, embeddingIncremental, knnBrute,
+    knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca)
 }

@@ -333,6 +333,43 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of the dedup_embedding_incremental ingest — the
+    * vector family's shape of shingleIngest: a stream of new
+    * (vec_id, v: array<double>) embeddings drives a foreachBatch sink
+    * in which each micro-batch (1) APPENDS its vectors to the
+    * maintained IVF index under the FROZEN coarse quantizer
+    * (IvfIndex.append — assignment is a pure projection, the write is
+    * O(batch), and frozen centroids are what make every append
+    * query-compatible with everything already indexed) and (2) emits
+    * the batch-involved same-cell near-dup pairs from index state
+    * alone, through EXACTLY the read dataflow of the batch query
+    * (Vectors.embeddingBatchPairs; batch membership via a broadcast
+    * semi-join on the micro-batch's trigger-bounded id frame).
+    * Cross-micro-batch pairs surface when the later side arrives —
+    * same-cell blocking is symmetric, so a full replay emits exactly
+    * the batch-involved pair set of the one-shot append
+    * (StreamingSpec). Same exactly-once caveat as shingleIngest:
+    * parquet-append + emit is not transactional across a mid-batch
+    * crash; a real deployment keys the sink on (epoch, pair). */
+  def vectorIngest(s: SparkSession, vecs: DataFrame, indexDir: String,
+      outDir: String,
+      thresh: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IvfIndex.append(s,
+          batch.select(col("vec_id"), col("v"))
+            .withColumn("n2", graft.functions.VectorExprs.norm2(col("v"))),
+          indexDir)
+        val ids = broadcast(batch.select(col("vec_id")).distinct())
+        graft.queries.Vectors.embeddingBatchPairs(s, indexDir,
+            _.join(ids, Seq("vec_id"), "left_semi"), thresh)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_embedding_incremental is a cid equi-join over index state only") {
+    val p = plan(Vectors.embeddingIncremental.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // both join sides read the maintained index's vectors table, not
+    // the embeddings corpus — the serving path is index state alone
+    assert(!p.contains("embeddings.parquet"), p.take(2000))
+  }
+
   test("q_range_join is a bucketed equi-join, not a nested loop") {
     val p = plan(Events.rangeJoin.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))

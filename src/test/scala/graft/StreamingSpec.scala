@@ -394,4 +394,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet == Set((1L, 24L), (1L, 29L), (24L, 29L)), got)
     assert(got.values.toSet == Set(1L), "one shared 16-token window each")
   }
+
+  test("streaming vector ingest: index appends + near-dup pairs == one-shot append") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IndexLifecycle.rm
+    val idxDir = "/tmp/graft_vecidx_stream_spec"
+    val oneDir = "/tmp/graft_vecidx_stream_one"
+    val outDir = "/tmp/graft_vecidx_stream_out"
+    Seq(idxDir, oneDir, outDir, outDir + "_ckpt")
+      .foreach(d => rm(new java.io.File(d)))
+    // dim-4 corpus, two well-separated direction clusters (k=2):
+    // within-cluster spread keeps non-planted pairs under cos 0.99
+    // (max 0.969), planted near-dups sit at ~1.0
+    val a = Seq(0.0, 3.0, 6.0)
+    val idxVecs: Seq[(Long, Seq[Double])] =
+      a.zipWithIndex.map { case (j, i) => ((i + 1).toLong, Seq(10.0, j, 0.0, 0.0)) } ++
+        a.zipWithIndex.map { case (j, i) => ((i + 11).toLong, Seq(0.0, 10.0, j + j / 3.0, 0.0)) }
+    val b1: Seq[(Long, Seq[Double])] = Seq(
+      101L -> Seq(10.0, 0.1, 0.0, 0.0), // near-dup of index id 1
+      102L -> Seq(0.0, 10.0, 2.0, 0.0)) // partner arrives in batch 2
+    val b2: Seq[(Long, Seq[Double])] = Seq(
+      201L -> Seq(0.0, 10.1, 2.02, 0.0), // 1.01 x vec 102 -> cos 1.0
+      202L -> Seq(10.0, 3.05, 0.0, 0.0)) // near-dup of index id 2
+    def embDf(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "v")
+        .withColumn("n2", graft.functions.VectorExprs.norm2(col("v")))
+    // pre-seed the maintained index from the index corpus
+    graft.operators.IvfIndex.build(spark, embDf(idxVecs), idxDir, k = 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.vectorIngest(spark,
+      ms.toDF().toDF("vec_id", "v"), idxDir, outDir, thresh = 0.99)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)
+    val got = spark.read.parquet(outDir).collect().map(key).toMap
+    // one-shot comparator: same deterministic build, ONE append of
+    // both batches, batch-involved pairs via the shared read dataflow
+    graft.operators.IvfIndex.build(spark, embDf(idxVecs), oneDir, k = 2)
+    graft.operators.IvfIndex.append(spark, embDf(b1 ++ b2), oneDir)
+    val newIds = broadcast((b1 ++ b2).map(_._1).toDF("vec_id"))
+    val want = graft.queries.Vectors.embeddingBatchPairs(spark, oneDir,
+        _.join(newIds, Seq("vec_id"), "left_semi"), thresh = 0.99)
+      .collect().map(key).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    assert(got.keySet == Set((1L, 101L), (2L, 202L), (102L, 201L)), got)
+    assert(got((102L, 201L)) == 1.0, "scaled copy must score exactly 1")
+  }
 }
