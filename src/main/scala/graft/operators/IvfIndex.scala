@@ -115,6 +115,25 @@ object IvfIndex {
       .repartition(col("cid")).write.mode(SaveMode.Append)
       .partitionBy("cid").parquet(s"$indexDir/vectors")
 
+  /** Offline requantization — the refit `append` defers: re-fit the
+    * coarse quantizer over the FULL appended state, re-assign every
+    * vector, rewrite the layout, publish via the IndexLifecycle
+    * aside-and-rename swap (marker carried over — source and knobs
+    * are unchanged; the refit re-derives from the index's own state).
+    * Run when drift degrades probe recall: refit state is BIT-EQUAL
+    * to a fresh build over the same vectors (the fit sample is
+    * hash-ordered by vec_id, Lloyd's is seeded), so recall returns
+    * exactly to fresh-build quality — and the rewrite's
+    * repartition-by-cid folds the small files appends accumulate per
+    * cell partition, the compaction half for free. */
+  def refit(spark: SparkSession, indexDir: String, k: Int,
+      seed: Long = 42L): Unit =
+    IndexLifecycle.republish(indexDir) { tmp =>
+      build(spark,
+        spark.read.parquet(s"$indexDir/vectors")
+          .select(col("vec_id"), col("v"), col("n2")), tmp, k, seed)
+    }
+
   private[operators] def loadCentroids(spark: SparkSession,
       indexDir: String): Array[Array[Double]] =
     spark.read.parquet(s"$indexDir/centroids")

@@ -245,6 +245,45 @@ class VectorSpec extends AnyFunSuite {
     assert(got.values.flatten.exists(_ >= cut), "no appended vector retrieved")
   }
 
+  test("IVF offline refit: appended state refits bit-equal to a fresh build") {
+    import org.apache.spark.sql.functions._
+    val e = Vectors.emb(spark, sf).cache()
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val idx = "/tmp/graft_ivf_refit_test"
+    val freshDir = "/tmp/graft_ivf_refit_fresh"
+    Seq(idx, freshDir).foreach(d =>
+      graft.operators.IndexLifecycle.rm(new java.io.File(d)))
+    // drifted index: quantizer fit on the first half only, second
+    // half appended under the frozen (now unrepresentative) centroids
+    graft.operators.IvfIndex.build(spark,
+      e.filter(col("vec_id") < cut), idx, k = 16)
+    graft.operators.IvfIndex.append(spark, e.filter(col("vec_id") >= cut), idx)
+    val filesBefore = leafParquets(s"$idx/vectors")
+    graft.operators.IvfIndex.refit(spark, idx, k = 16)
+    // the contract: refit == fresh build over the same vectors, bit-equal
+    graft.operators.IvfIndex.build(spark, e, freshDir, k = 16)
+    def cents(d: String) = spark.read.parquet(s"$d/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(cents(idx) == cents(freshDir), "refit centroids != fresh-fit centroids")
+    def vecs(d: String) = spark.read.parquet(s"$d/vectors")
+      .select(col("vec_id"), col("cid"), col("n2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(vecs(idx) == vecs(freshDir), "refit assignments != fresh assignments")
+    // the compaction half: append-accumulated small files are folded
+    val filesAfter = leafParquets(s"$idx/vectors")
+    assert(filesAfter < filesBefore,
+      s"refit did not fold small files: $filesBefore -> $filesAfter")
+  }
+
+  private def leafParquets(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      Option(f.listFiles()).toSeq.flatten.map(c =>
+        if (c.isDirectory) walk(c)
+        else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+    walk(new java.io.File(dir))
+  }
+
   test("IVF-PQ recall@5 vs brute force") {
     // probe recall bounds it (same 16-cell/4-probe geometry as IVF);
     // ADC error is mostly absorbed by the 100-deep exact re-rank
