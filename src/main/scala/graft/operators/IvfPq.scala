@@ -56,6 +56,19 @@ object IvfPq {
     writeCodes(IvfIndex.loadCentroids(spark, indexDir),
       PqIndex.loadBooks(spark, indexDir), newEmb, SaveMode.Append, indexDir)
 
+  /** Offline refit of BOTH models — the composed form of
+    * IvfIndex.refit and PqIndex.refit, and it follows the PQ half's
+    * constraint: codes are lossy, so refit re-reads the source corpus
+    * (one sample fit + one assign+encode scan, priced exactly like
+    * build). Published via the IndexLifecycle aside-and-rename swap;
+    * bit-equal to a fresh build over the same corpus. */
+  def refit(spark: SparkSession, emb: DataFrame, indexDir: String,
+      kCells: Int, m: Int, kCodes: Int): Unit = {
+    IndexLifecycle.republish(indexDir) { tmp =>
+      build(spark, emb, tmp, kCells, m, kCodes); ()
+    }
+  }
+
   /** The one corpus scan: nearest-cell assignment + PQ encode, laid
     * out partitioned by cell (repartition first — the IvfIndex
     * argument: otherwise every task writes a file per cell).

@@ -95,6 +95,21 @@ object PqIndex {
     encoded(loadBooks(spark, indexDir), newEmb)
       .write.mode(SaveMode.Append).parquet(s"$indexDir/codes")
 
+  /** Offline refit — run when quantization error drifts. Unlike
+    * IvfIndex.refit this CANNOT be self-contained: the codes table is
+    * lossy, so refitting the codebooks and re-encoding need the raw
+    * vectors the compression discarded. Refit is therefore a full
+    * re-derivation over the SOURCE corpus (`emb`, the build input
+    * shape) — the honest cost of PQ refit at scale, priced exactly
+    * like build: one sample fit + one encode scan. Published via the
+    * IndexLifecycle aside-and-rename swap; bit-equal to a fresh build
+    * over the same corpus (seeded fit, hash-ordered sample). */
+  def refit(spark: SparkSession, emb: DataFrame, indexDir: String,
+      m: Int, k: Int): Unit =
+    IndexLifecycle.republish(indexDir) { tmp =>
+      build(spark, emb, tmp, m, k); ()
+    }
+
   private def encoded(books: Array[Array[Array[Double]]],
       emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), encode(col("vn"), books).as("codes"))

@@ -344,4 +344,43 @@ class VectorSpec extends AnyFunSuite {
         (persisted.keySet ++ direct.keySet)
           .filter(k => persisted.get(k) != direct.get(k)).take(5)}")
   }
+
+  test("PQ and IVF-PQ offline refit: appended state refits bit-equal to a fresh build") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IndexLifecycle.rm
+    val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    // PQ: refit re-reads the source corpus (codes are lossy)
+    val pqIdx = "/tmp/graft_pq_refit_test"
+    val pqFresh = "/tmp/graft_pq_refit_fresh"
+    Seq(pqIdx, pqFresh).foreach(d => rm(new java.io.File(d)))
+    graft.operators.PqIndex.build(spark,
+      e.filter(col("vec_id") < cut), pqIdx, m = 8, k = 16)
+    graft.operators.PqIndex.append(spark, e.filter(col("vec_id") >= cut), pqIdx)
+    graft.operators.PqIndex.refit(spark, e, pqIdx, m = 8, k = 16)
+    graft.operators.PqIndex.build(spark, e, pqFresh, m = 8, k = 16)
+    def pqState(d: String) = (
+      spark.read.parquet(s"$d/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet,
+      spark.read.parquet(s"$d/codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap)
+    assert(pqState(pqIdx) == pqState(pqFresh), "PQ refit != fresh build")
+    // IVF-PQ: both models refit, one assign+encode scan
+    val ipIdx = "/tmp/graft_ivfpq_refit_test"
+    val ipFresh = "/tmp/graft_ivfpq_refit_fresh"
+    Seq(ipIdx, ipFresh).foreach(d => rm(new java.io.File(d)))
+    graft.operators.IvfPq.build(spark,
+      e.filter(col("vec_id") < cut), ipIdx, kCells = 16, m = 8, kCodes = 16)
+    graft.operators.IvfPq.append(spark, e.filter(col("vec_id") >= cut), ipIdx)
+    graft.operators.IvfPq.refit(spark, e, ipIdx, kCells = 16, m = 8, kCodes = 16)
+    graft.operators.IvfPq.build(spark, e, ipFresh, kCells = 16, m = 8, kCodes = 16)
+    def ipState(d: String) = (
+      spark.read.parquet(s"$d/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
+      graft.operators.IvfPq.codes(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getAs[Int]("cid"), r.getSeq[Int](1))))
+        .toMap)
+    assert(ipState(ipIdx) == ipState(ipFresh), "IVF-PQ refit != fresh build")
+  }
 }
