@@ -100,6 +100,16 @@ object IndexLifecycle {
       java.nio.file.Files.write(
         new java.io.File(tmp, Marker).toPath, k.getBytes("UTF-8"))
     }
+    // applied-epoch markers describe ingest HISTORY, not layout —
+    // losing them across a compact/refit would re-open the
+    // at-least-once window for any in-flight epoch retry
+    Option(dst.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_GRAFT_EPOCH_"))
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(tmp, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     if (publishedKey(dst) != keyAtStart) { rm(tmp); return } // superseded
     val aside = new java.io.File(s"$idxDir.old-$pid")
     rm(aside)
@@ -115,6 +125,32 @@ object IndexLifecycle {
       sys.error(s"compaction publish failed (swap rename) for $idxDir")
     }
     rm(aside)
+  }
+
+  /** Idempotent-append guard for the streaming ingests: run `append`
+    * only if micro-batch `epoch` has not already been applied to the
+    * index at `idxDir`, and mark it applied afterwards. foreachBatch
+    * re-runs a whole micro-batch with the SAME epoch id on
+    * failure/restart, and a parquet append commits at JOB level (a
+    * crashed append leaves only uncommitted _temporary files), so the
+    * retry matrix is: crash mid-append → nothing committed, clean
+    * re-append; crash after the marker → append skipped, the
+    * epoch-keyed emit re-runs idempotently. The residual window —
+    * a crash BETWEEN job commit and marker write — can duplicate one
+    * epoch's appended rows; the substring and vector families absorb
+    * even that (their reads are countDistinct/min/distinct-based),
+    * the shingle family's intersection counts would not — which is
+    * why the guard, not read-side distincts that would re-shuffle
+    * corpus-scale state on every query, is the mechanism. Markers are
+    * one empty file per epoch at the index root (underscore-prefixed:
+    * invisible to Spark's file listing) and survive compact/refit
+    * (republish carries them over). */
+  def epochOnce(idxDir: String, epoch: Long)(append: => Unit): Unit = {
+    val m = new java.io.File(idxDir, s"_GRAFT_EPOCH_$epoch")
+    if (m.isFile) return
+    append
+    new java.io.File(idxDir).mkdirs() // first-ever append may create it
+    java.nio.file.Files.write(m.toPath, Array.emptyByteArray)
   }
 
   /** Run `build` into a private dir and publish it at `idxDir` —

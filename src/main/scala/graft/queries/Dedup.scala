@@ -910,6 +910,19 @@ object Dedup {
     docsT.unpersist()
   }
 
+  /** Doc-store bootstrap for the streaming substring ingest: the
+    * pre-stream corpus written under a reserved epoch (-1) so the
+    * store has ONE layout — epoch-partitioned — from day one;
+    * parquet partition discovery rejects a root that mixes bare data
+    * files with partition directories, and the ingest's replayed-
+    * epoch overwrite (StreamOps.substringIngestBatch) depends on the
+    * partitioning. */
+  private[graft] def substringDocStoreBootstrap(docs: DataFrame,
+      docStoreDir: String): Unit =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("epoch", lit(-1L))
+      .write.mode("overwrite").partitionBy("epoch").parquet(docStoreDir)
+
   /** The READ side of the substring ingest — batch-involved shared-run
     * pairs from index state plus the corpus for the exact verify.
     * `splitNew` restricts any frame carrying doc_id to the batch side

@@ -268,28 +268,54 @@ object StreamOps {
     * replay emits exactly the batch-involved pair set of the one-shot
     * ingest, whatever the batch boundaries (StreamingSpec asserts
     * equality with shingleIncrementalOf on the same docs, split
-    * across micro-batches). Exactly-once caveat, documented not
-    * hidden: parquet-append + emit is not transactional across a
-    * mid-batch crash — a real deployment pairs this with an
-    * idempotent sink keyed on (epoch, pair), the standard foreachBatch
-    * discipline. */
+    * across micro-batches).
+    *
+    * Exactly-once: the r8 "keyed on (epoch, pair)" caveat is now the
+    * implementation. The index append runs under
+    * IndexLifecycle.epochOnce (a replayed micro-batch skips it) and
+    * the pair emit is epoch-partitioned dynamic overwrite (a replayed
+    * micro-batch overwrites its own partition instead of appending
+    * duplicates) — see emitEpoch/epochOnce for the full retry
+    * matrix. */
   def shingleIngest(s: SparkSession, docs: DataFrame, indexDir: String,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", outDir + "_ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val bsh = graft.queries.Dedup.hashedShinglesOf(batch).cache()
-        graft.operators.ShingleIndex.append(bsh, indexDir)
-        val ids = broadcast(bsh.select(col("doc_id")).distinct())
-        graft.queries.Dedup.shingleBatchPairs(s, indexDir,
-            _.join(ids, Seq("doc_id"), "left_semi"),
-            _.join(ids, Seq("doc_id"), "left_anti"))
-          .write.mode("append").parquet(outDir)
-        bsh.unpersist()
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        shingleIngestBatch(s, batch.toDF(), epoch, indexDir, outDir)
       }
       .start()
+
+  /** One shingle-ingest micro-batch — factored out so the retry spec
+    * can replay an epoch directly. */
+  private[graft] def shingleIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, indexDir: String, outDir: String): Unit = {
+    val bsh = graft.queries.Dedup.hashedShinglesOf(batch).cache()
+    graft.operators.IndexLifecycle.epochOnce(indexDir, epoch) {
+      graft.operators.ShingleIndex.append(bsh, indexDir)
+    }
+    val ids = broadcast(bsh.select(col("doc_id")).distinct())
+    emitEpoch(graft.queries.Dedup.shingleBatchPairs(s, indexDir,
+        _.join(ids, Seq("doc_id"), "left_semi"),
+        _.join(ids, Seq("doc_id"), "left_anti")),
+      epoch, outDir)
+    bsh.unpersist()
+    ()
+  }
+
+  /** Epoch-keyed idempotent pair emit — the foreachBatch sink
+    * discipline: output is partitioned by the micro-batch epoch and
+    * written with DYNAMIC partition overwrite, so a replayed epoch
+    * (foreachBatch re-runs a failed batch with the same id) replaces
+    * its own partition and every other epoch's output is untouched.
+    * Each pair surfaces in exactly one epoch (the one its later side
+    * arrived in), so the union over partitions is duplicate-free. */
+  private def emitEpoch(pairs: DataFrame, epoch: Long, outDir: String): Unit =
+    pairs.withColumn("epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(outDir)
 
   /** Streaming twin of the dedup_substring_incremental ingest — the
     * substring family's shape of shingleIngest, plus the piece that
@@ -305,33 +331,54 @@ object StreamOps {
     * trigger-bounded id frame). Cross-micro-batch pairs surface when
     * the later side arrives, so a full replay emits exactly the
     * batch-involved pair set of the one-shot ingest (StreamingSpec).
-    * Same exactly-once caveat as shingleIngest: parquet-append + emit
-    * is not transactional across a mid-batch crash; a real deployment
-    * keys the sink on (epoch, pair). */
+    *
+    * Exactly-once, per surface: the pair emit AND the doc store are
+    * epoch-partitioned dynamic overwrite (a replayed micro-batch
+    * replaces its own partitions — the doc store must be exact
+    * because the verify joins it per candidate side: a duplicated
+    * doc row would fan the join out and inflate n_shared), and the
+    * window append runs under IndexLifecycle.epochOnce; even a
+    * replayed window append would be absorbed by the read side's
+    * countDistinct df and min-pos verify. The doc-store BOOTSTRAP
+    * (the pre-stream corpus) must use the same epoch layout under a
+    * reserved epoch — Dedup.substringDocStoreBootstrap. */
   def substringIngest(s: SparkSession, docs: DataFrame, indexDir: String,
       docStoreDir: String,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", outDir + "_ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.select(col("doc_id"), col("text"))
-          .write.mode("append").parquet(docStoreDir)
-        val ids = broadcast(batch.select(col("doc_id")).distinct())
-        // tokenized doc store covers every candidate doc: index docs
-        // for the verify's far side, the just-appended batch for the
-        // near side (substringBatchPairs takes ownership of the cache)
-        val docsT = graft.queries.Dedup.substringDocsT(
-          s.read.parquet(docStoreDir)).cache()
-        graft.operators.SubstringIndex.append(s,
-          graft.queries.Dedup.substringWindowsOf(
-            docsT.join(ids, Seq("doc_id"), "left_semi")), indexDir)
-        graft.queries.Dedup.substringBatchPairs(s, indexDir,
-            _.join(ids, Seq("doc_id"), "left_semi"), docsT)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        substringIngestBatch(s, batch.toDF(), epoch, indexDir,
+          docStoreDir, outDir)
       }
       .start()
+
+  /** One substring-ingest micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def substringIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, indexDir: String, docStoreDir: String,
+      outDir: String): Unit = {
+    batch.select(col("doc_id"), col("text"))
+      .withColumn("epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(docStoreDir)
+    val ids = broadcast(batch.select(col("doc_id")).distinct())
+    // tokenized doc store covers every candidate doc: index docs
+    // for the verify's far side, the just-appended batch for the
+    // near side (substringBatchPairs takes ownership of the cache)
+    val docsT = graft.queries.Dedup.substringDocsT(
+      s.read.parquet(docStoreDir)).cache()
+    graft.operators.IndexLifecycle.epochOnce(indexDir, epoch) {
+      graft.operators.SubstringIndex.append(s,
+        graft.queries.Dedup.substringWindowsOf(
+          docsT.join(ids, Seq("doc_id"), "left_semi")), indexDir)
+    }
+    emitEpoch(graft.queries.Dedup.substringBatchPairs(s, indexDir,
+        _.join(ids, Seq("doc_id"), "left_semi"), docsT),
+      epoch, outDir)
+  }
 
   /** Streaming twin of the dedup_embedding_incremental ingest — the
     * vector family's shape of shingleIngest: a stream of new
@@ -348,27 +395,36 @@ object StreamOps {
     * Cross-micro-batch pairs surface when the later side arrives —
     * same-cell blocking is symmetric, so a full replay emits exactly
     * the batch-involved pair set of the one-shot append
-    * (StreamingSpec). Same exactly-once caveat as shingleIngest:
-    * parquet-append + emit is not transactional across a mid-batch
-    * crash; a real deployment keys the sink on (epoch, pair). */
+    * (StreamingSpec). Exactly-once as in shingleIngest: epochOnce
+    * around the index append, epoch-keyed overwrite emit — and this
+    * family's reads (distinct pairs) absorb even a replayed append. */
   def vectorIngest(s: SparkSession, vecs: DataFrame, indexDir: String,
       outDir: String,
       thresh: Double): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", outDir + "_ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.IvfIndex.append(s,
-          batch.select(col("vec_id"), col("v"))
-            .withColumn("n2", graft.functions.VectorExprs.norm2(col("v"))),
-          indexDir)
-        val ids = broadcast(batch.select(col("vec_id")).distinct())
-        graft.queries.Vectors.embeddingBatchPairs(s, indexDir,
-            _.join(ids, Seq("vec_id"), "left_semi"), thresh)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        vectorIngestBatch(s, batch.toDF(), epoch, indexDir, outDir, thresh)
       }
       .start()
+
+  /** One vector-ingest micro-batch — factored out so the retry spec
+    * can replay an epoch directly. */
+  private[graft] def vectorIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, indexDir: String, outDir: String,
+      thresh: Double): Unit = {
+    graft.operators.IndexLifecycle.epochOnce(indexDir, epoch) {
+      graft.operators.IvfIndex.append(s,
+        batch.select(col("vec_id"), col("v"))
+          .withColumn("n2", graft.functions.VectorExprs.norm2(col("v"))),
+        indexDir)
+    }
+    val ids = broadcast(batch.select(col("vec_id")).distinct())
+    emitEpoch(graft.queries.Vectors.embeddingBatchPairs(s, indexDir,
+        _.join(ids, Seq("vec_id"), "left_semi"), thresh),
+      epoch, outDir)
+  }
 
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._

@@ -344,6 +344,18 @@ class StreamingSpec extends AnyFunSuite {
       s"extra=${got.keySet -- want.keySet}")
     assert(got.contains((24L, 29L)), "cross-micro-batch pair must surface")
     assert(got((1L, 24L)) == 1.0 && got((24L, 29L)) == 1.0, got)
+    // foreachBatch retry: replaying the last epoch is a no-op — the
+    // epochOnce marker skips the shingle append (whose raw
+    // intersection counts would NOT absorb duplicate rows) and the
+    // epoch-partition overwrite replaces, not appends, the output
+    val shRows = spark.read.parquet(s"$idxDir/shingles").count()
+    StreamOps.shingleIngestBatch(spark, b2.toDF("doc_id", "text"), 1L,
+      idxDir, outDir)
+    assert(spark.read.parquet(s"$idxDir/shingles").count() == shRows,
+      "epoch replay re-appended shingles")
+    assert(spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap == got,
+      "epoch replay changed the emitted pairs")
   }
 
   test("streaming substring ingest: doc store + index appends + pairs == batch incremental") {
@@ -369,9 +381,9 @@ class StreamingSpec extends AnyFunSuite {
     }
     val b1 = Seq(24L -> (filler(24, 4) ++ boiler ++ unique).mkString(" "))
     val b2 = Seq(29L -> (filler(29, 4) ++ unique ++ filler(29, 8)).mkString(" "))
-    // pre-seed the lake: doc store + index built from the index corpus
+    // pre-seed the lake: doc store (reserved bootstrap epoch) + index
     val idxDf = idxDocs.toDF("doc_id", "text")
-    idxDf.write.parquet(storeDir)
+    graft.queries.Dedup.substringDocStoreBootstrap(idxDf, storeDir)
     graft.queries.Dedup.substringIndexBuild(spark, idxDf, idxDir)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
@@ -393,6 +405,16 @@ class StreamingSpec extends AnyFunSuite {
       s"extra=${got.keySet -- want.keySet}")
     assert(got.keySet == Set((1L, 24L), (1L, 29L), (24L, 29L)), got)
     assert(got.values.toSet == Set(1L), "one shared 16-token window each")
+    // foreachBatch retry: replaying the last epoch is a no-op — the
+    // doc store's epoch overwrite matters most here (a duplicated doc
+    // row would fan out the verify join and inflate n_shared)
+    val docRows = spark.read.parquet(storeDir).count()
+    StreamOps.substringIngestBatch(spark, b2.toDF("doc_id", "text"), 1L,
+      idxDir, storeDir, outDir)
+    assert(spark.read.parquet(storeDir).count() == docRows,
+      "epoch replay duplicated the doc store")
+    assert(spark.read.parquet(outDir).collect().map(key).toMap == got,
+      "epoch replay changed the emitted pairs")
   }
 
   test("streaming vector ingest: index appends + near-dup pairs == one-shot append") {
@@ -445,5 +467,13 @@ class StreamingSpec extends AnyFunSuite {
       s"extra=${got.keySet -- want.keySet}")
     assert(got.keySet == Set((1L, 101L), (2L, 202L), (102L, 201L)), got)
     assert(got((102L, 201L)) == 1.0, "scaled copy must score exactly 1")
+    // foreachBatch retry: replaying the last epoch is a no-op
+    val vecRows = spark.read.parquet(s"$idxDir/vectors").count()
+    StreamOps.vectorIngestBatch(spark, b2.toDF("vec_id", "v"), 1L,
+      idxDir, outDir, thresh = 0.99)
+    assert(spark.read.parquet(s"$idxDir/vectors").count() == vecRows,
+      "epoch replay re-appended vectors")
+    assert(spark.read.parquet(outDir).collect().map(key).toMap == got,
+      "epoch replay changed the emitted pairs")
   }
 }
