@@ -143,7 +143,10 @@ object Bench {
     // pass-2 had no pass-1 witness in the artifact (VERDICT r8 #1/#2a).
     val watched = Set("dedup_clusters", "dedup_simhash", "events_retention",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "retrieval_rrf",
-      "dedup_substring")
+      "dedup_substring",
+      // new in r9 and alphabetically head-of-line — watched from birth
+      // so its driver record carries both passes
+      "dedup_embedding_incremental")
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.filter(r => watched(r._1) && !erroredSet(r._1))
         .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }

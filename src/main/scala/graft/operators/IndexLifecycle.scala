@@ -102,13 +102,16 @@ object IndexLifecycle {
     }
     // applied-epoch markers describe ingest HISTORY, not layout —
     // losing them across a compact/refit would re-open the
-    // at-least-once window for any in-flight epoch retry
+    // at-least-once window for any in-flight epoch retry. A marker
+    // vanishing mid-copy means a racer republished under us; the
+    // superseded check below aborts then, so skipping it is safe.
     Option(dst.listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("_GRAFT_EPOCH_"))
       .foreach { f =>
-        java.nio.file.Files.copy(f.toPath,
+        try java.nio.file.Files.copy(f.toPath,
           new java.io.File(tmp, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.NoSuchFileException => }
       }
     if (publishedKey(dst) != keyAtStart) { rm(tmp); return } // superseded
     val aside = new java.io.File(s"$idxDir.old-$pid")
