@@ -554,6 +554,82 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity quality filter — the CCNet-shaped signal (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data", LREC 2020, which filters on KenLM perplexity;
+    * the reference has no LM, so the corpus-fit add-one-smoothed
+    * bigram model stands in): each doc scores the mean negative log
+    * probability of its bigrams under the CORPUS model,
+    * ppl = exp(nll/n) — gibberish and boilerplate-free outliers rank
+    * high, formulaic text low. Complements text_bigram_lm (novelty /
+    * familiarity counts) with the actual probabilistic score a
+    * filtering pipeline thresholds on.
+    *
+    * Plan shape at 100 TB: one tokenize pass feeds bigram extraction
+    * (cached); the model is two partial-aggregating groupBys (bigram
+    * counts, then context counts BY re-aggregating the bigram table —
+    * never a second corpus scan); scoring is an equi-join of doc
+    * bigrams against the model on 8-byte xxhash64 keys (collision
+    * odds argued at hashedShinglesOf) — the model scales with the
+    * OBSERVED bigram vocabulary, so it is NOT broadcast; the vocab
+    * size rides a broadcast 1-row frame. ln/exp in an oracle-checked
+    * sum follows the retrieval_bm25 precedent (same-sign terms, both
+    * engines' libm agree within the 4-decimal output rounding). */
+  val perplexity: Q = Q(
+    "text_perplexity",
+    """WITH tokv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |vx AS (
+      |  SELECT COUNT(DISTINCT t) v
+      |  FROM (SELECT unnest(ts) t FROM tokv)),
+      |bg AS (
+      |  SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM tokv)),
+      |c2 AS (SELECT w1, w2, COUNT(*) c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) c1 FROM c2 GROUP BY 1),
+      |sc AS (
+      |  SELECT bg.doc_id, COUNT(*) n_bigrams,
+      |    SUM(-ln((c2.c2 + 1.0) / (c1.c1 + vx.v))) nll
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vx
+      |  GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN n_bigrams > 0
+      |    THEN FLOOR(nll / n_bigrams * 10000 + 0.5) / 10000 END AS avg_nll,
+      |  CASE WHEN n_bigrams > 0
+      |    THEN FLOOR(exp(nll / n_bigrams) * 10000 + 0.5) / 10000 END AS ppl
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    val bg = t.select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramsN(col("ts"), 2)).as("g"))
+      .select(col("doc_id"),
+        xxhash64(substring_index(col("g"), " ", 1)).as("h1"),
+        xxhash64(col("g")).as("h12"))
+      .cache() // feeds the model aggregations and the scoring join
+    val c2 = bg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
+    val vdf = t.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val sc = bg.join(c2, Seq("h1", "h12")).join(c1, Seq("h1"))
+      .crossJoin(broadcast(vdf))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log((col("c2") + 1.0) / (col("c1") + col("v")))).as("nll"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0, r4(col("nll") / col("n_bigrams")))
+          .as("avg_nll"),
+        when(col("n_bigrams") > 0, r4(exp(col("nll") / col("n_bigrams"))))
+          .as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus profile — the report a pipeline dashboard
     * draws before anything runs: doc counts, token volume, vocabulary
     * size, and length spread per source. One tokenize+explode and one
