@@ -86,17 +86,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table carries a TIMESTAMP(NANOS) parquet column, which
-    * Spark 4 rejects by default; GraftSession.build sets the
-    * nanos-as-long legacy flag once at session construction. Convert
-    * the long to a micros timestamp (the generator wrote whole-micro
-    * values, so this is lossless and matches DuckDB's micros
-    * truncation). */
+  /** The events table's `ts` parquet physical type has varied across
+    * testdata generations: TIMESTAMP(NANOS) (read as LONG via the
+    * nanos-as-long legacy flag set in GraftSession.build) and plain
+    * micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * Normalize both to the session-TZ TIMESTAMP every downstream
+    * operator expects — the session runs in UTC, so the NTZ→LTZ cast
+    * is the identity on the underlying micros, and the nanos→micros
+    * division is lossless (the generator wrote whole-micro values,
+    * matching DuckDB's micros truncation). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
