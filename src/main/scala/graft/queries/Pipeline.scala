@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -239,5 +240,183 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix)
+  // ---- learned quality classifier (multinomial Naive Bayes) ----
+  //
+  // The model-based quality filter every production corpus run ships
+  // next to its heuristic gates (CCNet / Wenzek et al. 2020 train a
+  // fastText classifier; GPT-3 / Brown et al. 2020 a logistic
+  // regression): cheap per-doc rules label a training slice, a token
+  // model is FIT distributed, and the learned scorer generalizes the
+  // gate. Multinomial NB (McCallum & Nigam '98) is the member of that
+  // family whose fit is ONE mergeable aggregation — count (token,
+  // class) occurrences — so the whole train step is a single
+  // map-side-combined groupBy at any corpus size, and the model is a
+  // bounded table (vocab cap 512) that broadcasts for scoring.
+  //
+  // Everything is integer-exact or replayed identically in both
+  // engines: the weak-supervision label is text_quality's composite
+  // gate (threshold 0.45) cross-multiplied into pure int64 arithmetic
+  // (the events_anomaly trick — no float threshold can disagree), and
+  // log-likelihood ratios are quantized to integer MICRO-NATS
+  // (floor(llr·1e6 + 0.5)) so per-doc scores are exact integer sums —
+  // order-independent under partial aggregation, hash-identical in
+  // DuckDB. The ln() inputs are identical correctly-rounded doubles;
+  // a 1-ulp libm disagreement (~1e-9 at micro-nat scale) cannot move
+  // the 0.5 rounding boundary.
+
+  private val nbStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Shared oracle CTE chain: label → token counts → capped vocab →
+    * class totals → micro-nat llr model. Used by both fit and apply
+    * so the two oracles cannot drift apart. */
+  private val nbModelCtes: String = {
+    val stopsSql = nbStops.map(w => s"'$w'").mkString(", ")
+    s"""src AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+      |    CAST(len(text) AS BIGINT) AS nc,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
+      |    CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS na,
+      |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      x -> x IN ($stopsSql))) AS BIGINT) AS ns
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, tk,
+      |    CASE WHEN 3000*ns*nc
+      |        + (CASE WHEN nw >= 100 THEN 4000*nw*nc ELSE 40*nw*nw*nc END)
+      |        + 3000*na*nw >= 4500*nw*nc
+      |      THEN 1 ELSE 0 END AS label
+      |  FROM src),
+      |tok AS (SELECT doc_id, label, unnest(tk) AS token FROM lab),
+      |cnt AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+      |  FROM tok GROUP BY token),
+      |vocab AS (SELECT * FROM cnt ORDER BY n_hi + n_lo DESC, token LIMIT 512),
+      |tot AS (
+      |  SELECT CAST(SUM(n_hi) AS BIGINT) AS sh, CAST(SUM(n_lo) AS BIGINT) AS sl,
+      |    COUNT(*) AS v
+      |  FROM vocab),
+      |model AS (
+      |  SELECT token, n_hi, n_lo,
+      |    CAST(FLOOR((ln(CAST(n_hi + 1 AS DOUBLE) / (sh + v))
+      |              - ln(CAST(n_lo + 1 AS DOUBLE) / (sl + v))) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS llr_micro
+      |  FROM vocab CROSS JOIN tot)""".stripMargin
+  }
+
+  /** Weak-supervision labels: text_quality's composite score >= 0.45,
+    * cross-multiplied by 10000·nw·nc into exact int64 (products stay
+    * under 2^53; nw=0 docs label 1 via 0 >= 0 — both engines agree). */
+  private[graft] def nbLabeled(s: SparkSession, dir: String): DataFrame = {
+    val tk = graft.functions.TextExprs.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"), tk.as("tk"),
+      length(col("text")).cast("long").as("nc"),
+      size(tk).cast("long").as("nw"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .cast("long").as("na"),
+      size(filter(tk, t => t.isInCollection(nbStops))).cast("long").as("ns"))
+      .select(col("doc_id"), col("tk"),
+        when(lit(3000L) * col("ns") * col("nc")
+          + when(col("nw") >= 100L, lit(4000L) * col("nw") * col("nc"))
+            .otherwise(lit(40L) * col("nw") * col("nw") * col("nc"))
+          + lit(3000L) * col("na") * col("nw")
+          >= lit(4500L) * col("nw") * col("nc"), 1L)
+          .otherwise(0L).as("label"))
+  }
+
+  /** The fitted model: one explode + one partial-aggregating groupBy
+    * over the corpus, TakeOrdered vocab cap, llr in micro-nats. */
+  private[graft] def nbModel(labeled: DataFrame): DataFrame = {
+    val cnt = labeled.select(col("label"), explode(col("tk")).as("token"))
+      .groupBy(col("token")).agg(
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("n_lo"))
+    // vocab feeds both the class totals and the llr projection
+    val vocab = cnt.orderBy((col("n_hi") + col("n_lo")).desc, col("token").asc)
+      .limit(512).cache()
+    val tot = vocab.agg(sum(col("n_hi")).as("sh"), sum(col("n_lo")).as("sl"),
+      count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot)).select(
+      col("token"), col("n_hi"), col("n_lo"),
+      floor((log((col("n_hi") + 1L).cast("double") / (col("sh") + col("v")))
+           - log((col("n_lo") + 1L).cast("double") / (col("sl") + col("v"))))
+        * 1000000.0 + 0.5).cast("long").as("llr_micro"))
+  }
+
+  /** FIT: the model table itself — per-token class counts and the
+    * micro-nat log-likelihood ratio. One corpus pass. */
+  val qualityNbFit: Q = Q(
+    "quality_nb_fit",
+    s"""WITH $nbModelCtes
+      |SELECT token, n_hi, n_lo, llr_micro FROM model
+      |ORDER BY token""".stripMargin) { (s, dir) =>
+    nbModel(nbLabeled(s, dir)).orderBy(col("token"))
+  }
+
+  /** APPLY: score every doc with the fitted model — per-doc integer
+    * score = prior + Σ count(doc,t)·llr(t) over model tokens, predict
+    * hi-quality iff score > 0, and report agreement with the
+    * weak-supervision label (the classifier's training-set fit). The
+    * model recomputes deterministically inside the query (it is a
+    * pure function of corpus + knobs, the bm25-stats pattern) and
+    * BROADCASTS to the scoring join: the corpus never shuffles on
+    * anything but (doc_id, token) partial aggregation. */
+  val qualityNbApply: Q = Q(
+    "quality_nb_apply",
+    s"""WITH $nbModelCtes,
+      |dc AS (
+      |  SELECT CAST(SUM(label) AS BIGINT) AS dhi,
+      |    CAST(COUNT(*) - SUM(label) AS BIGINT) AS dlo
+      |  FROM lab),
+      |pri AS (
+      |  SELECT CAST(FLOOR(ln(CAST(dhi + 1 AS DOUBLE) / (dlo + 1))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+      |  FROM dc),
+      |dtc AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, token),
+      |sc AS (
+      |  SELECT d.doc_id, CAST(SUM(d.c * m.llr_micro) AS BIGINT) AS tok_score,
+      |    CAST(SUM(d.c) AS BIGINT) AS matched
+      |  FROM dtc d JOIN model m USING (token) GROUP BY d.doc_id)
+      |SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+      |  CAST(COALESCE(sc.matched, 0) AS BIGINT) AS matched_tokens,
+      |  CAST(pri.prior_micro + COALESCE(sc.tok_score, 0) AS BIGINT) AS score_micro,
+      |  CAST(CASE WHEN pri.prior_micro + COALESCE(sc.tok_score, 0) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS pred,
+      |  (CASE WHEN pri.prior_micro + COALESCE(sc.tok_score, 0) > 0
+      |    THEN 1 ELSE 0 END) = l.label AS agree
+      |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pri
+      |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+    // labeled feeds the fit, the prior, the scoring explode, and the
+    // final projection — cache per the Q contract (caller clears)
+    val labeled = nbLabeled(s, dir).cache()
+    val model = nbModel(labeled)
+    val prior = labeled.agg(
+      sum(col("label")).as("dhi"),
+      (count(lit(1)) - sum(col("label"))).as("dlo"))
+      .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
+        * 1000000.0 + 0.5).cast("long").as("prior_micro"))
+    val sc = labeled.select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("llr_micro")).as("tok_score"),
+        sum(col("c")).as("matched"))
+    val score = col("prior_micro") + coalesce(col("tok_score"), lit(0L))
+    labeled.select(col("doc_id"), col("label"))
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("matched"), lit(0L)).as("matched_tokens"),
+        score.as("score_micro"),
+        when(score > 0L, 1L).otherwise(0L).as("pred"),
+        (when(score > 0L, 1L).otherwise(0L) === col("label")).as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
+    qualityNbFit, qualityNbApply)
 }

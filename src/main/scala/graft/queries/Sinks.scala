@@ -138,6 +138,36 @@ object Sinks {
       .orderBy(col("n_name"))
   }
 
+  /** Z-order clustered rewrite (operators.ZOrder): lineitem laid out
+    * on the Morton curve of (l_partkey, l_suppkey) so per-file min/max
+    * statistics prune scans filtered on EITHER key — the
+    * multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER
+    * shape) a hive partitioning cannot give. The read-back aggregate
+    * proves the rewrite is lossless (content identical to the
+    * source projection); SinkLayoutSpec asserts the clustering
+    * property itself — mean per-file key spans collapse to tile
+    * width on BOTH dimensions vs a plain shuffled write. */
+  val zorder: Q = Q(
+    "sink_zorder",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+      |  CAST(SUM(l_suppkey) AS BIGINT) AS supp_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val out = scratch(s, dir, "lineitem_zorder")
+    graft.operators.ZOrder.clusteredWrite(
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"), col("l_quantity")),
+      "l_partkey", "l_suppkey", out, 16)
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_partkey")).as("part_sum"),
+        sum(col("l_suppkey")).as("supp_sum"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, compaction, xmlRoundtrip)
+    orcRoundtrip, compaction, xmlRoundtrip, zorder)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{Core, Events, Text, Vectors}
@@ -127,6 +128,34 @@ class PlanSpec extends AnyFunSuite {
       val n = spark.read.parquet(f.getPath).count()
       assert(n <= 1000)
     }
+  }
+
+  test("sink_zorder: per-file key ranges are tiles on BOTH dims, not full-span stripes") {
+    graft.queries.Sinks.zorder.run(spark, sf).collect()
+    val zPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_zorder"
+    // control: the same projection written through a plain shuffle —
+    // every file's key range is then ~the full span on both dims
+    val plainPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_plain16"
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"))
+      .repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(plainPath)
+    def meanSpans(path: String): (Double, Double, Long) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("ps"),
+          (max(col("l_suppkey")) - min(col("l_suppkey"))).as("ss"))
+        .agg(avg(col("ps")), avg(col("ss")), count(lit(1))).head()
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    }
+    val (zp, zs, zn) = meanSpans(zPath)
+    val (pp, ps, pn) = meanSpans(plainPath)
+    assert(zn >= 8 && pn >= 8, s"need enough files for spans to mean anything: $zn/$pn")
+    // 16 z-tiles ≈ a 4x4 grid: each file covers ~1/4 of each dim; the
+    // shuffled control covers ~the whole span. Half is a loose bound.
+    assert(zp < 0.5 * pp, s"partkey span $zp not clustered vs control $pp")
+    assert(zs < 0.5 * ps, s"suppkey span $zs not clustered vs control $ps")
   }
 
   test("dedup_embedding is a block equi-join, not an all-pairs nested loop") {
