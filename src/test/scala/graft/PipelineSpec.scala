@@ -121,6 +121,13 @@ class PipelineSpec extends AnyFunSuite {
   test("quality_nb_apply: score law, pred/agree consistency, beats the class prior") {
     val rows = graft.queries.Pipeline.qualityNbApply.run(spark, sf).collect()
     spark.catalog.clearCache()
+    // scoring reads the MAINTAINED model state (buildOnce lifecycle),
+    // not a per-query refit
+    val idx = new java.io.File("/tmp/graft_nbq/_root_testdata_sf0_001")
+    assert(new java.io.File(idx, "model").isDirectory
+      && new java.io.File(idx, "priors").isDirectory
+      && new java.io.File(idx, "_GRAFT_INDEX_COMPLETE").isFile,
+      "persisted NB model sidecar missing")
     rows.foreach { r =>
       val (label, score, pred, agree) =
         (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))
