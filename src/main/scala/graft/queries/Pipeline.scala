@@ -426,17 +426,20 @@ object Pipeline {
     val prior = s.read.parquet(s"$idx/priors")
       .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
         * 1000000.0 + 0.5).cast("long").as("prior_micro"))
-    // one corpus pass: label rides the aggregation key; explode_outer
+    // one corpus pass and ONE exchange: per-occurrence llr rows join
+    // the broadcast model and aggregate straight to (doc_id, label) —
+    // Σ count(doc,t)·llr(t) ≡ Σ per-occurrence llr for exact integer
+    // micro-nats, so the oracle's (doc, token) pre-count stage needs
+    // no Spark twin (a pre-agg on (doc_id, label, token) would force
+    // a SECOND shuffle for the narrower final key). explode_outer
     // keeps zero-token docs (null token never joins the model, so
-    // they score prior-only instead of vanishing)
+    // they score prior-only instead of vanishing).
     val sc = nbLabeled(s, dir)
       .select(col("doc_id"), col("label"), explode_outer(col("tk")).as("token"))
-      .groupBy(col("doc_id"), col("label"), col("token"))
-      .agg(count(lit(1)).as("c"))
       .join(broadcast(model), Seq("token"), "left")
       .groupBy(col("doc_id"), col("label"))
-      .agg(sum(col("c") * col("llr_micro")).as("tok_score"),
-        sum(when(col("llr_micro").isNotNull, col("c"))).as("matched"))
+      .agg(sum(col("llr_micro")).as("tok_score"),
+        count(col("llr_micro")).as("matched"))
     val score = col("prior_micro") + coalesce(col("tok_score"), lit(0L))
     sc.crossJoin(broadcast(prior))
       .select(col("doc_id"), col("label"),
