@@ -153,6 +153,31 @@ object Bench {
         .mkString("{", ",", "}")
     val q1 = qmap(results)
     val q2 = qmap(results2)
+    // SELF-ADJUDICATING EXCURSIONS (VERDICT r10 #3): every round since
+    // r8 has carried a single-pass outlier (r8 minhash 16.19, r9
+    // simhash 23.07, r10 clusters 37.07) that cost a manual
+    // adjudication cycle, because two passes cannot distinguish a
+    // one-off JVM event (q3 ≈ fast) from a real plan regression
+    // (q3 ≈ slow). When ANY query's two timed passes separate by more
+    // than 3x, run it a third time in this same JVM and record "q3" —
+    // the tiebreak is in the artifact itself. Rare by construction
+    // (~1 query/round), so the extra wall-clock is bounded.
+    val t1 = results.filter(r => !erroredSet(r._1)).map(r => r._1 -> r._2).toMap
+    val t2 = results2.filter(r => !erroredSet(r._1)).map(r => r._1 -> r._2).toMap
+    val flapped = t1.keySet.intersect(t2.keySet).toSeq.sorted.filter { k =>
+      val (a, b) = (t1(k), t2(k))
+      math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0
+    }
+    val q3 = flapped.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      if (ok) Some("\"" + name + "\":" + r2(elapsed)) else None
+    }.flatten.mkString("{", ",", "}")
     // The captured group must itself be a valid JSON number ("sf1."
     // or "sf..." would otherwise be emitted unquoted and corrupt the
     // line); anything unparseable falls back to the quoted dir.
@@ -170,7 +195,7 @@ object Bench {
     // kept tail and parses. A head-truncated line 1 is invalid JSON
     // by construction; any consumer must scan for the LAST parseable
     // line, never the first (ADVICE r7 #4).
-    val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q1":$q1,"q2":$q2,"sf":$sf"""
+    val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q1":$q1,"q2":$q2,"q3":$q3,"sf":$sf"""
     println(s"""{"queries":$qs,"metric":"total","unit":"sec",$tail,"value2":${r3(total2)},"value":${r3(total)}}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},$tail}""")
     spark.stop()

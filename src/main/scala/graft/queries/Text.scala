@@ -825,5 +825,5 @@ object Text {
 
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub, bigramLm, corpusStats, bpeFit, bpeApply)
+    freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply)
 }

@@ -73,4 +73,35 @@ class QueriesSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("text_perplexity: zero-bigram docs take the LEFT-JOIN null path; " +
+      "scores match a hand-computed add-one bigram model") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    Seq(
+      (1L, "", "en", "s", 0L),        // zero tokens
+      (2L, "hello", "en", "s", 5L),   // one token -> zero bigrams
+      (3L, "a b a b", "en", "s", 7L),
+      (4L, "a b c", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Text.perplexity.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getLong(1) == 0L, s"doc $id n_bigrams")
+      assert(out(id).isNullAt(2) && out(id).isNullAt(3),
+        s"doc $id must have null avg_nll/ppl")
+    }
+    // corpus model: vocab v=4 {hello,a,b,c}; c2(a,b)=3 c2(b,a)=1
+    // c2(b,c)=1; c1(a)=3 c1(b)=2; add-one: p(a,b)=4/7 p(b,·)=2/6
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val nll3 = -(2 * math.log(4.0 / 7) + math.log(2.0 / 6)) // a b, b a, a b
+    val nll4 = -(math.log(4.0 / 7) + math.log(2.0 / 6))     // a b, b c
+    assert(out(3L).getLong(1) == 3L && out(4L).getLong(1) == 2L)
+    assert(out(3L).getDouble(2) == r4(nll3 / 3), "doc 3 avg_nll")
+    assert(out(3L).getDouble(3) == r4(math.exp(nll3 / 3)), "doc 3 ppl")
+    assert(out(4L).getDouble(2) == r4(nll4 / 2), "doc 4 avg_nll")
+    assert(out(4L).getDouble(3) == r4(math.exp(nll4 / 2)), "doc 4 ppl")
+  }
 }
