@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *
   * Content is untouched (helper columns dropped before the write), so
   * losslessness is oracle-checkable; the clustering property itself
-  * is asserted by SinkLayoutSpec on per-file spans.
+  * is asserted by PlanSpec on per-file spans.
   */
 object ZOrder {
 

@@ -327,22 +327,31 @@ object Pipeline {
   }
 
   /** The fitted model: one explode + one partial-aggregating groupBy
-    * over the corpus, TakeOrdered vocab cap, llr in micro-nats. */
+    * over the corpus, TakeOrdered vocab cap, llr in micro-nats. The
+    * capped vocabulary (≤512 rows) is collected once instead of
+    * cached — the distributed token×class aggregation still runs
+    * exactly once, and no cache entry outlives the fit (each bench
+    * invocation of the old shape leaked one). Class totals become
+    * integer literals; the llr expression is unchanged, so values
+    * are bit-identical. */
   private[graft] def nbModel(labeled: DataFrame): DataFrame = {
+    val s = labeled.sparkSession
     val cnt = labeled.select(col("label"), explode(col("tk")).as("token"))
       .groupBy(col("token")).agg(
         sum(when(col("label") === 1L, 1L).otherwise(0L)).as("n_hi"),
         sum(when(col("label") === 0L, 1L).otherwise(0L)).as("n_lo"))
-    // vocab feeds both the class totals and the llr projection
     val vocab = cnt.orderBy((col("n_hi") + col("n_lo")).desc, col("token").asc)
-      .limit(512).cache()
-    val tot = vocab.agg(sum(col("n_hi")).as("sh"), sum(col("n_lo")).as("sl"),
-      count(lit(1)).as("v"))
-    vocab.crossJoin(broadcast(tot)).select(
-      col("token"), col("n_hi"), col("n_lo"),
-      floor((log((col("n_hi") + 1L).cast("double") / (col("sh") + col("v")))
-           - log((col("n_lo") + 1L).cast("double") / (col("sl") + col("v"))))
-        * 1000000.0 + 0.5).cast("long").as("llr_micro"))
+      .limit(512).collect()
+    val sh = vocab.iterator.map(_.getLong(1)).sum
+    val sl = vocab.iterator.map(_.getLong(2)).sum
+    val v = vocab.length.toLong
+    import s.implicits._
+    vocab.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("token", "n_hi", "n_lo")
+      .select(col("token"), col("n_hi"), col("n_lo"),
+        floor((log((col("n_hi") + 1L).cast("double") / lit(sh + v))
+             - log((col("n_lo") + 1L).cast("double") / lit(sl + v)))
+          * 1000000.0 + 0.5).cast("long").as("llr_micro"))
   }
 
   /** FIT: the model table itself — per-token class counts and the

@@ -144,7 +144,7 @@ object Sinks {
     * multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER
     * shape) a hive partitioning cannot give. The read-back aggregate
     * proves the rewrite is lossless (content identical to the
-    * source projection); SinkLayoutSpec asserts the clustering
+    * source projection); PlanSpec asserts the clustering
     * property itself — mean per-file key spans collapse to tile
     * width on BOTH dimensions vs a plain shuffled write. */
   val zorder: Q = Q(

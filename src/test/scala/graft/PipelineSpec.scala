@@ -123,7 +123,9 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     // scoring reads the MAINTAINED model state (buildOnce lifecycle),
     // not a per-query refit
-    val idx = new java.io.File("/tmp/graft_nbq/_root_testdata_sf0_001")
+    // derive the sidecar path from the production helper so a
+    // sanitization or sf-dir change cannot silently break this
+    val idx = new java.io.File(graft.queries.Pipeline.nbModelOf(spark, sf))
     assert(new java.io.File(idx, "model").isDirectory
       && new java.io.File(idx, "priors").isDirectory
       && new java.io.File(idx, "_GRAFT_INDEX_COMPLETE").isFile,

@@ -158,6 +158,55 @@ class PlanSpec extends AnyFunSuite {
     assert(zs < 0.5 * ps, s"suppkey span $zs not clustered vs control $ps")
   }
 
+  test("z-ordered layout prunes at read time: selective scan touches fewer row groups") {
+    graft.queries.Sinks.zorder.run(spark, sf).collect()
+    val zPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_zorder"
+    val plainPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_plain16p"
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"))
+      .repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(plainPath)
+    // a partkey range one quarter of the domain wide: in the 4x4
+    // z-grid it lives in one column of tiles, so only ~4 of 16 files
+    // can contain matches; the shuffled control's every file spans
+    // the full domain and no row group is skippable
+    val b = spark.read.parquet(zPath)
+      .selectExpr("cast(min(l_partkey) as long)", "cast(max(l_partkey) as long)")
+      .head()
+    val (dLo, dHi) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (dLo, dLo + (dHi - dLo) / 4)
+    val dt = spark.read.parquet(zPath).schema("l_partkey").dataType
+    // scan-level numOutputRows counts rows in row groups that survive
+    // the PUSHED filter (parquet min/max skipping) — rows the engine
+    // actually had to read, before Spark's re-filter above the scan
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey").between(lit(lo).cast(dt), lit(hi).cast(dt)))
+      val kept = df.collect().length.toLong
+      val plan0 = df.queryExecution.executedPlan
+      val plan = plan0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metadata("PushedFilters").contains("l_partkey"),
+        s"filter not pushed: ${scan.metadata("PushedFilters")}")
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    val (zRead, zKept) = scanned(zPath)
+    val (pRead, pKept) = scanned(plainPath)
+    assert(zKept == pKept, s"layouts must agree on results: $zKept vs $pKept")
+    assert(pRead > 0 && zRead > 0)
+    // the consumer-side win: the z-ordered scan materializes strictly
+    // less than half of what the plain layout forces through the reader
+    assert(zRead < pRead / 2,
+      s"z-ordered scan read $zRead rows vs plain $pRead — no pruning win")
+  }
+
   test("dedup_embedding is a block equi-join, not an all-pairs nested loop") {
     val p = plan(Vectors.embeddingNearDup.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
