@@ -114,15 +114,22 @@ object Pipeline {
   }
 
   /** The cleaning pipeline, gates in cost order (Gopher/CCNet shape):
-    * language -> quality -> repetition -> exact dedup -> near-dedup,
-    * where the expensive near-dup pass runs ONLY on docs that
-    * survived every cheap gate — at 100 TB you never shingle-join the
-    * raw crawl. Each gate IS the registered operator's own dataflow
-    * (langid / quality / repetition / exact / ngramPairsOf), and the
-    * oracle embeds those operators' own oracle SQL as subqueries, so
-    * this query is the composition proof: if it hash-matches, the
-    * operators compose without semantic drift. Near-dup keep rule:
-    * the smaller doc_id of each verified pair survives. */
+    * language -> quality -> repetition -> LEARNED quality (NB) ->
+    * exact dedup -> near-dedup, where the expensive near-dup pass
+    * runs ONLY on docs that survived every cheaper gate — at 100 TB
+    * you never shingle-join the raw crawl. The NB stage is the
+    * model-based filter CCNet/GPT-3 run next to their heuristics: it
+    * scores off the PERSISTED nbModelOf state (one broadcast join +
+    * one corpus pass — see nbScored), so the flagship pipeline
+    * exercises the maintained-model serving path end to end. Each
+    * gate IS the registered operator's own dataflow (langid / quality
+    * / repetition / nbScored / exact / ngramPairsOf), and the oracle
+    * embeds those operators' own oracle SQL (the NB stage via the
+    * shared nbModelCtes + nbScoreCtes, replayed from the corpus so a
+    * stale sidecar model hash-diverges), so this query is the
+    * composition proof: if it hash-matches, the operators compose
+    * without semantic drift. Near-dup keep rule: the smaller doc_id
+    * of each verified pair survives. */
   val corpusClean: Q = Q(
     "corpus_clean",
     s"""WITH lang AS (
@@ -133,13 +140,20 @@ object Pipeline {
       |  SELECT doc_id, keep AS rep_keep FROM (${Text.repetition.oracle.get})),
       |ex AS (
       |  SELECT doc_id, is_dup FROM (${Dedup.exact.oracle.get})),
+      |$nbModelCtes,
+      |$nbScoreCtes,
+      |nbq AS (
+      |  SELECT l.doc_id,
+      |    pri.prior_micro + COALESCE(s2.tok_score, 0) > 0 AS nb_ok
+      |  FROM lab l LEFT JOIN nbsc s2 ON l.doc_id = s2.doc_id CROSS JOIN pri),
       |gated AS (
       |  SELECT d.doc_id, d.text
       |  FROM documents d
       |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
       |  JOIN rep USING (doc_id) JOIN ex USING (doc_id)
+      |  JOIN nbq USING (doc_id)
       |  WHERE predicted_lang = 'en' AND quality_score >= 0.35
-      |    AND rep_keep AND NOT is_dup),
+      |    AND rep_keep AND nb_ok AND NOT is_dup),
       |${Dedup.cappedPairsCtesFrom("gated")},
       |nd AS (
       |  SELECT DISTINCT db AS doc_id FROM c
@@ -149,13 +163,16 @@ object Pipeline {
       |  l.predicted_lang = 'en' AS lang_ok,
       |  q.quality_score >= 0.35 AS quality_ok,
       |  r.rep_keep AS repetition_ok,
+      |  b.nb_ok AS nb_ok,
       |  NOT e.is_dup AS not_exact_dup,
       |  nd.doc_id IS NOT NULL AS near_dup_drop,
       |  l.predicted_lang = 'en' AND q.quality_score >= 0.35
-      |    AND r.rep_keep AND NOT e.is_dup AND nd.doc_id IS NULL AS keep
+      |    AND r.rep_keep AND b.nb_ok AND NOT e.is_dup
+      |    AND nd.doc_id IS NULL AS keep
       |FROM documents d
       |JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
       |JOIN rep r USING (doc_id) JOIN ex e USING (doc_id)
+      |JOIN nbq b USING (doc_id)
       |LEFT JOIN nd USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val lang = Text.langid.run(s, dir)
@@ -166,12 +183,14 @@ object Pipeline {
       .select(col("doc_id"), col("keep").as("repetition_ok"))
     val ex = Dedup.exact.run(s, dir)
       .select(col("doc_id"), (!col("is_dup")).as("not_exact_dup"))
+    val nbq = nbScored(s, dir)
+      .select(col("doc_id"), (col("score_micro") > 0L).as("nb_ok"))
     // flags feed both the gate filter and the final projection
     val flags = lang.join(qual, "doc_id").join(rep, "doc_id")
-      .join(ex, "doc_id").cache()
+      .join(ex, "doc_id").join(nbq, "doc_id").cache()
     val gatedDocs = Tables.documents(s, dir).join(
       flags.filter(col("lang_ok") && col("quality_ok")
-        && col("repetition_ok") && col("not_exact_dup"))
+        && col("repetition_ok") && col("nb_ok") && col("not_exact_dup"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val nd = Dedup.ngramPairsOf(gatedDocs)
@@ -179,10 +198,10 @@ object Pipeline {
       .withColumn("near_dup_drop", lit(true))
     flags.join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
-        col("repetition_ok"), col("not_exact_dup"),
+        col("repetition_ok"), col("nb_ok"), col("not_exact_dup"),
         coalesce(col("near_dup_drop"), lit(false)).as("near_dup_drop"),
         (col("lang_ok") && col("quality_ok") && col("repetition_ok")
-          && col("not_exact_dup")
+          && col("nb_ok") && col("not_exact_dup")
           && coalesce(col("near_dup_drop"), lit(false)) === false).as("keep"))
       .orderBy(col("doc_id"))
   }
@@ -264,12 +283,12 @@ object Pipeline {
   // a 1-ulp libm disagreement (~1e-9 at micro-nat scale) cannot move
   // the 0.5 rounding boundary.
 
-  private val nbStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private lazy val nbStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   /** Shared oracle CTE chain: label → token counts → capped vocab →
     * class totals → micro-nat llr model. Used by both fit and apply
     * so the two oracles cannot drift apart. */
-  private val nbModelCtes: String = {
+  private lazy val nbModelCtes: String = {
     val stopsSql = nbStops.map(w => s"'$w'").mkString(", ")
     s"""src AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
@@ -391,21 +410,12 @@ object Pipeline {
     idx
   }
 
-  /** APPLY: score every doc with the fitted model — per-doc integer
-    * score = prior + Σ count(doc,t)·llr(t) over model tokens, predict
-    * hi-quality iff score > 0, and report agreement with the
-    * weak-supervision label (the classifier's training-set fit). The
-    * model is the PERSISTED nbModelOf state (≤512 rows + 1 prior row,
-    * broadcast to the scoring join), so the timed query is the
-    * serving path: ONE corpus pass (explode_outer keeps zero-token
-    * docs alive through the same aggregation) shuffling only (doc_id,
-    * label, token) partial counts. The oracle replays the model from
-    * the corpus instead of reading the sidecar, so a stale or corrupt
-    * persisted model hash-diverges — freshness is itself gated. */
-  val qualityNbApply: Q = Q(
-    "quality_nb_apply",
-    s"""WITH $nbModelCtes,
-      |dc AS (
+  /** Shared oracle scoring CTEs (on top of nbModelCtes): class
+    * priors in micro-nats and the per-doc token score off the model.
+    * Used by quality_nb_apply AND corpus_clean's learned gate so the
+    * two oracles cannot drift apart. */
+  private lazy val nbScoreCtes: String =
+    s"""dc AS (
       |  SELECT CAST(SUM(label) AS BIGINT) AS dhi,
       |    CAST(COUNT(*) - SUM(label) AS BIGINT) AS dlo
       |  FROM lab),
@@ -416,10 +426,55 @@ object Pipeline {
       |dtc AS (
       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
       |  FROM tok GROUP BY doc_id, token),
-      |sc AS (
+      |nbsc AS (
       |  SELECT d.doc_id, CAST(SUM(d.c * m.llr_micro) AS BIGINT) AS tok_score,
       |    CAST(SUM(d.c) AS BIGINT) AS matched
-      |  FROM dtc d JOIN model m USING (token) GROUP BY d.doc_id)
+      |  FROM dtc d JOIN model m USING (token) GROUP BY d.doc_id)""".stripMargin
+
+  /** Per-doc scores off the PERSISTED nbModelOf state — the serving
+    * path shared by quality_nb_apply and corpus_clean's learned gate:
+    * ONE corpus pass and one exchange. Per-occurrence llr rows join
+    * the broadcast model and aggregate straight to (doc_id, label) —
+    * Σ count(doc,t)·llr(t) ≡ Σ per-occurrence llr for exact integer
+    * micro-nats, so the oracle's (doc, token) pre-count stage needs
+    * no Spark twin (a pre-agg on (doc_id, label, token) would force
+    * a SECOND shuffle for the narrower final key). explode_outer
+    * keeps zero-token docs (null token never joins the model, so
+    * they score prior-only instead of vanishing). Output: (doc_id,
+    * label, matched_tokens, score_micro). */
+  private[graft] def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val idx = nbModelOf(s, dir)
+    val model = s.read.parquet(s"$idx/model")
+      .select(col("token"), col("llr_micro"))
+    val prior = s.read.parquet(s"$idx/priors")
+      .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
+        * 1000000.0 + 0.5).cast("long").as("prior_micro"))
+    nbLabeled(s, dir)
+      .select(col("doc_id"), col("label"), explode_outer(col("tk")).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("llr_micro")).as("tok_score"),
+        count(col("llr_micro")).as("matched"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("matched"), lit(0L)).as("matched_tokens"),
+        (col("prior_micro") + coalesce(col("tok_score"), lit(0L)))
+          .as("score_micro"))
+  }
+
+  /** APPLY: score every doc with the fitted model — per-doc integer
+    * score = prior + Σ count(doc,t)·llr(t) over model tokens, predict
+    * hi-quality iff score > 0, and report agreement with the
+    * weak-supervision label (the classifier's training-set fit). The
+    * model is the PERSISTED nbModelOf state (≤512 rows + 1 prior row,
+    * broadcast to the scoring join), so the timed query is the
+    * serving path — see nbScored. The oracle replays the model from
+    * the corpus instead of reading the sidecar, so a stale or corrupt
+    * persisted model hash-diverges — freshness is itself gated. */
+  val qualityNbApply: Q = Q(
+    "quality_nb_apply",
+    s"""WITH $nbModelCtes,
+      |$nbScoreCtes
       |SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
       |  CAST(COALESCE(sc.matched, 0) AS BIGINT) AS matched_tokens,
       |  CAST(pri.prior_micro + COALESCE(sc.tok_score, 0) AS BIGINT) AS score_micro,
@@ -427,33 +482,12 @@ object Pipeline {
       |    THEN 1 ELSE 0 END AS BIGINT) AS pred,
       |  (CASE WHEN pri.prior_micro + COALESCE(sc.tok_score, 0) > 0
       |    THEN 1 ELSE 0 END) = l.label AS agree
-      |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pri
+      |FROM lab l LEFT JOIN nbsc sc ON l.doc_id = sc.doc_id CROSS JOIN pri
       |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
-    val idx = nbModelOf(s, dir)
-    val model = s.read.parquet(s"$idx/model")
-      .select(col("token"), col("llr_micro"))
-    val prior = s.read.parquet(s"$idx/priors")
-      .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
-        * 1000000.0 + 0.5).cast("long").as("prior_micro"))
-    // one corpus pass and ONE exchange: per-occurrence llr rows join
-    // the broadcast model and aggregate straight to (doc_id, label) —
-    // Σ count(doc,t)·llr(t) ≡ Σ per-occurrence llr for exact integer
-    // micro-nats, so the oracle's (doc, token) pre-count stage needs
-    // no Spark twin (a pre-agg on (doc_id, label, token) would force
-    // a SECOND shuffle for the narrower final key). explode_outer
-    // keeps zero-token docs (null token never joins the model, so
-    // they score prior-only instead of vanishing).
-    val sc = nbLabeled(s, dir)
-      .select(col("doc_id"), col("label"), explode_outer(col("tk")).as("token"))
-      .join(broadcast(model), Seq("token"), "left")
-      .groupBy(col("doc_id"), col("label"))
-      .agg(sum(col("llr_micro")).as("tok_score"),
-        count(col("llr_micro")).as("matched"))
-    val score = col("prior_micro") + coalesce(col("tok_score"), lit(0L))
-    sc.crossJoin(broadcast(prior))
-      .select(col("doc_id"), col("label"),
-        coalesce(col("matched"), lit(0L)).as("matched_tokens"),
-        score.as("score_micro"),
+    val score = col("score_micro")
+    nbScored(s, dir)
+      .select(col("doc_id"), col("label"), col("matched_tokens"),
+        col("score_micro"),
         when(score > 0L, 1L).otherwise(0L).as("pred"),
         (when(score > 0L, 1L).otherwise(0L) === col("label")).as("agree"))
       .orderBy(col("doc_id"))

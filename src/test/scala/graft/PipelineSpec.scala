@@ -50,18 +50,23 @@ class PipelineSpec extends AnyFunSuite {
   test("corpus_clean: keep is exactly the conjunction of its gates") {
     val rows = graft.queries.Pipeline.corpusClean.run(spark, sf).collect()
     assert(rows.nonEmpty)
+    // cols: doc_id, lang_ok, quality_ok, repetition_ok, nb_ok,
+    //       not_exact_dup, near_dup_drop, keep
     rows.foreach { r =>
       val expected = r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) &&
-        r.getBoolean(4) && !r.getBoolean(5)
-      assert(r.getBoolean(6) == expected, s"doc ${r.getLong(0)} keep flag")
+        r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6)
+      assert(r.getBoolean(7) == expected, s"doc ${r.getLong(0)} keep flag")
     }
+    // the learned gate must actually gate: both NB outcomes present
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "nb_ok is constant — the NB stage is not discriminating")
   }
 
   test("corpus_clean: near-dup drops only happen among gate survivors") {
     val rows = graft.queries.Pipeline.corpusClean.run(spark, sf).collect()
-    rows.filter(_.getBoolean(5)).foreach { r =>
+    rows.filter(_.getBoolean(6)).foreach { r =>
       assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)
-        && r.getBoolean(4),
+        && r.getBoolean(4) && r.getBoolean(5),
         s"doc ${r.getLong(0)} marked near-dup but failed a cheaper gate")
     }
   }
