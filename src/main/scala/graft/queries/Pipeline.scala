@@ -327,9 +327,14 @@ object Pipeline {
   /** Weak-supervision labels: text_quality's composite score >= 0.45,
     * cross-multiplied by 10000·nw·nc into exact int64 (products stay
     * under 2^53; nw=0 docs label 1 via 0 >= 0 — both engines agree). */
-  private[graft] def nbLabeled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nbLabeled(s: SparkSession, dir: String): DataFrame =
+    nbLabeledFrom(Tables.documents(s, dir))
+
+  /** Same labeling over an arbitrary (doc_id, text) frame — the
+    * streaming scorer labels each micro-batch with it. */
+  private[graft] def nbLabeledFrom(docs: DataFrame): DataFrame = {
     val tk = graft.functions.TextExprs.tokens(col("text"))
-    Tables.documents(s, dir).select(
+    docs.select(
       col("doc_id"), tk.as("tk"),
       length(col("text")).cast("long").as("nc"),
       size(tk).cast("long").as("nw"),
@@ -442,14 +447,20 @@ object Pipeline {
     * keeps zero-token docs (null token never joins the model, so
     * they score prior-only instead of vanishing). Output: (doc_id,
     * label, matched_tokens, score_micro). */
-  private[graft] def nbScored(s: SparkSession, dir: String): DataFrame = {
-    val idx = nbModelOf(s, dir)
+  private[graft] def nbScored(s: SparkSession, dir: String): DataFrame =
+    nbScoredFrom(s, nbModelOf(s, dir), Tables.documents(s, dir))
+
+  /** The serving dataflow against an explicit model sidecar and doc
+    * frame — shared verbatim by the batch scorer, corpus_clean's
+    * gate, and the streaming per-micro-batch scorer. */
+  private[graft] def nbScoredFrom(s: SparkSession, idx: String,
+      docs: DataFrame): DataFrame = {
     val model = s.read.parquet(s"$idx/model")
       .select(col("token"), col("llr_micro"))
     val prior = s.read.parquet(s"$idx/priors")
       .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
         * 1000000.0 + 0.5).cast("long").as("prior_micro"))
-    nbLabeled(s, dir)
+    nbLabeledFrom(docs)
       .select(col("doc_id"), col("label"), explode_outer(col("tk")).as("token"))
       .join(broadcast(model), Seq("token"), "left")
       .groupBy(col("doc_id"), col("label"))

@@ -426,6 +426,35 @@ object StreamOps {
       epoch, outDir)
   }
 
+  /** Streaming twin of quality_nb_apply's serving path — the quality
+    * gate a 100 TB/day ingest runs per micro-batch: each batch of
+    * (doc_id, text) documents is scored against the PERSISTED
+    * nbModelOf state (fit stays a nightly batch job; the stream never
+    * refits) through EXACTLY the batch scorer's dataflow
+    * (Pipeline.nbScoredFrom — ≤512-row model + 1-row prior broadcast
+    * into one pass over the batch). Output (doc_id, label,
+    * matched_tokens, score_micro) is epoch-partitioned dynamic
+    * overwrite (emitEpoch), so a replayed micro-batch replaces its
+    * own partition — exactly-once without an index append (scoring is
+    * stateless given the frozen model, the simplest member of the
+    * ingest-twin family). */
+  def nbScoreIngest(s: SparkSession, docs: DataFrame, modelIdx: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        nbScoreBatch(s, batch.toDF(), epoch, modelIdx, outDir)
+      }
+      .start()
+
+  /** One NB-scoring micro-batch — factored out so the retry spec can
+    * replay an epoch directly. */
+  private[graft] def nbScoreBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, modelIdx: String, outDir: String): Unit =
+    emitEpoch(graft.queries.Pipeline.nbScoredFrom(s, modelIdx, batch),
+      epoch, outDir)
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

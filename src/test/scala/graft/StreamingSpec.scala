@@ -476,4 +476,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).collect().map(key).toMap == got,
       "epoch replay changed the emitted pairs")
   }
+
+  test("streaming NB scoring: two micro-batches == batch scoring off the same persisted model") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IndexLifecycle.rm
+    val outDir = "/tmp/graft_nbq_stream_out"
+    Seq(outDir, outDir + "_ckpt").foreach(d => rm(new java.io.File(d)))
+    // the maintained model: fit (at most once) on the sf corpus —
+    // the stream scores against this frozen state, never refits
+    val idx = graft.queries.Pipeline.nbModelOf(spark, sf)
+    // score a doc slice that includes a zero-token doc (prior-only
+    // path) if the corpus has none: append one explicitly
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+      (999999L, "!!! ???")
+    val (b1, b2) = docs.splitAt(20)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamOps.nbScoreIngest(spark,
+      ms.toDF().toDF("doc_id", "text"), idx, outDir)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("label"), col("matched_tokens"),
+        col("score_micro")).collect().map(key).toMap
+    val want = graft.queries.Pipeline.nbScoredFrom(spark, idx,
+        docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("label"), col("matched_tokens"),
+        col("score_micro")).collect().map(key).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    assert(got.contains(999999L) && got(999999L)._2 == 0L,
+      "zero-token doc must survive scoring with matched_tokens = 0")
+    // foreachBatch retry: replaying the last epoch overwrites its own
+    // partition — output unchanged
+    StreamOps.nbScoreBatch(spark, b2.toDF("doc_id", "text"), 1L, idx, outDir)
+    val replayed = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("label"), col("matched_tokens"),
+        col("score_micro")).collect().map(key).toMap
+    assert(replayed == want, "epoch replay changed the scored output")
+  }
 }
