@@ -144,6 +144,85 @@ object Binary {
           readImage(bytes).map(img => stats(id, resizeNn(img, f)))
         })
     }
+
+    /** 64-bit difference hash (dHash) of a decoded raster — the
+      * classic perceptual fingerprint (Krawetz's aHash/dHash family):
+      * sample the image on a 9x8 nearest-neighbor grid, take the
+      * integer gray sum (r+g+b) per cell, and set bit y*8+x iff
+      * gray(x+1, y) > gray(x, y). The hash encodes horizontal
+      * gradient SIGNS, so any global monotone brightness change that
+      * preserves per-pair ordering (e.g. a constant shift with no
+      * clipping) leaves it bit-identical while changing every byte of
+      * the encoded file — the case content-hash dedup can never
+      * catch. */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      def gray(cx: Int, cy: Int): Int = {
+        val rgb = img.getRGB(cx * w / 9, cy * h / 8)
+        ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+    /** Batched decode→dHash over (doc_id, data); undecodable payloads
+      * drop (flatMap), never killing the partition. */
+    def hashImages(s: SparkSession, payloads: DataFrame): DataFrame = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          readImage(bytes).map(img => (id, dHash(img)))
+        }).toDF("doc_id", "dhash")
+    }
+
+    /** splitmix64-style finalizer — the mixed planted-pixel generator
+      * below needs pseudorandom (not linear-pattern) rasters so
+      * unrelated images land ~32 Hamming bits apart. */
+    private def mix(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
+      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
+      z ^= z >>> 33
+      z
+    }
+
+    /** Deterministic pseudorandom planted PNG for the perceptual-dedup
+      * corpus: channel c of pixel (x, y) is mix(seed, x, y, c) mod 240
+      * plus `shift`. Base values stay under 240, so a shift up to 15
+      * never clips — a shifted copy is a strictly brighter image with
+      * EVERY file byte different and, because dHash compares gradient
+      * signs, a bit-identical fingerprint. */
+    def plantedPngMixed(seed: Long, w: Int, h: Int,
+        shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def band(c: Int, x: Int, y: Int): Int =
+        (java.lang.Math.floorMod(
+          mix(seed * 1000003L + x * 9176L + y * 131L + c),
+          240L) + shift).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (band(0, x, y) << 16) | (band(1, x, y) << 8) | band(2, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** One decoded audio clip: container metadata plus exact integer

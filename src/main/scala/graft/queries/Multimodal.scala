@@ -258,6 +258,58 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_id"))
   }
 
+  /** Perceptual image near-dedup over REAL decoded rasters — the
+    * multimodal member of the dedup family (a crawl's re-encoded /
+    * brightness-shifted image copies share no bytes, so content-hash
+    * dedup misses them): decode each planted PNG, take its 64-bit
+    * dHash (gradient-sign fingerprint — Binary.ImageCodec.dHash),
+    * generate candidate pairs by BANDED equi-join (4 x 16-bit bands;
+    * pigeonhole: any pair within Hamming distance 3 agrees exactly on
+    * at least one band — guaranteed recall, the bit-sampling LSH for
+    * Hamming space), and verify candidates with one codegen'd
+    * bit_count(XOR) <= 3. The planted corpus: every doc with
+    * doc_id % 7 == 3 carries a +12-brightness-shifted copy of doc
+    * (id-1)'s image — every file byte differs, dHash is bit-identical
+    * (no clipping by construction), so exactly those (id-1, id) pairs
+    * surface at Hamming 0; all other images are pseudorandom rasters
+    * ~32 bits apart. Scale shape: candidates are a bucketed equi-join
+    * on (band, value) — never all-pairs — and the verify is a single
+    * integer op per candidate; band fan-out is data-dependent but
+    * each false candidate costs one XOR. Rows-only like
+    * mm_image_decode (binary decode has no SQL twin); MultimodalSpec
+    * pins the planted pair set, Hamming values, and the
+    * corrupt-payload drop. */
+  private def dedupPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val src = if (id % 7 == 3) id - 1 else id
+        val shift = if (id % 7 == 3) 12 else 0
+        (id, Binary.ImageCodec.plantedPngMixed(src,
+          (12 + src % 5).toInt, (9 + src % 4).toInt, shift))
+      }).toDF("doc_id", "data")
+  }
+
+  val imageDedup: Q = Q.rowsOnly("mm_image_dedup") { (s, dir) =>
+    val hashes = Binary.ImageCodec.hashImages(s, dedupPayloads(s, dir))
+      .cache() // feeds both sides of the banded self-join
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("v", expr("shiftrightunsigned(dhash, band * 16)")
+        .bitwiseAND(lit(0xFFFFL)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.dhash").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.dhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify, imageDecode, imageResize, audioDecode, videoFrames)
+    patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup)
 }

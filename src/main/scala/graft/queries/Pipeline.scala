@@ -457,19 +457,22 @@ object Pipeline {
       docs: DataFrame): DataFrame = {
     val model = s.read.parquet(s"$idx/model")
       .select(col("token"), col("llr_micro"))
-    val prior = s.read.parquet(s"$idx/priors")
+    // the prior is ONE persisted row — read it to a literal (no
+    // 1-row cross join in every consumer's plan; corpus_clean's plan
+    // audit stays strictly nested-loop-free)
+    val priorMicro = s.read.parquet(s"$idx/priors")
       .select(floor(log((col("dhi") + 1L).cast("double") / (col("dlo") + 1L))
-        * 1000000.0 + 0.5).cast("long").as("prior_micro"))
+        * 1000000.0 + 0.5).cast("long"))
+      .head().getLong(0)
     nbLabeledFrom(docs)
       .select(col("doc_id"), col("label"), explode_outer(col("tk")).as("token"))
       .join(broadcast(model), Seq("token"), "left")
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("llr_micro")).as("tok_score"),
         count(col("llr_micro")).as("matched"))
-      .crossJoin(broadcast(prior))
       .select(col("doc_id"), col("label"),
         coalesce(col("matched"), lit(0L)).as("matched_tokens"),
-        (col("prior_micro") + coalesce(col("tok_score"), lit(0L)))
+        (lit(priorMicro) + coalesce(col("tok_score"), lit(0L)))
           .as("score_micro"))
   }
 
@@ -504,6 +507,121 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Seeded deterministic global shuffle — the training-order
+    * permutation every epoch of a data-parallel run needs: each doc's
+    * position is a pure function of (seed, doc_id), so ANY engine at
+    * ANY cluster size reproduces the identical permutation (rerunning
+    * a crashed job or re-sharding for more workers never reorders the
+    * data), and changing the seed is a fresh epoch order. Shuffle key
+    * = md5(seed ':' doc_id); global rank over (key, doc_id) via
+    * GlobalPrefix (range-partition + per-partition window + broadcast
+    * offsets — NO single-partition window, PlanSpec-asserted), then
+    * ranks chop into fixed 64-doc shards with in-shard positions —
+    * the (shard, pos) layout a sharded dataloader consumes directly.
+    * At 100 TB this is ONE range exchange (the same cost as any
+    * global sort) and the rank pass's O(partitions) offset collect —
+    * nothing else. */
+  val corpusShuffle: Q = Q(
+    "corpus_shuffle",
+    """WITH t AS (
+      |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rank
+      |  FROM t)
+      |SELECT doc_id, rank,
+      |  (rank - 1) // 64 AS shard_id, (rank - 1) % 64 AS pos_in_shard
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
+    val (ranked, _) = graft.operators.GlobalPrefix.withCumSum(
+      keyed, Seq(col("k"), col("doc_id")), lit(1L))
+    ranked.select(col("doc_id"), col("cum").as("rank"),
+        floor((col("cum") - 1) / 64.0).cast("long").as("shard_id"),
+        pmod(col("cum") - 1, lit(64L)).as("pos_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * doc by how target-domain-like its HASHED n-gram features are —
+    * log w(d) = Σ_f count(d,f)·[ln p̂_T(f) − ln p̂_R(f)] over unigrams
+    * hashed into B=1024 buckets (the paper's trick: fixed feature
+    * dimensionality whatever the vocabulary, so the model is a
+    * bounded 1024-row table at ANY corpus size). Target distribution
+    * = docs from the curated source 'src0' (the paper's target
+    * corpus), raw = the whole corpus. This is the domain-relevance
+    * selector next to the NB QUALITY gate — different signal
+    * (which-distribution vs good-vs-bad), same serving shape.
+    *
+    * Numeric discipline as quality_nb: bucket hash is the portable
+    * md5-prefix (identical integers in both engines), add-one
+    * smoothing over B buckets, per-bucket llr quantized to integer
+    * MICRO-NATS so per-doc scores are exact integer sums —
+    * order-independent under partial aggregation, hash-identical in
+    * DuckDB. Dataflow: the exploded bucket frame is cached and feeds
+    * BOTH the fit aggregation (one map-side-combined groupBy to 1024
+    * rows) and the scoring join (model broadcast, per-occurrence sum
+    * straight to doc_id — one exchange); selected = logw > 0 (doc
+    * looks more target-like than raw-like). Zero-token docs survive
+    * via LEFT JOIN with weight 0. */
+  val qualityDsir: Q = Q(
+    "quality_dsir",
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(t), 1, 10))::BIGINT % 1024 AS b
+      |  FROM (SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |    FROM documents)),
+      |cnt AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM f GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS st, CAST(SUM(cr) AS BIGINT) AS sr
+      |  FROM cnt),
+      |model AS (
+      |  SELECT b, CAST(FLOOR((ln((ct + 1.0) / (st + 1024))
+      |                      - ln((cr + 1.0) / (sr + 1024))) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS llr_micro
+      |  FROM cnt CROSS JOIN tot),
+      |sc AS (
+      |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |    CAST(SUM(m.llr_micro) AS BIGINT) AS lw
+      |  FROM f JOIN model m USING (b) GROUP BY f.doc_id)
+      |SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+      |  COALESCE(lw, 0) AS logw_micro, COALESCE(lw, 0) > 0 AS selected
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextExprs.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("t")), 1, 10), 16, 10).cast("long") % 1024)
+          .as("b"))
+      .cache() // feeds the fit aggregation and the scoring join
+    val cnt = f.groupBy(col("b")).agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("st"), sum(col("cr")).as("sr"))
+    val model = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      floor((log((col("ct") + 1.0) / (col("st") + 1024L))
+           - log((col("cr") + 1.0) / (col("sr") + 1024L)))
+        * 1000000.0 + 0.5).cast("long").as("llr_micro"))
+    val sc = f.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_micro")).as("lw"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("lw"), lit(0L)).as("logw_micro"),
+        (coalesce(col("lw"), lit(0L)) > 0L).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
-    qualityNbFit, qualityNbApply)
+    qualityNbFit, qualityNbApply, corpusShuffle, qualityDsir)
 }

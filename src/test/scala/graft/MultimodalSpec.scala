@@ -186,4 +186,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(6) == sum((x, y) => id + x + y), s"doc $id b")
     }
   }
+
+  test("mm_image_dedup finds exactly the planted brightness-shifted copies") {
+    val rows = graft.queries.Multimodal.imageDedup.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids.filter(id => id % 7 == 3 && ids.contains(id - 1))
+      .map(id => (id - 1, id))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // a +12 global shift with no clipping preserves every gradient
+    // sign, so the planted copies sit at Hamming distance exactly 0
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"planted copy pair $r not at Hamming 0"))
+    assert(want.nonEmpty, "corpus too small to plant any pair")
+  }
+
+  test("dHash: brightness-shift invariance and corrupt-payload drop") {
+    import graft.multimodal.Binary.ImageCodec
+    // shifted copy: every encoded byte differs, fingerprint identical
+    val base = ImageCodec.plantedPngMixed(77L, 14, 10, 0)
+    val brighter = ImageCodec.plantedPngMixed(77L, 14, 10, 12)
+    assert(!java.util.Arrays.equals(base, brighter))
+    val img1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(brighter))
+    assert(ImageCodec.dHash(img1) == ImageCodec.dHash(img2))
+    // unrelated seeds land far apart — banded LSH can't false-verify
+    val other = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageCodec.plantedPngMixed(78L, 14, 10, 0)))
+    assert(java.lang.Long.bitCount(
+      ImageCodec.dHash(img1) ^ ImageCodec.dHash(other)) > 3)
+    // corrupt payloads drop from the batched hash stage, not throw
+    import spark.implicits._
+    val bad = Seq((1L, base), (2L, base.take(19)), (3L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "data")
+    val kept = ImageCodec.hashImages(spark, bad).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L),
+      "corrupt payloads must drop silently")
+  }
 }

@@ -71,6 +71,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shuffle: a true permutation in fixed shards, reproducible") {
+    val rows = graft.queries.Pipeline.corpusShuffle.run(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to n).toSeq,
+      "ranks must be exactly 1..n — a permutation, no gaps or ties")
+    rows.foreach { r =>
+      assert(r.getLong(2) == (r.getLong(1) - 1) / 64, s"shard law: $r")
+      assert(r.getLong(3) == (r.getLong(1) - 1) % 64, s"pos law: $r")
+    }
+    // deterministic: a second run reproduces the identical permutation
+    val again = graft.queries.Pipeline.corpusShuffle.run(spark, sf).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "same seed must reproduce the same order")
+    spark.catalog.clearCache()
+  }
+
+  test("quality_dsir: score law and feature-count conservation") {
+    val rows = graft.queries.Pipeline.qualityDsir.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) > 0), s"selected law: $r")
+    }
+    // every token lands in exactly one bucket and is scored once
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(sum(size(graft.functions.TextExprs.tokens(col("text")))))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalTokens,
+      "sum of n_feats must equal the corpus token count")
+  }
+
   test("q_range_join matches the naive range predicate") {
     val fast = graft.queries.Events.rangeJoin.run(spark, sf)
       .select("user_id", "event_a", "event_b", "gap_us").collect()

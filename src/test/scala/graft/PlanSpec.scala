@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -172,17 +173,18 @@ class PlanSpec extends AnyFunSuite {
     // can contain matches; the shuffled control's every file spans
     // the full domain and no row group is skippable
     val b = spark.read.parquet(zPath)
-      .selectExpr("cast(min(l_partkey) as long)", "cast(max(l_partkey) as long)")
+      .selectExpr("cast(min(l_partkey) as long)", "cast(max(l_partkey) as long)",
+        "cast(min(l_suppkey) as long)", "cast(max(l_suppkey) as long)")
       .head()
-    val (dLo, dHi) = (b.getLong(0), b.getLong(1))
-    val (lo, hi) = (dLo, dLo + (dHi - dLo) / 4)
-    val dt = spark.read.parquet(zPath).schema("l_partkey").dataType
+    val (pLo, pSpan) = (b.getLong(0), b.getLong(1) - b.getLong(0))
+    val (sLo, sSpan) = (b.getLong(2), b.getLong(3) - b.getLong(2))
+    val pDt = spark.read.parquet(zPath).schema("l_partkey").dataType
+    val sDt = spark.read.parquet(zPath).schema("l_suppkey").dataType
     // scan-level numOutputRows counts rows in row groups that survive
     // the PUSHED filter (parquet min/max skipping) — rows the engine
     // actually had to read, before Spark's re-filter above the scan
-    def scanned(path: String): (Long, Long) = {
-      val df = spark.read.parquet(path)
-        .filter(col("l_partkey").between(lit(lo).cast(dt), lit(hi).cast(dt)))
+    def scanned(path: String, pred: Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
       val kept = df.collect().length.toLong
       val plan0 = df.queryExecution.executedPlan
       val plan = plan0 match {
@@ -197,14 +199,29 @@ class PlanSpec extends AnyFunSuite {
         s"filter not pushed: ${scan.metadata("PushedFilters")}")
       (scan.metrics("numOutputRows").value, kept)
     }
-    val (zRead, zKept) = scanned(zPath)
-    val (pRead, pKept) = scanned(plainPath)
-    assert(zKept == pKept, s"layouts must agree on results: $zKept vs $pKept")
-    assert(pRead > 0 && zRead > 0)
-    // the consumer-side win: the z-ordered scan materializes strictly
-    // less than half of what the plain layout forces through the reader
-    assert(zRead < pRead / 2,
-      s"z-ordered scan read $zRead rows vs plain $pRead — no pruning win")
+    // single-dim: the first partkey quarter lives in 4 of the 16
+    // z-tiles; quantile-placed file boundaries can straddle each of
+    // the 4 z-chunks, so the worst case is ~8 of 16 files
+    val oneDim = col("l_partkey").between(
+      lit(pLo).cast(pDt), lit(pLo + pSpan / 4 - 1).cast(pDt))
+    // 2-D box: the (first partkey quarter) x (first suppkey quarter)
+    // box is ONE contiguous z prefix (top four interleaved bits all
+    // zero) — at most its own file plus a boundary straddle
+    val box = oneDim && col("l_suppkey").between(
+      lit(sLo).cast(sDt), lit(sLo + sSpan / 4 - 1).cast(sDt))
+    val (zRead1, zKept1) = scanned(zPath, oneDim)
+    val (pRead1, pKept1) = scanned(plainPath, oneDim)
+    val (zRead2, zKept2) = scanned(zPath, box)
+    val (pRead2, pKept2) = scanned(plainPath, box)
+    assert(zKept1 == pKept1 && zKept2 == pKept2,
+      s"layouts must agree on results: $zKept1/$pKept1 $zKept2/$pKept2")
+    assert(pRead1 > 0 && zRead1 > 0 && pRead2 > 0 && zRead2 > 0)
+    // the consumer-side win, on EITHER key alone and (sharply) on the
+    // 2-D box no hive layout could serve on both dims at once
+    assert(zRead1 < pRead1 * 7 / 10,
+      s"z-ordered 1-D scan read $zRead1 rows vs plain $pRead1 — no pruning win")
+    assert(zRead2 < pRead2 / 4,
+      s"z-ordered box scan read $zRead2 rows vs plain $pRead2 — no pruning win")
   }
 
   test("dedup_embedding is a block equi-join, not an all-pairs nested loop") {
@@ -243,6 +260,20 @@ class PlanSpec extends AnyFunSuite {
   test("seq_pack avoids a single-partition global window") {
     val p = plan(graft.queries.Pipeline.seqPack.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("corpus_shuffle ranks without a single-partition global window") {
+    val p = plan(graft.queries.Pipeline.corpusShuffle.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("quality_dsir broadcasts the bounded bucket model to the scoring join") {
+    val p = plan(graft.queries.Pipeline.qualityDsir.run(spark, sf))
+    // the 1024-row model reaches the corpus-scale scoring join as a
+    // broadcast hash join (the 1-row totals cross join is the only
+    // nested-loop, and its build side is a single broadcast row)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("q_ntile has no single-partition global window exchange") {
