@@ -309,6 +309,112 @@ object Binary {
       payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, bytes) => decode(id, bytes) })
     }
+
+    /** Raw 16-bit little-endian samples of one payload (mono PCM),
+      * None on anything unreadable — the fingerprint path needs the
+      * waveform itself, not just its sums. */
+    private def readSamples(payload: Array[Byte]): Option[Array[Int]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val be = fmt.isBigEndian
+            val out = new Array[Int](bytes.length / 2)
+            var i = 0
+            while (2 * i + 1 < bytes.length) {
+              val lo = bytes(if (be) 2 * i + 1 else 2 * i) & 0xFF
+              val hi = bytes(if (be) 2 * i else 2 * i + 1).toInt
+              out(i) = (hi << 8) | lo
+              i += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** 64-bit energy-envelope fingerprint — the acoustic analogue of
+      * ImageCodec.dHash (the sign-of-delta family behind Chromaprint
+      * and Haitsma-Kalker '02, over the amplitude envelope instead of
+      * chroma bins): cut the clip into 65 equal windows, take each
+      * window's exact integer energy Σ|s|, and set bit w iff
+      * energy(w+1) > energy(w). The fingerprint encodes envelope
+      * gradient SIGNS, so any exact gain change that preserves
+      * ordering (e.g. doubling with no clipping) leaves it
+      * bit-identical while changing every PCM byte — the re-mastered
+      * copy a content hash can never match. Clips shorter than one
+      * sample per window have no stable envelope — skipped. */
+    def aFingerprint(samples: Array[Int]): Option[Long] = {
+      val win = 65
+      if (samples.length < win) None
+      else {
+        val energy = new Array[Long](win)
+        var w = 0
+        while (w < win) {
+          var i = w * samples.length / win
+          val end = (w + 1) * samples.length / win
+          var e = 0L
+          while (i < end) { e += math.abs(samples(i)); i += 1 }
+          energy(w) = e
+          w += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b + 1) > energy(b)) bits |= 1L << b
+          b += 1
+        }
+        Some(bits)
+      }
+    }
+
+    /** Batched decode→fingerprint over (doc_id, data); unreadable or
+      * too-short payloads drop (flatMap). */
+    def fingerprintAudios(s: SparkSession, payloads: DataFrame): DataFrame = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          readSamples(bytes).flatMap(aFingerprint).map(fp => (id, fp))
+        }).toDF("doc_id", "afp")
+    }
+
+    private def mixA(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
+      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
+      z ^= z >>> 33
+      z
+    }
+
+    /** Deterministic pseudorandom planted WAV for the perceptual-dedup
+      * corpus: sample i of clip `seed` is (mixA(seed, i) mod 24001 −
+      * 12000) · gain. Base amplitudes stay within ±12000, so gain 2
+      * never clips 16-bit — a doubled copy scales every window energy
+      * exactly 2x, preserving every envelope gradient sign. */
+    def plantedWavMixed(seed: Long, nSamples: Int, sampleRate: Int,
+        gain: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (java.lang.Math.floorMod(
+          mixA(seed * 6364136223846793005L + i.toLong * 1442695040888963407L),
+          24001L).toInt - 12000) * gain
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
   }
 
   /** One decoded video frame: frame index within its container plus

@@ -293,23 +293,46 @@ object Multimodal {
   val imageDedup: Q = Q.rowsOnly("mm_image_dedup") { (s, dir) =>
     val hashes = Binary.ImageCodec.hashImages(s, dedupPayloads(s, dir))
       .cache() // feeds both sides of the banded self-join
-    val bands = hashes.select(col("doc_id"), col("dhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("v", expr("shiftrightunsigned(dhash, band * 16)")
-        .bitwiseAND(lit(0xFFFFL)))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.v") === col("b.v")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.dhash").as("ha"),
-        col("b.doc_id").as("doc_b"), col("b.dhash").as("hb"))
-      .distinct()
-    cand.withColumn("hamming",
-        expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.operators.HammingLsh.pairs(hashes, "doc_id", "dhash")
+  }
+
+  /** Perceptual AUDIO near-dedup — the acoustic member of the dedup
+    * family, completing it across modalities (text shingles, vector
+    * cosine, image dHash, now waveform fingerprints): decode each
+    * planted WAV's PCM, fingerprint its amplitude envelope (65 equal
+    * windows, exact integer energies, bit w = sign of the
+    * energy(w+1)−energy(w) gradient — the Haitsma-Kalker/Chromaprint
+    * sign-of-delta family over the envelope), then the SAME banded
+    * Hamming LSH + bit_count(XOR) verify as mm_image_dedup
+    * (operators.HammingLsh, shared). The planted corpus: every doc
+    * with doc_id % 9 == 5 carries a gain-2 re-master of doc (id-1)'s
+    * clip — amplitudes stay within ±12000 so doubling never clips,
+    * every window energy scales exactly 2x, every gradient sign
+    * survives, so exactly those (id-1, id) pairs surface at Hamming
+    * 0 while every PCM byte differs; unrelated clips are pseudorandom
+    * envelopes ~32 bits apart. Scale shape identical to
+    * mm_image_dedup: bucketed equi-join candidates, one integer op
+    * per verify. Rows-only (binary decode); MultimodalSpec pins the
+    * planted pair set, the gain-invariance law, and the corrupt /
+    * too-short drop. */
+  private def audioDedupPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val src = if (id % 9 == 5) id - 1 else id
+        val gain = if (id % 9 == 5) 2 else 1
+        (id, Binary.AudioCodec.plantedWavMixed(src,
+          nSamples = (400 + src % 129).toInt, sampleRate = 8000, gain = gain))
+      }).toDF("doc_id", "data")
+  }
+
+  val audioDedup: Q = Q.rowsOnly("mm_audio_dedup") { (s, dir) =>
+    val fps = Binary.AudioCodec.fingerprintAudios(s, audioDedupPayloads(s, dir))
+      .cache() // feeds both sides of the banded self-join
+    graft.operators.HammingLsh.pairs(fps, "doc_id", "afp")
   }
 
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
-    patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup)
+    patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
+    audioDedup)
 }

@@ -225,4 +225,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).toSet == Set(1L),
       "corrupt payloads must drop silently")
   }
+
+  test("mm_audio_dedup finds exactly the planted gain-2 re-masters") {
+    val rows = graft.queries.Multimodal.audioDedup.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids.filter(id => id % 9 == 5 && ids.contains(id - 1))
+      .map(id => (id - 1, id))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // exact gain doubling scales every window energy 2x — every
+    // envelope gradient sign survives, so Hamming distance is 0
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"planted re-master pair $r not at Hamming 0"))
+    assert(want.nonEmpty, "corpus too small to plant any pair")
+  }
+
+  test("audio fingerprint: gain invariance, unrelated clips far, short/corrupt drop") {
+    import graft.multimodal.Binary.AudioCodec
+    import spark.implicits._
+    val base = AudioCodec.plantedWavMixed(55L, 500, 8000, gain = 1)
+    val loud = AudioCodec.plantedWavMixed(55L, 500, 8000, gain = 2)
+    assert(!java.util.Arrays.equals(base, loud))
+    def fp(b: Array[Byte]): Long =
+      AudioCodec.fingerprintAudios(spark,
+        Seq((1L, b)).toDF("doc_id", "data")).head().getLong(1)
+    assert(fp(base) == fp(loud), "gain-2 re-master must fingerprint identically")
+    val other = AudioCodec.plantedWavMixed(56L, 500, 8000, gain = 1)
+    assert(java.lang.Long.bitCount(fp(base) ^ fp(other)) > 3,
+      "unrelated clips must land far apart")
+    // too-short (no stable envelope) and corrupt payloads drop
+    val bad = Seq(
+      (1L, base),
+      (2L, AudioCodec.plantedWavMixed(57L, 40, 8000, gain = 1)), // < 65 samples
+      (3L, Array[Byte](82, 73, 70, 70, 0, 0))) // truncated RIFF
+      .toDF("doc_id", "data")
+    val kept = AudioCodec.fingerprintAudios(spark, bad).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L),
+      "short/corrupt payloads must drop silently")
+  }
 }
