@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned snapshot tables — the time-travel/ACID-read layer a lake
+  * without a table format still needs (the core of what Iceberg's
+  * version-hint file and Delta's _last_checkpoint provide, reduced to
+  * its minimal marker protocol):
+  *
+  *   <root>/v=<n>/...parquet         one immutable snapshot
+  *   <root>/v=<n>/_SNAP_COMMITTED    publish marker, written LAST
+  *
+  * Readers resolve a snapshot by scanning version dirs and taking the
+  * highest COMMITTED one (or the highest committed <= an as-of
+  * version) — so a writer that crashes mid-write leaves a torn,
+  * marker-less directory that is simply invisible: readers never see
+  * a partial table, and the next publish allocates past it. Single
+  * writer per table assumed (the nightly-job model; a multi-writer
+  * lake adds a log service, which is out of scope by design).
+  *
+  * Scale shape: publishing is one parquet write (all the cost is the
+  * data); resolution is one directory listing, O(versions) names, no
+  * data reads. On an object store the same protocol holds — the
+  * marker PUT is the atomic commit point. Old snapshots are retired
+  * by `vacuum` (keep the newest K committed), the retention job every
+  * versioned lake runs. */
+object Snapshots {
+
+  private val Marker = "_SNAP_COMMITTED"
+  private val VDir = "^v=(\\d+)$".r
+
+  private def versionOf(f: java.io.File): Option[Long] = f.getName match {
+    case VDir(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private def versions(root: String): Seq[(Long, java.io.File)] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => versionOf(f).map(_ -> f)).toSeq.sortBy(_._1)
+  }
+
+  private def committed(root: String): Seq[(Long, java.io.File)] =
+    versions(root).filter { case (_, f) =>
+      new java.io.File(f, Marker).isFile
+    }
+
+  /** Write `df` as the next snapshot of `root` and commit it.
+    * Returns the published version. Allocation skips past torn
+    * (uncommitted) directories, never reusing their numbers. */
+  def publish(df: DataFrame, root: String): Long = {
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    val ok = new java.io.File(s"$root/v=$n", Marker).createNewFile()
+    require(ok, s"snapshot v=$n already committed — concurrent writer?")
+    n
+  }
+
+  /** The latest committed snapshot, or (with `asOf`) the newest
+    * committed snapshot at or before that version — time travel. */
+  def read(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val live = committed(root)
+    val pick = asOf match {
+      case Some(v) => live.takeWhile(_._1 <= v).lastOption
+      case None => live.lastOption
+    }
+    val (v, f) = pick.getOrElse(sys.error(
+      s"no committed snapshot in $root" +
+        asOf.map(v => s" at or before v=$v").getOrElse("")))
+    require(v >= 0, "unreachable")
+    s.read.parquet(f.getPath)
+  }
+
+  /** Latest committed version number, None when the table is empty. */
+  def latestVersion(root: String): Option[Long] =
+    committed(root).lastOption.map(_._1)
+
+  /** Retention: keep the newest `keep` committed snapshots, delete
+    * every older committed one AND every torn directory below the
+    * newest committed version (torn dirs are invisible to readers and
+    * safe to reap once a newer commit exists). */
+  def vacuum(root: String, keep: Int): Unit = {
+    val live = committed(root)
+    if (live.nonEmpty) {
+      val keepFrom = live.takeRight(keep).head._1
+      val latest = live.last._1
+      versions(root).foreach { case (v, f) =>
+        val isCommitted = new java.io.File(f, Marker).isFile
+        if ((isCommitted && v < keepFrom) || (!isCommitted && v < latest))
+          IndexLifecycle.rm(f)
+      }
+    }
+  }
+}

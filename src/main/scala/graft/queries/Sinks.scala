@@ -168,6 +168,34 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Versioned snapshot publish + committed-latest read-back
+    * (operators.Snapshots — the minimal Iceberg/Delta marker
+    * protocol): each run publishes the lineitem projection as a new
+    * immutable snapshot, retires old versions past a 4-deep retention
+    * (vacuum — the nightly job), and aggregates what a READER
+    * resolves, so the oracle proves the publish→resolve→read path is
+    * lossless. Torn-write invisibility, time travel, and vacuum law
+    * are spec-graded (SnapshotSpec). */
+  val snapshot: Q = Q(
+    "sink_snapshot",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "lineitem_snaps")
+    graft.operators.Snapshots.publish(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity")),
+      root)
+    graft.operators.Snapshots.vacuum(root, keep = 4)
+    graft.operators.Snapshots.read(s, root)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, compaction, xmlRoundtrip, zorder)
+    orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot)
 }

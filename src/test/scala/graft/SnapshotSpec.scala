@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IndexLifecycle, Snapshots}
+
+/** Laws of the versioned snapshot tables (operators.Snapshots): time
+  * travel, torn-write invisibility, and vacuum retention. */
+class SnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_snap_spec/$tag"
+    IndexLifecycle.rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    root
+  }
+
+  test("time travel: as-of reads resolve the newest committed version at or before") {
+    import spark.implicits._
+    val root = freshRoot("timetravel")
+    val v1 = Snapshots.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val v2 = Snapshots.publish(Seq((1L, "a2")).toDF("k", "v"), root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.latestVersion(root).contains(2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Snapshots.read(spark, root)) == Set(1L -> "a2"))
+    assert(rows(Snapshots.read(spark, root, asOf = Some(1L)))
+      == Set(1L -> "a", 2L -> "b"))
+    // as-of BETWEEN versions resolves downward, as-of before v1 errors
+    assert(rows(Snapshots.read(spark, root, asOf = Some(5L))) == Set(1L -> "a2"))
+    intercept[RuntimeException](Snapshots.read(spark, root, asOf = Some(0L)))
+  }
+
+  test("a torn write is invisible and its version number is never reused") {
+    import spark.implicits._
+    val root = freshRoot("torn")
+    Snapshots.publish(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a writer crash: data present, no commit marker
+    val torn = new java.io.File(s"$root/v=2")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/v=2/part-junk.parquet"), "garbage")
+    assert(Snapshots.latestVersion(root).contains(1L),
+      "reader must not see the uncommitted version")
+    assert(Snapshots.read(spark, root).count() == 1L)
+    // the next publish allocates PAST the torn dir — never reuses it
+    val v3 = Snapshots.publish(Seq((9L, "c")).toDF("k", "v"), root)
+    assert(v3 == 3L, s"allocated v=$v3 over a torn v=2")
+    assert(Snapshots.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(9L))
+  }
+
+  test("vacuum keeps the newest K committed snapshots and reaps torn dirs") {
+    import spark.implicits._
+    val root = freshRoot("vacuum")
+    (1 to 5).foreach(i =>
+      Snapshots.publish(Seq((i.toLong, s"v$i")).toDF("k", "v"), root))
+    // a torn dir below the latest commit is reaped too
+    new java.io.File(s"$root/v=2").delete() // replace committed v2 …
+    IndexLifecycle.rm(new java.io.File(s"$root/v=2"))
+    new java.io.File(s"$root/v=2").mkdirs() // … with a torn shell
+    Snapshots.vacuum(root, keep = 2)
+    val left = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(left == Set("v=4", "v=5"), s"after vacuum: $left")
+    assert(Snapshots.read(spark, root).collect().head.getString(1) == "v5")
+    assert(Snapshots.read(spark, root, asOf = Some(4L))
+      .collect().head.getString(1) == "v4")
+    intercept[RuntimeException](Snapshots.read(spark, root, asOf = Some(3L)))
+  }
+}
