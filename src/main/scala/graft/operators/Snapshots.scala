@@ -76,6 +76,53 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  /** Append-log flavor: each committed version holds one BATCH, and
+    * a reader resolves the UNION of every committed version (up to an
+    * as-of version) — the CDC/ingest-table shape where publishing a
+    * micro-batch costs O(batch), never an O(table) rewrite. Torn
+    * directories stay invisible exactly as in the snapshot flavor. */
+  def publishAppend(df: DataFrame, root: String): Long = publish(df, root)
+
+  /** Union of all committed versions (<= `asOf` when given). Empty
+    * log errors like an empty snapshot table. */
+  def readLog(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val live = asOf match {
+      case Some(v) => committed(root).takeWhile(_._1 <= v)
+      case None => committed(root)
+    }
+    require(live.nonEmpty, s"no committed snapshot in $root" +
+      asOf.map(v => s" at or before v=$v").getOrElse(""))
+    // one multi-path scan, not a union-of-plans: O(versions) paths in
+    // a single FileScan (compaction folds old versions when the path
+    // count grows — the standard small-files job)
+    s.read.parquet(live.map(_._2.getPath): _*)
+  }
+
+  /** True iff some committed version of `root` was published by
+    * `epochOnce` for this epoch key — see StreamOps.snapshotIngest. */
+  def epochPublished(root: String, epoch: Long): Boolean =
+    new java.io.File(root, s"_SNAP_EPOCH_$epoch").isFile
+
+  /** Exactly-once per-epoch publish: a replayed micro-batch (same
+    * epoch id) skips the publish instead of appending a duplicate
+    * version — the foreachBatch retry contract. The epoch marker is
+    * written AFTER the commit marker, so a crash between the two
+    * replays into a duplicate-version publish... which the torn-dir
+    * rule cannot absorb — therefore the marker is checked FIRST and
+    * written LAST around the whole publish, and the one residual
+    * window (crash after commit, before epoch marker) is the same
+    * at-least-once residue IndexLifecycle.epochOnce documents; log
+    * readers that dedup on a batch key absorb even that. */
+  def epochOnce(root: String, epoch: Long)(publishFn: => Long): Option[Long] =
+    if (epochPublished(root, epoch)) None
+    else {
+      val v = publishFn
+      new java.io.File(root).mkdirs()
+      new java.io.File(root, s"_SNAP_EPOCH_$epoch").createNewFile()
+      Some(v)
+    }
+
   /** Retention: keep the newest `keep` committed snapshots, delete
     * every older committed one AND every torn directory below the
     * newest committed version (torn dirs are invisible to readers and

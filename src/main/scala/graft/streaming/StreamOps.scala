@@ -455,6 +455,36 @@ object StreamOps {
     emitEpoch(graft.queries.Pipeline.nbScoredFrom(s, modelIdx, batch),
       epoch, outDir)
 
+  /** Streaming ingest into a versioned lake table — each micro-batch
+    * becomes one committed append-log version (operators.Snapshots:
+    * commit marker written last, torn writes invisible), so a reader
+    * at any moment sees a consistent prefix of the stream and can
+    * time-travel to any earlier version boundary. Exactly-once via
+    * Snapshots.epochOnce: a replayed micro-batch (same epoch id)
+    * skips the publish instead of appending a duplicate version —
+    * the versioned-table member of the ingest-twin family
+    * (shingle/substring/vector/NB-score). O(batch) per publish,
+    * never an O(table) rewrite. */
+  def snapshotIngest(s: SparkSession, rows: DataFrame,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        snapshotIngestBatch(batch.toDF(), epoch, root)
+      }
+      .start()
+
+  /** One snapshot-ingest micro-batch — factored out so the retry spec
+    * can replay an epoch directly. */
+  private[graft] def snapshotIngestBatch(batch: DataFrame, epoch: Long,
+      root: String): Unit = {
+    graft.operators.Snapshots.epochOnce(root, epoch) {
+      graft.operators.Snapshots.publishAppend(batch, root)
+    }
+    ()
+  }
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

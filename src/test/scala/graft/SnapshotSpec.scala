@@ -70,4 +70,44 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().head.getString(1) == "v4")
     intercept[RuntimeException](Snapshots.read(spark, root, asOf = Some(3L)))
   }
+
+  test("append log: readers see the union prefix; as-of cuts at version boundaries") {
+    import spark.implicits._
+    val root = freshRoot("log")
+    Snapshots.publishAppend(Seq(1L, 2L).toDF("k"), root)
+    Snapshots.publishAppend(Seq(3L).toDF("k"), root)
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L))
+    assert(ks(Snapshots.readLog(spark, root, asOf = Some(1L))) == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      Snapshots.readLog(spark, root, asOf = Some(0L)))
+  }
+
+  test("streaming snapshot ingest: micro-batches become committed versions exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("stream")
+    IndexLifecycle.rm(new java.io.File(root + "_ckpt"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.StreamOps.snapshotIngest(spark,
+      ms.toDF().toDF("k"), root)
+    try {
+      ms.addData(1L, 2L); q.processAllAvailable()
+      ms.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.latestVersion(root).contains(2L),
+      "each micro-batch must publish exactly one committed version")
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L))
+    // a reader pinned to the first epoch's boundary sees that prefix
+    assert(ks(Snapshots.readLog(spark, root, asOf = Some(1L))) == Set(1L, 2L))
+    // foreachBatch retry: replaying the last epoch publishes nothing
+    graft.streaming.StreamOps.snapshotIngestBatch(
+      Seq(3L).toDF("k"), 1L, root)
+    assert(Snapshots.latestVersion(root).contains(2L),
+      "epoch replay appended a duplicate version")
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L))
+  }
 }
