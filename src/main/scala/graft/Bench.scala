@@ -176,8 +176,13 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
-      if (ok) Some("\"" + name + "\":" + r2(elapsed)) else None
-    }.flatten.mkString("{", ",", "}")
+      // a rerun that THROWS must stay visible (the bench's own
+      // invariant): null marks "flapped, but the adjudication rerun
+      // crashed" — distinguishable from both "not flapped" (absent)
+      // and any real time
+      if (ok) "\"" + name + "\":" + r2(elapsed)
+      else "\"" + name + "\":null"
+    }.mkString("{", ",", "}")
     // The captured group must itself be a valid JSON number ("sf1."
     // or "sf..." would otherwise be emitted unquoted and corrupt the
     // line); anything unparseable falls back to the quoted dir.

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Binary {
 
+  /** splitmix64-style finalizer shared by the planted perceptual-dedup
+    * generators (image rasters, audio envelopes): both need
+    * pseudorandom payloads so unrelated items land ~32 Hamming bits
+    * apart, and the decorrelation argument must not fork across two
+    * private copies. */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
+    z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
+    z ^= z >>> 33
+    z
+  }
+
   /** One decoded image: dimensions, channel count, and exact per-band
     * pixel sums (integers, so the feature row is bit-deterministic —
     * PNG is lossless and getRGB is exact sRGB). */
@@ -184,17 +197,6 @@ object Binary {
         }).toDF("doc_id", "dhash")
     }
 
-    /** splitmix64-style finalizer — the mixed planted-pixel generator
-      * below needs pseudorandom (not linear-pattern) rasters so
-      * unrelated images land ~32 Hamming bits apart. */
-    private def mix(z0: Long): Long = {
-      var z = z0
-      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
-      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
-      z ^= z >>> 33
-      z
-    }
-
     /** Deterministic pseudorandom planted PNG for the perceptual-dedup
       * corpus: channel c of pixel (x, y) is mix(seed, x, y, c) mod 240
       * plus `shift`. Base values stay under 240, so a shift up to 15
@@ -207,7 +209,7 @@ object Binary {
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       def band(c: Int, x: Int, y: Int): Int =
         (java.lang.Math.floorMod(
-          mix(seed * 1000003L + x * 9176L + y * 131L + c),
+          mix64(seed * 1000003L + x * 9176L + y * 131L + c),
           240L) + shift).toInt
       var y = 0
       while (y < h) {
@@ -354,8 +356,10 @@ object Binary {
         val energy = new Array[Long](win)
         var w = 0
         while (w < win) {
-          var i = w * samples.length / win
-          val end = (w + 1) * samples.length / win
+          // Long boundary math: w * length would wrap Int past ~33M
+          // samples (a 13-minute 44.1 kHz clip) and index negatively
+          var i = (w.toLong * samples.length / win).toInt
+          val end = ((w + 1).toLong * samples.length / win).toInt
           var e = 0L
           while (i < end) { e += math.abs(samples(i)); i += 1 }
           energy(w) = e
@@ -381,14 +385,6 @@ object Binary {
         }).toDF("doc_id", "afp")
     }
 
-    private def mixA(z0: Long): Long = {
-      var z = z0
-      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
-      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
-      z ^= z >>> 33
-      z
-    }
-
     /** Deterministic pseudorandom planted WAV for the perceptual-dedup
       * corpus: sample i of clip `seed` is (mixA(seed, i) mod 24001 −
       * 12000) · gain. Base amplitudes stay within ±12000, so gain 2
@@ -400,7 +396,7 @@ object Binary {
       var i = 0
       while (i < nSamples) {
         val s = (java.lang.Math.floorMod(
-          mixA(seed * 6364136223846793005L + i.toLong * 1442695040888963407L),
+          mix64(seed * 6364136223846793005L + i.toLong * 1442695040888963407L),
           24001L).toInt - 12000) * gain
         pcm(2 * i) = (s & 0xFF).toByte
         pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte

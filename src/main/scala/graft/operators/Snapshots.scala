@@ -99,35 +99,39 @@ object Snapshots {
     s.read.parquet(live.map(_._2.getPath): _*)
   }
 
-  /** True iff some committed version of `root` was published by
-    * `epochOnce` for this epoch key — see StreamOps.snapshotIngest. */
+  /** True iff `epochOnce` already published this epoch for `root` —
+    * see StreamOps.snapshotIngest. Marker protocol and naming are
+    * IndexLifecycle.epochOnce's, not a parallel implementation. */
   def epochPublished(root: String, epoch: Long): Boolean =
-    new java.io.File(root, s"_SNAP_EPOCH_$epoch").isFile
+    new java.io.File(root, s"_GRAFT_EPOCH_$epoch").isFile
 
   /** Exactly-once per-epoch publish: a replayed micro-batch (same
     * epoch id) skips the publish instead of appending a duplicate
-    * version — the foreachBatch retry contract. The epoch marker is
-    * written AFTER the commit marker, so a crash between the two
-    * replays into a duplicate-version publish... which the torn-dir
-    * rule cannot absorb — therefore the marker is checked FIRST and
-    * written LAST around the whole publish, and the one residual
-    * window (crash after commit, before epoch marker) is the same
-    * at-least-once residue IndexLifecycle.epochOnce documents; log
-    * readers that dedup on a batch key absorb even that. */
-  def epochOnce(root: String, epoch: Long)(publishFn: => Long): Option[Long] =
-    if (epochPublished(root, epoch)) None
-    else {
-      val v = publishFn
-      new java.io.File(root).mkdirs()
-      new java.io.File(root, s"_SNAP_EPOCH_$epoch").createNewFile()
-      Some(v)
-    }
+    * version — the foreachBatch retry contract, delegated to
+    * IndexLifecycle.epochOnce (ONE marker-gated protocol in the
+    * codebase: checked first, written last, with the same documented
+    * residual window — crash after commit, before marker — that log
+    * readers deduping on a batch key absorb). Returns the published
+    * version, None when the epoch had already run. */
+  def epochOnce(root: String, epoch: Long)(publishFn: => Long): Option[Long] = {
+    var v: Option[Long] = None
+    IndexLifecycle.epochOnce(root, epoch) { v = Some(publishFn) }
+    v
+  }
+
+  private val EpochMarker = "^_GRAFT_EPOCH_(\\d+)$".r
 
   /** Retention: keep the newest `keep` committed snapshots, delete
     * every older committed one AND every torn directory below the
     * newest committed version (torn dirs are invisible to readers and
-    * safe to reap once a newer commit exists). */
+    * safe to reap once a newer commit exists). Epoch markers are
+    * retained for the newest `keep` epochs and reaped below that —
+    * foreachBatch only ever replays the LATEST epoch, so a marker
+    * older than the retention horizon can no longer gate anything,
+    * and without the reap a long-lived stream's markers would grow
+    * the root listing (walked by every read/publish) without bound. */
   def vacuum(root: String, keep: Int): Unit = {
+    require(keep > 0, s"vacuum(keep=$keep): retention must keep >= 1 snapshot")
     val live = committed(root)
     if (live.nonEmpty) {
       val keepFrom = live.takeRight(keep).head._1
@@ -137,6 +141,13 @@ object Snapshots {
         if ((isCommitted && v < keepFrom) || (!isCommitted && v < latest))
           IndexLifecycle.rm(f)
       }
+      val epochs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case EpochMarker(e) => Some(e.toLong -> f)
+          case _ => None
+        }).sortBy(_._1)
+      epochs.dropRight(keep).foreach(_._2.delete())
     }
   }
 }

@@ -16,7 +16,9 @@ import graft.sources.Tables
   */
 object Sinks {
 
-  private def scratch(s: SparkSession, dir: String, tag: String): String = {
+  // private[graft]: layout tests derive scratch paths from here
+  // instead of re-hardcoding the sanitization (ADVICE r11 pattern)
+  private[graft] def scratch(s: SparkSession, dir: String, tag: String): String = {
     val id = dir.replaceAll("[^a-zA-Z0-9]", "_")
     s"/tmp/graft_sinks/$id/$tag"
   }

@@ -121,7 +121,7 @@ class PlanSpec extends AnyFunSuite {
   test("compaction output respects maxRecordsPerFile") {
     graft.queries.Sinks.compaction.run(spark, sf).collect()
     val dir = new java.io.File(
-      "/tmp/graft_sinks/_root_testdata_sf0_001/docs_compact")
+      graft.queries.Sinks.scratch(spark, sf, "docs_compact"))
     val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
     // 500 docs, 2 partitions, cap 1000 → no file over the cap
@@ -133,10 +133,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("sink_zorder: per-file key ranges are tiles on BOTH dims, not full-span stripes") {
     graft.queries.Sinks.zorder.run(spark, sf).collect()
-    val zPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_zorder"
+    val zPath = graft.queries.Sinks.scratch(spark, sf, "lineitem_zorder")
     // control: the same projection written through a plain shuffle —
     // every file's key range is then ~the full span on both dims
-    val plainPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_plain16"
+    val plainPath = graft.queries.Sinks.scratch(spark, sf, "lineitem_plain16")
     graft.sources.Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
         col("l_quantity"))
@@ -161,8 +161,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("z-ordered layout prunes at read time: selective scan touches fewer row groups") {
     graft.queries.Sinks.zorder.run(spark, sf).collect()
-    val zPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_zorder"
-    val plainPath = "/tmp/graft_sinks/_root_testdata_sf0_001/lineitem_plain16p"
+    val zPath = graft.queries.Sinks.scratch(spark, sf, "lineitem_zorder")
+    val plainPath = graft.queries.Sinks.scratch(spark, sf, "lineitem_plain16p")
     graft.sources.Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
         col("l_quantity"))
