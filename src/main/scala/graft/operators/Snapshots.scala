@@ -119,6 +119,25 @@ object Snapshots {
     v
   }
 
+  /** MERGE-publish: the next snapshot is the previous one with
+    * `upserts` applied by `key` (matched rows replaced, new keys
+    * appended) and `deleteKeys` dropped (tombstones) — the MERGE INTO
+    * shape on top of the snapshot protocol, so every merge is itself
+    * an immutable, time-travelable version and a crashed merge leaves
+    * the table on its previous snapshot (torn-dir rule). Cost is one
+    * anti-join plus the snapshot rewrite — the copy-on-write flavor;
+    * a change-heavy table amortizes through the append log + a
+    * compaction instead. Requires a base snapshot (publish first). */
+  def publishMerge(s: SparkSession, root: String, key: String,
+      upserts: DataFrame, deleteKeys: DataFrame): Long = {
+    val gone = upserts.select(org.apache.spark.sql.functions.col(key))
+      .unionByName(deleteKeys.select(org.apache.spark.sql.functions.col(key)))
+    val next = read(s, root)
+      .join(gone, Seq(key), "left_anti")
+      .unionByName(upserts)
+    publish(next, root)
+  }
+
   private val EpochMarker = "^_GRAFT_EPOCH_(\\d+)$".r
 
   /** Retention: keep the newest `keep` committed snapshots, delete

@@ -198,6 +198,54 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** MERGE INTO on the versioned lake table
+    * (Snapshots.publishMerge): publish a base snapshot of orders,
+    * merge one batch of upserts (keys ≡ 3 mod 10 re-priced 2x, keys ≡
+    * 7 mod 100 mirrored as NEW negative-key rows) and tombstones
+    * (keys ≡ 6 mod 10), and aggregate what a reader resolves — the
+    * oracle replays the merge relationally, so matched-replace,
+    * append, and delete semantics are all hash-gated. Each run starts
+    * from a fresh table root (the merge chain would otherwise
+    * compound across runs); the base version stays time-travelable
+    * (SnapshotSpec). */
+  val snapshotMerge: Q = Q(
+    "sink_snapshot_merge",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |up AS (
+      |  SELECT k, st, CAST(p * 2 AS DECIMAL(18,2)) AS p
+      |  FROM base WHERE k % 10 = 3
+      |  UNION ALL
+      |  SELECT -k, st, p FROM base WHERE k % 100 = 7),
+      |del AS (SELECT k FROM base WHERE k % 10 = 6),
+      |merged AS (
+      |  SELECT * FROM base
+      |  WHERE k NOT IN (SELECT k FROM up)
+      |    AND k NOT IN (SELECT k FROM del)
+      |  UNION ALL SELECT * FROM up)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
+      |FROM merged GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "orders_snap_merge")
+    graft.operators.IndexLifecycle.rm(new java.io.File(root))
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    graft.operators.Snapshots.publish(base, root)
+    val up = base.filter(col("k") % 10 === 3)
+      .withColumn("p", (col("p") * 2).cast("decimal(18,2)"))
+      .unionByName(base.filter(col("k") % 100 === 7)
+        .withColumn("k", -col("k")))
+    graft.operators.Snapshots.publishMerge(s, root, "k",
+      up, base.filter(col("k") % 10 === 6).select(col("k")))
+    graft.operators.Snapshots.read(s, root)
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("total"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot)
+    orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge)
 }

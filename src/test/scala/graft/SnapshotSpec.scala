@@ -71,6 +71,23 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[RuntimeException](Snapshots.read(spark, root, asOf = Some(3L)))
   }
 
+  test("merge publish: matched rows replaced, new keys appended, tombstones dropped, base intact") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    val v1 = Snapshots.publish(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    Snapshots.publishMerge(spark, root, "k",
+      upserts = Seq((2L, "b2"), (9L, "new")).toDF("k", "v"),
+      deleteKeys = Seq(3L).toDF("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Snapshots.read(spark, root))
+      == Set(1L -> "a", 2L -> "b2", 9L -> "new"))
+    // the merge is itself a version: the base stays time-travelable
+    assert(rows(Snapshots.read(spark, root, asOf = Some(v1)))
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("append log: readers see the union prefix; as-of cuts at version boundaries") {
     import spark.implicits._
     val root = freshRoot("log")
