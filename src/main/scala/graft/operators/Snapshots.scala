@@ -83,8 +83,14 @@ object Snapshots {
     * directories stay invisible exactly as in the snapshot flavor. */
   def publishAppend(df: DataFrame, root: String): Long = publish(df, root)
 
-  /** Union of all committed versions (<= `asOf` when given). Empty
-    * log errors like an empty snapshot table. */
+  private val Base = "_SNAP_BASE"
+
+  /** Union of all committed versions (<= `asOf` when given) — except
+    * that a COMPACTED version (one carrying a base marker, see
+    * compactLog) subsumes everything at or before it, so the reader
+    * unions the newest compacted version in range plus the committed
+    * versions after it. Empty log errors like an empty snapshot
+    * table. */
   def readLog(s: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
     val live = asOf match {
@@ -93,10 +99,55 @@ object Snapshots {
     }
     require(live.nonEmpty, s"no committed snapshot in $root" +
       asOf.map(v => s" at or before v=$v").getOrElse(""))
+    val lastCompact = live.lastIndexWhere { case (_, f) =>
+      new java.io.File(f, Base).isFile
+    }
+    val window = if (lastCompact < 0) live else live.drop(lastCompact)
     // one multi-path scan, not a union-of-plans: O(versions) paths in
-    // a single FileScan (compaction folds old versions when the path
-    // count grows — the standard small-files job)
-    s.read.parquet(live.map(_._2.getPath): _*)
+    // a single FileScan; compactLog folds the path count back down
+    s.read.parquet(window.map(_._2.getPath): _*)
+  }
+
+  /** The small-files job the append log needs: fold every committed
+    * version the current reader would union into ONE new compacted
+    * version. The base marker is written BEFORE the commit marker, so
+    * a committed compaction always knows it subsumes its prefix and a
+    * crash mid-compaction leaves an invisible torn dir — readers are
+    * never double-counted and never see a partial fold. Old versions
+    * stay on disk (readers mid-flight may hold them; time travel to
+    * pre-compaction boundaries keeps working) until vacuumLog reaps
+    * them. Returns the compacted version. */
+  def compactLog(s: SparkSession, root: String): Long = {
+    val folded = readLog(s, root)
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    folded.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    val dir = new java.io.File(s"$root/v=$n")
+    require(new java.io.File(dir, Base).createNewFile(), s"base marker v=$n")
+    require(new java.io.File(dir, Marker).createNewFile(), s"commit marker v=$n")
+    n
+  }
+
+  /** Log retention: delete committed versions strictly below the
+    * newest compacted version (they are subsumed and no longer read),
+    * torn dirs below the latest commit, and epoch markers below the
+    * retention horizon. Time travel below the compaction boundary is
+    * given up — the same trade every log-structured table's retention
+    * makes. */
+  def vacuumLog(root: String): Unit = {
+    val live = committed(root)
+    live.lastIndexWhere { case (_, f) =>
+      new java.io.File(f, Base).isFile
+    } match {
+      case i if i > 0 =>
+        val keepFrom = live(i)._1
+        val latest = live.last._1
+        versions(root).foreach { case (v, f) =>
+          val isCommitted = new java.io.File(f, Marker).isFile
+          if ((isCommitted && v < keepFrom) || (!isCommitted && v < latest))
+            IndexLifecycle.rm(f)
+        }
+      case _ => ()
+    }
   }
 
   /** True iff `epochOnce` already published this epoch for `root` —

@@ -101,6 +101,31 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshots.readLog(spark, root, asOf = Some(0L)))
   }
 
+  test("log compaction folds the union, preserves reads, and vacuumLog reaps the prefix") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    Snapshots.publishAppend(Seq(1L, 2L).toDF("k"), root)
+    Snapshots.publishAppend(Seq(3L).toDF("k"), root)
+    Snapshots.publishAppend(Seq(4L).toDF("k"), root)
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val c = Snapshots.compactLog(spark, root)
+    assert(c == 4L)
+    // reads unchanged; the reader now unions ONE path, not three
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L, 4L))
+    // pre-compaction time travel still works while the prefix remains
+    assert(ks(Snapshots.readLog(spark, root, asOf = Some(2L))) == Set(1L, 2L, 3L))
+    // appends after compaction stack on top of the fold
+    Snapshots.publishAppend(Seq(9L).toDF("k"), root)
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L, 4L, 9L))
+    Snapshots.vacuumLog(root)
+    val left = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=4", "v=5"), s"after vacuumLog: $left")
+    assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L, 4L, 9L),
+      "reads must survive the reap")
+  }
+
   test("streaming snapshot ingest: micro-batches become committed versions exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
