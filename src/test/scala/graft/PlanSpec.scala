@@ -224,6 +224,12 @@ class PlanSpec extends AnyFunSuite {
       s"z-ordered box scan read $zRead2 rows vs plain $pRead2 — no pruning win")
   }
 
+  test("sink_snapshot_merge applies the merge as an equi-anti-join, not a nested loop") {
+    val p = plan(graft.queries.Sinks.snapshotMerge.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("dedup_embedding is a block equi-join, not an all-pairs nested loop") {
     val p = plan(Vectors.embeddingNearDup.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
