@@ -30,6 +30,12 @@ object HammingLsh {
     * hamming), sorted. */
   def pairs(hashes: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    // bands > 64 would make bandBits = 0 and mask = 0 (every row
+    // collides in every band — an all-pairs join blowup), and a
+    // non-divisor would silently drop the top 64 % bands bits from
+    // every band, voiding the pigeonhole recall guarantee
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands $bands must divide 64 (1..64)")
     require(maxDist <= bands - 1,
       s"maxDist $maxDist needs ${maxDist + 1} bands for guaranteed recall")
     val bandBits = 64 / bands

@@ -14,10 +14,18 @@ package graft.operators
   * index rebuilds in place; no versioned sibling dirs accumulate
   * under /tmp (the r8 ADVICE growth finding).
   *
-  * Publish is by atomic rename of a process-private build dir. Two
-  * processes racing build equivalent indexes and one rename wins —
-  * never a half-overwritten hybrid under a marker. The stale previous
-  * dir is renamed ASIDE before deletion and the marker is re-checked
+  * All filesystem access goes through [[LakeFs]], so index dirs may
+  * live on local disk, HDFS, or an object store. Publish is by
+  * rename of a process-private build dir: atomic on HDFS/local; on
+  * object stores rename degrades to copy+delete (see LakeFs's
+  * contract), which widens the swap's not-atomic window — readers
+  * holding open objects are unaffected (immutable objects), but a
+  * LISTING mid-swap can see a partial tree, so on S3-class stores
+  * prefer republishing indexes as snapshot versions (write-then-
+  * marker) when multi-reader listings matter. Two processes racing
+  * build equivalent indexes and one rename wins — never a
+  * half-overwritten hybrid under a marker. The stale previous dir is
+  * renamed ASIDE before deletion and the marker is re-checked
   * immediately before that move (the r8 ADVICE TOCTOU finding: a
   * racer may have published a complete index between our freshness
   * check and our publish — deleting it would orphan the racer's
@@ -27,21 +35,11 @@ object IndexLifecycle {
 
   private val Marker = "_GRAFT_INDEX_COMPLETE"
 
-  /** Recursive tree delete — the one shared copy (Tables and the
-    * lifecycle specs use it too). */
-  private[graft] def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-  }
-
   /** The key the published index at `dir` was built under, if its
     * marker exists. A contentless marker (pre-r9 layout) reads as ""
     * and matches no key — legacy indexes rebuild once. */
-  private def publishedKey(dir: java.io.File): Option[String] = {
-    val m = new java.io.File(dir, Marker)
-    if (!m.isFile) None
-    else Some(new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim)
-  }
+  private def publishedKey(dir: String): Option[String] =
+    LakeFs.readString(s"$dir/$Marker").map(_.trim)
 
   /** Source-version + FORMAT-version key for index freshness. `fmt`
     * must change whenever the index derivation changes (window width,
@@ -53,26 +51,29 @@ object IndexLifecycle {
     * DIRECTORY-style parquet source those two reflect nothing about
     * content (the r8 ADVICE staleness finding), so the key is derived
     * from the leaf files instead: an MD5 over every leaf's relative
-    * path, length, and mtime — any rewrite of any part changes it. */
-  def sourceKey(srcPath: String, fmt: String): String = {
-    val f = new java.io.File(srcPath)
-    if (f.isFile) s"${f.length}-${f.lastModified}-$fmt"
-    else if (f.isDirectory) {
-      def leaves(x: java.io.File): Seq[java.io.File] =
-        Option(x.listFiles()).toSeq.flatten.sortBy(_.getName)
-          .flatMap(c => if (c.isDirectory) leaves(c) else Seq(c))
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val rootLen = f.getPath.length
-      leaves(f).foreach { l =>
-        // RELATIVE path, not basename: moving a same-named file
-        // between partition subdirs must change the key
-        val rel = l.getPath.drop(rootLen)
-        md.update(s"$rel:${l.length}:${l.lastModified}|".getBytes("UTF-8"))
-      }
-      val hex = md.digest().take(8).map("%02x".format(_)).mkString
-      s"d$hex-$fmt"
-    } else s"absent-$fmt" // build runs and fails with the real error
-  }
+    * path, length, and mtime — any rewrite of any part changes it.
+    * (On object stores mtime is the PUT time of the immutable object,
+    * which versions exactly as well as a local mtime.) */
+  def sourceKey(srcPath: String, fmt: String): String =
+    LakeFs.status(srcPath) match {
+      case Some(st) if st.isFile =>
+        s"${st.getLen}-${st.getModificationTime}-$fmt"
+      case Some(st) if st.isDirectory =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val rootLen = st.getPath.toString.length
+        LakeFs.leaves(srcPath)
+          .map(l => (l.getPath.toString.drop(rootLen), l))
+          .sortBy(_._1)
+          .foreach { case (rel, l) =>
+            // RELATIVE path, not basename: moving a same-named file
+            // between partition subdirs must change the key
+            md.update(
+              s"$rel:${l.getLen}:${l.getModificationTime}|".getBytes("UTF-8"))
+          }
+        val hex = md.digest().take(8).map("%02x".format(_)).mkString
+        s"d$hex-$fmt"
+      case _ => s"absent-$fmt" // build runs and fails with the real error
+    }
 
   /** In-place maintenance publish (compaction): run `rewrite` into a
     * process-private dir, carry the freshness marker over unchanged
@@ -80,8 +81,8 @@ object IndexLifecycle {
     * describes), and swap by rename — the old tree goes ASIDE first,
     * then the rewritten tree renames in. The published path is absent
     * only for the instant between those two renames (a truly atomic
-    * directory SWAP does not exist in portable Java); open readers
-    * keep their file handles on the aside copy until it is reaped.
+    * directory SWAP exists on no filesystem Spark targets); open
+    * readers keep their handles on the aside copy until it is reaped.
     *
     * Race guard: the marker is captured BEFORE the rewrite reads any
     * state and compared again at swap time — if a concurrent
@@ -91,43 +92,40 @@ object IndexLifecycle {
     * index in place rather than stamping old content with a new key. */
   def republish(idxDir: String)(rewrite: String => Unit): Unit = {
     val pid = ProcessHandle.current.pid
-    val dst = new java.io.File(idxDir)
-    val keyAtStart = publishedKey(dst)
-    val tmp = new java.io.File(s"$idxDir.compact-$pid")
-    rm(tmp)
-    rewrite(tmp.getPath)
-    keyAtStart.foreach { k =>
-      java.nio.file.Files.write(
-        new java.io.File(tmp, Marker).toPath, k.getBytes("UTF-8"))
-    }
+    val keyAtStart = publishedKey(idxDir)
+    val tmp = s"$idxDir.compact-$pid"
+    LakeFs.rmTree(tmp)
+    rewrite(tmp)
+    keyAtStart.foreach(k => LakeFs.write(s"$tmp/$Marker", k))
     // applied-epoch markers describe ingest HISTORY, not layout —
     // losing them across a compact/refit would re-open the
     // at-least-once window for any in-flight epoch retry. A marker
     // vanishing mid-copy means a racer republished under us; the
     // superseded check below aborts then, so skipping it is safe.
-    Option(dst.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("_GRAFT_EPOCH_"))
-      .foreach { f =>
-        try java.nio.file.Files.copy(f.toPath,
-          new java.io.File(tmp, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        catch { case _: java.nio.file.NoSuchFileException => }
+    LakeFs.list(idxDir)
+      .filter(_.getPath.getName.startsWith("_GRAFT_EPOCH_"))
+      .foreach { st =>
+        val name = st.getPath.getName
+        LakeFs.readString(st.getPath.toString)
+          .foreach(c => LakeFs.write(s"$tmp/$name", c))
       }
-    if (publishedKey(dst) != keyAtStart) { rm(tmp); return } // superseded
-    val aside = new java.io.File(s"$idxDir.old-$pid")
-    rm(aside)
-    if (!dst.renameTo(aside)) {
-      rm(tmp) // never leak an index-sized build dir
+    if (publishedKey(idxDir) != keyAtStart) {
+      LakeFs.rmTree(tmp); return // superseded
+    }
+    val aside = s"$idxDir.old-$pid"
+    LakeFs.rmTree(aside)
+    if (!LakeFs.rename(idxDir, aside)) {
+      LakeFs.rmTree(tmp) // never leak an index-sized build dir
       sys.error(s"compaction publish failed (aside rename) for $idxDir")
     }
-    if (!tmp.renameTo(dst)) {
+    if (!LakeFs.rename(tmp, idxDir)) {
       // restore the original tree before failing — the published path
       // must not stay absent
-      aside.renameTo(dst)
-      rm(tmp)
+      LakeFs.rename(aside, idxDir)
+      LakeFs.rmTree(tmp)
       sys.error(s"compaction publish failed (swap rename) for $idxDir")
     }
-    rm(aside)
+    LakeFs.rmTree(aside)
   }
 
   /** Idempotent-append guard for the streaming ingests: run `append`
@@ -149,11 +147,11 @@ object IndexLifecycle {
     * invisible to Spark's file listing) and survive compact/refit
     * (republish carries them over). */
   def epochOnce(idxDir: String, epoch: Long)(append: => Unit): Unit = {
-    val m = new java.io.File(idxDir, s"_GRAFT_EPOCH_$epoch")
-    if (m.isFile) return
+    val m = s"$idxDir/_GRAFT_EPOCH_$epoch"
+    if (LakeFs.isFile(m)) return
     append
-    new java.io.File(idxDir).mkdirs() // first-ever append may create it
-    java.nio.file.Files.write(m.toPath, Array.emptyByteArray)
+    LakeFs.mkdirs(idxDir) // first-ever append may create it
+    LakeFs.write(m, "")
   }
 
   /** Run `build` into a private dir and publish it at `idxDir` —
@@ -166,31 +164,29 @@ object IndexLifecycle {
     // empty-key publish) and freeze the index forever — every caller
     // must key to its source+format version
     require(key.nonEmpty, s"buildOnce requires a freshness key: $idxDir")
-    val dst = new java.io.File(idxDir)
-    if (publishedKey(dst).contains(key)) return
-    val tmp = new java.io.File(
-      idxDir + ".build-" + ProcessHandle.current.pid)
-    rm(tmp) // a crashed same-pid build (pid reuse) must not pollute ours
-    build(tmp.getPath)
-    java.nio.file.Files.write(
-      new java.io.File(tmp, Marker).toPath, key.getBytes("UTF-8"))
+    if (publishedKey(idxDir).contains(key)) return
+    val tmp = idxDir + ".build-" + ProcessHandle.current.pid
+    LakeFs.rmTree(tmp) // a crashed same-pid build (pid reuse) must not pollute ours
+    build(tmp)
+    LakeFs.write(s"$tmp/$Marker", key)
     // Re-check at publish time: a racer finishing first published an
     // equivalent index — keep theirs, never delete a complete
     // matching index out from under its readers (TOCTOU guard).
-    if (publishedKey(dst).contains(key)) { rm(tmp); return }
-    if (dst.exists()) {
+    if (publishedKey(idxDir).contains(key)) { LakeFs.rmTree(tmp); return }
+    if (LakeFs.exists(idxDir)) {
       // stale key or crashed partial build: move it ASIDE first so
       // the published path never holds a half-deleted tree, then
       // delete the aside copy
-      val aside = new java.io.File(
-        idxDir + ".old-" + ProcessHandle.current.pid)
-      rm(aside)
-      if (dst.renameTo(aside)) rm(aside)
-      else if (publishedKey(dst).contains(key)) { rm(tmp); return }
+      val aside = idxDir + ".old-" + ProcessHandle.current.pid
+      LakeFs.rmTree(aside)
+      if (LakeFs.rename(idxDir, aside)) LakeFs.rmTree(aside)
+      else if (publishedKey(idxDir).contains(key)) {
+        LakeFs.rmTree(tmp); return
+      }
     }
-    if (!tmp.renameTo(new java.io.File(idxDir))) {
-      rm(tmp) // lost the race; the winner's index must be equivalent
-      require(publishedKey(new java.io.File(idxDir)).contains(key),
+    if (!LakeFs.rename(tmp, idxDir)) {
+      LakeFs.rmTree(tmp) // lost the race; the winner's index must be equivalent
+      require(publishedKey(idxDir).contains(key),
         s"index publish failed and no matching winner exists: $idxDir")
     }
   }

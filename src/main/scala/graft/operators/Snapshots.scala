@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, struct}
 
 /** Versioned snapshot tables — the time-travel/ACID-read layer a lake
   * without a table format still needs (the core of what Iceberg's
@@ -18,32 +19,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * writer per table assumed (the nightly-job model; a multi-writer
   * lake adds a log service, which is out of scope by design).
   *
-  * Scale shape: publishing is one parquet write (all the cost is the
-  * data); resolution is one directory listing, O(versions) names, no
-  * data reads. On an object store the same protocol holds — the
-  * marker PUT is the atomic commit point. Old snapshots are retired
-  * by `vacuum` (keep the newest K committed), the retention job every
-  * versioned lake runs. */
+  * All filesystem access goes through [[LakeFs]], so a root may be a
+  * local path, `hdfs://`, or `s3a://` — publish is write-then-marker
+  * (never a rename), which holds on object stores too: the marker
+  * create is the atomic commit point (see LakeFs's store-by-store
+  * contract for the exact guarantees). Resolution is one directory
+  * listing, O(versions) names, no data reads; publishing is one
+  * parquet write (all the cost is the data). Old snapshots are
+  * retired by `vacuum` (keep the newest K committed), the retention
+  * job every versioned lake runs. */
 object Snapshots {
 
   private val Marker = "_SNAP_COMMITTED"
+  private val Base = "_SNAP_BASE"
+  private val Tombstone = "_SNAP_TOMBSTONE"
   private val VDir = "^v=(\\d+)$".r
 
-  private def versionOf(f: java.io.File): Option[Long] = f.getName match {
-    case VDir(n) => Some(n.toLong)
-    case _ => None
-  }
+  /** (version, dir) pairs under `root`, ascending. One listing. */
+  private def versions(root: String): Seq[(Long, String)] =
+    LakeFs.list(root).flatMap { st =>
+      st.getPath.getName match {
+        case VDir(n) => Some(n.toLong -> st.getPath.toString)
+        case _ => None
+      }
+    }.sortBy(_._1)
 
-  private def versions(root: String): Seq[(Long, java.io.File)] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => versionOf(f).map(_ -> f)).toSeq.sortBy(_._1)
-  }
+  private def isCommitted(dir: String): Boolean =
+    LakeFs.isFile(s"$dir/$Marker")
 
-  private def committed(root: String): Seq[(Long, java.io.File)] =
-    versions(root).filter { case (_, f) =>
-      new java.io.File(f, Marker).isFile
-    }
+  private def hasBase(dir: String): Boolean =
+    LakeFs.isFile(s"$dir/$Base")
+
+  private def hasTombstone(dir: String): Boolean =
+    LakeFs.isFile(s"$dir/$Tombstone")
+
+  private def committed(root: String): Seq[(Long, String)] =
+    versions(root).filter { case (_, d) => isCommitted(d) }
 
   /** Write `df` as the next snapshot of `root` and commit it.
     * Returns the published version. Allocation skips past torn
@@ -51,7 +62,7 @@ object Snapshots {
   def publish(df: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
-    val ok = new java.io.File(s"$root/v=$n", Marker).createNewFile()
+    val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
     n
   }
@@ -65,11 +76,11 @@ object Snapshots {
       case Some(v) => live.takeWhile(_._1 <= v).lastOption
       case None => live.lastOption
     }
-    val (v, f) = pick.getOrElse(sys.error(
+    val (v, dir) = pick.getOrElse(sys.error(
       s"no committed snapshot in $root" +
         asOf.map(v => s" at or before v=$v").getOrElse("")))
     require(v >= 0, "unreachable")
-    s.read.parquet(f.getPath)
+    s.read.parquet(dir)
   }
 
   /** Latest committed version number, None when the table is empty. */
@@ -83,29 +94,89 @@ object Snapshots {
     * directories stay invisible exactly as in the snapshot flavor. */
   def publishAppend(df: DataFrame, root: String): Long = publish(df, root)
 
-  private val Base = "_SNAP_BASE"
+  /** Tombstone batch for the merge-on-read log: `keys` (a frame of
+    * just the merge-key column) marks those keys deleted as of this
+    * version. Invisible to the plain `readLog` union semantics —
+    * tombstones only act through [[readLogMerged]], which is the
+    * reader a keyed log uses. O(batch) like any append; the deletes
+    * are folded away by [[compactLogMerged]]. */
+  def publishDeletes(keys: DataFrame, root: String): Long = {
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    keys.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Tombstone"),
+      s"tombstone marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"snapshot v=$n already committed — concurrent writer?")
+    n
+  }
 
-  /** Union of all committed versions (<= `asOf` when given) — except
-    * that a COMPACTED version (one carrying a base marker, see
-    * compactLog) subsumes everything at or before it, so the reader
-    * unions the newest compacted version in range plus the committed
-    * versions after it. Empty log errors like an empty snapshot
-    * table. */
-  def readLog(s: SparkSession, root: String,
-      asOf: Option[Long] = None): DataFrame = {
+  /** The window of committed versions a log reader unions: everything
+    * up to `asOf` (or all), except that a COMPACTED version (base
+    * marker, see compactLog) subsumes everything at or before it. */
+  private def logWindow(root: String,
+      asOf: Option[Long]): Seq[(Long, String)] = {
     val live = asOf match {
       case Some(v) => committed(root).takeWhile(_._1 <= v)
       case None => committed(root)
     }
     require(live.nonEmpty, s"no committed snapshot in $root" +
       asOf.map(v => s" at or before v=$v").getOrElse(""))
-    val lastCompact = live.lastIndexWhere { case (_, f) =>
-      new java.io.File(f, Base).isFile
+    val lastCompact = live.lastIndexWhere { case (_, d) => hasBase(d) }
+    if (lastCompact < 0) live else live.drop(lastCompact)
+  }
+
+  /** One frame per window version with SCHEMA EVOLUTION resolved
+    * driver-side: all schemas equal → a single multi-path FileScan
+    * (O(versions) paths in one scan); otherwise fold `unionByName`
+    * with null-fill, so a version that ADDED a column reads back with
+    * the old versions null-filled — column order is the oldest
+    * version's columns followed by each later addition in version
+    * order (deterministic). Footer reads are O(versions) and
+    * compactLog folds the count back down. */
+  private def unionWindow(s: SparkSession,
+      window: Seq[(Long, String)]): DataFrame = {
+    val frames = window.map { case (_, d) => s.read.parquet(d) }
+    if (frames.map(_.schema).distinct.sizeIs == 1)
+      s.read.parquet(window.map(_._2): _*)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Union of all committed versions (<= `asOf` when given), newest
+    * compacted version subsuming its prefix. Tombstone versions are
+    * pure key batches and DO appear here (the raw log view); use
+    * [[readLogMerged]] for merge-on-read semantics. Empty log errors
+    * like an empty snapshot table. */
+  def readLog(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame =
+    unionWindow(s, logWindow(root, asOf))
+
+  /** MERGE-ON-READ over the append log: latest version wins per
+    * `key`, and a key whose newest occurrence is a tombstone batch
+    * ([[publishDeletes]]) is dropped. Resolution is one argmax-struct
+    * aggregation — `max(struct(version, cols…))` per key — a single
+    * shuffle on the merge key, no window sort. Within one version a
+    * duplicated key resolves by the lexicographic max of its row (a
+    * deterministic answer to what standard MERGE calls ambiguous —
+    * keep keys unique per batch for the SQL-equivalent semantics).
+    * This is the read a change-heavy 100 TB table uses between
+    * compactions: appends stay O(batch) and the merge cost is paid by
+    * readers until [[compactLogMerged]] folds it away. */
+  def readLogMerged(s: SparkSession, root: String, key: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val window = logWindow(root, asOf)
+    val frames = window.map { case (v, d) =>
+      s.read.parquet(d)
+        .withColumn("_graft_v", lit(v))
+        .withColumn("_graft_tomb", lit(hasTombstone(d)))
     }
-    val window = if (lastCompact < 0) live else live.drop(lastCompact)
-    // one multi-path scan, not a union-of-plans: O(versions) paths in
-    // a single FileScan; compactLog folds the path count back down
-    s.read.parquet(window.map(_._2.getPath): _*)
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val dataCols = all.columns
+      .filterNot(c => c == key || c == "_graft_v" || c == "_graft_tomb")
+    val packed: Column = max(struct(
+      (col("_graft_v") +: col("_graft_tomb") +: dataCols.map(col)): _*))
+    all.groupBy(col(key)).agg(packed.as("_graft_w"))
+      .filter(!col("_graft_w._graft_tomb"))
+      .select(col(key) +: dataCols.map(c => col(s"_graft_w.$c").as(c)): _*)
   }
 
   /** The small-files job the append log needs: fold every committed
@@ -117,36 +188,49 @@ object Snapshots {
     * stay on disk (readers mid-flight may hold them; time travel to
     * pre-compaction boundaries keeps working) until vacuumLog reaps
     * them. Returns the compacted version. */
-  def compactLog(s: SparkSession, root: String): Long = {
-    val folded = readLog(s, root)
+  def compactLog(s: SparkSession, root: String): Long =
+    commitCompacted(readLog(s, root), root)
+
+  /** Merge-on-read compaction: fold the log through
+    * [[readLogMerged]] — upserts applied, tombstones dropped — into
+    * one compacted base, so readers after it pay no merge cost and
+    * the tombstone batches below are subsumed. */
+  def compactLogMerged(s: SparkSession, root: String, key: String): Long =
+    commitCompacted(readLogMerged(s, root, key), root)
+
+  private def commitCompacted(folded: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
     folded.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
-    val dir = new java.io.File(s"$root/v=$n")
-    require(new java.io.File(dir, Base).createNewFile(), s"base marker v=$n")
-    require(new java.io.File(dir, Marker).createNewFile(), s"commit marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Base"), s"base marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"), s"commit marker v=$n")
     n
   }
 
   /** Log retention: delete committed versions strictly below the
     * newest compacted version (they are subsumed and no longer read),
-    * torn dirs below the latest commit, and epoch markers below the
-    * retention horizon. Time travel below the compaction boundary is
+    * torn dirs below the latest commit (reaped whether or not a
+    * compaction exists), and epoch markers below the newest
+    * `keepEpochs` (foreachBatch only ever replays the LATEST epoch,
+    * so older markers gate nothing and would otherwise grow the root
+    * listing — walked by every read/publish — without bound under a
+    * long-lived stream). Time travel below the compaction boundary is
     * given up — the same trade every log-structured table's retention
     * makes. */
-  def vacuumLog(root: String): Unit = {
+  def vacuumLog(root: String, keepEpochs: Int = 8): Unit = {
     val live = committed(root)
-    live.lastIndexWhere { case (_, f) =>
-      new java.io.File(f, Base).isFile
-    } match {
-      case i if i > 0 =>
-        val keepFrom = live(i)._1
-        val latest = live.last._1
-        versions(root).foreach { case (v, f) =>
-          val isCommitted = new java.io.File(f, Marker).isFile
-          if ((isCommitted && v < keepFrom) || (!isCommitted && v < latest))
-            IndexLifecycle.rm(f)
-        }
-      case _ => ()
+    if (live.nonEmpty) {
+      val lastCompact = live.lastIndexWhere { case (_, d) => hasBase(d) }
+      // no compaction → nothing is subsumed, but torn dirs below the
+      // latest commit are still reaped (they are invisible already)
+      val keepFrom = if (lastCompact >= 0) live(lastCompact)._1
+        else live.head._1
+      val latest = live.last._1
+      versions(root).foreach { case (v, d) =>
+        if ((isCommitted(d) && v < keepFrom) ||
+            (!isCommitted(d) && v < latest))
+          LakeFs.rmTree(d)
+      }
+      reapEpochMarkers(root, keepEpochs)
     }
   }
 
@@ -154,7 +238,7 @@ object Snapshots {
     * see StreamOps.snapshotIngest. Marker protocol and naming are
     * IndexLifecycle.epochOnce's, not a parallel implementation. */
   def epochPublished(root: String, epoch: Long): Boolean =
-    new java.io.File(root, s"_GRAFT_EPOCH_$epoch").isFile
+    LakeFs.isFile(s"$root/_GRAFT_EPOCH_$epoch")
 
   /** Exactly-once per-epoch publish: a replayed micro-batch (same
     * epoch id) skips the publish instead of appending a duplicate
@@ -177,47 +261,70 @@ object Snapshots {
     * an immutable, time-travelable version and a crashed merge leaves
     * the table on its previous snapshot (torn-dir rule). Cost is one
     * anti-join plus the snapshot rewrite — the copy-on-write flavor;
-    * a change-heavy table amortizes through the append log + a
-    * compaction instead. Requires a base snapshot (publish first). */
+    * a change-heavy table amortizes through the append log +
+    * [[readLogMerged]]/[[compactLogMerged]] instead.
+    *
+    * Standard MERGE INTO ambiguity rule enforced: a target key may be
+    * matched by at most ONE source row, so duplicate keys within
+    * `upserts` and any upserts∩deleteKeys overlap are rejected up
+    * front (one O(source-batch) validation job — never O(table)),
+    * instead of silently appending duplicates or letting upsert win.
+    * Requires a base snapshot (publish first). */
   def publishMerge(s: SparkSession, root: String, key: String,
       upserts: DataFrame, deleteKeys: DataFrame): Long = {
-    val gone = upserts.select(org.apache.spark.sql.functions.col(key))
-      .unionByName(deleteKeys.select(org.apache.spark.sql.functions.col(key)))
+    val k = col(key)
+    val srcKeys = upserts.select(k).unionAll(deleteKeys.select(k))
+    val ambiguous = srcKeys.groupBy(k)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(ambiguous == 0L,
+      s"MERGE ambiguity: a $key value appears more than once across " +
+        "upserts + deleteKeys; each target key may match one source row")
     val next = read(s, root)
-      .join(gone, Seq(key), "left_anti")
+      .join(srcKeys, Seq(key), "left_anti")
       .unionByName(upserts)
     publish(next, root)
   }
 
   private val EpochMarker = "^_GRAFT_EPOCH_(\\d+)$".r
 
-  /** Retention: keep the newest `keep` committed snapshots, delete
-    * every older committed one AND every torn directory below the
-    * newest committed version (torn dirs are invisible to readers and
-    * safe to reap once a newer commit exists). Epoch markers are
-    * retained for the newest `keep` epochs and reaped below that —
-    * foreachBatch only ever replays the LATEST epoch, so a marker
-    * older than the retention horizon can no longer gate anything,
-    * and without the reap a long-lived stream's markers would grow
-    * the root listing (walked by every read/publish) without bound. */
+  private def reapEpochMarkers(root: String, keep: Int): Unit = {
+    val epochs = LakeFs.list(root).flatMap { st =>
+      st.getPath.getName match {
+        case EpochMarker(e) => Some(e.toLong -> st.getPath.toString)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    epochs.dropRight(keep).foreach { case (_, p) => LakeFs.rmFile(p) }
+  }
+
+  /** Retention for the SNAPSHOT flavor: keep the newest `keep`
+    * committed snapshots, delete every older committed one AND every
+    * torn directory below the newest committed version (torn dirs are
+    * invisible to readers and safe to reap once a newer commit
+    * exists). Epoch markers are retained for the newest `keep` epochs
+    * and reaped below that — foreachBatch only ever replays the
+    * LATEST epoch, so a marker older than the retention horizon can
+    * no longer gate anything.
+    *
+    * REFUSES on an append-log root that has been compacted (any
+    * version carrying a base marker): log readers union a window, so
+    * snapshot-retention semantics here would silently delete versions
+    * `readLog` still reads — use [[vacuumLog]] for log roots. */
   def vacuum(root: String, keep: Int): Unit = {
     require(keep > 0, s"vacuum(keep=$keep): retention must keep >= 1 snapshot")
     val live = committed(root)
+    require(!live.exists { case (_, d) => hasBase(d) },
+      s"$root is an append-log root (compacted versions present); " +
+        "vacuum would delete versions readLog still unions — use vacuumLog")
     if (live.nonEmpty) {
       val keepFrom = live.takeRight(keep).head._1
       val latest = live.last._1
-      versions(root).foreach { case (v, f) =>
-        val isCommitted = new java.io.File(f, Marker).isFile
-        if ((isCommitted && v < keepFrom) || (!isCommitted && v < latest))
-          IndexLifecycle.rm(f)
+      versions(root).foreach { case (v, d) =>
+        if ((isCommitted(d) && v < keepFrom) ||
+            (!isCommitted(d) && v < latest))
+          LakeFs.rmTree(d)
       }
-      val epochs = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case EpochMarker(e) => Some(e.toLong -> f)
-          case _ => None
-        }).sortBy(_._1)
-      epochs.dropRight(keep).foreach(_._2.delete())
+      reapEpochMarkers(root, keep)
     }
   }
 }

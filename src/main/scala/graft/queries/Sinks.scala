@@ -228,7 +228,7 @@ object Sinks {
       |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
       |FROM merged GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
     val root = scratch(s, dir, "orders_snap_merge")
-    graft.operators.IndexLifecycle.rm(new java.io.File(root))
+    graft.operators.LakeFs.rmTree(root)
     val base = Tables.orders(s, dir).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
       col("o_totalprice").cast("decimal(18,2)").as("p"))

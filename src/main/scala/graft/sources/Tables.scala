@@ -55,7 +55,6 @@ object Tables {
           .mode("overwrite").parquet(tmp.getPath)
         // atomic publish; a concurrent process winning the race is
         // fine — its mirror has identical content
-        import graft.operators.IndexLifecycle.rm
         if (tmp.renameTo(dst)) {
           // a regenerated testdata table leaves its old (size, mtime)
           // mirror behind — reap stale siblings of this table on
@@ -108,4 +107,12 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Local recursive delete for the /tmp mirror tree only — the
+    * mirror path is a local[32] workaround by design (see `resolve`),
+    * so plain java.io is correct here; lake state goes through
+    * operators.LakeFs instead. */
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
 }

@@ -140,8 +140,7 @@ class DedupSpec extends AnyFunSuite {
   test("substring index compaction: climbed fps promoted to stop, positions dropped, reads equivalent") {
     import spark.implicits._
     val dir = "/tmp/graft_subidx_compact_spec"
-    import graft.operators.IndexLifecycle.rm
-    rm(new java.io.File(dir))
+    graft.operators.LakeFs.rmTree(dir)
     // cap 2: fp 10 builds at df=2 (docs 1,2 — stored); fp 20 df=2
     // (docs 1,3); fp 30 builds OVER cap (docs 1,2,3 > 2 — stop)
     val w0 = Seq((1L, 0, 10L), (2L, 0, 10L), (1L, 1, 20L), (3L, 0, 20L),
@@ -213,10 +212,9 @@ class DedupSpec extends AnyFunSuite {
 
   test("shingle index compaction: state equals a fresh build over the appended corpus") {
     import spark.implicits._
-    import graft.operators.IndexLifecycle.rm
-    val dirA = "/tmp/graft_shidx_compact_a" // build + append + compact
+        val dirA = "/tmp/graft_shidx_compact_a" // build + append + compact
     val dirB = "/tmp/graft_shidx_compact_b" // fresh build over everything
-    Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))
+    Seq(dirA, dirB).foreach(graft.operators.LakeFs.rmTree)
     // shingle 100: df=2 of nd=4 at build (2·2 > 4 false → not hot);
     // two appended docs carry it too → df=4 of nd=6 (8 > 6 → hot),
     // but append never refreshes stop/ — that's compaction's job

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{IndexLifecycle, Snapshots}
+import graft.operators.{LakeFs, Snapshots}
 
 /** Laws of the versioned snapshot tables (operators.Snapshots): time
   * travel, torn-write invisibility, and vacuum retention. */
@@ -11,7 +11,7 @@ class SnapshotSpec extends AnyFunSuite {
 
   private def freshRoot(tag: String): String = {
     val root = s"/tmp/graft_snap_spec/$tag"
-    IndexLifecycle.rm(new java.io.File(root))
+    LakeFs.rmTree(root)
     new java.io.File(root).mkdirs()
     root
   }
@@ -59,7 +59,7 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshots.publish(Seq((i.toLong, s"v$i")).toDF("k", "v"), root))
     // a torn dir below the latest commit is reaped too
     new java.io.File(s"$root/v=2").delete() // replace committed v2 …
-    IndexLifecycle.rm(new java.io.File(s"$root/v=2"))
+    LakeFs.rmTree(s"$root/v=2")
     new java.io.File(s"$root/v=2").mkdirs() // … with a torn shell
     Snapshots.vacuum(root, keep = 2)
     val left = Option(new java.io.File(root).listFiles())
@@ -126,11 +126,135 @@ class SnapshotSpec extends AnyFunSuite {
       "reads must survive the reap")
   }
 
+  test("schema evolution: a version that adds a column reads back null-filled across the log") {
+    import spark.implicits._
+    val root = freshRoot("evolve")
+    Snapshots.publishAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // later ingest adds a column — the first thing a real log hits
+    Snapshots.publishAppend(
+      Seq((3L, "c", 0.5)).toDF("k", "v", "score"), root)
+    val df = Snapshots.readLog(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v", "score"),
+      "oldest version's columns first, additions appended in version order")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5))))
+    // time travel across the boundary sees the old schema's window
+    assert(Snapshots.readLog(spark, root, asOf = Some(1L)).columns.toSeq
+      == Seq("k", "v"))
+    // compaction folds the evolved union into one wide base
+    Snapshots.compactLog(spark, root)
+    assert(Snapshots.readLog(spark, root).columns.toSeq
+      == Seq("k", "v", "score"))
+    assert(Snapshots.readLog(spark, root).count() == 3L)
+  }
+
+  test("merge-on-read log == copy-on-write publishMerge on the same batches") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val up1 = Seq((2L, "b2"), (9L, "new")).toDF("k", "v")
+    val del1 = Seq(3L).toDF("k")
+    val up2 = Seq((9L, "new2"), (1L, "a2")).toDF("k", "v")
+
+    val cow = freshRoot("mor_cow")
+    Snapshots.publish(base, cow)
+    Snapshots.publishMerge(spark, cow, "k", up1, del1)
+    Snapshots.publishMerge(spark, cow, "k", up2, spark.emptyDataset[Long].toDF("k"))
+
+    val mor = freshRoot("mor_log")
+    Snapshots.publishAppend(base, mor)
+    Snapshots.publishAppend(up1, mor)
+    Snapshots.publishDeletes(del1, mor)
+    Snapshots.publishAppend(up2, mor)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = Set(1L -> "a2", 2L -> "b2", 4L -> "d", 9L -> "new2")
+    assert(rows(Snapshots.read(spark, cow)) == expect)
+    assert(rows(Snapshots.readLogMerged(spark, mor, "k")) == expect)
+    // as-of before the tombstone still sees the key
+    assert(rows(Snapshots.readLogMerged(spark, mor, "k", asOf = Some(2L)))
+      == Set(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d", 9L -> "new"))
+    // plain readLog ignores merge semantics: raw union incl. tombstone keys
+    assert(Snapshots.readLog(spark, mor).count() == 4L + 2L + 1L + 2L)
+    // compaction folds upserts + tombstones away; reads are unchanged
+    // and later appends merge on top of the folded base
+    val c = Snapshots.compactLogMerged(spark, mor, "k")
+    assert(rows(Snapshots.readLogMerged(spark, mor, "k")) == expect)
+    assert(Snapshots.readLog(spark, mor).count() == 4L, "folded base only")
+    Snapshots.publishAppend(Seq((4L, "d9")).toDF("k", "v"), mor)
+    assert(rows(Snapshots.readLogMerged(spark, mor, "k"))
+      == Set(1L -> "a2", 2L -> "b2", 4L -> "d9", 9L -> "new2"))
+    Snapshots.vacuumLog(mor)
+    assert(rows(Snapshots.readLogMerged(spark, mor, "k"))
+      == Set(1L -> "a2", 2L -> "b2", 4L -> "d9", 9L -> "new2"),
+      "reads must survive the reap")
+    assert(c == 5L)
+  }
+
+  test("publishMerge rejects ambiguous sources (dup upsert keys, upsert+delete overlap)") {
+    import spark.implicits._
+    val root = freshRoot("merge_ambig")
+    Snapshots.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.publishMerge(spark, root, "k",
+        upserts = Seq((2L, "x"), (2L, "y")).toDF("k", "v"),
+        deleteKeys = spark.emptyDataset[Long].toDF("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.publishMerge(spark, root, "k",
+        upserts = Seq((2L, "x")).toDF("k", "v"),
+        deleteKeys = Seq(2L).toDF("k"))
+    }
+    // neither rejected attempt published a version
+    assert(Snapshots.latestVersion(root).contains(1L))
+  }
+
+  test("vacuum refuses on a compacted append-log root; vacuumLog reaps epoch markers") {
+    import spark.implicits._
+    val root = freshRoot("vacuum_guard")
+    Snapshots.publishAppend(Seq(1L).toDF("k"), root)
+    Snapshots.publishAppend(Seq(2L).toDF("k"), root)
+    Snapshots.compactLog(spark, root)
+    intercept[IllegalArgumentException](Snapshots.vacuum(root, keep = 1))
+    assert(Snapshots.readLog(spark, root).count() == 2L,
+      "refused vacuum must not have deleted anything")
+    // a long-lived stream's epoch markers are reaped past the horizon
+    (1L to 12L).foreach(e =>
+      Snapshots.epochOnce(root, e) {
+        Snapshots.publishAppend(Seq(100L + e).toDF("k"), root)
+      })
+    Snapshots.vacuumLog(root, keepEpochs = 8)
+    val markers = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("_GRAFT_EPOCH_")).toSet
+    assert(markers == (5L to 12L).map(e => s"_GRAFT_EPOCH_$e").toSet,
+      s"newest 8 epoch markers retained: $markers")
+    assert(Snapshots.readLog(spark, root).count() == 14L)
+  }
+
+  test("vacuumLog without any compaction still reaps torn dirs below the latest commit") {
+    import spark.implicits._
+    val root = freshRoot("vacuum_log_nc")
+    Snapshots.publishAppend(Seq(1L).toDF("k"), root)
+    // torn dir between commits
+    new java.io.File(s"$root/v=2").mkdirs()
+    Snapshots.publishAppend(Seq(3L).toDF("k"), root)
+    Snapshots.vacuumLog(root)
+    val left = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=1", "v=3"), s"after vacuumLog: $left")
+    assert(Snapshots.readLog(spark, root).count() == 2L)
+  }
+
   test("streaming snapshot ingest: micro-batches become committed versions exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = freshRoot("stream")
-    IndexLifecycle.rm(new java.io.File(root + "_ckpt"))
+    LakeFs.rmTree(root + "_ckpt")
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val q = graft.streaming.StreamOps.snapshotIngest(spark,
       ms.toDF().toDF("k"), root)

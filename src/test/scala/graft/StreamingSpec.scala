@@ -303,11 +303,10 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming shingle ingest: foreachBatch append + pairs == batch incremental across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import graft.operators.IndexLifecycle.rm
-    val idxDir = "/tmp/graft_shidx_stream_spec"
+        val idxDir = "/tmp/graft_shidx_stream_spec"
     val outDir = "/tmp/graft_shidx_stream_out"
     Seq(idxDir, outDir, outDir + "_ckpt", "/tmp/graft_shidx_stream_batch")
-      .foreach(d => rm(new java.io.File(d)))
+      .foreach(graft.operators.LakeFs.rmTree)
     // pre-existing index corpus: near-identical A=1/B=2 plus ten
     // unrelated docs keeping their shared shingles under the hot cap
     val base = (0 until 40).map(i => s"t$i")
@@ -361,12 +360,11 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming substring ingest: doc store + index appends + pairs == batch incremental") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import graft.operators.IndexLifecycle.rm
-    val idxDir = "/tmp/graft_subidx_stream_spec"
+        val idxDir = "/tmp/graft_subidx_stream_spec"
     val storeDir = "/tmp/graft_subidx_stream_store"
     val outDir = "/tmp/graft_subidx_stream_out"
     Seq(idxDir, storeDir, outDir, outDir + "_ckpt",
-      "/tmp/graft_subidx_stream_batch").foreach(d => rm(new java.io.File(d)))
+      "/tmp/graft_subidx_stream_batch").foreach(graft.operators.LakeFs.rmTree)
     // the DedupSpec substring-lifecycle corpus: 17 index docs carry a
     // 16-token boilerplate run (df 17 > cap 16 → stop), doc 1 also a
     // unique 16-token run; streamed docs 24 and 29 copy the unique run
@@ -420,12 +418,11 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming vector ingest: index appends + near-dup pairs == one-shot append") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import graft.operators.IndexLifecycle.rm
-    val idxDir = "/tmp/graft_vecidx_stream_spec"
+        val idxDir = "/tmp/graft_vecidx_stream_spec"
     val oneDir = "/tmp/graft_vecidx_stream_one"
     val outDir = "/tmp/graft_vecidx_stream_out"
     Seq(idxDir, oneDir, outDir, outDir + "_ckpt")
-      .foreach(d => rm(new java.io.File(d)))
+      .foreach(graft.operators.LakeFs.rmTree)
     // dim-4 corpus, two well-separated direction clusters (k=2):
     // within-cluster spread keeps non-planted pairs under cos 0.99
     // (max 0.969), planted near-dups sit at ~1.0
@@ -480,9 +477,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming NB scoring: two micro-batches == batch scoring off the same persisted model") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import graft.operators.IndexLifecycle.rm
-    val outDir = "/tmp/graft_nbq_stream_out"
-    Seq(outDir, outDir + "_ckpt").foreach(d => rm(new java.io.File(d)))
+        val outDir = "/tmp/graft_nbq_stream_out"
+    Seq(outDir, outDir + "_ckpt").foreach(graft.operators.LakeFs.rmTree)
     // the maintained model: fit (at most once) on the sf corpus —
     // the stream scores against this frozen state, never refits
     val idx = graft.queries.Pipeline.nbModelOf(spark, sf)

@@ -253,7 +253,7 @@ class VectorSpec extends AnyFunSuite {
     val idx = "/tmp/graft_ivf_refit_test"
     val freshDir = "/tmp/graft_ivf_refit_fresh"
     Seq(idx, freshDir).foreach(d =>
-      graft.operators.IndexLifecycle.rm(new java.io.File(d)))
+      graft.operators.LakeFs.rmTree(d))
     // drifted index: quantizer fit on the first half only, second
     // half appended under the frozen (now unrepresentative) centroids
     graft.operators.IvfIndex.build(spark,
@@ -347,14 +347,13 @@ class VectorSpec extends AnyFunSuite {
 
   test("PQ and IVF-PQ offline refit: appended state refits bit-equal to a fresh build") {
     import org.apache.spark.sql.functions._
-    import graft.operators.IndexLifecycle.rm
-    val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
+        val e = Vectors.embNorm(spark, sf).select(col("vec_id"), col("vn")).cache()
     val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
     val cut = ids(ids.length / 2)
     // PQ: refit re-reads the source corpus (codes are lossy)
     val pqIdx = "/tmp/graft_pq_refit_test"
     val pqFresh = "/tmp/graft_pq_refit_fresh"
-    Seq(pqIdx, pqFresh).foreach(d => rm(new java.io.File(d)))
+    Seq(pqIdx, pqFresh).foreach(graft.operators.LakeFs.rmTree)
     graft.operators.PqIndex.build(spark,
       e.filter(col("vec_id") < cut), pqIdx, m = 8, k = 16)
     graft.operators.PqIndex.append(spark, e.filter(col("vec_id") >= cut), pqIdx)
@@ -369,7 +368,7 @@ class VectorSpec extends AnyFunSuite {
     // IVF-PQ: both models refit, one assign+encode scan
     val ipIdx = "/tmp/graft_ivfpq_refit_test"
     val ipFresh = "/tmp/graft_ivfpq_refit_fresh"
-    Seq(ipIdx, ipFresh).foreach(d => rm(new java.io.File(d)))
+    Seq(ipIdx, ipFresh).foreach(graft.operators.LakeFs.rmTree)
     graft.operators.IvfPq.build(spark,
       e.filter(col("vec_id") < cut), ipIdx, kCells = 16, m = 8, kCodes = 16)
     graft.operators.IvfPq.append(spark, e.filter(col("vec_id") >= cut), ipIdx)
