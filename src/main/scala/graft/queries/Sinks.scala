@@ -246,6 +246,56 @@ object Sinks {
       .orderBy(col("st"))
   }
 
+  /** MERGE-ON-READ over the append log (Snapshots.readLogMerged):
+    * append a base batch of orders, an upsert batch (keys ≡ 3 mod 10
+    * re-priced 2x), a tombstone batch (keys ≡ 6 mod 10,
+    * publishDeletes), then a SECOND upsert batch (keys ≡ 3 mod 20
+    * re-priced 4x — overriding the first batch for those keys), and
+    * aggregate what the merge-on-read reader resolves. Latest version
+    * wins per key via ONE argmax-struct aggregation (a single shuffle
+    * on the merge key, no window sort) — the read a change-heavy
+    * table uses between compactions, while every append stayed
+    * O(batch). The oracle replays the same latest-wins chain
+    * relationally, so upsert-override, tombstone-drop, and
+    * append-only-base semantics are all hash-gated; compaction
+    * equivalence (compactLogMerged ≡ this read) is spec-pinned
+    * (SnapshotSpec). */
+  val snapshotMor: Q = Q(
+    "sink_snapshot_mor",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, st,
+      |    CASE WHEN k % 20 = 3 THEN CAST(p * 4 AS DECIMAL(18,2))
+      |         WHEN k % 10 = 3 THEN CAST(p * 2 AS DECIMAL(18,2))
+      |         ELSE p END AS p
+      |  FROM base WHERE k % 10 <> 6)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
+      |FROM merged GROUP BY st ORDER BY st""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "orders_snap_mor")
+    graft.operators.LakeFs.rmTree(root)
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    graft.operators.Snapshots.publishAppend(base, root)
+    graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 10 === 3)
+        .withColumn("p", (col("p") * 2).cast("decimal(18,2)")), root)
+    graft.operators.Snapshots.publishDeletes(
+      base.filter(col("k") % 10 === 6).select(col("k")), root)
+    graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 20 === 3)
+        .withColumn("p", (col("p") * 4).cast("decimal(18,2)")), root)
+    graft.operators.Snapshots.readLogMerged(s, root, "k")
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("total"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge)
+    orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
+    snapshotMor)
 }
