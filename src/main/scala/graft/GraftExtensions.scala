@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, PolyWindowHashes, SimHashAgg, TopKAgg}
+import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, PolyWindowHashes, SimHashAgg, TopKAgg, UnicodeTokens}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -18,6 +18,7 @@ import graft.functions.{AsciiTokens, DotProduct, GramianAgg, MinHashAgg, PolyWin
   *   SELECT simhash64(xxhash64(t), cnt)         -- weighted SimHash agg
   *   SELECT topk_by(score, id, 10)              -- bounded top-k agg
   *   SELECT graft_tokens(text)                  -- one-pass tokenizer
+  *   SELECT graft_tokens_unicode(text)          -- \p{L}\p{N} UTF-8 twin
   *   SELECT gramian(vec, 64)                    -- [n|Σx|ΣxxT] moment agg
   *   SELECT poly_window_hashes(hs, 16, 60)      -- rolling window hashes
   * }}}
@@ -50,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[AsciiTokens].getName, "graft_tokens"),
       (args: Seq[Expression]) => AsciiTokens(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens_unicode"),
+      new ExpressionInfo(classOf[UnicodeTokens].getName,
+        "graft_tokens_unicode"),
+      (args: Seq[Expression]) => UnicodeTokens(args(0))))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_by"),

@@ -52,6 +52,61 @@ object Tokenize {
   @inline private def isTok(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
 
+  /** UTF-8-aware twin of `split`: maximal runs of Unicode
+    * letters/digits (`[\p{L}\p{N}]+`) over the LOWERCASED input — the
+    * tokenizer a multilingual crawl needs, where the byte-wise ASCII
+    * form would shred every non-Latin word into separators.
+    *
+    * Contract: bit-equal to
+    * `regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+', 0)` by
+    * construction — lowercasing is UTF8String.toLowerCase (the exact
+    * kernel SQL `lower()` runs under UTF8_BINARY collation) and the
+    * category test is Character.getType, the same classification
+    * java.util.regex backs \p{L}/\p{N} with (KernelProps pins the
+    * parity law over generated multilingual input). ASCII input takes
+    * the byte-wise fast path — identical output, zero String
+    * allocation — so an ASCII-heavy corpus pays nothing for the
+    * Unicode capability. */
+  def splitUnicode(s: UTF8String): GenericArrayData = {
+    val lowered = s.toLowerCase
+    val bytes = lowered.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) {
+      if (bytes(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return split(lowered)
+    val str = lowered.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (isTokCp(cp)) {
+        val start = i
+        var j = i
+        var c = cp
+        while (j < n && isTokCp(c)) {
+          j += Character.charCount(c)
+          if (j < n) c = str.codePointAt(j)
+        }
+        out += UTF8String.fromString(str.substring(start, j))
+        i = j
+      } else i += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** \p{L} (all letter categories) or \p{N} (all number categories —
+    * Nd, Nl, No), exactly java.util.regex's classification. */
+  @inline private def isTokCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    (t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_LETTER) ||
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
   /** Token COUNT without materializing the array — the target of the
     * TokenCountRewrite optimizer rule (size(graft_tokens(x)) → this):
     * one byte pass, no per-token allocations, no array header. */
@@ -92,6 +147,29 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): AsciiTokens = copy(child = newChild)
+}
+
+/** tokens_unicode(text): maximal lowercased Unicode letter/digit
+  * runs — see Tokenize.splitUnicode for the exact contract. */
+case class UnicodeTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens_unicode expects a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens_unicode"
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenize.splitUnicode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Tokenize.splitUnicode($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeTokens = copy(child = newChild)
 }
 
 /** count(tokens(text)) fused into one pass: produced ONLY by the
@@ -206,6 +284,11 @@ object TextExprs {
     * regexp_extract_all(lower(c), '[a-z0-9]+'). */
   def tokens(c: Column): Column =
     GraftBridge.column(AsciiTokens(GraftBridge.expression(c)))
+
+  /** tokens_unicode(c) — the codegen'd twin of
+    * regexp_extract_all(lower(c), '[\\p{L}\\p{N}]+'). */
+  def tokensUnicode(c: Column): Column =
+    GraftBridge.column(UnicodeTokens(GraftBridge.expression(c)))
 
   /** All rolling w-window 2^modBits polynomial hashes of an
     * array<long> column (see PolyWindowHashes). */

@@ -823,7 +823,39 @@ object Text {
     }
   }
 
+  /** UTF-8 tokenizer over a NON-ASCII corpus variant: the documents
+    * text with vowels/s/N translated into accented Latin + Cyrillic
+    * (the multilingual shape a real crawl has), tokenized by the
+    * codegen'd Unicode kernel (functions.Tokenize.splitUnicode — the
+    * \p{L}\p{N} twin of the ASCII fast path; KernelProps pins the
+    * regex-parity law over generated multilingual input). The oracle
+    * replays the same translate + lower + \p{L}\p{N} extraction in
+    * DuckDB (RE2 is UTF-8 native), so Unicode lowercasing, letter
+    * classification, and run segmentation are all hash-gated; n_alnum
+    * cross-checks via an independent regexp_replace path. */
+  val tokensUnicode: Q = Q(
+    "text_tokens_unicode",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    translate(text, 'aeiosAEION', 'áéíóшÁÉÍÓЙ') AS tr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(lower(tr), '[\p{L}\p{N}]+')) AS n_tokens,
+      |  len(list_distinct(regexp_extract_all(lower(tr), '[\p{L}\p{N}]+'))) AS n_distinct,
+      |  len(regexp_replace(lower(tr), '[^\p{L}\p{N}]', '', 'g')) AS n_alnum
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tr = translate(col("text"), "aeiosAEION", "áéíóшÁÉÍÓЙ")
+    val toksU = graft.functions.TextExprs.tokensUnicode(tr)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toksU).as("n_tokens"),
+      size(array_distinct(toksU)).as("n_distinct"),
+      length(regexp_replace(lower(tr), "[^\\p{L}\\p{N}]", "")).as("n_alnum"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
-    freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply)
+    freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
+    tokensUnicode)
 }

@@ -59,6 +59,43 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  // multilingual soup: Latin accents, sharp s, dotted İ, Kelvin sign,
+  // Cyrillic, Greek (incl. final sigma pairs), CJK, Arabic,
+  // Devanagari, No/Nl numbers (², ½, Ⅷ), a supplementary-plane
+  // letter (𝔘), an emoji (So — separator), and a combining mark
+  private val unicodeText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\n", ".", ",", "-"),
+    3 -> Gen.oneOf("á", "É", "ß", "İ", "K", "Ж", "щ", "Σ", "ς", "中",
+      "文", "ك", "क"),
+    1 -> Gen.oneOf("²", "½", "Ⅷ", "𝔘", "😀",
+      "́")
+  )).map(_.mkString)
+
+  private def unicodeRegexTokens(s: String): List[String] = {
+    // the exact SQL twin: lower() under UTF8_BINARY is
+    // UTF8String.toLowerCase, then java-regex \p{L}\p{N} runs
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(s).toLowerCase.toString
+    val m = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]+")
+      .matcher(lowered)
+    val out = List.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  // Utf8 tokenizer parity law: splitUnicode claims bit-equality with
+  // regexp_extract_all(lower(text), '[\p{L}\p{N}]+') with NO corpus
+  // restriction — unlike the ASCII fast path, every generated string
+  // must agree, including the chars that break the ASCII contract
+  // (Kelvin sign, dotted İ, combining marks, supplementary planes).
+  property("unicode tokenize matches the \\p{L}\\p{N} regex contract") =
+    Prop.forAll(unicodeText) { s =>
+      Tokenize.splitUnicode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .array.toList.map(_.toString) == unicodeRegexTokens(s)
+    }
+
   property("token count equals token array length") =
     Prop.forAll(anyText) { s =>
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
