@@ -277,11 +277,19 @@ object EpubExtractor extends BinaryExtractor {
   * a string, TJ shows an array of strings (kerning numbers ignored),
   * Td/TD/T* line moves become newlines. Handles PDF string-literal
   * escapes (\\( \\) \\\\ \\n \\r \\t, octal \\ddd, nested parens,
-  * line continuations) and <hex> strings. Simple-font text only: no
-  * CMap/ToUnicode remapping, so composite-font PDFs come out as raw
-  * glyph codes — the standard limitation of any non-CMap extractor.
-  * Throws on a missing %PDF- header so DocLoader degrades malformed
-  * files to the placeholder. */
+  * line continuations) and <hex> strings.
+  *
+  * Composite fonts: a font object carrying a /ToUnicode CMap stream
+  * (the Type0 /Identity-H case — most real-world PDFs) is decoded
+  * through it: the content stream's Tf operator selects the current
+  * font by resource name, and every shown string's RAW bytes are
+  * grouped into codespace-width codes (2 for Identity-H) and mapped
+  * via the CMap's bfchar/bfrange entries to UTF-16BE text. Fonts
+  * with no /ToUnicode keep the byte-transparent path (simple fonts
+  * read as Latin-1; Identity-H without ToUnicode has no text mapping
+  * by construction). Unmapped codes and trailing partial codes drop
+  * — PyPDFLoader's behavior. Throws on a missing %PDF- header so
+  * DocLoader degrades malformed files to the placeholder. */
 object PdfExtractor extends BinaryExtractor {
   override val extensions: Set[String] = Set("pdf")
 
@@ -318,21 +326,10 @@ object PdfExtractor extends BinaryExtractor {
       new String(bytes, 0, 5, Latin1) == "%PDF-", "missing %PDF- header")
     val s = new String(bytes, Latin1) // byte-transparent
     val found = streams(s)
-    // text per content-candidate stream, keyed by owning object number
-    val texts = found.map { st =>
-      // only identity and FlateDecode payloads are content candidates:
-      // replaying DCTDecode/LZW/CCITT bytes as operators would inject
-      // whatever binary garbage happens to look like BT..(..)..ET
-      val content =
-        if (st.dict.contains("/FlateDecode"))
-          inflate(st.payload.getBytes(Latin1))
-        else if (st.dict.contains("/Filter")) None
-        else Some(st.payload.getBytes(Latin1))
-      content.map(c => st.num -> spanText(new String(c, Latin1)))
-    }.flatten
-    // blank every payload byte before the page-tree walk: an
+    // blank every payload byte before the page-tree/font walks: an
     // object-header-shaped byte run INSIDE a content stream ("3 0 obj
-    // << /Type /Page >>" as shown text) must not fabricate pages
+    // << /Type /Page >>" as shown text) must not fabricate pages or
+    // font declarations
     val masked = {
       val sb = new StringBuilder(s)
       found.foreach { st =>
@@ -341,6 +338,12 @@ object PdfExtractor extends BinaryExtractor {
       }
       sb.toString
     }
+    val fonts = fontCMaps(masked, found)
+    // text per content-candidate stream, keyed by owning object number
+    val texts = found.map { st =>
+      decodedPayload(st).map(c =>
+        st.num -> spanText(new String(c, Latin1), fonts))
+    }.flatten
     val pageRefs = pageContentRefs(masked)
     if (pageRefs.nonEmpty) {
       val byObj = texts.filter(_._1 >= 0).toMap
@@ -515,6 +518,110 @@ object PdfExtractor extends BinaryExtractor {
     out.result()
   }
 
+  /** Decoded stream bytes when the payload is a content candidate:
+    * only identity and FlateDecode — replaying DCTDecode/LZW/CCITT
+    * bytes as operators would inject whatever binary garbage happens
+    * to look like BT..(..)..ET. */
+  private def decodedPayload(st: StreamObj): Option[Array[Byte]] =
+    if (st.dict.contains("/FlateDecode"))
+      inflate(st.payload.getBytes(Latin1))
+    else if (st.dict.contains("/Filter")) None
+    else Some(st.payload.getBytes(Latin1))
+
+  /** Resource font NAME → ToUnicode CMap, for every font object that
+    * carries a /ToUnicode stream ref. Two walks over the MASKED doc
+    * (payload bytes blanked, so shown text can't forge fonts):
+    * object windows with "/ToUnicode N 0 R" give fontObj → CMap
+    * (code width defaulting to 2 when the window declares /Type0 or
+    * /Identity-H, else 1 — the CMap's own codespacerange overrides);
+    * then /Font resource dicts (inline `<<...>>` or one level of
+    * indirection) give name → fontObj. A name bound to different
+    * fonts on different pages resolves to the LAST binding — the
+    * page-local resource scoping a full resolver would track is out
+    * of scope, disclosed here. */
+  private def fontCMaps(masked: String,
+      found: Seq[StreamObj]): Map[String, ToUnicodeCMap] = {
+    val ToUni = """/ToUnicode\s+(\d+)\s+0\s+R""".r
+    val byObj = scala.collection.mutable.Map.empty[Long, ToUnicodeCMap]
+    var i = masked.indexOf("obj")
+    while (i >= 0) {
+      val k = i + "obj".length
+      val prevOk = i > 0 && isWs(masked.charAt(i - 1))
+      val nextOk = k >= masked.length || isWs(masked.charAt(k)) ||
+        masked.charAt(k) == '<'
+      if (prevOk && nextOk && isObjHeader(masked, i)) {
+        val endobj = masked.indexOf("endobj", k)
+        val streamKw = nextStreamKeyword(masked, k)
+        val end = Seq(endobj, streamKw).filter(_ >= 0)
+          .minOption.getOrElse(masked.length)
+        val window = masked.substring(k, end)
+        for (m <- ToUni.findFirstMatchIn(window)) {
+          val num = objNumberAt(masked, i)
+          val defaultWidth =
+            if (window.contains("/Type0") || window.contains("/Identity-H")) 2
+            else 1
+          for {
+            st <- found.find(_.num == m.group(1).toLong)
+            bytes <- decodedPayload(st)
+          } byObj(num) =
+            ToUnicodeCMap.parse(new String(bytes, Latin1), defaultWidth)
+        }
+      }
+      i = masked.indexOf("obj", i + "obj".length)
+    }
+    if (byObj.isEmpty) return Map.empty
+    val NameRef = """/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R""".r
+    val RefHere = """^(\d+)\s+0\s+R""".r
+    val out = scala.collection.mutable.Map.empty[String, ToUnicodeCMap]
+    var f = masked.indexOf("/Font")
+    while (f >= 0) {
+      var j = f + "/Font".length
+      // "/FontDescriptor" etc. must not match: the key must END here
+      if (j < masked.length &&
+          (isWs(masked.charAt(j)) || masked.charAt(j) == '<')) {
+        while (j < masked.length && isWs(masked.charAt(j))) j += 1
+        val dict: Option[String] =
+          if (masked.startsWith("<<", j)) balancedDict(masked, j)
+          else RefHere.findFirstMatchIn(
+              masked.substring(j, math.min(masked.length, j + 24)))
+            .flatMap(m => objDictWindow(masked, m.group(1).toLong))
+        for {
+          w <- dict
+          m <- NameRef.findAllMatchIn(w)
+          cm <- byObj.get(m.group(2).toLong)
+        } out(m.group(1)) = cm
+      }
+      f = masked.indexOf("/Font", f + "/Font".length)
+    }
+    out.toMap
+  }
+
+  /** The `<<...>>` window starting at `at` (which must point at the
+    * opening `<<`), nesting-aware; None when unbalanced. */
+  private def balancedDict(s: String, at: Int): Option[String] = {
+    var depth = 0
+    var j = at
+    while (j + 1 < s.length) {
+      if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+        depth -= 1; j += 2
+        if (depth == 0) return Some(s.substring(at, j))
+      } else j += 1
+    }
+    None
+  }
+
+  /** One level of indirection for resource dicts: the `<<...>>` of
+    * "num G obj << ... >> endobj". */
+  private def objDictWindow(s: String, num: Long): Option[String] = {
+    val re = ("""(?<!\d)""" + num + """\s+\d+\s+obj""").r
+    re.findFirstMatchIn(s).flatMap { m =>
+      var j = m.end
+      while (j < s.length && isWs(s.charAt(j))) j += 1
+      if (s.startsWith("<<", j)) balancedDict(s, j) else None
+    }
+  }
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -544,21 +651,36 @@ object PdfExtractor extends BinaryExtractor {
     * to an accidental closer. Inside a block, only text-showing
     * operators emit; any other operator discards its string operands
     * (an /ActualText (alt) BDC must not leak ghost text). */
-  private def spanText(span: String): String = {
+  private def spanText(span: String,
+      fonts: Map[String, ToUnicodeCMap]): String = {
     val out = new StringBuilder
     val pending = new StringBuilder // strings parsed since the last op
     var inText = false
+    // current font's ToUnicode CMap (set by Tf, null = byte path) and
+    // the most recent name token (Tf's font-name operand)
+    var curMap: ToUnicodeCMap = null
+    var lastName: String = null
+    def shown(raw: StringBuilder): Unit =
+      if (curMap == null) pending.append(raw)
+      else pending.append(curMap.decode(raw))
     var j = 0
     while (j < span.length) {
       span.charAt(j) match {
-        case '(' if inText => j = literal(span, j, pending)
+        case '(' if inText =>
+          val raw = new StringBuilder
+          j = literal(span, j, raw)
+          shown(raw)
         case '<' if inText && j + 1 < span.length &&
             span.charAt(j + 1) != '<' =>
-          j = hexString(span, j, pending)
+          val raw = new StringBuilder
+          j = hexString(span, j, raw)
+          shown(raw)
         case '/' => // name token: skip so /Td etc. can't look like an op
+          val ns = j + 1
           j += 1
           while (j < span.length && !" \t\r\n()<>[]/".contains(span.charAt(j)))
             j += 1
+          lastName = span.substring(ns, j)
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           var k = j
           while (k < span.length && (span.charAt(k).isLetterOrDigit ||
@@ -566,6 +688,11 @@ object PdfExtractor extends BinaryExtractor {
           span.substring(j, k) match {
             case "BT" => inText = true; pending.clear()
             case "ET" => inText = false; pending.clear()
+            case "Tf" => // font select — legal outside BT..ET too
+              curMap =
+                if (lastName != null) fonts.getOrElse(lastName, null)
+                else null
+              pending.clear()
             case "Tj" | "TJ" if inText =>
               out.append(pending); pending.clear()
             case "'" | "\"" if inText =>
@@ -629,6 +756,125 @@ object PdfExtractor extends BinaryExtractor {
       scala.util.Try(Integer.parseInt(h, 16)).foreach(v => out.append(v.toChar))
     }
     end + 1
+  }
+}
+
+/** A parsed /ToUnicode CMap: fixed code width (bytes per glyph code,
+  * from the codespacerange — 2 for Identity-H) plus code → UTF-16BE
+  * text (multi-char for ligature expansions). */
+private[sources] final case class ToUnicodeCMap(
+    width: Int, map: Map[Int, String]) {
+
+  /** Decode raw shown-string bytes (as Latin-1 chars) through the
+    * CMap: width-byte big-endian codes, unmapped codes and a trailing
+    * partial code drop. */
+  def decode(raw: CharSequence): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i + width <= raw.length) {
+      var code = 0
+      var j = 0
+      while (j < width) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+      map.get(code).foreach(out.append(_))
+      i += width
+    }
+    out.toString
+  }
+}
+
+private[sources] object ToUnicodeCMap {
+
+  private val Hex = """<([0-9A-Fa-f\s]+)>""".r
+
+  /** dst hex → UTF-16BE text (4 hex digits per code unit; defensive
+    * zero-pad for sloppy producers). */
+  private def hexText(h: String): String = {
+    val clean = h.filterNot(_.isWhitespace)
+    val padded =
+      if (clean.length % 4 == 0) clean
+      else clean + "0" * (4 - clean.length % 4)
+    padded.grouped(4).map(g => Integer.parseInt(g, 16).toChar).mkString
+  }
+
+  private def hexInt(h: String): Int =
+    Integer.parseInt(h.filterNot(_.isWhitespace), 16)
+
+  /** Total mapped codes are capped: a hostile CMap full of
+    * <0000> <FFFF> ranges must not balloon the map unboundedly. */
+  private val MaxEntries = 1 << 20
+
+  /** Parse the CMap text: code width from the first codespacerange
+    * (falling back to the font-dict hint), then every
+    * beginbfchar/endbfchar pair list and beginbfrange/endbfrange
+    * entry — both range forms: `<lo> <hi> <dst>` (dst's last UTF-16
+    * unit increments across the range, the spec's interval rule) and
+    * `<lo> <hi> [<d0> <d1> ...]` (explicit per-code array). */
+  def parse(text: String, defaultWidth: Int): ToUnicodeCMap = {
+    val width = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+      .findFirstMatchIn(text)
+      .flatMap(m => Hex.findFirstMatchIn(m.group(1)))
+      .map(m => (m.group(1).filterNot(_.isWhitespace).length + 1) / 2)
+      .getOrElse(defaultWidth)
+    val b = scala.collection.mutable.Map.empty[Int, String]
+    for (m <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)) {
+      Hex.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) if b.size < MaxEntries =>
+          b(hexInt(src)) = hexText(dst)
+        case _ =>
+      }
+    }
+    for (m <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text)) {
+      val block = m.group(1)
+      var i = 0
+      def skipWs(): Unit =
+        while (i < block.length && block.charAt(i).isWhitespace) i += 1
+      def hexTok(): Option[String] = {
+        skipWs()
+        if (i < block.length && block.charAt(i) == '<') {
+          val e = block.indexOf('>', i)
+          if (e < 0) { i = block.length; None }
+          else { val h = block.substring(i + 1, e); i = e + 1; Some(h) }
+        } else None
+      }
+      var ok = true
+      while (ok) {
+        (hexTok(), hexTok()) match {
+          case (Some(lo), Some(hi)) =>
+            skipWs()
+            if (i < block.length && block.charAt(i) == '[') {
+              i += 1
+              var code = hexInt(lo)
+              val last = hexInt(hi)
+              var d = hexTok()
+              while (d.isDefined && code <= last) {
+                if (b.size < MaxEntries) b(code) = hexText(d.get)
+                code += 1
+                d = hexTok()
+              }
+              skipWs()
+              if (i < block.length && block.charAt(i) == ']') i += 1
+            } else hexTok() match {
+              case Some(dst) =>
+                val base = hexText(dst)
+                val lo0 = hexInt(lo)
+                var code = lo0
+                val last = hexInt(hi)
+                while (code <= last) {
+                  if (b.size < MaxEntries) {
+                    val t = base.toCharArray
+                    if (t.nonEmpty)
+                      t(t.length - 1) = (t(t.length - 1) + (code - lo0)).toChar
+                    b(code) = new String(t)
+                  }
+                  code += 1
+                }
+              case None => ok = false
+            }
+          case _ => ok = false
+        }
+      }
+    }
+    ToUnicodeCMap(width, b.toMap)
   }
 }
 

@@ -223,6 +223,57 @@ class ExtractorSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(doc) == "still works")
   }
 
+  test("PDF extractor: Type0/Identity-H text decodes through the ToUnicode CMap") {
+    def obj(n: Int, dict: String, stream: Option[String]) = stream match {
+      case Some(b) =>
+        s"$n 0 obj\n<< /Length ${b.length}$dict >>\nstream\n$b\nendstream\nendobj\n"
+      case None => s"$n 0 obj\n<< $dict >>\nendobj\n"
+    }
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |4 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0004> <006F>
+        |<0005> <00660066 0069>
+        |endbfchar
+        |3 beginbfrange
+        |<0003> <0003> <006C>
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<0057> <0058>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    // 2-byte codes: bfchar singles, an interval bfrange (last-unit
+    // increment: 0010..0012 -> a b c), an array bfrange (W X), a
+    // ligature expansion (0005 -> "ffi"), an UNMAPPED code (0006 —
+    // must drop, not corrupt), then a simple-font switch whose string
+    // stays byte-transparent
+    val content = "BT /F1 12 Tf <0001 0002 0003 0003 0004 0006> Tj Td " +
+      "[<0010> -20 <0011> <0012>] TJ Td <00200021> Tj Td <0005> Tj Td " +
+      "/F2 9 Tf (plain bytes) Tj ET"
+    val doc = ("%PDF-1.4\n" +
+      obj(1, "/Type /Page /Resources << /Font << /F1 4 0 R /F2 8 0 R >> >> /Contents 6 0 R", None) +
+      // second page: /Font value is INDIRECT (one level) and binds a
+      // different name to the same Type0 font
+      obj(2, "/Type /Page /Resources << /Font 9 0 R >> /Contents 7 0 R", None) +
+      obj(4, "/Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /DescendantFonts [10 0 R] /ToUnicode 5 0 R", None) +
+      obj(8, "/Type /Font /Subtype /Type1 /BaseFont /Helvetica", None) +
+      "9 0 obj\n<< /G1 4 0 R >>\nendobj\n" +
+      obj(5, "", Some(cmap)) +
+      obj(6, "", Some(content)) +
+      obj(7, "", Some("BT /G1 1 Tf <00010002> Tj ET")) +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfExtractor.extractPages(doc) ==
+      Seq("Hello\nabc\nWX\nffi\nplain bytes", "He"))
+  }
+
   test("PDF extractor: page tree aligns pages despite skipped streams") {
     def obj(n: Int, dict: String, stream: Option[String]) = stream match {
       case Some(b) =>
