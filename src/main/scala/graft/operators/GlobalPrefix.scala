@@ -20,10 +20,19 @@ object GlobalPrefix {
   /** Returns (df + `cum` column, total sum). `cum` is the inclusive
     * prefix sum of `value` (cast to long) in `sortCols` order. Runs
     * ONE action (the per-partition totals; also materializes the
-    * cached base the window pass reuses). */
+    * cached base the window pass reuses).
+    *
+    * `partitions` <= 0 (the default) sizes the range exchange to the
+    * session's `spark.sql.shuffle.partitions` — 32 locally, whatever
+    * the job sized its shuffles to on a real cluster — so the prefix
+    * pass scales with the deployment instead of a hardcoded width;
+    * the driver-side offset set stays O(partitions) either way. */
   def withCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
-      partitions: Int = 32): (DataFrame, Long) = {
-    val base = df.repartitionByRange(partitions, sortCols: _*)
+      partitions: Int = 0): (DataFrame, Long) = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.repartitionByRange(p, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value.cast("long"))
       .cache() // summed once (offsets), windowed once

@@ -521,9 +521,20 @@ object Pipeline {
     * At 100 TB this is ONE range exchange (the same cost as any
     * global sort) and the rank pass's O(partitions) offset collect —
     * nothing else. */
+  /** Docs per training shard. 64 fits the test corpus (500 docs →
+    * 8 shards, enough to exercise the layout); a production run sizes
+    * shards to the dataloader's unit of work — target shard bytes /
+    * mean doc bytes — via GRAFT_SHARD_DOCS. Read once at class load
+    * and interpolated into BOTH the Spark plan and the oracle SQL, so
+    * the gate stays in lockstep at any setting (the oracle takes the
+    * value as a literal either way). */
+  private val shardDocs: Long =
+    sys.env.get("GRAFT_SHARD_DOCS").map(_.toLong).filter(_ >= 1)
+      .getOrElse(64L)
+
   val corpusShuffle: Q = Q(
     "corpus_shuffle",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
       |  FROM documents),
       |r AS (
@@ -531,15 +542,19 @@ object Pipeline {
       |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rank
       |  FROM t)
       |SELECT doc_id, rank,
-      |  (rank - 1) // 64 AS shard_id, (rank - 1) % 64 AS pos_in_shard
+      |  (rank - 1) // $shardDocs AS shard_id,
+      |  (rank - 1) % $shardDocs AS pos_in_shard
       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val keyed = Tables.documents(s, dir).select(col("doc_id"),
       md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
     val (ranked, _) = graft.operators.GlobalPrefix.withCumSum(
       keyed, Seq(col("k"), col("doc_id")), lit(1L))
     ranked.select(col("doc_id"), col("cum").as("rank"),
-        floor((col("cum") - 1) / 64.0).cast("long").as("shard_id"),
-        pmod(col("cum") - 1, lit(64L)).as("pos_in_shard"))
+        // integer `div`, not floor(double/): a double mantissa clips
+        // ranks past 2^53 — irrelevant at test scale, wrong at lake
+        // scale
+        expr(s"(cum - 1) div $shardDocs").as("shard_id"),
+        pmod(col("cum") - 1, lit(shardDocs)).as("pos_in_shard"))
       .orderBy(col("doc_id"))
   }
 
