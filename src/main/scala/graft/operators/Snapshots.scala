@@ -87,6 +87,44 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  /** Publish + per-file min/max manifest over `statCols`
+    * (SnapStats.writeManifest — footer reads only), written BEFORE
+    * the commit marker so a committed version's manifest is part of
+    * the committed artifact (a crash between them leaves a torn,
+    * invisible dir exactly like any other torn write). Cluster the
+    * frame on the stat column first (repartitionByRange / ZOrder) —
+    * tight per-file ranges are what make the manifest prune. */
+  def publishWithStats(df: DataFrame, root: String,
+      statCols: Seq[String]): Long = {
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    SnapStats.writeManifest(s"$root/v=$n", statCols)
+    val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
+    require(ok, s"snapshot v=$n already committed — concurrent writer?")
+    n
+  }
+
+  /** Range scan over the resolved snapshot with manifest-based FILE
+    * skipping (SnapStats.scanRange): files whose recorded [min,max]
+    * provably miss [lo, hi] never enter the scan list — at lake scale
+    * that saves opening the 100k footers that contain nothing in
+    * range — and the residual filter stays in the plan, so parquet
+    * row-group pruning and correctness hold whatever the manifest
+    * said. Versions without a manifest degrade to a full scan plus
+    * filter, never to wrong rows. */
+  def readPruned(s: SparkSession, root: String, c: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val live = committed(root)
+    val pick = asOf match {
+      case Some(v) => live.takeWhile(_._1 <= v).lastOption
+      case None => live.lastOption
+    }
+    val (_, dir) = pick.getOrElse(sys.error(
+      s"no committed snapshot in $root" +
+        asOf.map(v => s" at or before v=$v").getOrElse("")))
+    SnapStats.scanRange(s, dir, c, lo, hi)
+  }
+
   /** Append-log flavor: each committed version holds one BATCH, and
     * a reader resolves the UNION of every committed version (up to an
     * as-of version) — the CDC/ingest-table shape where publishing a

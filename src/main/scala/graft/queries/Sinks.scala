@@ -295,7 +295,41 @@ object Sinks {
       .orderBy(col("st"))
   }
 
+  /** Manifest-based data skipping on the snapshot table
+    * (Snapshots.publishWithStats + readPruned / operators.SnapStats):
+    * lineitem is clustered on l_orderkey (range partition + in-file
+    * sort → tight per-file ranges), published with a per-file min/max
+    * manifest built from footer reads only, and a selective key-range
+    * scan resolves through the manifest — files provably outside the
+    * range never enter the scan list (the cost that matters at 100k
+    * files), the residual filter stays in the plan. The oracle is the
+    * plain relational filter, so pruned-read == filter semantics are
+    * hash-gated; the strictly-fewer-files property and the
+    * missing-stats-keeps-file law are spec-graded (SnapshotSpec). */
+  val snapshotPrune: Q = Q(
+    "sink_snapshot_prune",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "lineitem_snap_prune")
+    graft.operators.LakeFs.rmTree(root)
+    val clustered = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    graft.operators.Snapshots.publishWithStats(
+      clustered, root, Seq("l_orderkey"))
+    graft.operators.Snapshots.readPruned(s, root, "l_orderkey", 1000L, 3000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
-    snapshotMor)
+    snapshotMor, snapshotPrune)
 }

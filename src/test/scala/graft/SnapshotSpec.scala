@@ -250,6 +250,44 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.readLog(spark, root).count() == 2L)
   }
 
+  test("manifest stats prune files a selective range scan provably misses") {
+    import spark.implicits._
+    import graft.operators.SnapStats
+    val root = freshRoot("prune")
+    // clustered layout: 8 files, each a tight contiguous key range
+    val df = spark.range(0L, 8000L).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.col("k") * 2)
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k")
+    val v = graft.operators.Snapshots.publishWithStats(df, root, Seq("k"))
+    val dir = s"$root/v=$v"
+    val all = SnapStats.prunedPaths(dir, "k",
+      BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+    assert(all.size == 8, s"expected 8 data files, saw ${all.size}")
+    // a ~1/8 range must hit strictly fewer files than the full list —
+    // the file-level data-skipping proof
+    val narrow = SnapStats.prunedPaths(dir, "k",
+      BigDecimal(2000), BigDecimal(2500))
+    assert(narrow.nonEmpty && narrow.size < all.size,
+      s"manifest failed to prune: ${narrow.size} of ${all.size}")
+    // pruned read == plain filter, rows exact
+    val pruned = graft.operators.Snapshots
+      .readPruned(spark, root, "k", 2000L, 2500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == (2000L to 2500L).map(k => (k, k * 2)).toSet)
+    // a column with NO manifest entry never prunes — and the scan is
+    // still correct through the kept-everything path
+    val noStats = SnapStats.prunedPaths(dir, "v",
+      BigDecimal(0), BigDecimal(1))
+    assert(noStats.size == all.size, "missing stats must keep every file")
+    assert(graft.operators.Snapshots
+      .readPruned(spark, root, "v", 0L, 10L).count() == 6L) // v=0,2,..,10
+    // an all-pruned range returns empty with the right schema
+    val none = graft.operators.Snapshots
+      .readPruned(spark, root, "k", 100000L, 200000L)
+    assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0L)
+  }
+
   test("streaming snapshot ingest: micro-batches become committed versions exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
