@@ -485,6 +485,48 @@ object StreamOps {
     ()
   }
 
+  /** Streaming CDC ingest into the MERGE-ON-READ log: rows carry an
+    * `_op` column ('u' upsert / 'd' delete) plus the merge key and
+    * payload; each micro-batch publishes its upserts as one append
+    * version and its delete keys as one tombstone version
+    * (Snapshots.publishDeletes), so readLogMerged serves latest-wins
+    * state per key and compactLogMerged folds the history away —
+    * the change-data shape (Debezium-style op streams) landing as
+    * O(batch) appends, never an O(table) rewrite. Tombstones publish
+    * AFTER upserts, so a key both upserted and deleted within one
+    * batch resolves to deleted.
+    *
+    * Exactly-once via epochOnce, with the usual residual window
+    * (crash between the publishes and the marker) absorbed BY
+    * CONSTRUCTION here: replaying the epoch re-appends the same keys
+    * at higher versions, and latest-wins over equal rows yields the
+    * identical merged read — replay idempotence is spec-pinned
+    * (SnapshotSpec), which is exactly why CDC rides the MoR log
+    * rather than the raw append union. */
+  def cdcIngest(s: SparkSession, rows: DataFrame, root: String,
+      key: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        cdcIngestBatch(batch.toDF(), epoch, root, key)
+      }
+      .start()
+
+  /** One CDC micro-batch — factored out so the retry spec can replay
+    * an epoch directly. Empty halves publish nothing (no version
+    * clutter from one-sided batches). */
+  private[graft] def cdcIngestBatch(batch: DataFrame, epoch: Long,
+      root: String, key: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.IndexLifecycle.epochOnce(root, epoch) {
+      val ups = batch.filter(col("_op") === "u").drop("_op")
+      if (!ups.isEmpty) graft.operators.Snapshots.publishAppend(ups, root)
+      val dels = batch.filter(col("_op") === "d").select(col(key))
+      if (!dels.isEmpty) graft.operators.Snapshots.publishDeletes(dels, root)
+    }
+  }
+
   def rollingState(s: SparkSession, events: Dataset[RollMsg]): Dataset[RollOut] = {
     import s.implicits._
     val hour = 3600000000L

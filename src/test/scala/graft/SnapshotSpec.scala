@@ -288,6 +288,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0L)
   }
 
+  test("streaming CDC ingest: op-stream lands as MoR versions; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("cdc")
+    LakeFs.rmTree(root + "_ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String)]
+    val q = graft.streaming.StreamOps.cdcIngest(spark,
+      ms.toDF().toDF("_op", "k", "v"), root, "k")
+    def merged() = Snapshots.readLogMerged(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      ms.addData(("u", 1L, "a"), ("u", 2L, "b")); q.processAllAvailable()
+      // one batch carrying upserts AND deletes: delete wins for 1
+      ms.addData(("u", 2L, "b2"), ("u", 1L, "a2"), ("d", 1L, ""))
+      q.processAllAvailable()
+      assert(merged() == Set(2L -> "b2"))
+    } finally q.stop()
+    // foreachBatch retry with the SAME epoch publishes nothing
+    val before = Snapshots.latestVersion(root)
+    graft.streaming.StreamOps.cdcIngestBatch(
+      Seq(("u", 2L, "b2"), ("d", 1L, "")).toDF("_op", "k", "v"),
+      1L, root, "k")
+    assert(Snapshots.latestVersion(root) == before, "epoch replay re-published")
+    // the residual window (replay under a FRESH epoch id, as after a
+    // crash between publish and marker) duplicates versions but the
+    // merged read is IDENTICAL — latest-wins over equal rows
+    graft.streaming.StreamOps.cdcIngestBatch(
+      Seq(("u", 2L, "b2"), ("u", 1L, "a2"), ("d", 1L, "")).toDF("_op", "k", "v"),
+      99L, root, "k")
+    assert(merged() == Set(2L -> "b2"), "MoR replay must be idempotent")
+    // compaction folds the whole op history into one base
+    Snapshots.compactLogMerged(spark, root, "k")
+    assert(merged() == Set(2L -> "b2"))
+    assert(Snapshots.readLog(spark, root).count() == 1L)
+  }
+
   test("streaming snapshot ingest: micro-batches become committed versions exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
