@@ -126,9 +126,78 @@ object SnapStats {
   def scanRange(s: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): DataFrame = {
     val paths = prunedPaths(dir, c, BigDecimal(lo), BigDecimal(hi))
-    val base =
-      if (paths.nonEmpty) s.read.parquet(paths: _*)
-      else s.read.parquet(dir).filter(lit(false))
-    base.filter(col(c) >= lo && col(c) <= hi)
+    readPaths(s, dir, paths).filter(col(c) >= lo && col(c) <= hi)
   }
+
+  private def readPaths(s: SparkSession, dir: String,
+      paths: Seq[String]): DataFrame =
+    if (paths.nonEmpty) s.read.parquet(paths: _*)
+    else s.read.parquet(dir).filter(lit(false))
+
+  private def bloomName(c: String) = s"_SNAP_BLOOM_$c"
+
+  /** Per-FILE Bloom index over long key column `c` — the point-lookup
+    * complement to the min/max manifest: on UNCLUSTERED data every
+    * file spans the full key range and min/max prunes nothing, but a
+    * per-file Bloom rejects the files that cannot contain an equality
+    * probe's key (Delta's Bloom index shape). Built in ONE Spark
+    * aggregation grouped by input_file_name() (BloomAgg — mergeable
+    * sketch buffers, map-side partials), so the build is a single
+    * data pass at publish/OPTIMIZE time, amortized across every point
+    * lookup after; the driver holds one `fpp`-sized bitmap per file.
+    * Stored as `_SNAP_BLOOM_<col>`: fileName \t base64(filter). */
+  def writeBloom(s: SparkSession, dir: String, c: String,
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    val rows = s.read.parquet(dir)
+      .groupBy(input_file_name().as("__f"))
+      .agg(graft.functions.BloomAgg.bloom(col(c), expectedPerFile, fpp)
+        .as("__bits"))
+      .collect()
+    val b64 = java.util.Base64.getEncoder
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      sb.append(name).append('\t')
+        .append(b64.encodeToString(r.getAs[Array[Byte]](1))).append('\n')
+    }
+    LakeFs.write(s"$dir/${bloomName(c)}", sb.toString)
+  }
+
+  /** File paths an equality probe `c = value` must read: Bloom-pruned
+    * when the index exists (a filter that rejects the key PROVES the
+    * file cannot contain it — false positives only ever keep extra
+    * files), every parquet file when it does not; files missing from
+    * the index are kept. */
+  def pointPaths(dir: String, c: String, value: Long): Seq[String] = {
+    val files = LakeFs.list(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+    LakeFs.readString(s"$dir/${bloomName(c)}") match {
+      case None => files.map(_.toString)
+      case Some(idx) =>
+        val b64 = java.util.Base64.getDecoder
+        val blooms = idx.linesIterator.flatMap { line =>
+          line.split('\t') match {
+            case Array(f, bits) =>
+              Some(f -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(b64.decode(bits))))
+            case _ => None
+          }
+        }.toMap
+        files.filter { p =>
+          blooms.get(p.getName).forall(_.mightContainLong(value))
+        }.map(_.toString)
+    }
+  }
+
+  /** The rows of `dir` with `c` = `value`, Bloom-pruned at file level
+    * with the exact equality filter still in the plan (false
+    * positives scan and filter away; correctness never depends on the
+    * index). */
+  def scanPoint(s: SparkSession, dir: String, c: String,
+      value: Long): DataFrame =
+    readPaths(s, dir, pointPaths(dir, c, value)).filter(col(c) === value)
 }

@@ -104,6 +104,33 @@ object Snapshots {
     n
   }
 
+  /** Build the per-file Bloom index over `c` for the LATEST committed
+    * snapshot (SnapStats.writeBloom) — the OPTIMIZE-style post-publish
+    * job for point-lookup tables; one data pass, amortized across
+    * every readPoint after. */
+  def addBloom(s: SparkSession, root: String, c: String,
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Unit =
+    SnapStats.writeBloom(s, resolveDir(root, None), c, expectedPerFile, fpp)
+
+  /** Equality probe over the resolved snapshot with Bloom file
+    * skipping — on unclustered data min/max prunes nothing (every
+    * file spans the key range) but a per-file Bloom rejects the files
+    * that cannot hold the key; the exact filter stays in the plan. */
+  def readPoint(s: SparkSession, root: String, c: String, value: Long,
+      asOf: Option[Long] = None): DataFrame =
+    SnapStats.scanPoint(s, resolveDir(root, asOf), c, value)
+
+  private def resolveDir(root: String, asOf: Option[Long]): String = {
+    val live = committed(root)
+    val pick = asOf match {
+      case Some(v) => live.takeWhile(_._1 <= v).lastOption
+      case None => live.lastOption
+    }
+    pick.getOrElse(sys.error(
+      s"no committed snapshot in $root" +
+        asOf.map(v => s" at or before v=$v").getOrElse("")))._2
+  }
+
   /** Range scan over the resolved snapshot with manifest-based FILE
     * skipping (SnapStats.scanRange): files whose recorded [min,max]
     * provably miss [lo, hi] never enter the scan list — at lake scale
@@ -113,17 +140,8 @@ object Snapshots {
     * said. Versions without a manifest degrade to a full scan plus
     * filter, never to wrong rows. */
   def readPruned(s: SparkSession, root: String, c: String,
-      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
-    val live = committed(root)
-    val pick = asOf match {
-      case Some(v) => live.takeWhile(_._1 <= v).lastOption
-      case None => live.lastOption
-    }
-    val (_, dir) = pick.getOrElse(sys.error(
-      s"no committed snapshot in $root" +
-        asOf.map(v => s" at or before v=$v").getOrElse("")))
-    SnapStats.scanRange(s, dir, c, lo, hi)
-  }
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
+    SnapStats.scanRange(s, resolveDir(root, asOf), c, lo, hi)
 
   /** Append-log flavor: each committed version holds one BATCH, and
     * a reader resolves the UNION of every committed version (up to an

@@ -329,7 +329,41 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-file Bloom point lookup on the snapshot table
+    * (Snapshots.addBloom + readPoint / SnapStats.writeBloom): the
+    * snapshot is clustered on l_orderkey, so every file spans nearly
+    * the FULL l_partkey range and the min/max manifest cannot prune a
+    * partkey probe — the Bloom index (one mergeable BloomAgg pass
+    * grouped by input_file_name at publish time) rejects the files
+    * that provably cannot hold the key, and the exact equality filter
+    * stays in the plan so false positives only cost I/O, never rows.
+    * The oracle is the plain relational equality filter; the
+    * fewer-files and no-false-drop laws are spec-graded
+    * (SnapshotSpec). */
+  val snapshotBloom: Q = Q(
+    "sink_snapshot_bloom",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+      |FROM lineitem WHERE l_partkey = 100
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "lineitem_snap_bloom")
+    graft.operators.LakeFs.rmTree(root)
+    val clustered = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    graft.operators.Snapshots.publishWithStats(
+      clustered, root, Seq("l_orderkey"))
+    graft.operators.Snapshots.addBloom(s, root, "l_partkey",
+      expectedPerFile = 200000L)
+    graft.operators.Snapshots.readPoint(s, root, "l_partkey", 100L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("key_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
-    snapshotMor, snapshotPrune)
+    snapshotMor, snapshotPrune, snapshotBloom)
 }

@@ -288,6 +288,46 @@ class SnapshotSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0L)
   }
 
+  test("bloom index prunes point lookups where min/max cannot") {
+    import spark.implicits._
+    import graft.operators.SnapStats
+    val root = freshRoot("bloom")
+    // 8 files clustered on k, with a SECOND key v pseudo-randomly
+    // spread: every file spans nearly the full v range, so a min/max
+    // manifest is useless for v — the bloom's exact use case
+    val df = spark.range(0L, 8000L).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions
+        .expr("pmod(k * 1000003, 100000007)"))
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k")
+    val ver = graft.operators.Snapshots.publishWithStats(df, root, Seq("k", "v"))
+    val dir = s"$root/v=$ver"
+    graft.operators.Snapshots.addBloom(spark, root, "v",
+      expectedPerFile = 2000L)
+    val all = SnapStats.pointPaths(dir, "k", 1L) // no bloom for k: all kept
+    assert(all.size == 8)
+    // probe an existing v: bloom keeps far fewer files than min/max
+    // would (v's per-file min/max span ~everything)
+    val probeV = (1234L * 1000003L) % 100000007L
+    val kept = SnapStats.pointPaths(dir, "v", probeV)
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"bloom kept ${kept.size} of ${all.size} files")
+    val rows = graft.operators.Snapshots.readPoint(spark, root, "v", probeV)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1234L, probeV)))
+    // no-false-drop law: every 97th key must come back exactly
+    (0L until 8000L by 97L).foreach { k =>
+      val v = (k * 1000003L) % 100000007L
+      val got = graft.operators.Snapshots.readPoint(spark, root, "v", v)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(k), s"bloom dropped k=$k")
+    }
+    // an absent key usually resolves to ZERO files and still reads
+    // empty with the right schema
+    val none = graft.operators.Snapshots.readPoint(spark, root, "v", 99999999L)
+    assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0L)
+  }
+
   test("streaming CDC ingest: op-stream lands as MoR versions; replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
