@@ -154,6 +154,24 @@ object IndexLifecycle {
     LakeFs.write(m, "")
   }
 
+  /** [[epochOnce]] scoped to one named producer: epoch ids are
+    * per-query counters, so when SEVERAL streams feed one root (the
+    * multi-writer ingest, Snapshots.publishConcurrent) each stream's
+    * epoch 0 is a different fact — the marker carries the stream id
+    * (`_GRAFT_EPOCH_<streamId>_<epoch>`). Retention reaps these per
+    * stream (Snapshots' vacuum family parses the id back off the
+    * name — everything up to the final underscore). */
+  def epochOnceFor(idxDir: String, streamId: String, epoch: Long)(
+      append: => Unit): Unit = {
+    require(streamId.matches("[A-Za-z0-9_-]+"),
+      s"streamId must be [A-Za-z0-9_-]+: '$streamId'")
+    val m = s"$idxDir/_GRAFT_EPOCH_${streamId}_$epoch"
+    if (LakeFs.isFile(m)) return
+    append
+    LakeFs.mkdirs(idxDir)
+    LakeFs.write(m, "")
+  }
+
   /** Run `build` into a private dir and publish it at `idxDir` —
     * unless a complete index built under the SAME `key` is already
     * published there, in which case this is a no-op and the caller

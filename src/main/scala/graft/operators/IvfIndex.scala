@@ -147,6 +147,17 @@ object IvfIndex {
     * aggregate instead of a k-wide projection. */
   private[operators] val LiteralCentroidMax = 256
 
+  /** Nearest-centroid assignment of (vec_id, v, n2) rows against the
+    * FROZEN centroids of a built index — the coarse-partition step
+    * consumers outside the probe path block on (SemDeDup-style
+    * semantic dedup groups candidates by this cid). Centroids load
+    * once (k·dim values) and ride the plan as literals, or as a
+    * broadcast past LiteralCentroidMax; the corpus never shuffles for
+    * the assignment itself. */
+  def assign(spark: SparkSession, indexDir: String,
+      emb: DataFrame): DataFrame =
+    assignTo(loadCentroids(spark, indexDir), emb)
+
   /** Nearest-centroid assignment of (vec_id, v, n2) rows; dispatches
     * on k (see LiteralCentroidMax). */
   private def assignTo(centers: Array[Array[Double]],

@@ -82,13 +82,31 @@ object LakeFs {
 
   /** Create-if-absent of an empty file — the atomic commit primitive
     * (see the store-by-store contract above). False when it already
-    * exists or a racer created it first. */
+    * exists or a racer created it first.
+    *
+    * Local paths take the O_EXCL syscall directly: Hadoop's
+    * Local/RawLocalFileSystem implements createNewFile as
+    * exists-then-create — a check-then-act window in which two
+    * in-process writers (the OCC claim race, Snapshots.claimNext)
+    * can BOTH observe success. HDFS arbitrates at the namenode, so
+    * the Hadoop call keeps its atomicity there; this carve-out is
+    * the facade doing its job — one primitive, the strongest
+    * implementation each store offers. */
   def createMarker(path: String): Boolean = {
     val p = new Path(path)
-    try fsOf(p).createNewFile(p)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
+    fsOf(p) match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(p.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        try f.createNewFile()
+        catch { case _: java.io.IOException => false }
+      case fs =>
+        try fs.createNewFile(p)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     }
   }
 

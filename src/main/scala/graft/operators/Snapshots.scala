@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, struct}
+import org.apache.spark.sql.functions.{array, col, explode, lit, max, struct, when}
 
 /** Versioned snapshot tables — the time-travel/ACID-read layer a lake
   * without a table format still needs (the core of what Iceberg's
@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions.{col, lit, max, struct}
   * highest COMMITTED one (or the highest committed <= an as-of
   * version) — so a writer that crashes mid-write leaves a torn,
   * marker-less directory that is simply invisible: readers never see
-  * a partial table, and the next publish allocates past it. Single
-  * writer per table assumed (the nightly-job model; a multi-writer
-  * lake adds a log service, which is out of scope by design).
+  * a partial table, and the next publish allocates past it. `publish`
+  * assumes a single writer per table (the nightly-job model);
+  * concurrent writers use [[publishConcurrent]] (every caller lands
+  * at a distinct version — claim-marker arbitration) or [[publishIf]]
+  * (compare-and-swap for read-modify-write cycles), no log service
+  * required.
   *
   * All filesystem access goes through [[LakeFs]], so a root may be a
   * local path, `hdfs://`, or `s3a://` — publish is write-then-marker
@@ -66,6 +69,114 @@ object Snapshots {
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
     n
   }
+
+  // ---- optimistic concurrency: the multi-writer commit protocol ----
+  //
+  // `publish` assumes one writer per table (the nightly-job model).
+  // Concurrent writers coordinate through CLAIM markers at the table
+  // root: `_SNAP_CLAIM_<n>` is created-if-absent BEFORE any data is
+  // written to v=<n>, and `createMarker` is the same atomic primitive
+  // the commit marker uses (LakeFs contract) — so two writers can
+  // never both own a version number. A claimant that crashes leaves a
+  // claim + torn dir: invisible to readers, its number never reused
+  // (allocation takes max over dirs AND claims). Claims at or below
+  // the latest committed version are garbage (that number can never
+  // be allocated again) and are reaped by vacuum/vacuumLog; claims
+  // ABOVE it are indistinguishable from a live in-flight writer and
+  // are only reaped by `vacuumClaims`, an administrative call that —
+  // like every vacuum — assumes no writer is live.
+
+  private val ClaimMarker = "^_SNAP_CLAIM_(\\d+)$".r
+
+  private def claims(root: String): Seq[Long] =
+    LakeFs.list(root).flatMap { st =>
+      st.getPath.getName match {
+        case ClaimMarker(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
+
+  /** Atomically claim the next free version number: one atomic
+    * create-if-absent per attempt, re-listing on loss. O(1) listings
+    * absent contention; under contention each loser re-lists once. */
+  private def claimNext(root: String): Long = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val vmax = versions(root).lastOption.map(_._1).getOrElse(0L)
+      val cmax = if (claims(root).isEmpty) 0L else claims(root).max
+      val n = math.max(vmax, cmax) + 1
+      if (LakeFs.createMarker(s"$root/_SNAP_CLAIM_$n")) return n
+      attempts += 1
+    }
+    sys.error(s"claimNext($root): lost the claim race 1000 times")
+  }
+
+  /** Multi-writer publish: claim a version atomically, write, commit,
+    * release the claim. Any number of concurrent callers succeed at
+    * DISTINCT versions — the shape concurrent ingest streams need on
+    * one append log, where union semantics make every interleaving
+    * correct. On the snapshot flavor concurrent publishers serialize
+    * by version number (readers resolve the highest committed — a
+    * slow writer's snapshot can land below an already-visible newer
+    * one and simply never becomes latest); read-modify-write cycles
+    * use [[publishIf]] instead. */
+  def publishConcurrent(df: DataFrame, root: String): Long = {
+    val n = claimNext(root)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"snapshot v=$n already committed under our claim — protocol bug")
+    LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
+    n
+  }
+
+  /** Thrown when [[publishIf]] loses the optimistic-concurrency race;
+    * callers re-read the table, recompute, and retry. */
+  final class SnapshotConflict(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  /** Compare-and-swap publish — the read-modify-write commit (MERGE,
+    * compaction): succeeds only as version `expected + 1`, where
+    * `expected` is the latest committed version the caller's read
+    * started from. Soundness is the Delta-style contiguity rule
+    * carried by claims: we atomically claim `n`; if `n == expected+1`
+    * then NO other writer holds or can take any number in between, so
+    * no commit can ever appear between our read state and our new
+    * version — lost updates are impossible. If `n > expected + 1`
+    * someone else claimed first and we throw [[SnapshotConflict]]
+    * (conservatively: a CRASHED claimant also inflates `n`, making
+    * the conflict spurious — after `vacuumClaims` the retry goes
+    * through; conflicts can be false-positive, never false-negative). */
+  def publishIf(df: DataFrame, root: String, expected: Long): Long = {
+    val n = claimNext(root)
+    if (n != expected + 1) {
+      LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
+      throw new SnapshotConflict(
+        s"publishIf($root): expected to commit v=${expected + 1} but " +
+          s"claimed v=$n — a concurrent writer (or a dead claim; run " +
+          "vacuumClaims) got there first; re-read and retry")
+    }
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"snapshot v=$n already committed under our claim — protocol bug")
+    LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
+    n
+  }
+
+  /** Reap ALL claim markers — the recovery for claims left by crashed
+    * writers above the latest committed version, which block
+    * [[publishIf]] (never correctness). Assumes no writer is live,
+    * exactly like vacuum assumes no reader needs reaped versions. */
+  def vacuumClaims(root: String): Unit =
+    claims(root).foreach(n => LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n"))
+
+  /** Claims at or below the latest committed version can never be
+    * allocated again (allocation is max over dirs and claims) — pure
+    * listing garbage, safe to reap under live writers. */
+  private def reapDeadClaims(root: String): Unit =
+    committed(root).lastOption.foreach { case (latest, _) =>
+      claims(root).filter(_ <= latest)
+        .foreach(n => LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n"))
+    }
 
   /** The latest committed snapshot, or (with `asOf`) the newest
     * committed snapshot at or before that version — time travel. */
@@ -235,6 +346,57 @@ object Snapshots {
       .select(col(key) +: dataCols.map(c => col(s"_graft_w.$c").as(c)): _*)
   }
 
+  /** CHANGE DATA FEED between two committed versions of a keyed MoR
+    * log: the net-effect row changes a downstream consumer applies to
+    * move from the table state at `from` to the state at `to`. Emits
+    * Delta-CDF-shaped rows — `change_type` in insert / delete /
+    * update_preimage / update_postimage (updates carry both images,
+    * unchanged keys emit nothing).
+    *
+    * Cost shape: the two merged states (one argmax aggregation each)
+    * plus ONE full-outer equi-join on the key and a single projection
+    * — no window sort, no driver collection. Note the raw log already
+    * IS a change log (tombstones + appends in version order — stream
+    * consumers tail `readLog`); readChanges is the NET diff, which
+    * collapses intermediate churn: a key upserted five times between
+    * the versions emits one update, inserted-then-deleted emits
+    * nothing. Schema evolution across the boundary null-fills the old
+    * side, so an added column surfaces as an update on rows whose
+    * other fields never moved — exactly what a consumer must apply. */
+  def readChanges(s: SparkSession, root: String, key: String,
+      from: Long, to: Long): DataFrame = {
+    require(from <= to, s"readChanges: from=$from must be <= to=$to")
+    val before = readLogMerged(s, root, key, asOf = Some(from))
+    val after = readLogMerged(s, root, key, asOf = Some(to))
+    val dataCols =
+      (before.columns ++ after.columns).distinct.filterNot(_ == key)
+    def side(df: DataFrame, k: String, v: String): DataFrame = {
+      val widened = dataCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      widened.select(col(key).as(k),
+        struct(dataCols.map(col): _*).as(v))
+    }
+    val b = side(before, "_bk", "_bv")
+    val a = side(after, "_ak", "_av")
+    def change(tag: String, k: Column, v: Column): Column =
+      struct(lit(tag).as("change_type"), k.as(key), v.as("_v"))
+    b.join(a, col("_bk") === col("_ak"), "full_outer")
+      .filter(col("_bk").isNull || col("_ak").isNull ||
+        !(col("_bv") <=> col("_av")))
+      .select(explode(
+        when(col("_bk").isNull,
+          array(change("insert", col("_ak"), col("_av"))))
+        .when(col("_ak").isNull,
+          array(change("delete", col("_bk"), col("_bv"))))
+        .otherwise(array(
+          change("update_preimage", col("_bk"), col("_bv")),
+          change("update_postimage", col("_ak"), col("_av")))))
+        .as("_c"))
+      .select(col("_c.change_type").as("change_type") +:
+        col(s"_c.$key").as(key) +:
+        dataCols.map(c => col(s"_c._v.$c").as(c)): _*)
+  }
+
   /** The small-files job the append log needs: fold every committed
     * version the current reader would union into ONE new compacted
     * version. The base marker is written BEFORE the commit marker, so
@@ -244,8 +406,22 @@ object Snapshots {
     * stay on disk (readers mid-flight may hold them; time travel to
     * pre-compaction boundaries keeps working) until vacuumLog reaps
     * them. Returns the compacted version. */
-  def compactLog(s: SparkSession, root: String): Long =
+  def compactLog(s: SparkSession, root: String): Long = {
+    requireNoTombstones(root, "compactLog", "compactLogMerged")
     commitCompacted(readLog(s, root), root)
+  }
+
+  /** Folding a raw union over tombstone batches would re-write the
+    * delete markers as DATA rows (key-only, null-filled) in the
+    * compacted base — merge-on-read readers after the fold would
+    * resurrect every deleted key. Refuse up front; the merged
+    * variants fold tombstones away correctly. */
+  private def requireNoTombstones(root: String, op: String,
+      mergedOp: String): Unit =
+    require(!logWindow(root, None).exists { case (_, d) => hasTombstone(d) },
+      s"$op($root): the reader window holds tombstone batches " +
+        s"(merge-on-read log) — a raw fold would turn deletes into " +
+        s"rows; use $mergedOp")
 
   /** Merge-on-read compaction: fold the log through
     * [[readLogMerged]] — upserts applied, tombstones dropped — into
@@ -253,6 +429,45 @@ object Snapshots {
     * the tombstone batches below are subsumed. */
   def compactLogMerged(s: SparkSession, root: String, key: String): Long =
     commitCompacted(readLogMerged(s, root, key), root)
+
+  /** OPTIMIZE ZORDER for the append log — the nightly layout job a
+    * 100 TB lake runs: fold the current reader window into ONE
+    * compacted version laid out on the Morton curve of (cx, cy)
+    * (ZOrder.clustered — one stats broadcast, one range shuffle into
+    * `files` shards, a within-partition sort) and carrying a per-file
+    * min/max manifest over BOTH keys, written before the commit
+    * marker. Compaction (small files folded), multi-dimensional
+    * clustering (selective scans on either key prune through
+    * [[readPruned]]), and data skipping stats all land in one data
+    * pass; the base marker subsumes the prefix exactly like
+    * compactLog, so reads are unchanged and later appends stack on
+    * top. Snapshot-flavor tables get the same layout by publishing
+    * ZOrder.clustered output through [[publishWithStats]] directly. */
+  def optimize(s: SparkSession, root: String, cx: String, cy: String,
+      files: Int = 16): Long = {
+    requireNoTombstones(root, "optimize", "optimizeMerged")
+    commitOptimized(s, readLog(s, root), root, cx, cy, files)
+  }
+
+  /** OPTIMIZE for the merge-on-read log: resolve latest-wins per
+    * `key` and fold tombstones away FIRST ([[readLogMerged]]), then
+    * lay the merged state out z-ordered with stats — one job that
+    * pays the merge cost once so every reader after it pays neither
+    * merge nor full-scan. */
+  def optimizeMerged(s: SparkSession, root: String, key: String,
+      cx: String, cy: String, files: Int = 16): Long =
+    commitOptimized(s, readLogMerged(s, root, key), root, cx, cy, files)
+
+  private def commitOptimized(s: SparkSession, folded: DataFrame,
+      root: String, cx: String, cy: String, files: Int): Long = {
+    val clustered = ZOrder.clustered(folded, cx, cy, files)
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    SnapStats.writeManifest(s"$root/v=$n", Seq(cx, cy))
+    require(LakeFs.createMarker(s"$root/v=$n/$Base"), s"base marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"), s"commit marker v=$n")
+    n
+  }
 
   private def commitCompacted(folded: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
@@ -287,6 +502,7 @@ object Snapshots {
           LakeFs.rmTree(d)
       }
       reapEpochMarkers(root, keepEpochs)
+      reapDeadClaims(root)
     }
   }
 
@@ -342,15 +558,30 @@ object Snapshots {
   }
 
   private val EpochMarker = "^_GRAFT_EPOCH_(\\d+)$".r
+  // scoped form (multi-writer ingest, epochOnceFor): stream id is
+  // everything up to the FINAL underscore — epochs are plain digits,
+  // so the greedy split is unambiguous
+  private val ScopedEpochMarker = "^_GRAFT_EPOCH_(.+)_(\\d+)$".r
 
+  /** Keep the newest `keep` epoch markers PER PRODUCER (the unscoped
+    * single-writer markers are one producer), reap the rest —
+    * foreachBatch only ever replays the latest epoch of its own
+    * query, so older markers gate nothing and would otherwise grow
+    * the root listing without bound under long-lived streams. */
   private def reapEpochMarkers(root: String, keep: Int): Unit = {
     val epochs = LakeFs.list(root).flatMap { st =>
       st.getPath.getName match {
-        case EpochMarker(e) => Some(e.toLong -> st.getPath.toString)
+        case EpochMarker(e) =>
+          Some((None: Option[String], e.toLong, st.getPath.toString))
+        case ScopedEpochMarker(sid, e) =>
+          Some((Some(sid), e.toLong, st.getPath.toString))
         case _ => None
       }
-    }.sortBy(_._1)
-    epochs.dropRight(keep).foreach { case (_, p) => LakeFs.rmFile(p) }
+    }
+    epochs.groupBy(_._1).values.foreach { stream =>
+      stream.sortBy(_._2).dropRight(keep)
+        .foreach { case (_, _, p) => LakeFs.rmFile(p) }
+    }
   }
 
   /** Retention for the SNAPSHOT flavor: keep the newest `keep`
@@ -381,6 +612,7 @@ object Snapshots {
           LakeFs.rmTree(d)
       }
       reapEpochMarkers(root, keep)
+      reapDeadClaims(root)
     }
   }
 }

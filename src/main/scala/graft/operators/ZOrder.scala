@@ -46,11 +46,14 @@ object ZOrder {
       bLo: Column, bHi: Column): Column =
     spread(norm(a, aLo, aHi)).bitwiseOR(shiftleft(spread(norm(b, bLo, bHi)), 1))
 
-  /** Write `df` to `path` as `nFiles` z-ordered parquet files keyed on
-    * (keyA, keyB). The written schema is exactly `df`'s — helper
-    * columns never land on disk. */
-  def clusteredWrite(df: DataFrame, keyA: String, keyB: String,
-      path: String, nFiles: Int): Unit = {
+  /** `df` laid out on the Morton curve of (keyA, keyB): one stats
+    * aggregate broadcast back, one range shuffle on the z-value into
+    * `nFiles` shards, and a within-partition sort. The schema is
+    * exactly `df`'s — helper columns are dropped before the caller's
+    * writer sees a row. Reused by every z-ordered writer
+    * (clusteredWrite, Snapshots.optimize). */
+  def clustered(df: DataFrame, keyA: String, keyB: String,
+      nFiles: Int): DataFrame = {
     val stats = df.agg(
       min(col(keyA)).cast("long").as("__a_lo"),
       max(col(keyA)).cast("long").as("__a_hi"),
@@ -63,6 +66,13 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__a_lo", "__a_hi", "__b_lo", "__b_hi")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Write `df` to `path` as `nFiles` z-ordered parquet files keyed on
+    * (keyA, keyB). The written schema is exactly `df`'s — helper
+    * columns never land on disk. */
+  def clusteredWrite(df: DataFrame, keyA: String, keyB: String,
+      path: String, nFiles: Int): Unit =
+    clustered(df, keyA, keyB, nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -363,7 +363,91 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CHANGE DATA FEED on the MoR log (Snapshots.readChanges): the
+    * same deterministic op chain as sink_snapshot_mor lands on the
+    * log, and the query reads the NET row changes between the base
+    * version and the latest — Delta-CDF change types (update rows
+    * carry both images, a key upserted twice surfaces once with its
+    * final image, unchanged keys emit nothing). Cost is the two
+    * merged states (one argmax aggregation each) plus ONE full-outer
+    * equi-join on the key — no window sort. The oracle derives the
+    * identical diff relationally from the batch definitions, so
+    * insert/delete/update classification and both images are
+    * hash-gated; collapse laws (upsert-twice, insert-then-delete)
+    * are spec-pinned (SnapshotSpec). */
+  val snapshotCdf: Q = Q(
+    "sink_snapshot_cdf",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |diff AS (
+      |  SELECT 'delete' AS change_type, k, p FROM base WHERE k % 10 = 6
+      |  UNION ALL
+      |  SELECT 'update_preimage', k, p FROM base WHERE k % 10 = 3
+      |  UNION ALL
+      |  SELECT 'update_postimage', k,
+      |    CASE WHEN k % 20 = 3 THEN CAST(p * 4 AS DECIMAL(18,2))
+      |         ELSE CAST(p * 2 AS DECIMAL(18,2)) END
+      |  FROM base WHERE k % 10 = 3)
+      |SELECT change_type, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
+      |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "orders_snap_cdf")
+    graft.operators.LakeFs.rmTree(root)
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val from = graft.operators.Snapshots.publishAppend(base, root)
+    graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 10 === 3)
+        .withColumn("p", (col("p") * 2).cast("decimal(18,2)")), root)
+    graft.operators.Snapshots.publishDeletes(
+      base.filter(col("k") % 10 === 6).select(col("k")), root)
+    val to = graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 20 === 3)
+        .withColumn("p", (col("p") * 4).cast("decimal(18,2)")), root)
+    graft.operators.Snapshots.readChanges(s, root, "k", from, to)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+      .orderBy(col("change_type"))
+  }
+
+  /** OPTIMIZE ZORDER on the append log (Snapshots.optimize): four
+    * interleaved fragmented appends (every batch spans the full key
+    * range — the worst layout for data skipping) are folded into ONE
+    * z-order-clustered compacted version carrying a per-file min/max
+    * manifest over (l_partkey, l_suppkey), and a selective partkey
+    * range scan resolves through it — compaction, multi-dimensional
+    * clustering, and skipping stats in one data pass, the nightly
+    * lake job. The oracle is the plain relational filter, so
+    * pruned-read == filter is hash-gated; content preservation,
+    * subsumption, and append-stacking are spec-pinned
+    * (SnapshotSpec). */
+  val snapshotOptimize: Q = Q(
+    "sink_snapshot_optimize",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "lineitem_snap_opt")
+    graft.operators.LakeFs.rmTree(root)
+    val src = Tables.lineitem(s, dir)
+    (0 until 4).foreach { b =>
+      graft.operators.Snapshots.publishAppend(
+        src.filter(pmod(col("l_orderkey"), lit(4)) === b)
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_returnflag"), col("l_quantity")), root)
+    }
+    graft.operators.Snapshots.optimize(s, root, "l_partkey", "l_suppkey")
+    graft.operators.Snapshots.readPruned(s, root, "l_partkey", 100L, 300L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_partkey")).as("part_sum"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
-    snapshotMor, snapshotPrune, snapshotBloom)
+    snapshotMor, snapshotPrune, snapshotBloom, snapshotCdf, snapshotOptimize)
 }

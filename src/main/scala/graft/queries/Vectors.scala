@@ -775,6 +775,71 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the MAINTAINED IVF
+    * coarse quantizer (the same frozen centroids knn_ivf probes —
+    * one lake index, another serving path), then near-dup only
+    * WITHIN a cluster: an item is dropped iff a lower-id item in its
+    * cluster has cosine >= 0.5 (the deterministic keep-first rule).
+    * Per-cluster pairs are an equi-join on cid — the all-pairs FLOPs
+    * are bounded by the largest cluster, never the corpus, and at
+    * 100 TB k grows with N (cells stay ~fixed-size) so candidate
+    * volume is O(N · cell) by construction. Zero-norm vectors are
+    * unrankable and never pair (guarded identically in the oracle).
+    *
+    * ORACLE-CHECKED via the frozen-sidecar pattern (knn_ivf): the
+    * oracle reads the persisted centroids, replays the same
+    * (distance, cid)-tiebroken assignment, and recomputes every
+    * in-cluster cosine with the identical left-fold arithmetic.
+    * Output is the per-cluster (size, survivors) table. */
+  val semanticDedup: Q = Q(
+    "dedup_semantic",
+    s"""WITH $oracleEmb,
+      |cent AS (
+      |  SELECT cid, cv FROM read_parquet(
+      |    '/tmp/graft_ivf/$SfToken/centroids/*.parquet')),
+      |asg AS (
+      |  SELECT vec_id, v, n2, cid FROM (
+      |    SELECT a.vec_id, a.v, a.n2, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))), c.cid) rn
+      |    FROM n a CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |drops AS (
+      |  SELECT DISTINCT b.cid, b.vec_id
+      |  FROM asg a JOIN asg b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE a.n2 > 0 AND b.n2 > 0
+      |    AND list_sum(list_transform(range(1, len(a.v) + 1),
+      |      i -> a.v[i] * b.v[i])) / sqrt(a.n2 * b.n2) >= 0.5)
+      |SELECT g.cid, g.n_items,
+      |  g.n_items - COALESCE(d.n_drop, 0) AS n_kept
+      |FROM (SELECT cid, COUNT(*) AS n_items FROM asg GROUP BY cid) g
+      |LEFT JOIN (SELECT cid, COUNT(*) AS n_drop
+      |  FROM drops GROUP BY cid) d ON g.cid = d.cid
+      |ORDER BY g.cid""".stripMargin) { (s, dir) =>
+    val asg = graft.operators.IvfIndex.assign(s, ivfIndexOf(s, dir),
+        emb(s, dir))
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+      .cache() // three consumers: both pair sides + the size count
+    val a = asg.select(col("cid"), col("vec_id").as("ia"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("n2").as("nb"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("ia") < col("ib") && col("na") > 0 && col("nb") > 0)
+      .filter(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+        >= 0.5)
+      .select(col("cid"), col("ib")).distinct()
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_items"))
+      .join(drops.groupBy(col("cid")).agg(count(lit(1)).as("n_drop")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_items"),
+        (col("n_items") - coalesce(col("n_drop"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[Q] = Seq(embeddingNearDup, embeddingIncremental, knnBrute,
-    knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca)
+    knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca, semanticDedup)
 }

@@ -485,6 +485,37 @@ object StreamOps {
     ()
   }
 
+  /** MULTI-WRITER streaming ingest: any number of independent
+    * streaming queries append to ONE log root concurrently — the
+    * fan-in shape a large ingest actually has (one table, many
+    * producers, no coordinator). Version numbers are allocated by the
+    * claim-marker OCC protocol (Snapshots.publishConcurrent — two
+    * writers can never own one version, and union semantics make
+    * every commit interleaving correct), and exactly-once is tracked
+    * PER STREAM: epoch ids are per-query counters, so the replay
+    * marker is scoped by `streamId` (IndexLifecycle.epochOnceFor —
+    * two streams' epoch 0 are different facts; the single-writer
+    * marker would wrongly swallow the second stream's first batch).
+    * Each stream keeps its own checkpoint dir for the same reason. */
+  def snapshotIngestConcurrent(s: SparkSession, rows: DataFrame,
+      root: String, streamId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${root}_ckpt_$streamId")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        snapshotIngestConcurrentBatch(batch.toDF(), epoch, root, streamId)
+      }
+      .start()
+
+  /** One multi-writer micro-batch — factored out for the retry spec. */
+  private[graft] def snapshotIngestConcurrentBatch(batch: DataFrame,
+      epoch: Long, root: String, streamId: String): Unit =
+    graft.operators.IndexLifecycle.epochOnceFor(root, streamId, epoch) {
+      graft.operators.Snapshots.publishConcurrent(batch, root)
+      ()
+    }
+
   /** Streaming CDC ingest into the MERGE-ON-READ log: rows carry an
     * `_op` column ('u' upsert / 'd' delete) plus the merge key and
     * payload; each micro-batch publishes its upserts as one append

@@ -155,6 +155,10 @@ object KernelProps extends Properties("kernels") {
         }
       val merged = partials.foldLeft(agg.createAggregationBuffer())(agg.merge)
       val want = rows.filterNot(e => java.lang.Double.isNaN(e._1))
+        // the aggregate normalizes -0.0 to +0.0 on entry (SQL ORDER BY
+        // treats the zeros equal and tie-breaks by id) — the model must
+        // rank AND emit the normalized score
+        .map(e => (e._1 + 0.0, e._2))
         .sortWith { (a, b) =>
           val c = java.lang.Double.compare(a._1, b._1)
           c > 0 || (c == 0 && a._2 < b._2)

@@ -391,4 +391,174 @@ class SnapshotSpec extends AnyFunSuite {
       "epoch replay appended a duplicate version")
     assert(ks(Snapshots.readLog(spark, root)) == Set(1L, 2L, 3L))
   }
+
+  test("concurrent publishers land at distinct versions and lose no rows") {
+    import spark.implicits._
+    val root = freshRoot("occ_append")
+    val writers = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            Snapshots.publishConcurrent(Seq(w.toLong).toDF("k"), root)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get()).toSet
+      assert(versions.size == writers,
+        s"claim arbitration must hand out distinct versions: $versions")
+      assert(Snapshots.readLog(spark, root).collect().map(_.getLong(0)).toSet
+        == (1 to writers).map(_.toLong).toSet,
+        "every concurrent append must be readable")
+      // claims are released after commit — the root listing is bounded
+      assert(!LakeFs.list(root)
+        .exists(_.getPath.getName.startsWith("_SNAP_CLAIM_")))
+    } finally pool.shutdown()
+  }
+
+  test("publishIf: CAS succeeds at expected+1, stale writers conflict, no lost update") {
+    import spark.implicits._
+    val root = freshRoot("occ_cas")
+    val v1 = Snapshots.publishConcurrent(Seq(0L).toDF("n"), root)
+    // two read-modify-write writers both read latest=v1; first wins
+    def bump(expected: Long): Long = {
+      val cur = Snapshots.read(spark, root, asOf = Some(expected))
+        .head().getLong(0)
+      Snapshots.publishIf(Seq(cur + 1L).toDF("n"), root, expected)
+    }
+    val v2 = bump(v1)
+    assert(v2 == v1 + 1)
+    val e = intercept[Snapshots.SnapshotConflict](bump(v1))
+    assert(e.getMessage.contains("re-read and retry"))
+    // the loser retries against the fresh latest and both increments land
+    bump(v2)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 2L,
+      "CAS retry must preserve both increments — no lost update")
+    // a dead claim (crashed writer) blocks CAS conservatively …
+    val latest = Snapshots.latestVersion(root).get
+    assert(LakeFs.createMarker(s"$root/_SNAP_CLAIM_${latest + 1}"))
+    intercept[Snapshots.SnapshotConflict](bump(latest))
+    // … until vacuumClaims reaps it; correctness was never at risk
+    Snapshots.vacuumClaims(root)
+    bump(latest)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 3L)
+  }
+
+  test("change data feed: net diff between versions with Delta-CDF change types") {
+    import spark.implicits._
+    val root = freshRoot("cdf")
+    Snapshots.publishAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root) // v1
+    val from = Snapshots.latestVersion(root).get
+    Snapshots.publishAppend(Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), root)
+    Snapshots.publishDeletes(Seq(3L).toDF("k"), root)
+    // churn that must collapse in the net diff: 4 upserted twice
+    // surfaces once, 5 inserted-then-deleted surfaces not at all
+    Snapshots.publishAppend(Seq((4L, "d2"), (5L, "e")).toDF("k", "v"), root)
+    Snapshots.publishDeletes(Seq(5L).toDF("k"), root)
+    val to = Snapshots.latestVersion(root).get
+    val changes = Snapshots.readChanges(spark, root, "k", from, to)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(changes == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "b2"),
+      ("delete", 3L, "c"),
+      ("insert", 4L, "d2")),
+      s"got $changes")
+    // identical versions diff to nothing; from==to is legal
+    assert(Snapshots.readChanges(spark, root, "k", to, to).isEmpty)
+  }
+
+  test("optimize: z-order compaction preserves reads, adds stats, stacks appends") {
+    import spark.implicits._
+    val root = freshRoot("optimize")
+    // fragmented interleaved appends: every batch spans the full key range
+    (0 until 4).foreach { b =>
+      Snapshots.publishAppend(
+        (0 until 64).map(i => (i.toLong * 4 + b, (i % 8).toLong, s"r$b-$i"))
+          .toDF("x", "y", "v").repartition(4), root)
+    }
+    val before = Snapshots.readLog(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val v = Snapshots.optimize(spark, root, "x", "y", files = 8)
+    assert(Snapshots.readLog(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      == before, "optimize must not change table content")
+    // the fold subsumes: one version in the reader window
+    assert(Snapshots.readLog(spark, root).inputFiles
+      .forall(_.contains(s"v=$v")), "reads must resolve only the fold")
+    // manifest-backed pruning now works on BOTH z-order keys
+    val prunedX = Snapshots.readPruned(spark, root, "x", 0L, 31L)
+    assert(prunedX.inputFiles.length < Snapshots.read(spark, root).inputFiles.length,
+      "selective x-range scan must skip files after optimize")
+    assert(prunedX.collect().map(_.getLong(0)).toSet == (0L to 31L).toSet)
+    // appends stack on top of the fold
+    Snapshots.publishAppend(Seq((999L, 0L, "tail")).toDF("x", "y", "v"), root)
+    assert(Snapshots.readLog(spark, root).count() == 257L)
+  }
+
+  test("raw folds refuse on MoR logs; optimizeMerged folds tombstones away") {
+    import spark.implicits._
+    val root = freshRoot("optimize_mor")
+    Snapshots.publishAppend(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")).toDF("k", "y", "v"),
+      root)
+    Snapshots.publishAppend(Seq((2L, 21L, "b2")).toDF("k", "y", "v"), root)
+    Snapshots.publishDeletes(Seq(3L).toDF("k"), root)
+    // a raw fold would resurrect deleted key 3 as a null-filled row
+    intercept[IllegalArgumentException](Snapshots.compactLog(spark, root))
+    intercept[IllegalArgumentException](
+      Snapshots.optimize(spark, root, "k", "y"))
+    val merged = Snapshots.readLogMerged(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    Snapshots.optimizeMerged(spark, root, "k", "k", "y", files = 2)
+    // post-fold: same merged read, and the raw fold is now legal again
+    assert(Snapshots.readLogMerged(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet == merged)
+    assert(merged == Set(1L -> "a", 2L -> "b2"))
+    Snapshots.compactLog(spark, root)
+  }
+
+  test("multi-writer streaming ingest: two streams fan into one log exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("multi_stream")
+    LakeFs.rmTree(root + "_ckpt_s1"); LakeFs.rmTree(root + "_ckpt_s2")
+    val m1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val m2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q1 = graft.streaming.StreamOps.snapshotIngestConcurrent(
+      spark, m1.toDF().toDF("k"), root, "s1")
+    val q2 = graft.streaming.StreamOps.snapshotIngestConcurrent(
+      spark, m2.toDF().toDF("k"), root, "s2")
+    try {
+      // both streams' epoch 0 run — the scoped markers must not
+      // swallow the second producer's first batch
+      m1.addData(1L, 2L); m2.addData(10L, 20L)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      m1.addData(3L); m2.addData(30L)
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    def ks() = Snapshots.readLog(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(ks() == Set(1L, 2L, 3L, 10L, 20L, 30L))
+    assert(Snapshots.latestVersion(root).contains(4L),
+      "four micro-batches must land as four distinct versions")
+    // per-stream replay: s1's last epoch republishes nothing, while
+    // s2 at a NEW epoch still can
+    graft.streaming.StreamOps.snapshotIngestConcurrentBatch(
+      Seq(3L).toDF("k"), 1L, root, "s1")
+    assert(Snapshots.latestVersion(root).contains(4L), "s1 replay re-published")
+    graft.streaming.StreamOps.snapshotIngestConcurrentBatch(
+      Seq(40L).toDF("k"), 2L, root, "s2")
+    assert(ks() == Set(1L, 2L, 3L, 10L, 20L, 30L, 40L))
+    // retention keeps the newest markers PER producer
+    Snapshots.vacuumLog(root, keepEpochs = 1)
+    val markers = LakeFs.list(root).map(_.getPath.getName)
+      .filter(_.startsWith("_GRAFT_EPOCH_"))
+    assert(markers.toSet == Set("_GRAFT_EPOCH_s1_1", "_GRAFT_EPOCH_s2_2"),
+      s"got $markers")
+  }
 }
