@@ -103,7 +103,7 @@ object Snapshots {
     var attempts = 0
     while (attempts < 1000) {
       val vmax = versions(root).lastOption.map(_._1).getOrElse(0L)
-      val cmax = if (claims(root).isEmpty) 0L else claims(root).max
+      val cmax = claims(root).maxOption.getOrElse(0L)
       val n = math.max(vmax, cmax) + 1
       if (LakeFs.createMarker(s"$root/_SNAP_CLAIM_$n")) return n
       attempts += 1
@@ -210,6 +210,26 @@ object Snapshots {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
     SnapStats.writeManifest(s"$root/v=$n", statCols)
+    val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
+    require(ok, s"snapshot v=$n already committed — concurrent writer?")
+    n
+  }
+
+  /** Publish with a Hive-style partition layout INSIDE the version
+    * dir (`v=<n>/<col>=<val>/...`): Spark's partition discovery
+    * restores the columns on read and Catalyst prunes whole partition
+    * directories for filters on them — the coarse skipping layer the
+    * manifest and Bloom indexes refine under, and the layout a
+    * date/source-partitioned 100 TB table ships with. Same marker
+    * protocol, same immutability; snapshot flavor (the single-dir
+    * read path — the log union's multi-path scan does not carry
+    * per-version partition discovery). */
+  def publishPartitioned(df: DataFrame, root: String,
+      partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "publishPartitioned: no partition columns")
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*)
+      .parquet(s"$root/v=$n")
     val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
     n
@@ -370,9 +390,15 @@ object Snapshots {
     val after = readLogMerged(s, root, key, asOf = Some(to))
     val dataCols =
       (before.columns ++ after.columns).distinct.filterNot(_ == key)
+    // typed null-fill: an untyped NullType column would make the two
+    // image structs type-incompatible the moment schema evolution
+    // leaves a column on only one side; newer side wins on conflict
+    val colType = (before.schema.fields ++ after.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
     def side(df: DataFrame, k: String, v: String): DataFrame = {
       val widened = dataCols.foldLeft(df)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(colType(c))))
       widened.select(col(key).as(k),
         struct(dataCols.map(col): _*).as(v))
     }

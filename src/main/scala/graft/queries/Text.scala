@@ -854,8 +854,58 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-entropy quality signal — the distributional
+    * complement of text_repetition's positional n-gram rule: a doc of
+    * repeated padding or a single stuck byte collapses to near-zero
+    * Shannon entropy, encrypted/binary-garbage blobs max it out, and
+    * natural language sits in a stable mid band a filtering pipeline
+    * thresholds on from both sides (the CCNet/Gopher-family heuristic
+    * text_quality's length/stopword ratios cannot see).
+    *
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over per-character counts — computed
+    * from integer counts so the only float work is one ln per
+    * DISTINCT character and the final combine. Plan: one scan, two
+    * partial-aggregating groupBys ((doc, char) then doc — per-doc
+    * state is the doc's alphabet, bounded by charset size), no joins
+    * wider than the doc list. Same-sign ln sums land inside the 4dp
+    * output rounding on both engines (retrieval_bm25 precedent). */
+  val entropy: Q = Q(
+    "text_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, COUNT(*) cnt FROM ch GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) n,
+      |    COUNT(*) distinct_chars, SUM(cnt * ln(cnt)) s
+      |  FROM cc GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n, 0) AS n_chars,
+      |  COALESCE(distinct_chars, 0) AS distinct_chars,
+      |  CASE WHEN n > 0
+      |    THEN FLOOR((ln(n) - s / n) * 10000 + 0.5) / 10000 END AS entropy
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val cc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0)))
+          .as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+    val sc = cc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("distinct_chars"),
+        sum(col("cnt") * log(col("cnt"))).as("s"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        when(col("n") > 0, r4(log(col("n")) - col("s") / col("n")))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    tokensUnicode)
+    tokensUnicode, entropy)
 }

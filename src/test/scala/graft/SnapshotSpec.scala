@@ -470,6 +470,16 @@ class SnapshotSpec extends AnyFunSuite {
       s"got $changes")
     // identical versions diff to nothing; from==to is legal
     assert(Snapshots.readChanges(spark, root, "k", to, to).isEmpty)
+    // schema evolution across the boundary: an added column surfaces
+    // as an update (typed null pre-image) even when nothing else moved
+    Snapshots.publishAppend(Seq((1L, "a", 7L)).toDF("k", "v", "w"), root)
+    val evolved = Snapshots.readChanges(spark, root, "k", to,
+        Snapshots.latestVersion(root).get)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(evolved == Set(
+      ("update_preimage", 1L, -1L), ("update_postimage", 1L, 7L)),
+      s"got $evolved")
   }
 
   test("optimize: z-order compaction preserves reads, adds stats, stacks appends") {
@@ -560,5 +570,44 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(_.startsWith("_GRAFT_EPOCH_"))
     assert(markers.toSet == Set("_GRAFT_EPOCH_s1_1", "_GRAFT_EPOCH_s2_2"),
       s"got $markers")
+  }
+
+  test("partitioned publish: discovery restores the column, filters prune dirs") {
+    import spark.implicits._
+    val root = freshRoot("partitioned")
+    val data = (0 until 40).map(i => (i.toLong, s"src${i % 4}", s"d$i"))
+    Snapshots.publishPartitioned(
+      data.toDF("k", "source", "v").repartition(4), root, Seq("source"))
+    val back = Snapshots.read(spark, root)
+    assert(back.columns.toSet == Set("k", "source", "v"),
+      "partition discovery must restore the partition column")
+    assert(back.collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("source"), r.getAs[String]("v")))
+      .toSet == data.toSet)
+    // a filter on the partition column reads strictly fewer files —
+    // count files the executed scan ACTUALLY selected (inputFiles
+    // lists the relation's full index, blind to partition pruning)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val prunedFiles =
+      filesRead(Snapshots.read(spark, root).filter($"source" === "src1"))
+    val fullFiles = filesRead(Snapshots.read(spark, root))
+    assert(prunedFiles < fullFiles,
+      s"partition filter must prune directories ($prunedFiles vs $fullFiles)")
+    assert(back.filter($"source" === "src1").count() == 10L)
+    // time travel across a repartitioned layout change
+    Snapshots.publishPartitioned(
+      data.toDF("k", "source", "v").filter($"k" < 8), root, Seq("source"))
+    assert(Snapshots.read(spark, root).count() == 8L)
+    assert(Snapshots.read(spark, root, asOf = Some(1L)).count() == 40L)
   }
 }
