@@ -281,6 +281,55 @@ object Snapshots {
     * directories stay invisible exactly as in the snapshot flavor. */
   def publishAppend(df: DataFrame, root: String): Long = publish(df, root)
 
+  /** Append one batch WITH a per-file min/max manifest, so
+    * [[readLogPruned]] can skip this version's files — cluster the
+    * batch on the stat column first (an ingest that sorts each
+    * micro-batch by its time/sequence key gets tight per-file ranges
+    * for free). */
+  def publishAppendWithStats(df: DataFrame, root: String,
+      statCols: Seq[String]): Long = publishWithStats(df, root, statCols)
+
+  /** Manifest-based file skipping ACROSS the log union: resolve the
+    * reader window (compaction subsumption, as-of) and prune every
+    * version's file list through its own manifest — a selective range
+    * scan over a streaming-ingested log opens only the files whose
+    * recorded [min,max] can hold [lo, hi] (Iceberg prunes its
+    * manifests across snapshots the same way). Versions without a
+    * manifest contribute ALL their files — pruning reduces I/O, never
+    * rows — and the residual filter stays in the plan. Survivors land
+    * in ONE multi-path FileScan; identical schemas assumed across the
+    * window (the ingest-log case — an evolved log reads through
+    * [[readLog]]'s unionByName path instead). */
+  def readLogPruned(s: SparkSession, root: String, c: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    // a tombstone key-batch is a different schema AND different
+    // semantics (delete marker, not rows) — the raw pruned union
+    // would surface it as data; merge-on-read logs resolve through
+    // readLogMerged (or fold via optimizeMerged, then prune)
+    requireNoTombstones(root, "readLogPruned", "readLogMerged")
+    val window = logWindow(root, asOf)
+    val paths = window.flatMap { case (_, d) =>
+      SnapStats.prunedPaths(d, c, BigDecimal(lo), BigDecimal(hi))
+    }
+    val base =
+      if (paths.nonEmpty) s.read.parquet(paths: _*)
+      else s.read.parquet(window.map(_._2): _*).filter(lit(false))
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** DESCRIBE HISTORY: one row per version directory with the
+    * protocol markers decoded — the operational surface a table
+    * format ships for inspection and debugging. Driver-side listing
+    * only (O(versions) marker stats, no data reads). */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    versions(root).map { case (v, d) =>
+      (v, isCommitted(d), hasBase(d), hasTombstone(d),
+        LakeFs.isFile(s"$d/${SnapStats.ManifestName}"))
+    }.toDF("version", "committed", "compacted_base", "tombstone",
+      "has_stats")
+  }
+
   /** Tombstone batch for the merge-on-read log: `keys` (a frame of
     * just the merge-key column) marks those keys deleted as of this
     * version. Invisible to the plain `readLog` union semantics —

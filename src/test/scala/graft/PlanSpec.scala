@@ -416,4 +416,16 @@ class PlanSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("dedup_semantic: literal-centroid assignment, cid equi-join, never all-pairs") {
+    val p = plan(Vectors.semanticDedup.run(spark, sf))
+    // candidate generation is the within-cluster equi-join — the
+    // corpus never rides a nested-loop or cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 16 centroids ride the plan as literals (array_min over a
+    // literal struct array): assignment is a pure projection — no
+    // shuffle, no join for the cluster id itself
+    assert(p.contains("array_min"), p.take(2000))
+  }
 }

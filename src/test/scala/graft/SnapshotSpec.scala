@@ -610,4 +610,42 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).count() == 8L)
     assert(Snapshots.read(spark, root, asOf = Some(1L)).count() == 40L)
   }
+
+  test("readLogPruned skips files across the union; history decodes the markers") {
+    import spark.implicits._
+    val root = freshRoot("log_pruned")
+    // three clustered, stats-carrying appends over disjoint key bands
+    (0 until 3).foreach { b =>
+      Snapshots.publishAppendWithStats(
+        (0 until 100).map(i => (b * 100L + i, s"b$b-$i")).toDF("k", "v")
+          .repartitionByRange(2, $"k").sortWithinPartitions($"k"),
+        root, Seq("k"))
+    }
+    // one manifest-less append: its files must always be kept
+    Snapshots.publishAppend(Seq((400L, "loose")).toDF("k", "v"), root)
+    val pruned = Snapshots.readLogPruned(spark, root, "k", 120L, 160L)
+    assert(pruned.collect().map(_.getLong(0)).toSet == (120L to 160L).toSet,
+      "pruned read must equal the plain filter")
+    val keptFiles = (1L to 4L).map(v =>
+      graft.operators.SnapStats
+        .prunedPaths(s"$root/v=$v", "k", BigDecimal(120), BigDecimal(160))
+        .length)
+    val allFiles = (1L to 4L).map(v =>
+      graft.operators.SnapStats
+        .prunedPaths(s"$root/v=$v", "k", BigDecimal(Long.MinValue),
+          BigDecimal(Long.MaxValue)).length)
+    assert(keptFiles.sum < allFiles.sum,
+      s"manifests must drop files across the window ($keptFiles vs $allFiles)")
+    assert(keptFiles.last == allFiles.last,
+      "the manifest-less version must keep all its files")
+    // the history surface decodes the protocol markers per version
+    Snapshots.compactLog(spark, root)
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(4))).toList
+    assert(h == List((1L, true, false, true), (2L, true, false, true),
+      (3L, true, false, true), (4L, true, false, false),
+      (5L, true, true, false)),
+      s"got $h")
+  }
 }
