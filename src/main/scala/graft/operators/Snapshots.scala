@@ -330,6 +330,27 @@ object Snapshots {
       "has_stats")
   }
 
+  /** The streaming reader's batch window (sources.SnapshotStreamSource,
+    * `format("graftsnap")`): committed versions in (after, until],
+    * skipping tombstone key-batches (delete markers, not data rows)
+    * and — once a stream is past its first batch — compaction bases,
+    * which are rewrites of rows the stream already delivered (the
+    * skip IS the exactly-once guarantee across OPTIMIZE, the same
+    * contract Delta's streaming source keeps over compacted files).
+    * A FIRST batch (after == 0) on an already-compacted log starts AT
+    * the newest base inside the window — the initial-snapshot batch,
+    * exactly the prefix [[readLog]] resolves. */
+  def streamWindow(root: String, after: Long,
+      until: Long): Seq[(Long, String)] = {
+    val live = committed(root)
+      .filter { case (v, _) => v > after && v <= until }
+      .filterNot { case (_, d) => hasTombstone(d) }
+    if (after == 0L) {
+      val lastBase = live.lastIndexWhere { case (_, d) => hasBase(d) }
+      if (lastBase < 0) live else live.drop(lastBase)
+    } else live.filterNot { case (_, d) => hasBase(d) }
+  }
+
   /** Tombstone batch for the merge-on-read log: `keys` (a frame of
     * just the merge-key column) marks those keys deleted as of this
     * version. Invisible to the plain `readLog` union semantics —

@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.operators.{LakeFs, Snapshots}
+
+/** Streaming READ of a versioned snapshot append log — the Delta-
+  * streaming-source shape on top of operators.Snapshots' marker
+  * protocol: `spark.readStream.format("graftsnap").load(root)` tails
+  * the table, delivering each committed version exactly once.
+  *
+  * Offsets ARE version numbers: `latestOffset` is the newest committed
+  * version, and a micro-batch (start, end] reads the data files of the
+  * committed versions in that window (Snapshots.streamWindow —
+  * tombstone key-batches skipped, compaction bases skipped once the
+  * stream is past its first batch because they rewrite rows the stream
+  * already emitted; a FRESH stream on a compacted log starts at the
+  * newest base, the initial-snapshot batch). Versions are immutable
+  * after their commit marker, so a replayed batch re-plans the exact
+  * same files — the deterministic-replay half of exactly-once; the
+  * engine's offset WAL is the other half.
+  *
+  * Scale shape: offset resolution is one O(versions) driver listing
+  * per trigger (no data reads); each batch fans out one InputPartition
+  * per parquet data file, decoded ON THE EXECUTOR via parquet-hadoop
+  * (footer → row groups → materialized records), with column pruning
+  * pushed into the record assembly — a `select(k)` never materializes
+  * the other columns' pages. Flat primitive schemas (the ingest-log
+  * shape this engine's streaming publishers write): long / int /
+  * double / float / boolean / string / binary; logical annotations
+  * other than String surface as their physical primitive.
+  *
+  * Mirrors the write side (StreamOps.snapshotIngest publishes a
+  * version per epoch) the way the reference's chat loop re-reads its
+  * store each turn (conversadocs/bones.py:92-96) — here the re-read is
+  * an incremental, checkpointed tail instead of a full reload. */
+class SnapshotStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftsnap"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotStreamTable.inferSchema(options.get("path"))
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotStreamTable(properties.get("path"), schema)
+}
+
+object SnapshotStreamTable {
+  /** Schema = the newest committed version's parquet footer schema,
+    * mapped through the flat-primitive subset. One footer read. */
+  def inferSchema(root: String): StructType = {
+    require(root != null, "graftsnap requires a path")
+    val v = Snapshots.latestVersion(root).getOrElse(sys.error(
+      s"graftsnap: no committed snapshot in $root — publish first"))
+    val file = dataFiles(s"$root/v=$v").headOption.getOrElse(sys.error(
+      s"graftsnap: committed v=$v in $root holds no parquet data files"))
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), LakeFs.hadoopConf))
+    val msg = try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+    StructType(msg.getFields.toArray.map {
+      case t: PType => toSparkField(t)
+    }.toIndexedSeq)
+  }
+
+  private def toSparkField(t: PType): StructField = {
+    require(t.isPrimitive,
+      s"graftsnap streams flat primitive schemas; field '${t.getName}' " +
+        "is nested — flatten before publishing to a streamed log")
+    val p = t.asPrimitiveType()
+    val dt = p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveTypeName.BINARY =>
+        if (p.getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.stringType()) StringType
+        else BinaryType
+      case other => sys.error(
+        s"graftsnap: unsupported parquet type $other for '${t.getName}'")
+    }
+    StructField(t.getName, dt,
+      nullable = t.getRepetition != PType.Repetition.REQUIRED)
+  }
+
+  /** Parquet data files directly under a version dir (markers,
+    * manifests, and _SUCCESS excluded), deterministic order. */
+  def dataFiles(dir: String): Seq[String] =
+    LakeFs.list(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.toString).sorted
+}
+
+class SnapshotStreamTable(root: String, schema0: StructType)
+    extends Table with SupportsRead {
+  require(root != null, "graftsnap requires a path")
+  override def name(): String = s"graftsnap:$root"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotStreamScanBuilder(root, schema0)
+}
+
+class SnapshotStreamScanBuilder(root: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SnapshotStreamScan(root, required)
+}
+
+class SnapshotStreamScan(root: String, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"SnapshotStreamScan(root=$root, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(root, required)
+}
+
+/** Offset = newest committed version delivered (0 = nothing yet). */
+case class SnapVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class SnapshotMicroBatchStream(root: String, required: StructType)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = SnapVersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    SnapVersionOffset(Snapshots.latestVersion(root).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapVersionOffset(json.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val after = start.asInstanceOf[SnapVersionOffset].v
+    val until = end.asInstanceOf[SnapVersionOffset].v
+    Snapshots.streamWindow(root, after, until).flatMap { case (_, dir) =>
+      SnapshotStreamTable.dataFiles(dir)
+    }.map(f => SnapFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotStreamReaderFactory(required,
+      new SerializableConfiguration(LakeFs.hadoopConf))
+
+  /** Versions below the committed offset stay on disk for time travel
+    * and late readers; retention is vacuumLog's job, not the stream's. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+case class SnapFilePartition(file: String) extends InputPartition
+
+class SnapshotStreamReaderFactory(required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotFileReader(
+      p.asInstanceOf[SnapFilePartition].file, required, conf)
+}
+
+/** Executor-side parquet decode of one immutable snapshot file:
+  * footer once, then row groups through the example-Group record
+  * assembly, materializing ONLY the required columns into
+  * InternalRows. Null handling is repetition-count-based (an absent
+  * optional value never calls a typed getter). */
+class SnapshotFileReader(file: String, required: StructType,
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf.value))
+  private val fileSchema: MessageType =
+    reader.getFooter.getFileMetaData.getSchema
+  private val fieldIdx: Array[Int] =
+    required.fields.map(f => fileSchema.getFieldIndex(f.name))
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+
+  private var recordReader:
+    org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
+  private var remainingInGroup = 0L
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remainingInGroup == 0L) {
+      val pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      remainingInGroup = pages.getRowCount
+      recordReader =
+        columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+    }
+    val g = recordReader.read()
+    remainingInGroup -= 1
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val idx = fieldIdx(i)
+      values(i) =
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else required.fields(i).dataType match {
+          case LongType => g.getLong(idx, 0)
+          case IntegerType => g.getInteger(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType =>
+            UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case dt => sys.error(s"graftsnap: unsupported read type $dt")
+        }
+      i += 1
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

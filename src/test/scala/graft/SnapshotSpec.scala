@@ -648,4 +648,74 @@ class SnapshotSpec extends AnyFunSuite {
       (5L, true, true, false)),
       s"got $h")
   }
+
+  test("graftsnap stream tails the log exactly once, skipping compaction bases and tombstones") {
+    import spark.implicits._
+    val root = freshRoot("stream_src")
+    val ckpt = s"/tmp/graft_snap_spec/stream_src_ckpt"
+    LakeFs.rmTree(ckpt)
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    Snapshots.publishAppend(batch(0, 9), root)
+    Snapshots.publishAppend(batch(10, 19), root)
+
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def start() = spark.readStream.format("graftsnap").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted == (0 to 19).map(i => (i.toLong, s"r$i")),
+        "initial batch must deliver both committed versions once")
+      // publish mid-stream through BOTH publish flavors
+      Snapshots.publishAppend(batch(20, 29), root)
+      Snapshots.publishConcurrent(batch(30, 39), root)
+      q.processAllAvailable()
+      assert(seen.sorted == (0 to 39).map(i => (i.toLong, s"r$i")),
+        "mid-stream versions must arrive exactly once")
+      // a compaction base is a rewrite of already-streamed rows: skipped
+      Snapshots.compactLog(spark, root)
+      // a tombstone key-batch is a delete marker, not data: skipped
+      Snapshots.publishDeletes(Seq(Tuple1(0L)).toDF("k"), root)
+      Snapshots.publishAppend(batch(40, 44), root)
+      q.processAllAvailable()
+      assert(seen.sorted == (0 to 44).map(i => (i.toLong, s"r$i")),
+        "compaction + tombstone must not re-deliver or add rows")
+    } finally q.stop()
+
+    // restart from the same checkpoint: only NEW versions replay
+    seen.clear()
+    Snapshots.publishAppend(batch(45, 49), root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.sorted == (45 to 49).map(i => (i.toLong, s"r$i")),
+        "restart must resume at the checkpointed version, not re-read")
+    } finally q2.stop()
+
+    // a FRESH stream on the compacted log: base delivered once as the
+    // initial snapshot, with column pruning pushed into record assembly
+    val ckpt2 = s"/tmp/graft_snap_spec/stream_src_ckpt2"
+    LakeFs.rmTree(ckpt2)
+    val ks = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.format("graftsnap").load(root)
+      .select($"k")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(0))
+        ks.synchronized { ks ++= rows }
+        ()
+      }.start()
+    try {
+      q3.processAllAvailable()
+      assert(ks.sorted == (0L to 49L),
+        "fresh stream = newest base + later appends, exactly once")
+    } finally q3.stop()
+  }
 }
