@@ -198,6 +198,53 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  /** Commit time of version `v` (epoch millis) — the commit marker's
+    * modification time, which IS the commit event (the marker create
+    * is the atomic commit point, so its timestamp is authoritative
+    * the same way Delta reads commit times off the log entry). */
+  def commitTimestamp(root: String, v: Long): Option[Long] =
+    LakeFs.status(s"$root/v=$v/$Marker").map(_.getModificationTime)
+
+  /** TIMESTAMP AS OF: the newest snapshot committed at or before
+    * `tsMillis`. Resolution cost is one listing + O(versions) marker
+    * stats — no data reads. Clock caveat (same as every table
+    * format's timestamp travel): commit times are the STORE's clock,
+    * monotone per table only because versions commit in order on one
+    * writer path; don't mix writers with skewed clocks and expect
+    * timestamp travel to interleave them correctly. */
+  def readAsOfTimestamp(s: SparkSession, root: String,
+      tsMillis: Long): DataFrame = {
+    val pick = committed(root).takeWhile { case (v, _) =>
+      commitTimestamp(root, v).exists(_ <= tsMillis)
+    }.lastOption
+    val (_, dir) = pick.getOrElse(sys.error(
+      s"no snapshot committed at or before ts=$tsMillis in $root"))
+    s.read.parquet(dir)
+  }
+
+  /** RESTORE TO VERSION, snapshot flavor: republish version `v`'s
+    * content as the NEW latest version — history stays immutable (the
+    * bad versions remain time-travelable until vacuum), exactly
+    * Delta's RESTORE semantics. Cost is one snapshot rewrite. */
+  def restore(s: SparkSession, root: String, v: Long): Long =
+    publish(read(s, root, asOf = Some(v)), root)
+
+  /** RESTORE for the append log: fold the reader window AS OF `v`
+    * into a new compacted base — readers after it see exactly the
+    * state at `v`, later (bad) appends are subsumed, and history
+    * below stays time-travelable until vacuumLog. */
+  def restoreLog(s: SparkSession, root: String, v: Long): Long = {
+    requireNoTombstones(root, "restoreLog", "restoreLogMerged",
+      asOf = Some(v))
+    commitCompacted(readLog(s, root, asOf = Some(v)), root)
+  }
+
+  /** RESTORE for the merge-on-read log: resolve latest-wins state as
+    * of `v` (tombstones applied, then dropped) into the new base. */
+  def restoreLogMerged(s: SparkSession, root: String, key: String,
+      v: Long): Long =
+    commitCompacted(readLogMerged(s, root, key, asOf = Some(v)), root)
+
   /** Publish + per-file min/max manifest over `statCols`
     * (SnapStats.writeManifest — footer reads only), written BEFORE
     * the commit marker so a committed version's manifest is part of
@@ -325,9 +372,10 @@ object Snapshots {
     import s.implicits._
     versions(root).map { case (v, d) =>
       (v, isCommitted(d), hasBase(d), hasTombstone(d),
-        LakeFs.isFile(s"$d/${SnapStats.ManifestName}"))
+        LakeFs.isFile(s"$d/${SnapStats.ManifestName}"),
+        commitTimestamp(root, v))
     }.toDF("version", "committed", "compacted_base", "tombstone",
-      "has_stats")
+      "has_stats", "committed_at_ms")
   }
 
   /** The streaming reader's batch window (sources.SnapshotStreamSource,
@@ -513,8 +561,8 @@ object Snapshots {
     * resurrect every deleted key. Refuse up front; the merged
     * variants fold tombstones away correctly. */
   private def requireNoTombstones(root: String, op: String,
-      mergedOp: String): Unit =
-    require(!logWindow(root, None).exists { case (_, d) => hasTombstone(d) },
+      mergedOp: String, asOf: Option[Long] = None): Unit =
+    require(!logWindow(root, asOf).exists { case (_, d) => hasTombstone(d) },
       s"$op($root): the reader window holds tombstone batches " +
         s"(merge-on-read log) — a raw fold would turn deletes into " +
         s"rows; use $mergedOp")

@@ -649,6 +649,61 @@ class SnapshotSpec extends AnyFunSuite {
       s"got $h")
   }
 
+  test("RESTORE republishes an old state as the new latest; timestamp travel resolves by commit time") {
+    import spark.implicits._
+    val root = freshRoot("restore")
+    Snapshots.publish(Seq((1L, "good")).toDF("k", "v"), root)
+    val t1 = Snapshots.commitTimestamp(root, 1L).get
+    Thread.sleep(30) // distinct commit-marker mtimes
+    Snapshots.publish(Seq((1L, "bad"), (2L, "worse")).toDF("k", "v"), root)
+    // timestamp travel: at t1 the table was v1
+    assert(Snapshots.readAsOfTimestamp(spark, root, t1)
+      .collect().map(_.getString(1)).toSeq == Seq("good"))
+    assert(Snapshots.readAsOfTimestamp(spark, root, System.currentTimeMillis())
+      .count() == 2L)
+    intercept[RuntimeException](
+      Snapshots.readAsOfTimestamp(spark, root, t1 - 1000000L))
+    // restore to v1: new version, old content, history immutable
+    val v3 = Snapshots.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq(1L -> "good"))
+    assert(Snapshots.read(spark, root, asOf = Some(2L)).count() == 2L,
+      "the bad version stays time-travelable after restore")
+    // history carries the commit timestamps
+    val h = Snapshots.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.forall(!_.isNullAt(5)) &&
+      h.map(_.getLong(5)).toSeq.sorted == h.map(_.getLong(5)).toSeq,
+      "committed_at_ms present and monotone")
+  }
+
+  test("restoreLogMerged folds the as-of state into a new base") {
+    import spark.implicits._
+    val root = freshRoot("restore_log")
+    Snapshots.publishAppend(
+      Seq((1L, "a1"), (2L, "b1")).toDF("k", "v"), root) // v1
+    Snapshots.publishAppend(Seq((1L, "a2")).toDF("k", "v"), root) // v2
+    Snapshots.publishDeletes(Seq(Tuple1(2L)).toDF("k"), root) // v3: drop k=2
+    assert(Snapshots.readLogMerged(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set(1L -> "a2"))
+    // restore to the state at v2: k=2 resurrected, k=1 at a2
+    val v4 = Snapshots.restoreLogMerged(spark, root, "k", 2L)
+    assert(v4 == 4L)
+    assert(Snapshots.readLogMerged(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set(1L -> "a2", 2L -> "b1"))
+    // raw restoreLog refuses a window holding tombstones
+    intercept[IllegalArgumentException](
+      Snapshots.restoreLog(spark, root, 3L))
+    // ...but is fine on a pre-tombstone window
+    val v5 = Snapshots.restoreLog(spark, root, 2L)
+    assert(Snapshots.readLog(spark, root).count() == 3L &&
+      v5 == 5L, "raw as-of window folded: v1+v2 rows")
+  }
+
   test("graftsnap stream tails the log exactly once, skipping compaction bases and tombstones") {
     import spark.implicits._
     val root = freshRoot("stream_src")
