@@ -645,10 +645,54 @@ object Core {
       .orderBy(col("custkey"))
   }
 
+  /** TPC-H Q17 shape — "small-quantity" revenue: per-part average
+    * quantity computed once, then lineitem rows strictly below 20% of
+    * their part's average are summed per brand. The plan shape is the
+    * interesting part at scale: the threshold aggregate and the probe
+    * join share the SAME key (l_partkey), so Catalyst reuses the
+    * aggregation's hash partitioning for the fact-fact join — ONE
+    * shuffle of lineitem feeds both, never two — and the part
+    * dimension broadcasts onto the result. The threshold is exact
+    * arithmetic in a fixed order (decimal sum → one double division →
+    * one multiply), so the strict `<` boundary is bit-identical in
+    * both engines — a threshold computed as a floating AVG would make
+    * boundary rows engine-dependent. */
+  val qAvgFilter: Q = Q(
+    "q_avg_filter",
+    """WITH th AS (
+      |  SELECT l_partkey,
+      |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(*)) AS thr
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem l
+      |JOIN th ON th.l_partkey = l.l_partkey
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < th.thr
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val th = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sumMoney(col("l_quantity")) / count(lit(1))))
+        .as("thr"))
+    li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(th, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((sumMoney(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
-    qMergeUpsert)
+    qMergeUpsert, qAvgFilter)
 }

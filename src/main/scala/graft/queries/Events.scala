@@ -521,7 +521,42 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — P(next = e2 | current = e1), the model behind
+    * next-action prediction and anomaly scoring on clickstreams. One
+    * lead() over the per-user shuffle builds the bigram stream, one
+    * partial-aggregating groupBy counts transitions, and the
+    * normalizing row-sums run as a window over the AGGREGATED frame —
+    * whose size is bounded by the event-type alphabet squared, not by
+    * the corpus, so the second window costs nothing at any scale.
+    * Probabilities are one integer-over-integer double division:
+    * bit-identical in both engines. */
+  val markov: Q = Q(
+    "events_markov",
+    """WITH b AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS e2
+      |  FROM events),
+      |c AS (SELECT e1, e2, COUNT(*) AS cnt FROM b
+      |      WHERE e2 IS NOT NULL GROUP BY 1, 2)
+      |SELECT e1, e2, cnt,
+      |  CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY e1) AS prob
+      |FROM c ORDER BY e1, e2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("e1"), col("e2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("e1"))))
+      .orderBy(col("e1"), col("e2"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths, scd2, histogram, gapFill, rolling)
+    anomaly, topPaths, scd2, histogram, gapFill, rolling, markov)
 }

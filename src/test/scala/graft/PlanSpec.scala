@@ -417,6 +417,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("q_avg_filter: threshold agg and probe join share one lineitem partitioning; part broadcasts") {
+    // at test scale the size estimator correctly broadcasts the
+    // per-part threshold frame (it is small here) — fine; the 100 TB
+    // property to pin is what happens when it CANNOT broadcast
+    val p = plan(Core.qAvgFilter.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = plan(Core.qAvgFilter.run(spark, sf))
+      // exactly two exchanges on l_partkey: one feeding the threshold
+      // aggregate, one for the probe side — the agg→join boundary
+      // reuses the aggregation's partitioning instead of adding a third
+      val exchanges = "Exchange hashpartitioning\\(l_partkey".r
+        .findAllIn(big).length
+      assert(exchanges == 2,
+        s"expected 2 l_partkey exchanges, got $exchanges")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup_semantic: literal-centroid assignment, cid equi-join, never all-pairs") {
     val p = plan(Vectors.semanticDedup.run(spark, sf))
     // candidate generation is the within-cluster equi-join — the
