@@ -790,6 +790,122 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Late-interaction re-ranking (the ColBERT MaxSim shape): instead
+    * of one vector per document, every TERM carries its own small
+    * embedding, and score(q, d) = Σ_{t∈q} qtf_t · max_{u∈d} cos(e_t,
+    * e_u) — query terms each find their best-matching document term,
+    * so partial/semantic matches score where single-vector cosine
+    * averages them away. Token embeddings here are the deterministic
+    * hashing stand-in (8 md5 nibbles, centered to [-8,7] — integer
+    * vectors, exact dots/norms) with the same swap-in contract as
+    * embed_hashing: a real ColBERT checkpoint replaces the vocab
+    * frame, nothing else moves.
+    *
+    * Scale shape — the reason late interaction is viable at 100 TB:
+    * the corpus is BM25-semi-joined down to 10 candidates per query
+    * BEFORE any token-level work (candidate generation stays the
+    * cheap inverted-index join), embeddings attach at VOCAB level via
+    * a broadcast join on the term, and the quadratic token-pair work
+    * is confined to |q|·|d| per candidate pair with the dot computed
+    * in-row (zip_with + aggregate over the two arrays — no third
+    * join, no shuffle on the embedding dimension). The oracle
+    * recomputes the same integers long-form. */
+  val maxsim: Q = Q(
+    "retrieval_maxsim",
+    s"""WITH $bm25Cte,
+      |cand AS (
+      |  SELECT query_id, doc_id AS hit_id FROM ranked WHERE rn <= 10),
+      |needed AS (
+      |  SELECT DISTINCT query_id AS doc_id FROM cand
+      |  UNION SELECT DISTINCT hit_id FROM cand),
+      |terms AS (
+      |  SELECT tok.doc_id, t, COUNT(*)::BIGINT AS ctf
+      |  FROM tok JOIN needed USING (doc_id) GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT t FROM terms),
+      |emb AS (
+      |  SELECT t, j, ('0x' || substr(md5(t), j, 1))::INT - 8 AS v
+      |  FROM vocab CROSS JOIN (SELECT unnest(range(1, 9)) AS j)),
+      |tn2 AS (SELECT t, CAST(SUM(v * v) AS BIGINT) AS n2 FROM emb GROUP BY 1),
+      |qterms AS (
+      |  SELECT c.query_id, c.hit_id, tq.t AS qt, tq.ctf
+      |  FROM cand c JOIN terms tq ON tq.doc_id = c.query_id),
+      |dterms AS (
+      |  SELECT c.query_id, c.hit_id, td.t AS dtt
+      |  FROM cand c JOIN terms td ON td.doc_id = c.hit_id),
+      |pp AS (
+      |  SELECT q.query_id, q.hit_id, q.qt, q.ctf, d.dtt
+      |  FROM qterms q JOIN dterms d USING (query_id, hit_id)),
+      |dots AS (
+      |  SELECT query_id, hit_id, qt, ctf, dtt,
+      |    CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+      |  FROM pp JOIN emb ea ON ea.t = pp.qt
+      |  JOIN emb eb ON eb.t = pp.dtt AND eb.j = ea.j
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |cosm AS (
+      |  SELECT query_id, hit_id, qt, ctf,
+      |    MAX(dot / sqrt(na.n2 * nb.n2)) AS mx
+      |  FROM dots JOIN tn2 na ON na.t = dots.qt
+      |  JOIN tn2 nb ON nb.t = dots.dtt
+      |  WHERE na.n2 > 0 AND nb.n2 > 0
+      |  GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      |  SELECT query_id, hit_id, SUM(ctf * mx) AS maxsim
+      |  FROM cosm GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY maxsim DESC, hit_id) rn FROM sc)
+      |SELECT query_id, rn AS rank, hit_id,
+      |  FLOOR(maxsim * 10000 + 0.5) / 10000 AS maxsim_score
+      |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id").as("hit_id"))
+      .cache() // consumed by needed, qterms, and dterms
+    cand.count() // eager: the embedder subtree depends on cand
+    val needed = cand.select(col("query_id").as("doc_id"))
+      .unionByName(cand.select(col("hit_id").as("doc_id"))).distinct()
+    val terms = Tables.documents(s, dir)
+      .join(broadcast(needed), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("ctf"))
+      .cache() // consumed by vocab, qterms, dterms
+    terms.count()
+    // vocab-level dense integer embeddings: 8 centered md5 nibbles
+    val nib = (j: Int) =>
+      (conv(substring(md5(col("t")), j, 1), 16, 10).cast("int") - lit(8))
+    val emb = terms.select(col("t")).distinct()
+      .select(col("t"), array((1 to 8).map(nib): _*).as("vec"),
+        (1 to 8).map(j => nib(j) * nib(j)).reduce(_ + _)
+          .cast("long").as("n2"))
+    val dot = aggregate(
+      zip_with(col("qv"), col("dv"), (x, y) => (x * y).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("hit_id"))
+    cand.join(terms.select(col("doc_id").as("query_id"),
+        col("t").as("qt"), col("ctf")), "query_id")
+      .join(terms.select(col("doc_id").as("hit_id"),
+        col("t").as("dtt")), Seq("hit_id"))
+      .join(broadcast(emb.select(col("t").as("qt"), col("vec").as("qv"),
+        col("n2").as("na"))), "qt")
+      .join(broadcast(emb.select(col("t").as("dtt"), col("vec").as("dv"),
+        col("n2").as("nb"))), "dtt")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("query_id"), col("hit_id"), col("qt"), col("ctf"),
+        (dot.cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+      .groupBy(col("query_id"), col("hit_id"), col("qt"), col("ctf"))
+      .agg(max(col("cos")).as("mx"))
+      .groupBy(col("query_id"), col("hit_id"))
+      .agg(sum(col("ctf") * col("mx")).as("maxsim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("rank"), col("hit_id"),
+        (floor(col("maxsim") * 10000 + 0.5) / 10000).as("maxsim_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
-    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr)
+    embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr,
+    maxsim)
 }
