@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, col, explode, lit, max, struct, when}
+import org.apache.spark.sql.functions.{array, col, concat, count, explode, lit, max, raise_error, struct, when}
 
 /** Versioned snapshot tables — the time-travel/ACID-read layer a lake
   * without a table format still needs (the core of what Iceberg's
@@ -682,19 +682,25 @@ object Snapshots {
     *
     * Standard MERGE INTO ambiguity rule enforced: a target key may be
     * matched by at most ONE source row, so duplicate keys within
-    * `upserts` and any upserts∩deleteKeys overlap are rejected up
-    * front (one O(source-batch) validation job — never O(table)),
-    * instead of silently appending duplicates or letting upsert win.
-    * Requires a base snapshot (publish first). */
+    * `upserts` and any upserts∩deleteKeys overlap are rejected —
+    * IN-PLAN, not as a separate validation job: the anti-join's build
+    * side is the grouped source-key frame with a raise_error guard on
+    * the count, so the check rides the merge's own aggregation (free
+    * when sources are derived — they are never recomputed for
+    * validation) and a duplicate key aborts the publish WRITE, which
+    * by the torn-dir rule leaves the table on its previous snapshot
+    * (the failed attempt's marker-less dir is invisible; vacuum reaps
+    * it). Requires a base snapshot (publish first). */
   def publishMerge(s: SparkSession, root: String, key: String,
       upserts: DataFrame, deleteKeys: DataFrame): Long = {
     val k = col(key)
     val srcKeys = upserts.select(k).unionAll(deleteKeys.select(k))
-    val ambiguous = srcKeys.groupBy(k)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(ambiguous == 0L,
-      s"MERGE ambiguity: a $key value appears more than once across " +
-        "upserts + deleteKeys; each target key may match one source row")
+      .groupBy(k).agg(count(lit(1)).as("_n"))
+      .select(when(col("_n") > 1, raise_error(concat(
+        lit(s"MERGE ambiguity: $key value "), k.cast("string"),
+        lit(" appears more than once across upserts + deleteKeys; " +
+          "each target key may match one source row"))))
+        .otherwise(k).as(key))
     val next = read(s, root)
       .join(srcKeys, Seq(key), "left_anti")
       .unionByName(upserts)

@@ -199,18 +199,32 @@ class SnapshotSpec extends AnyFunSuite {
     import spark.implicits._
     val root = freshRoot("merge_ambig")
     Snapshots.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
-    intercept[IllegalArgumentException] {
+    // the guard is IN-PLAN (raise_error on the grouped source keys),
+    // so an ambiguous source aborts the publish write itself
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
       Snapshots.publishMerge(spark, root, "k",
         upserts = Seq((2L, "x"), (2L, "y")).toDF("k", "v"),
         deleteKeys = spark.emptyDataset[Long].toDF("k"))
     }
-    intercept[IllegalArgumentException] {
+    assert(msgChain(e1).contains("MERGE ambiguity"), msgChain(e1))
+    val e2 = intercept[Exception] {
       Snapshots.publishMerge(spark, root, "k",
         upserts = Seq((2L, "x")).toDF("k", "v"),
         deleteKeys = Seq(2L).toDF("k"))
     }
-    // neither rejected attempt published a version
+    assert(msgChain(e2).contains("MERGE ambiguity"), msgChain(e2))
+    // neither rejected attempt published a VERSION: their aborted
+    // writes leave only torn, marker-less dirs (invisible by the
+    // torn-dir rule; the next merge allocates past them)
     assert(Snapshots.latestVersion(root).contains(1L))
+    val v = Snapshots.publishMerge(spark, root, "k",
+      upserts = Seq((2L, "x")).toDF("k", "v"),
+      deleteKeys = spark.emptyDataset[Long].toDF("k"))
+    assert(v > 1L && Snapshots.read(spark, root).count() == 2L,
+      "a valid merge proceeds past the torn attempts")
   }
 
   test("vacuum refuses on a compacted append-log root; vacuumLog reaps epoch markers") {
