@@ -870,16 +870,18 @@ object Retrieval {
       .agg(count(lit(1)).as("ctf"))
       .cache() // consumed by vocab, qterms, dterms
     terms.count()
-    // vocab-level dense integer embeddings: 8 centered md5 nibbles
+    // vocab-level dense embeddings: 8 centered md5 nibbles — exact
+    // small integers carried as doubles so the dot runs through the
+    // codegen'd DotProduct (HOF zip_with/aggregate is CodegenFallback
+    // and would break the whole-stage span); all sums stay exact
     val nib = (j: Int) =>
       (conv(substring(md5(col("t")), j, 1), 16, 10).cast("int") - lit(8))
     val emb = terms.select(col("t")).distinct()
-      .select(col("t"), array((1 to 8).map(nib): _*).as("vec"),
+      .select(col("t"),
+        array((1 to 8).map(j => nib(j).cast("double")): _*).as("vec"),
         (1 to 8).map(j => nib(j) * nib(j)).reduce(_ + _)
           .cast("long").as("n2"))
-    val dot = aggregate(
-      zip_with(col("qv"), col("dv"), (x, y) => (x * y).cast("long")),
-      lit(0L), (a, x) => a + x)
+    val dot = graft.functions.VectorExprs.dot(col("qv"), col("dv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("maxsim").desc, col("hit_id"))
     cand.join(terms.select(col("doc_id").as("query_id"),
