@@ -56,6 +56,15 @@ object Snapshots {
   private def hasTombstone(dir: String): Boolean =
     LakeFs.isFile(s"$dir/$Tombstone")
 
+  private val BaseFromMarker = "^_SNAP_BASE_FROM_(\\d+)$".r
+
+  /** Tiered-fold marker: this version subsumes exactly the committed
+    * versions in (f, thisVersion) — see [[compactLogTail]]. */
+  private def baseFrom(dir: String): Option[Long] =
+    LakeFs.list(dir).iterator.map(_.getPath.getName).collectFirst {
+      case BaseFromMarker(f) => f.toLong
+    }
+
   private def committed(root: String): Seq[(Long, String)] =
     versions(root).filter { case (_, d) => isCommitted(d) }
 
@@ -373,9 +382,9 @@ object Snapshots {
     versions(root).map { case (v, d) =>
       (v, isCommitted(d), hasBase(d), hasTombstone(d),
         LakeFs.isFile(s"$d/${SnapStats.ManifestName}"),
-        commitTimestamp(root, v))
+        commitTimestamp(root, v), baseFrom(d))
     }.toDF("version", "committed", "compacted_base", "tombstone",
-      "has_stats", "committed_at_ms")
+      "has_stats", "committed_at_ms", "base_from")
   }
 
   /** The streaming reader's batch window (sources.SnapshotStreamSource,
@@ -390,13 +399,18 @@ object Snapshots {
     * exactly the prefix [[readLog]] resolves. */
   def streamWindow(root: String, after: Long,
       until: Long): Seq[(Long, String)] = {
-    val live = committed(root)
-      .filter { case (v, _) => v > after && v <= until }
-      .filterNot { case (_, d) => hasTombstone(d) }
-    if (after == 0L) {
-      val lastBase = live.lastIndexWhere { case (_, d) => hasBase(d) }
-      if (lastBase < 0) live else live.drop(lastBase)
-    } else live.filterNot { case (_, d) => hasBase(d) }
+    if (after == 0L)
+      // fresh stream: exactly the reader window (chained through
+      // bases and tiered folds — never the raw version list, which
+      // would double-deliver folded rows)
+      logWindow(root, Some(until))
+        .filterNot { case (_, d) => hasTombstone(d) }
+    else
+      committed(root)
+        .filter { case (v, _) => v > after && v <= until }
+        .filterNot { case (_, d) =>
+          hasTombstone(d) || hasBase(d) || baseFrom(d).isDefined
+        }
   }
 
   /** Tombstone batch for the merge-on-read log: `keys` (a frame of
@@ -426,8 +440,24 @@ object Snapshots {
     }
     require(live.nonEmpty, s"no committed snapshot in $root" +
       asOf.map(v => s" at or before v=$v").getOrElse(""))
-    val lastCompact = live.lastIndexWhere { case (_, d) => hasBase(d) }
-    if (lastCompact < 0) live else live.drop(lastCompact)
+    // walk newest → oldest, chaining through compaction boundaries:
+    // a full base subsumes everything below it (stop); a tiered
+    // tail-fold (BASE_FROM f, see compactLogTail) subsumes exactly
+    // (f, v) — skip down to f and keep resolving, so L1 folds chain
+    // onto older folds/bases/appends without ever rewriting them
+    var out: List[(Long, String)] = Nil
+    var bound = Long.MaxValue
+    var i = live.length - 1
+    while (i >= 0) {
+      val (v, d) = live(i)
+      if (v <= bound) {
+        out = (v, d) :: out
+        if (hasBase(d)) i = 0 // full base: nothing below survives
+        else baseFrom(d).foreach(f => bound = f)
+      }
+      i -= 1
+    }
+    out
   }
 
   /** One frame per window version with SCHEMA EVOLUTION resolved
@@ -574,6 +604,48 @@ object Snapshots {
   def compactLogMerged(s: SparkSession, root: String, key: String): Long =
     commitCompacted(readLogMerged(s, root, key), root)
 
+  /** TIERED compaction (the L0→L1 fold): fold only the raw appends
+    * accumulated since the newest compaction boundary into one new
+    * version carrying `_SNAP_BASE_FROM_<f>` — "subsumes exactly
+    * (f, me)". [[compactLog]] rewrites the WHOLE reader window every
+    * time, O(table); on a 100 TB log ingesting thousands of
+    * micro-batches a day that rewrite is the bottleneck, and every
+    * log-structured store answers it the same way: fold small runs
+    * into bigger runs and let readers chain across tiers. Window
+    * resolution walks newest→oldest through the chain (logWindow), so
+    * a reader sees [older base/fold chain] ++ [this fold] ++ [newer
+    * appends] — O(tiers + new appends) paths, and periodic full
+    * compactLog still collapses the chain to one base.
+    *
+    * Append-only contract, same as compactLog: tombstoned (MoR)
+    * windows are refused, and a fold collapses the tail's versions to
+    * ONE version number — [[readLogMerged]]'s latest-wins across the
+    * folded tail degrades to its within-version tiebreak, so keyed
+    * upsert logs compact through [[compactLogMerged]] instead. */
+  def compactLogTail(s: SparkSession, root: String): Long = {
+    val window = logWindow(root, None)
+    val boundary = window.lastIndexWhere { case (_, d) =>
+      hasBase(d) || baseFrom(d).isDefined
+    }
+    val tail = window.drop(boundary + 1)
+    val fromV = if (boundary < 0) 0L else window(boundary)._1
+    require(tail.nonEmpty,
+      s"compactLogTail($root): no raw appends above the newest " +
+        "compaction boundary — nothing to fold")
+    require(!tail.exists { case (_, d) => hasTombstone(d) },
+      s"compactLogTail($root): the tail holds tombstone batches " +
+        "(merge-on-read log) — a raw fold would turn deletes into " +
+        "rows; use compactLogMerged")
+    val folded = unionWindow(s, tail)
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    folded.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/_SNAP_BASE_FROM_$fromV"),
+      s"base-from marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"commit marker v=$n")
+    n
+  }
+
   /** OPTIMIZE ZORDER for the append log — the nightly layout job a
     * 100 TB lake runs: fold the current reader window into ONE
     * compacted version laid out on the Morton curve of (cx, cy)
@@ -634,14 +706,15 @@ object Snapshots {
   def vacuumLog(root: String, keepEpochs: Int = 8): Unit = {
     val live = committed(root)
     if (live.nonEmpty) {
-      val lastCompact = live.lastIndexWhere { case (_, d) => hasBase(d) }
-      // no compaction → nothing is subsumed, but torn dirs below the
-      // latest commit are still reaped (they are invisible already)
-      val keepFrom = if (lastCompact >= 0) live(lastCompact)._1
-        else live.head._1
+      // keep exactly the current reader window (which chains through
+      // tiered BASE_FROM folds — a fold's own inputs are subsumed but
+      // the older segments it chains ONTO are still read); everything
+      // committed outside the window is subsumed, torn dirs below the
+      // latest commit are invisible already
+      val keep = logWindow(root, None).map(_._1).toSet
       val latest = live.last._1
       versions(root).foreach { case (v, d) =>
-        if ((isCommitted(d) && v < keepFrom) ||
+        if ((isCommitted(d) && !keep(v)) ||
             (!isCommitted(d) && v < latest))
           LakeFs.rmTree(d)
       }
@@ -750,7 +823,8 @@ object Snapshots {
   def vacuum(root: String, keep: Int): Unit = {
     require(keep > 0, s"vacuum(keep=$keep): retention must keep >= 1 snapshot")
     val live = committed(root)
-    require(!live.exists { case (_, d) => hasBase(d) },
+    require(!live.exists { case (_, d) =>
+      hasBase(d) || baseFrom(d).isDefined },
       s"$root is an append-log root (compacted versions present); " +
         "vacuum would delete versions readLog still unions — use vacuumLog")
     if (live.nonEmpty) {

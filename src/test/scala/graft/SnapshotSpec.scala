@@ -718,6 +718,73 @@ class SnapshotSpec extends AnyFunSuite {
       v5 == 5L, "raw as-of window folded: v1+v2 rows")
   }
 
+  test("compactLogTail folds O(tail), readers chain across tiers, vacuumLog keeps the chain") {
+    import spark.implicits._
+    val root = freshRoot("tiered")
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    (0 until 3).foreach(b => Snapshots.publishAppend(
+      batch(b * 10, b * 10 + 9), root)) // v1..v3
+    val v4 = Snapshots.compactLogTail(spark, root) // first fold: all 30
+    assert(v4 == 4L)
+    assert(Snapshots.readLog(spark, root).count() == 30L)
+    Snapshots.publishAppend(batch(30, 39), root) // v5
+    Snapshots.publishAppend(batch(40, 49), root) // v6
+    val v7 = Snapshots.compactLogTail(spark, root)
+    assert(v7 == 7L)
+    // THE tiered claim: the L1 fold rewrote only the tail (v5+v6),
+    // never the 30 rows already folded into v4
+    assert(spark.read.parquet(s"$root/v=7").count() == 20L)
+    val all = Snapshots.readLog(spark, root)
+    assert(all.count() == 50L &&
+      all.select("k").distinct().count() == 50L,
+      "chained window must union each row exactly once")
+    // time travel resolves through the chain boundary
+    assert(Snapshots.readLog(spark, root, asOf = Some(5L)).count() == 40L)
+    assert(Snapshots.readLog(spark, root, asOf = Some(4L)).count() == 30L)
+    // history decodes the fold boundaries
+    val bf = Snapshots.history(spark, root).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    assert(bf(4L) == Some(0L) && bf(7L) == Some(4L) && bf(5L).isEmpty)
+    // a fresh stream on the chained log delivers the window once
+    val ckpt = s"/tmp/graft_snap_spec/tiered_ckpt"
+    LakeFs.rmTree(ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graftsnap").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(0))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted == (0L to 49L))
+      // a mid-stream tail fold is a rewrite of delivered rows: skipped
+      Snapshots.publishAppend(batch(50, 54), root) // v8
+      q.processAllAvailable()
+      Snapshots.compactLogTail(spark, root) // v9 = fold(v8)
+      q.processAllAvailable()
+      assert(seen.sorted == (0L to 54L), "fold must not re-deliver")
+    } finally q.stop()
+    // retention keeps exactly the chain {4, 7, 9}
+    Snapshots.vacuumLog(root)
+    assert(LakeFs.list(root).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).toSet == Set("v=4", "v=7", "v=9"))
+    assert(Snapshots.readLog(spark, root).count() == 55L)
+    // a full compaction still collapses the chain to one base
+    val v10 = Snapshots.compactLog(spark, root)
+    Snapshots.vacuumLog(root)
+    assert(LakeFs.list(root).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).toSet == Set(s"v=$v10"))
+    assert(Snapshots.readLog(spark, root).count() == 55L)
+    // refusal: nothing above the boundary / tombstoned tail
+    intercept[IllegalArgumentException](Snapshots.compactLogTail(spark, root))
+    Snapshots.publishDeletes(Seq(Tuple1(0L)).toDF("k"), root)
+    intercept[IllegalArgumentException](Snapshots.compactLogTail(spark, root))
+  }
+
   test("graftsnap stream tails the log exactly once, skipping compaction bases and tombstones") {
     import spark.implicits._
     val root = freshRoot("stream_src")
