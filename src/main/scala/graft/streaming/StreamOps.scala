@@ -475,6 +475,40 @@ object StreamOps {
       }
       .start()
 
+  /** LAKE-TO-LAKE streaming pipeline — the streaming materialized
+    * view: tail an upstream snapshot log through the graftsnap source
+    * and publish each micro-batch's TRANSFORMED rows as one committed
+    * version of a downstream log root. Exactly-once composes end to
+    * end from the two halves it already has: upstream, the source's
+    * offset WAL over immutable versions (a replayed batch re-plans
+    * the same files); downstream, the epoch-marker publish (a
+    * replayed epoch skips). Restart either side and no row is lost or
+    * doubled — and the downstream root is itself a first-class lake
+    * table (time travel, compaction, further pipes), so pipelines
+    * chain. `transform` runs per micro-batch on a plain DataFrame:
+    * filters/projections/enrichment joins compose freely; cross-batch
+    * aggregation belongs to a downstream readLog query or a
+    * compaction, exactly as in Delta's medallion layering. */
+  def lakePipe(s: SparkSession, srcRoot: String, dstRoot: String)(
+      transform: DataFrame => DataFrame):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graftsnap").load(srcRoot)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dstRoot + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.operators.Snapshots.epochOnce(dstRoot, epoch) {
+          val out = transform(batch.toDF())
+          // an all-filtered batch publishes NOTHING (an empty version
+          // dir would poison the log's schema inference); the epoch
+          // marker still records the batch as done
+          if (out.isEmpty) -1L
+          else graft.operators.Snapshots.publishAppend(out, dstRoot)
+        }
+        ()
+      }
+      .start()
+
   /** One snapshot-ingest micro-batch — factored out so the retry spec
     * can replay an epoch directly. */
   private[graft] def snapshotIngestBatch(batch: DataFrame, epoch: Long,

@@ -718,6 +718,56 @@ class SnapshotSpec extends AnyFunSuite {
       v5 == 5L, "raw as-of window folded: v1+v2 rows")
   }
 
+  test("lakePipe: lake-to-lake streaming pipeline, exactly-once end to end across restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bronze = freshRoot("pipe_bronze")
+    val silver = freshRoot("pipe_silver")
+    LakeFs.rmTree(bronze + "_ckpt")
+    LakeFs.rmTree(silver + "_ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ingest = graft.streaming.StreamOps.snapshotIngest(spark,
+      ms.toDF().toDF("k"), bronze)
+    def pipe() = graft.streaming.StreamOps.lakePipe(spark, bronze, silver) {
+      df => df.filter(org.apache.spark.sql.functions.col("k") % 2 === 0)
+        .withColumn("k2", org.apache.spark.sql.functions.col("k") * 2)
+    }
+    def silverKs = Snapshots.readLog(spark, silver).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the source infers its schema off the upstream table, so the
+    // pipe starts after bronze's first committed version exists
+    ms.addData(0L to 9L: _*); ingest.processAllAvailable()
+    val p1 = pipe()
+    try {
+      p1.processAllAvailable()
+      assert(silverKs == (0L to 9L by 2).map(k => (k, k * 2)).toSet)
+      ms.addData(10L to 19L: _*); ingest.processAllAvailable()
+      p1.processAllAvailable()
+      assert(silverKs == (0L to 19L by 2).map(k => (k, k * 2)).toSet)
+    } finally p1.stop()
+    try {
+      // upstream keeps ingesting while the pipe is DOWN...
+      ms.addData(20L, 21L, 22L); ingest.processAllAvailable()
+      // ...and an all-odd batch must advance the pipe without
+      // publishing an (empty) version
+      ms.addData(23L, 25L); ingest.processAllAvailable()
+      val p2 = pipe()
+      try {
+        p2.processAllAvailable()
+        assert(silverKs == (0L to 22L by 2).map(k => (k, k * 2)).toSet,
+          "restarted pipe must resume exactly once, skipping empty output")
+        // downstream is a first-class lake table: compaction + travel
+        val sv = Snapshots.latestVersion(silver).get
+        Snapshots.compactLog(spark, silver)
+        ms.addData(24L); ingest.processAllAvailable()
+        p2.processAllAvailable()
+        assert(silverKs == (0L to 24L by 2).map(k => (k, k * 2)).toSet)
+        assert(Snapshots.readLog(spark, silver, asOf = Some(sv)).count() ==
+          (0L to 22L by 2).size, "silver time travel across the pipe")
+      } finally p2.stop()
+    } finally ingest.stop()
+  }
+
   test("compactLogTail folds O(tail), readers chain across tiers, vacuumLog keeps the chain") {
     import spark.implicits._
     val root = freshRoot("tiered")
