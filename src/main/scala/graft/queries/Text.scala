@@ -904,8 +904,50 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate — the tokenizer-fit
+    * signal a pipeline reads before committing to a vocab (high OOV =
+    * the corpus slice doesn't match the tokenizer's training
+    * distribution) and a cheap domain-shift detector after. Vocab =
+    * terms with corpus frequency ≥ 0.1% of total tokens, compared as
+    * `c * 1000 >= total` — integer-exact in both engines and
+    * SCALE-FREE (an absolute cutoff would silently reclassify terms
+    * as the corpus grows). Plan: one token scan feeds both the vocab
+    * aggregate and the coverage join; the vocab frame is bounded by
+    * the frequency floor (≤ 1000 terms by construction) so it
+    * broadcasts; per-doc rates are one int/int double division. */
+  val oov: Q = Q(
+    "text_oov",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tot AS (SELECT COUNT(*)::BIGINT n FROM tok),
+      |v AS (
+      |  SELECT t FROM tok CROSS JOIN tot
+      |  GROUP BY t, tot.n HAVING COUNT(*) * 1000 >= tot.n)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM tok LEFT JOIN v ON tok.t = v.t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .join(broadcast(tok.agg(count(lit(1)).as("n"))))
+      .filter(col("c") * 1000 >= col("n"))
+      .select(col("t"), lit(true).as("_inv"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    tokensUnicode, entropy)
+    tokensUnicode, entropy, oov)
 }
