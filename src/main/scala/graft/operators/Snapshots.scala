@@ -780,6 +780,33 @@ object Snapshots {
     publish(next, root)
   }
 
+  /** The OPTIMIZE scheduling policy — what keeps a continuously
+    * ingesting log's reader window BOUNDED without a human running
+    * compactions: fold the raw tail into an L1 fold once it exceeds
+    * `maxTail` versions (O(tail) each time), and collapse the whole
+    * chain into one full base once the chain holds `maxChain` folds
+    * (the rare O(table) event — amortized, ingest pays O(batch) +
+    * occasional O(tail) and the window never exceeds maxTail +
+    * maxChain paths). Call after ingest batches or on a schedule;
+    * returns the version a fold committed, None when within bounds.
+    * Raw-append contract (tombstoned tails throw, compactLogTail's
+    * rule); keyed MoR logs schedule compactLogMerged instead. */
+  def maintainLog(s: SparkSession, root: String, maxTail: Int = 8,
+      maxChain: Int = 4): Option[Long] = {
+    require(maxTail >= 1 && maxChain >= 1, "maintainLog: bounds >= 1")
+    val window = logWindow(root, None)
+    val folds = window.count { case (_, d) =>
+      hasBase(d) || baseFrom(d).isDefined
+    }
+    val tail = window.length -
+      (window.lastIndexWhere { case (_, d) =>
+        hasBase(d) || baseFrom(d).isDefined
+      } + 1)
+    if (folds >= maxChain) Some(compactLog(s, root))
+    else if (tail >= maxTail) Some(compactLogTail(s, root))
+    else None
+  }
+
   private val EpochMarker = "^_GRAFT_EPOCH_(\\d+)$".r
   // scoped form (multi-writer ingest, epochOnceFor): stream id is
   // everything up to the FINAL underscore — epochs are plain digits,

@@ -718,6 +718,32 @@ class SnapshotSpec extends AnyFunSuite {
       v5 == 5L, "raw as-of window folded: v1+v2 rows")
   }
 
+  test("maintainLog bounds the reader window under continuous ingest") {
+    import spark.implicits._
+    val root = freshRoot("maintain")
+    var fullFolds = 0
+    var tailFolds = 0
+    (1 to 30).foreach { i =>
+      Snapshots.publishAppend(Seq((i.toLong, s"r$i")).toDF("k", "v"), root)
+      Snapshots.maintainLog(spark, root, maxTail = 4, maxChain = 3)
+        .foreach { v =>
+          if (Snapshots.history(spark, root).collect()
+            .exists(r => r.getLong(0) == v && r.getBoolean(2))) fullFolds += 1
+          else tailFolds += 1
+        }
+      val window = Snapshots.readLog(spark, root)
+      assert(window.count() == i.toLong, s"rows lost/duplicated at $i")
+      Snapshots.vacuumLog(root)
+      val dirs = LakeFs.list(root).count(_.getPath.getName.startsWith("v="))
+      assert(dirs <= 4 + 3,
+        s"window unbounded at step $i: $dirs version dirs")
+    }
+    assert(tailFolds > 0 && fullFolds > 0,
+      s"both tiers must fire (tail=$tailFolds, full=$fullFolds)")
+    assert(Snapshots.readLog(spark, root).select("k").distinct().count()
+      == 30L)
+  }
+
   test("lakePipe: lake-to-lake streaming pipeline, exactly-once end to end across restart") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
