@@ -556,7 +556,80 @@ object Events {
       .orderBy(col("e1"), col("e2"))
   }
 
+  /** PageRank (3 unrolled iterations, damping 0.85) over the
+    * event-type transition graph — "which states does activity
+    * concentrate in", the graph-centrality complement to
+    * events_markov's local transition probabilities. The scale story
+    * is the split: ONE data-sized pass builds the weighted edge list
+    * (the same lead+count aggregation as markov), and every iteration
+    * after runs on frames bounded by the event-type alphabet (squared
+    * for edges) — so iteration cost is independent of corpus size,
+    * and the driver loop counts ITERATIONS (3), never rows. Simple
+    * variant without dangling-mass redistribution (a sink state keeps
+    * its (1-d)/N floor), identical in both engines; ranks rounded to
+    * 6dp at the END only (mmr's computed-(1-d) and FLOOR-rounding
+    * precedents). */
+  val pagerank: Q = Q(
+    "events_pagerank",
+    { val iter = (k: Int) =>
+        s"""r$k AS (
+          |  SELECT d.v, (1 - 0.85) / n.n + 0.85 * COALESCE(
+          |      SUM(r.r * e.w / o.ow), 0) AS r
+          |  FROM d
+          |  LEFT JOIN e ON e.e2 = d.v
+          |  LEFT JOIN r${k - 1} r ON r.v = e.e1
+          |  LEFT JOIN outw o ON o.e1 = e.e1
+          |  CROSS JOIN n
+          |  GROUP BY d.v, n.n)""".stripMargin
+      s"""WITH b AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS e2
+      |  FROM events),
+      |e AS (SELECT e1, e2, COUNT(*)::DOUBLE w FROM b
+      |      WHERE e2 IS NOT NULL GROUP BY 1, 2),
+      |outw AS (SELECT e1, SUM(w) ow FROM e GROUP BY 1),
+      |d AS (SELECT DISTINCT event_type AS v FROM events),
+      |n AS (SELECT COUNT(*)::DOUBLE n FROM d),
+      |r0 AS (SELECT v, 1.0 / n.n AS r FROM d CROSS JOIN n),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT v AS event_type,
+      |  FLOOR(r * 1000000 + 0.5) / 1000000 AS pagerank
+      |FROM r3 ORDER BY v""".stripMargin }) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ev = Tables.events(s, dir)
+    val e = ev.select(col("user_id"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("e1"), col("e2"))
+      .agg(count(lit(1)).cast(DoubleType).as("w"))
+      .cache() // alphabet²-bounded; consumed by outw + every iteration
+    val outw = e.groupBy(col("e1")).agg(sum(col("w")).as("ow"))
+    val d = ev.select(col("event_type").as("v")).distinct().cache()
+    val n = d.agg(count(lit(1)).cast(DoubleType).as("n"))
+    var r = d.crossJoin(broadcast(n))
+      .select(col("v"), (lit(1.0) / col("n")).as("r"))
+    (1 to 3).foreach { _ =>
+      r = d.join(e, col("e2") === col("v"), "left")
+        .join(r.select(col("v").as("_sv"), col("r")),
+          col("e1") === col("_sv"), "left")
+        .join(outw, Seq("e1"), "left")
+        .crossJoin(broadcast(n))
+        .groupBy(col("v"), col("n"))
+        .agg(((lit(1) - lit(0.85)) / col("n") + lit(0.85) *
+          coalesce(sum(col("r") * col("w") / col("ow")), lit(0.0)))
+          .as("r"))
+        .select(col("v"), col("r"))
+    }
+    r.select(col("v").as("event_type"),
+        (floor(col("r") * 1000000 + 0.5) / 1000000).as("pagerank"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths, scd2, histogram, gapFill, rolling, markov)
+    anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank)
 }
