@@ -362,7 +362,11 @@ object Snapshots {
     // semantics (delete marker, not rows) — the raw pruned union
     // would surface it as data; merge-on-read logs resolve through
     // readLogMerged (or fold via optimizeMerged, then prune)
-    requireNoTombstones(root, "readLogPruned", "readLogMerged")
+    // the guard must inspect the window this read RESOLVES (asOf),
+    // not the current one: a clean-now log can still have tombstone
+    // batches inside a time-traveled window (they'd surface as data),
+    // and tombstones published after asOf must not refuse a clean one
+    requireNoTombstones(root, "readLogPruned", "readLogMerged", asOf)
     val window = logWindow(root, asOf)
     val paths = window.flatMap { case (_, d) =>
       SnapStats.prunedPaths(d, c, BigDecimal(lo), BigDecimal(hi))
@@ -397,8 +401,34 @@ object Snapshots {
     * A FIRST batch (after == 0) on an already-compacted log starts AT
     * the newest base inside the window — the initial-snapshot batch,
     * exactly the prefix [[readLog]] resolves. */
+  /** Highest committed version ever reaped by retention — the
+    * stream-loss fence: a checkpointed stream whose offset is BELOW
+    * this may have unread raw appends already deleted (and their fold
+    * is skipped as a rewrite), so resuming it would silently drop
+    * rows. Written monotonically by vacuum/vacuumLog, checked by
+    * [[streamWindow]], which fails LOUDLY instead — the same contract
+    * Delta's source enforces when VACUUM outruns a streaming reader. */
+  private val StreamHorizon = "_SNAP_STREAM_HORIZON"
+
+  private def streamHorizon(root: String): Long =
+    LakeFs.readString(s"$root/$StreamHorizon")
+      .map(_.trim.toLong).getOrElse(0L)
+
+  private def raiseStreamHorizon(root: String, reaped: Seq[Long]): Unit =
+    reaped.maxOption.foreach { hi =>
+      if (hi > streamHorizon(root))
+        LakeFs.write(s"$root/$StreamHorizon", hi.toString)
+    }
+
   def streamWindow(root: String, after: Long,
       until: Long): Seq[(Long, String)] = {
+    val horizon = streamHorizon(root)
+    require(after == 0L || after >= horizon,
+      s"graftsnap stream at offset v=$after resumed BEHIND the " +
+        s"retention horizon v=$horizon of $root: raw appends it never " +
+        "read have been vacuumed (their fold is a rewrite the stream " +
+        "skips) — restart the stream from a fresh checkpoint to " +
+        "re-read the current table state")
     if (after == 0L)
       // fresh stream: exactly the reader window (chained through
       // bases and tiered folds — never the raw version list, which
@@ -713,11 +743,16 @@ object Snapshots {
       // latest commit are invisible already
       val keep = logWindow(root, None).map(_._1).toSet
       val latest = live.last._1
-      versions(root).foreach { case (v, d) =>
-        if ((isCommitted(d) && !keep(v)) ||
-            (!isCommitted(d) && v < latest))
-          LakeFs.rmTree(d)
+      val toReap = versions(root).filter { case (v, d) =>
+        (isCommitted(d) && !keep(v)) || (!isCommitted(d) && v < latest)
       }
+      // fence FIRST: a crash between fence and delete over-fences
+      // (streams refused while the data still exists — safe); the
+      // other order would leave a window where a lagging stream
+      // silently skips rows whose dirs are already gone
+      raiseStreamHorizon(root,
+        toReap.collect { case (v, d) if isCommitted(d) => v })
+      toReap.foreach { case (_, d) => LakeFs.rmTree(d) }
       reapEpochMarkers(root, keepEpochs)
       reapDeadClaims(root)
     }
@@ -755,29 +790,30 @@ object Snapshots {
     *
     * Standard MERGE INTO ambiguity rule enforced: a target key may be
     * matched by at most ONE source row, so duplicate keys within
-    * `upserts` and any upserts∩deleteKeys overlap are rejected —
-    * IN-PLAN, not as a separate validation job: the anti-join's build
-    * side is the grouped source-key frame with a raise_error guard on
-    * the count, so the check rides the merge's own aggregation (free
-    * when sources are derived — they are never recomputed for
-    * validation) and a duplicate key aborts the publish WRITE, which
-    * by the torn-dir rule leaves the table on its previous snapshot
-    * (the failed attempt's marker-less dir is invisible; vacuum reaps
-    * it). Requires a base snapshot (publish first). */
+    * `upserts` and any upserts∩deleteKeys overlap are rejected up
+    * front. The grouped source-key frame is CACHED and shared between
+    * the eager check and the anti-join (sources compute once, never a
+    * second validation pass over derived inputs); the check itself is
+    * a separate eager action on purpose — an in-plan raise_error on
+    * the join's build side can be optimized AWAY with the join (e.g.
+    * empty-relation propagation when the target snapshot is empty),
+    * silently publishing the duplicates it was guarding against. */
   def publishMerge(s: SparkSession, root: String, key: String,
       upserts: DataFrame, deleteKeys: DataFrame): Long = {
     val k = col(key)
     val srcKeys = upserts.select(k).unionAll(deleteKeys.select(k))
       .groupBy(k).agg(count(lit(1)).as("_n"))
-      .select(when(col("_n") > 1, raise_error(concat(
-        lit(s"MERGE ambiguity: $key value "), k.cast("string"),
-        lit(" appears more than once across upserts + deleteKeys; " +
-          "each target key may match one source row"))))
-        .otherwise(k).as(key))
-    val next = read(s, root)
-      .join(srcKeys, Seq(key), "left_anti")
-      .unionByName(upserts)
-    publish(next, root)
+      .cache()
+    try {
+      val ambiguous = srcKeys.filter(col("_n") > 1).limit(1).count()
+      require(ambiguous == 0L,
+        s"MERGE ambiguity: a $key value appears more than once across " +
+          "upserts + deleteKeys; each target key may match one source row")
+      val next = read(s, root)
+        .join(srcKeys.select(k), Seq(key), "left_anti")
+        .unionByName(upserts)
+      publish(next, root)
+    } finally srcKeys.unpersist()
   }
 
   /** The OPTIMIZE scheduling policy — what keeps a continuously
@@ -795,9 +831,10 @@ object Snapshots {
       maxChain: Int = 4): Option[Long] = {
     require(maxTail >= 1 && maxChain >= 1, "maintainLog: bounds >= 1")
     val window = logWindow(root, None)
-    val folds = window.count { case (_, d) =>
-      hasBase(d) || baseFrom(d).isDefined
-    }
+    // only TIERED folds count toward the chain bound: a terminal full
+    // base is the collapsed state, and counting it would make
+    // maxChain=1 rewrite the whole table on every call forever
+    val folds = window.count { case (_, d) => baseFrom(d).isDefined }
     val tail = window.length -
       (window.lastIndexWhere { case (_, d) =>
         hasBase(d) || baseFrom(d).isDefined
@@ -857,11 +894,12 @@ object Snapshots {
     if (live.nonEmpty) {
       val keepFrom = live.takeRight(keep).head._1
       val latest = live.last._1
-      versions(root).foreach { case (v, d) =>
-        if ((isCommitted(d) && v < keepFrom) ||
-            (!isCommitted(d) && v < latest))
-          LakeFs.rmTree(d)
+      val toReap = versions(root).filter { case (v, d) =>
+        (isCommitted(d) && v < keepFrom) || (!isCommitted(d) && v < latest)
       }
+      raiseStreamHorizon(root, // fence before delete, as in vacuumLog
+        toReap.collect { case (v, d) if isCommitted(d) => v })
+      toReap.foreach { case (_, d) => LakeFs.rmTree(d) }
       reapEpochMarkers(root, keep)
       reapDeadClaims(root)
     }

@@ -188,11 +188,18 @@ class SnapshotStreamReaderFactory(required: StructType,
       p.asInstanceOf[SnapFilePartition].file, required, conf)
 }
 
-/** Executor-side parquet decode of one immutable snapshot file:
-  * footer once, then row groups through the example-Group record
-  * assembly, materializing ONLY the required columns into
-  * InternalRows. Null handling is repetition-count-based (an absent
-  * optional value never calls a typed getter). */
+/** Executor-side parquet decode of one immutable snapshot file.
+  * Column pruning is pushed into the READ, not just the copy loop:
+  * the requested schema handed to ParquetFileReader is the projection
+  * of the file's schema onto the required columns, so unprojected
+  * columns' pages are never decompressed or assembled (a `select(k)`
+  * over a wide log pays I/O for k only). A required column the FILE
+  * lacks (schema evolution — an older version before the column was
+  * added) null-fills, matching readLog's unionByName semantics; a
+  * row-count-only scan (no required columns) emits empty rows straight
+  * off row-group counts without touching any page. Null handling is
+  * repetition-count-based (an absent optional value never calls a
+  * typed getter). */
 class SnapshotFileReader(file: String, required: StructType,
     conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
@@ -200,9 +207,23 @@ class SnapshotFileReader(file: String, required: StructType,
     ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf.value))
   private val fileSchema: MessageType =
     reader.getFooter.getFileMetaData.getSchema
-  private val fieldIdx: Array[Int] =
-    required.fields.map(f => fileSchema.getFieldIndex(f.name))
-  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+  // projection of the file schema onto the required columns, keeping
+  // the file's own field objects (types/repetition travel intact)
+  private val projected: MessageType = new MessageType(
+    fileSchema.getName,
+    required.fields.toSeq.filter(f => fileSchema.containsField(f.name))
+      .map(f => fileSchema.getFields.get(
+        fileSchema.getFieldIndex(f.name))): _*)
+  // required index -> projected index, -1 = absent in this file (null)
+  private val fieldIdx: Array[Int] = required.fields.map { f =>
+    if (fileSchema.containsField(f.name)) projected.getFieldIndex(f.name)
+    else -1
+  }
+  private val countOnly = projected.getFieldCount == 0
+  private val columnIO =
+    if (countOnly) null else new ColumnIOFactory().getColumnIO(projected)
+
+  { if (!countOnly) reader.setRequestedSchema(projected) }
 
   private var recordReader:
     org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
@@ -214,17 +235,23 @@ class SnapshotFileReader(file: String, required: StructType,
       val pages = reader.readNextRowGroup()
       if (pages == null) return false
       remainingInGroup = pages.getRowCount
-      recordReader =
-        columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      if (!countOnly)
+        recordReader =
+          columnIO.getRecordReader(pages, new GroupRecordConverter(projected))
+    }
+    remainingInGroup -= 1
+    if (countOnly) {
+      row = InternalRow.fromSeq(
+        IndexedSeq.fill[Any](required.length)(null))
+      return true
     }
     val g = recordReader.read()
-    remainingInGroup -= 1
     val values = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
       val idx = fieldIdx(i)
       values(i) =
-        if (g.getFieldRepetitionCount(idx) == 0) null
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
         else required.fields(i).dataType match {
           case LongType => g.getLong(idx, 0)
           case IntegerType => g.getInteger(idx, 0)

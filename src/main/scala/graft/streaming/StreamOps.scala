@@ -488,26 +488,44 @@ object StreamOps {
     * chain. `transform` runs per micro-batch on a plain DataFrame:
     * filters/projections/enrichment joins compose freely; cross-batch
     * aggregation belongs to a downstream readLog query or a
-    * compaction, exactly as in Delta's medallion layering. */
-  def lakePipe(s: SparkSession, srcRoot: String, dstRoot: String)(
-      transform: DataFrame => DataFrame):
-      org.apache.spark.sql.streaming.StreamingQuery =
+    * compaction, exactly as in Delta's medallion layering.
+    *
+    * `pipeId` scopes BOTH the exactly-once marker and the checkpoint:
+    * several pipes may fan into one downstream root (the multi-writer
+    * ingest shape), and epoch ids are per-query counters — with an
+    * unscoped marker pipe B's epoch 0 would see pipe A's epoch-0
+    * marker and silently swallow its own first batch (the #160
+    * lesson, IndexLifecycle.epochOnceFor). Defaults to a sanitized
+    * form of the source root: unique per upstream, stable across
+    * restarts. Fan-in publishes interleave via ordinary version
+    * allocation — union semantics make every interleaving correct. */
+  def lakePipe(s: SparkSession, srcRoot: String, dstRoot: String,
+      pipeId: Option[String] = None)(transform: DataFrame => DataFrame):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val pid = pipeId.getOrElse(srcRoot.replaceAll("[^A-Za-z0-9_-]", "-"))
     s.readStream.format("graftsnap").load(srcRoot)
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", dstRoot + "_ckpt")
+      .option("checkpointLocation", s"${dstRoot}_ckpt_$pid")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        graft.operators.Snapshots.epochOnce(dstRoot, epoch) {
-          val out = transform(batch.toDF())
-          // an all-filtered batch publishes NOTHING (an empty version
-          // dir would poison the log's schema inference); the epoch
-          // marker still records the batch as done
-          if (out.isEmpty) -1L
-          else graft.operators.Snapshots.publishAppend(out, dstRoot)
+        graft.operators.IndexLifecycle.epochOnceFor(dstRoot, pid, epoch) {
+          // cache: the emptiness probe and the publish share ONE
+          // evaluation of the transform (an enrichment join must not
+          // run twice per batch)
+          val out = transform(batch.toDF()).cache()
+          try {
+            // an all-filtered batch publishes NOTHING (an empty
+            // version dir would poison the log's schema inference);
+            // the epoch marker still records the batch as done
+            if (!out.isEmpty)
+              graft.operators.Snapshots.publishAppend(out, dstRoot)
+            ()
+          } finally out.unpersist()
         }
         ()
       }
       .start()
+  }
 
   /** One snapshot-ingest micro-batch — factored out so the retry spec
     * can replay an epoch directly. */

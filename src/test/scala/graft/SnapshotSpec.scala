@@ -63,8 +63,12 @@ class SnapshotSpec extends AnyFunSuite {
     new java.io.File(s"$root/v=2").mkdirs() // … with a torn shell
     Snapshots.vacuum(root, keep = 2)
     val left = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty).map(_.getName).toSet
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("v=")).toSet
     assert(left == Set("v=4", "v=5"), s"after vacuum: $left")
+    // retention fenced the reaped committed versions for streams
+    assert(LakeFs.readString(s"$root/_SNAP_STREAM_HORIZON")
+      .map(_.trim) == Some("3"))
     assert(Snapshots.read(spark, root).collect().head.getString(1) == "v5")
     assert(Snapshots.read(spark, root, asOf = Some(4L))
       .collect().head.getString(1) == "v4")
@@ -199,8 +203,9 @@ class SnapshotSpec extends AnyFunSuite {
     import spark.implicits._
     val root = freshRoot("merge_ambig")
     Snapshots.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
-    // the guard is IN-PLAN (raise_error on the grouped source keys),
-    // so an ambiguous source aborts the publish write itself
+    // eager guard over the cached grouped source keys (deliberately
+    // NOT in-plan: an optimizer that eliminates the join — empty
+    // target — would eliminate an embedded raise_error with it)
     def msgChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
@@ -216,15 +221,25 @@ class SnapshotSpec extends AnyFunSuite {
         deleteKeys = Seq(2L).toDF("k"))
     }
     assert(msgChain(e2).contains("MERGE ambiguity"), msgChain(e2))
-    // neither rejected attempt published a VERSION: their aborted
-    // writes leave only torn, marker-less dirs (invisible by the
-    // torn-dir rule; the next merge allocates past them)
+    // the eager guard rejects BEFORE any write — no version, no dir
     assert(Snapshots.latestVersion(root).contains(1L))
+    // the guard also holds when the TARGET snapshot is empty (the
+    // state where empty-relation propagation would have eliminated an
+    // in-plan raise_error together with the anti-join)
+    val emptyRoot = freshRoot("merge_ambig_empty")
+    Snapshots.publish(
+      Seq.empty[(Long, String)].toDF("k", "v"), emptyRoot)
+    val e3 = intercept[Exception] {
+      Snapshots.publishMerge(spark, emptyRoot, "k",
+        upserts = Seq((2L, "x"), (2L, "y")).toDF("k", "v"),
+        deleteKeys = spark.emptyDataset[Long].toDF("k"))
+    }
+    assert(msgChain(e3).contains("MERGE ambiguity"), msgChain(e3))
     val v = Snapshots.publishMerge(spark, root, "k",
       upserts = Seq((2L, "x")).toDF("k", "v"),
       deleteKeys = spark.emptyDataset[Long].toDF("k"))
     assert(v > 1L && Snapshots.read(spark, root).count() == 2L,
-      "a valid merge proceeds past the torn attempts")
+      "a valid merge proceeds after the rejected attempts")
   }
 
   test("vacuum refuses on a compacted append-log root; vacuumLog reaps epoch markers") {
@@ -718,6 +733,64 @@ class SnapshotSpec extends AnyFunSuite {
       v5 == 5L, "raw as-of window folded: v1+v2 rows")
   }
 
+  test("review fixes: asOf tombstone guard, stream horizon fence, evolved-log stream null-fill") {
+    import spark.implicits._
+    // (1) readLogPruned guards the window it RESOLVES: a log whose
+    // CURRENT window is clean (tombstones folded away) must still
+    // refuse a time-traveled window that holds the tombstone batch —
+    // and tombstones after asOf must not refuse a clean window
+    val mor = freshRoot("asof_guard")
+    Snapshots.publishAppendWithStats(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), mor, Seq("k")) // v1
+    Snapshots.publishDeletes(Seq(Tuple1(2L)).toDF("k"), mor) // v2 tombstone
+    Snapshots.compactLogMerged(spark, mor, "k") // v3: clean base
+    assert(Snapshots.readLogPruned(spark, mor, "k", 0L, 10L).count() == 1L,
+      "current window is clean, pruned read works")
+    intercept[IllegalArgumentException](
+      Snapshots.readLogPruned(spark, mor, "k", 0L, 10L, asOf = Some(2L)))
+    assert(Snapshots.readLogPruned(spark, mor, "k", 0L, 10L,
+      asOf = Some(1L)).count() == 2L,
+      "pre-tombstone as-of window is clean and readable")
+
+    // (2) retention fences lagging streams LOUDLY: an offset below
+    // the horizon fails instead of silently skipping vacuumed rows
+    val fenced = freshRoot("horizon")
+    (1 to 4).foreach(i => Snapshots.publishAppend(
+      Seq((i.toLong, s"r$i")).toDF("k", "v"), fenced))
+    assert(Snapshots.streamWindow(fenced, 2L, 4L).map(_._1) == Seq(3L, 4L))
+    Snapshots.compactLogTail(spark, fenced) // v5 folds 1..4
+    Snapshots.vacuumLog(fenced) // reaps raw v1..v4, fences them
+    val e = intercept[IllegalArgumentException](
+      Snapshots.streamWindow(fenced, 2L, 5L))
+    assert(e.getMessage.contains("retention horizon"), e.getMessage)
+    // a fresh stream (offset 0) reads the folded state fine
+    assert(Snapshots.streamWindow(fenced, 0L, 5L).map(_._1) == Seq(5L))
+    // an up-to-date stream is unaffected
+    Snapshots.publishAppend(Seq((9L, "r9")).toDF("k", "v"), fenced)
+    assert(Snapshots.streamWindow(fenced, 5L, 6L).map(_._1) == Seq(6L))
+
+    // (3) a fresh graftsnap stream over a schema-EVOLVED log
+    // null-fills required columns that old files lack (readLog's
+    // unionByName semantics), instead of crashing executor-side
+    val evo = freshRoot("evolved_stream")
+    Snapshots.publishAppend(Seq(Tuple1(1L)).toDF("k"), evo)
+    Snapshots.publishAppend(Seq((2L, "x")).toDF("k", "v"), evo)
+    val ckpt = "/tmp/graft_snap_spec/evolved_stream_ckpt"
+    LakeFs.rmTree(ckpt)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q = spark.readStream.format("graftsnap").load(evo)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1))))
+        got.synchronized { got ++= rows }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sortBy(_._1).toList ==
+      List(1L -> None, 2L -> Some("x")), got.toList.toString)
+  }
+
   test("maintainLog bounds the reader window under continuous ingest") {
     import spark.implicits._
     val root = freshRoot("maintain")
@@ -750,7 +823,8 @@ class SnapshotSpec extends AnyFunSuite {
     val bronze = freshRoot("pipe_bronze")
     val silver = freshRoot("pipe_silver")
     LakeFs.rmTree(bronze + "_ckpt")
-    LakeFs.rmTree(silver + "_ckpt")
+    LakeFs.rmTree(silver + "_ckpt_" +
+      bronze.replaceAll("[^A-Za-z0-9_-]", "-"))
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val ingest = graft.streaming.StreamOps.snapshotIngest(spark,
       ms.toDF().toDF("k"), bronze)
@@ -792,6 +866,36 @@ class SnapshotSpec extends AnyFunSuite {
           (0L to 22L by 2).size, "silver time travel across the pipe")
       } finally p2.stop()
     } finally ingest.stop()
+  }
+
+  test("lakePipe fan-in: two pipes into one downstream root, neither swallows the other's epochs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val srcA = freshRoot("fanin_a")
+    val srcB = freshRoot("fanin_b")
+    val dst = freshRoot("fanin_dst")
+    Seq(srcA, srcB).foreach { r =>
+      LakeFs.rmTree(r + "_ckpt")
+      LakeFs.rmTree(dst + "_ckpt_" + r.replaceAll("[^A-Za-z0-9_-]", "-"))
+    }
+    val msA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val msB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val inA = graft.streaming.StreamOps.snapshotIngest(spark,
+      msA.toDF().toDF("k"), srcA)
+    val inB = graft.streaming.StreamOps.snapshotIngest(spark,
+      msB.toDF().toDF("k"), srcB)
+    msA.addData(1L, 2L); inA.processAllAvailable()
+    msB.addData(10L, 20L); inB.processAllAvailable()
+    // both pipes' FIRST batch is epoch 0 — the unscoped marker would
+    // swallow whichever starts second
+    val pA = graft.streaming.StreamOps.lakePipe(spark, srcA, dst)(identity)
+    val pB = graft.streaming.StreamOps.lakePipe(spark, srcB, dst)(identity)
+    try {
+      pA.processAllAvailable(); pB.processAllAvailable()
+      assert(Snapshots.readLog(spark, dst).collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 20L),
+        "fan-in lost a producer's first batch")
+    } finally { pA.stop(); pB.stop(); inA.stop(); inB.stop() }
   }
 
   test("compactLogTail folds O(tail), readers chain across tiers, vacuumLog keeps the chain") {
