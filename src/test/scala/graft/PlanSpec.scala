@@ -438,6 +438,22 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("retrieval_maxsim: token-pair work rides equi-joins, embeddings broadcast, dot is codegen'd") {
+    val p = plan(graft.queries.Retrieval.maxsim.run(spark, sf))
+    // the |q|x|d| late-interaction blowup is bounded per candidate
+    // pair and implemented as an equi-join on (query_id, hit_id) —
+    // never a cartesian over the corpus
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // (BroadcastNestedLoopJoin DOES appear — the bm25 candidate
+    // stage's 1-row stats crossJoins, the blessed broadcast-scalar
+    // pattern; the corpus-sized token frames never ride one)
+    // vocab-level embeddings attach via broadcast (bounded frames)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the in-row dot is the codegen'd expression, not a HOF chain
+    assert(p.contains("graft_dot"), "DotProduct missing from the plan")
+    spark.catalog.clearCache()
+  }
+
   test("dedup_semantic: literal-centroid assignment, cid equi-join, never all-pairs") {
     val p = plan(Vectors.semanticDedup.run(spark, sf))
     // candidate generation is the within-cluster equi-join — the
