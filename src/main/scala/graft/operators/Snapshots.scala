@@ -68,12 +68,34 @@ object Snapshots {
   private def committed(root: String): Seq[(Long, String)] =
     versions(root).filter { case (_, d) => isCommitted(d) }
 
+  /** Every version-dir data write goes through here: timestamps land
+    * as INT64 micros (the graftsnap streaming source cannot decode
+    * the deprecated INT96 default; micros is the Iceberg/Delta
+    * convention), set for THIS write and restored after so the
+    * engine's other sinks keep the session default. Concurrent
+    * snapshot writers race only on setting the same value — benign
+    * (a restore landing mid-write at worst reverts a sibling to
+    * INT96, which the stream source rejects loudly, never reads
+    * wrong). */
+  private def writeVersion(df: DataFrame, dir: String,
+      partCols: Seq[String] = Nil): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode(SaveMode.ErrorIfExists)
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(dir)
+    } finally conf.set(key, prev)
+  }
+
   /** Write `df` as the next snapshot of `root` and commit it.
     * Returns the published version. Allocation skips past torn
     * (uncommitted) directories, never reusing their numbers. */
   def publish(df: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(df, s"$root/v=$n")
     val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
     n
@@ -131,7 +153,7 @@ object Snapshots {
     * use [[publishIf]] instead. */
   def publishConcurrent(df: DataFrame, root: String): Long = {
     val n = claimNext(root)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(df, s"$root/v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
       s"snapshot v=$n already committed under our claim — protocol bug")
     LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
@@ -164,7 +186,7 @@ object Snapshots {
           s"claimed v=$n — a concurrent writer (or a dead claim; run " +
           "vacuumClaims) got there first; re-read and retry")
     }
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(df, s"$root/v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
       s"snapshot v=$n already committed under our claim — protocol bug")
     LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
@@ -264,7 +286,7 @@ object Snapshots {
   def publishWithStats(df: DataFrame, root: String,
       statCols: Seq[String]): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(df, s"$root/v=$n")
     SnapStats.writeManifest(s"$root/v=$n", statCols)
     val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
@@ -284,8 +306,7 @@ object Snapshots {
       partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "publishPartitioned: no partition columns")
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*)
-      .parquet(s"$root/v=$n")
+    writeVersion(df, s"$root/v=$n", partCols)
     val ok = LakeFs.createMarker(s"$root/v=$n/$Marker")
     require(ok, s"snapshot v=$n already committed — concurrent writer?")
     n
@@ -451,7 +472,7 @@ object Snapshots {
     * are folded away by [[compactLogMerged]]. */
   def publishDeletes(keys: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    keys.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(keys, s"$root/v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Tombstone"),
       s"tombstone marker v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
@@ -668,7 +689,7 @@ object Snapshots {
         "rows; use compactLogMerged")
     val folded = unionWindow(s, tail)
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    folded.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(folded, s"$root/v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/_SNAP_BASE_FROM_$fromV"),
       s"base-from marker v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
@@ -708,7 +729,7 @@ object Snapshots {
       root: String, cx: String, cy: String, files: Int): Long = {
     val clustered = ZOrder.clustered(folded, cx, cy, files)
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(clustered, s"$root/v=$n")
     SnapStats.writeManifest(s"$root/v=$n", Seq(cx, cy))
     require(LakeFs.createMarker(s"$root/v=$n/$Base"), s"base marker v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"), s"commit marker v=$n")
@@ -717,7 +738,7 @@ object Snapshots {
 
   private def commitCompacted(folded: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    folded.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$n")
+    writeVersion(folded, s"$root/v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Base"), s"base marker v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"), s"commit marker v=$n")
     n

@@ -45,8 +45,10 @@ import graft.operators.{LakeFs, Snapshots}
   * pushed into the record assembly — a `select(k)` never materializes
   * the other columns' pages. Flat primitive schemas (the ingest-log
   * shape this engine's streaming publishers write): long / int /
-  * double / float / boolean / string / binary; logical annotations
-  * other than String surface as their physical primitive.
+  * double / float / boolean / string / binary / timestamp (INT64
+  * micros or millis, normalized per file to Spark's internal
+  * micros); other logical annotations surface as their physical
+  * primitive.
   *
   * Mirrors the write side (StreamOps.snapshotIngest publishes a
   * version per epoch) the way the reference's chat loop re-reads its
@@ -88,7 +90,12 @@ object SnapshotStreamTable {
         "is nested — flatten before publishing to a streamed log")
     val p = t.asPrimitiveType()
     val dt = p.getPrimitiveTypeName match {
-      case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT64 =>
+        p.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            TimestampType // micros or millis; reader normalizes
+          case _ => LongType
+        }
       case PrimitiveTypeName.INT32 => IntegerType
       case PrimitiveTypeName.DOUBLE => DoubleType
       case PrimitiveTypeName.FLOAT => FloatType
@@ -97,6 +104,10 @@ object SnapshotStreamTable {
         if (p.getLogicalTypeAnnotation ==
             LogicalTypeAnnotation.stringType()) StringType
         else BinaryType
+      case PrimitiveTypeName.INT96 => sys.error(
+        s"graftsnap: '${t.getName}' is a deprecated INT96 timestamp — " +
+          "write the log with spark.sql.parquet.outputTimestampType=" +
+          "TIMESTAMP_MICROS (GraftSession's default)")
       case other => sys.error(
         s"graftsnap: unsupported parquet type $other for '${t.getName}'")
     }
@@ -219,6 +230,17 @@ class SnapshotFileReader(file: String, required: StructType,
     if (fileSchema.containsField(f.name)) projected.getFieldIndex(f.name)
     else -1
   }
+  // timestamp unit normalization to Spark-internal micros, read off
+  // THIS file's annotation (versions may disagree after evolution)
+  private val tsMult: Array[Long] = required.fields.map { f =>
+    if (f.dataType != TimestampType || !fileSchema.containsField(f.name)) 1L
+    else fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))
+      .asPrimitiveType().getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+      case _ => 1L // micros (or evolved plain long treated as micros)
+    }
+  }
   private val countOnly = projected.getFieldCount == 0
   private val columnIO =
     if (countOnly) null else new ColumnIOFactory().getColumnIO(projected)
@@ -254,6 +276,7 @@ class SnapshotFileReader(file: String, required: StructType,
         if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
         else required.fields(i).dataType match {
           case LongType => g.getLong(idx, 0)
+          case TimestampType => g.getLong(idx, 0) * tsMult(i)
           case IntegerType => g.getInteger(idx, 0)
           case DoubleType => g.getDouble(idx, 0)
           case FloatType => g.getFloat(idx, 0)

@@ -789,6 +789,29 @@ class SnapshotSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(got.sortBy(_._1).toList ==
       List(1L -> None, 2L -> Some("x")), got.toList.toString)
+
+    // (4) timestamp columns stream through (INT64 micros, the
+    // engine's own write shape) value-exact
+    val tsRoot = freshRoot("ts_stream")
+    val src = Seq((1L, "2024-03-01 10:30:00.123456"),
+      (2L, "2024-03-02 11:00:00")).toDF("k", "s")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .to_timestamp($"s")).select($"k", $"ts")
+    Snapshots.publishAppend(src, tsRoot)
+    val ckpt2 = "/tmp/graft_snap_spec/ts_stream_ckpt"
+    LakeFs.rmTree(ckpt2)
+    val ts = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp)]()
+    val q2 = spark.readStream.format("graftsnap").load(tsRoot)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        ts.synchronized { ts ++= rows }
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val expected = src.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_._1).toList
+    assert(ts.sortBy(_._1).toList == expected, ts.toList.toString)
   }
 
   test("maintainLog bounds the reader window under continuous ingest") {
