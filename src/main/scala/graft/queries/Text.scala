@@ -18,6 +18,36 @@ object Text {
   private def countIn(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))
 
+  private val qualityStops =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** The text_quality dataflow over an arbitrary doc frame — shared
+    * by the registered query and the streaming cleaning gate
+    * (StreamOps.cleanIngest) so the two cannot drift. */
+  private[graft] def qualityFrom(docs: DataFrame): DataFrame = {
+    // floor(x*1e4 + 0.5)/1e4 instead of round(): these ratios hit
+    // EXACT 4-dp half-boundaries (e.g. 0.3*13/16 terms -> 0.31375)
+    // where Spark's decimal HALF_UP and DuckDB's float rint
+    // disagree; an identical floor expression on the identical
+    // double cannot diverge.
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val base = docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks(col("text"))).as("n_words"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),
+      countIn(toks(col("text")), qualityStops).as("n_stop"))
+    base.select(
+      col("doc_id"), col("n_chars_m"), col("n_words"),
+      r4(col("n_alnum") / col("n_words")).as("mean_word_len"),
+      r4(col("n_alnum") / col("n_chars_m")).as("alpha_ratio"),
+      r4(col("n_stop") / col("n_words")).as("stop_ratio"),
+      r4(lit(0.3) * (col("n_stop") / col("n_words"))
+        + lit(0.4) * least(lit(1.0), col("n_words") / lit(100.0))
+        + lit(0.3) * (col("n_alnum") / col("n_chars_m"))).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val tokens: Q = Q(
     "text_tokens",
     """SELECT doc_id,
@@ -38,8 +68,7 @@ object Text {
     * engines; ROUND(,4) absorbs nothing — the doubles are equal — but
     * documents the contract. */
   val quality: Q = {
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-    val stopsSql = stops.map(w => s"'$w'").mkString(", ")
+    val stopsSql = qualityStops.map(w => s"'$w'").mkString(", ")
     Q(
       "text_quality",
       s"""WITH t AS (
@@ -56,27 +85,7 @@ object Text {
         |  FLOOR((0.3 * (n_stop / n_words) + 0.4 * LEAST(1.0, n_words / 100.0)
         |    + 0.3 * (n_alnum / n_chars_m)) * 10000 + 0.5) / 10000 AS quality_score
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // floor(x*1e4 + 0.5)/1e4 instead of round(): these ratios hit
-      // EXACT 4-dp half-boundaries (e.g. 0.3*13/16 terms -> 0.31375)
-      // where Spark's decimal HALF_UP and DuckDB's float rint
-      // disagree; an identical floor expression on the identical
-      // double cannot diverge.
-      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-      val base = Tables.documents(s, dir).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        size(toks(col("text"))).as("n_words"),
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),
-        countIn(toks(col("text")), stops).as("n_stop"))
-      base.select(
-        col("doc_id"), col("n_chars_m"), col("n_words"),
-        r4(col("n_alnum") / col("n_words")).as("mean_word_len"),
-        r4(col("n_alnum") / col("n_chars_m")).as("alpha_ratio"),
-        r4(col("n_stop") / col("n_words")).as("stop_ratio"),
-        r4(lit(0.3) * (col("n_stop") / col("n_words"))
-          + lit(0.4) * least(lit(1.0), col("n_words") / lit(100.0))
-          + lit(0.3) * (col("n_alnum") / col("n_chars_m"))).as("quality_score"))
-        .orderBy(col("doc_id"))
+      qualityFrom(Tables.documents(s, dir))
     }
   }
 
@@ -84,13 +93,30 @@ object Text {
     * priority tiebreak (de > en > es > fr alphabetical). A real
     * deployment swaps the profiles for char-n-gram models; the
     * operator shape (per-doc scoring + argmax) is the same. */
+  private val langProfiles = Seq(
+    "de" -> Seq("und", "der", "die", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est"))
+
+  /** The text_langid dataflow over an arbitrary doc frame — shared
+    * by the registered query and StreamOps.cleanIngest. */
+  private[graft] def langidFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(
+      col("doc_id") +: langProfiles.map { case (l, ws) =>
+        countIn(toks(col("text")), ws).as(s"c_$l")
+      }: _*)
+    t.select(col("doc_id"), col("c_de"), col("c_en"), col("c_es"), col("c_fr"),
+      when(col("c_de") >= col("c_en") && col("c_de") >= col("c_es")
+        && col("c_de") >= col("c_fr"), "de")
+        .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val langid: Q = {
-    val profiles = Seq(
-      "de" -> Seq("und", "der", "die", "das", "ist", "nicht"),
-      "en" -> Seq("the", "and", "of", "to", "is", "in"),
-      "es" -> Seq("el", "la", "de", "los", "y", "es"),
-      "fr" -> Seq("le", "la", "les", "de", "et", "est"))
-    val scoreSql = profiles.map { case (l, ws) =>
+    val scoreSql = langProfiles.map { case (l, ws) =>
       val in = ws.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ($in))) AS c_$l"
     }.mkString(",\n        |    ")
@@ -105,17 +131,7 @@ object Text {
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS predicted_lang
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir).select(
-        col("doc_id") +: profiles.map { case (l, ws) =>
-          countIn(toks(col("text")), ws).as(s"c_$l")
-        }: _*)
-      t.select(col("doc_id"), col("c_de"), col("c_en"), col("c_es"), col("c_fr"),
-        when(col("c_de") >= col("c_en") && col("c_de") >= col("c_es")
-          && col("c_de") >= col("c_fr"), "de")
-          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
-          .when(col("c_es") >= col("c_fr"), "es")
-          .otherwise("fr").as("predicted_lang"))
-        .orderBy(col("doc_id"))
+      langidFrom(Tables.documents(s, dir))
     }
   }
 
@@ -334,10 +350,16 @@ object Text {
       |  dup_token_frac <= 0.9 AND top2gram_frac <= 0.2
       |    AND top3gram_frac <= 0.18 AS keep
       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionFrom(Tables.documents(s, dir))
+  }
+
+  /** The text_repetition dataflow over an arbitrary doc frame —
+    * shared by the registered query and StreamOps.cleanIngest. */
+  private[graft] def repetitionFrom(docs: DataFrame): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     // one scan + one tokenize pass, shared by tstats and both gram
     // aggregations (the "self-consumed mid-pipelines are cached" rule)
-    val t = Tables.documents(s, dir)
+    val t = docs
       .select(col("doc_id"), toks(col("text")).as("ts")).cache()
     def gramStats(n: Int, alias: String): org.apache.spark.sql.DataFrame = {
       t.select(col("doc_id"),
