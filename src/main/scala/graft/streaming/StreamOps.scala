@@ -645,4 +645,134 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming twin of corpus_clean — the COMPLETE cleaning pipeline
+    * a 100 TB/day ingest runs per micro-batch, composed from the
+    * family's maintained lake state: (1) the stateless gates (langid
+    * / quality / repetition via Text.*From — the registered queries'
+    * own dataflow, shared verbatim) plus the learned NB gate scored
+    * against the PERSISTED nbModelOf state (the fit stays a nightly
+    * batch job, exactly like nbScoreIngest); (2) exact dedup against
+    * a maintained keeper index — md5 of the normalized text (128-bit,
+    * collision-negligible at any corpus size; the index row is a
+    * 32-char digest + keeper id instead of the text itself, and the
+    * BATCH drives the index join — per-ingest cost O(batch), the
+    * corpus-sized index is never a build side); (3) near-dedup of the
+    * gated survivors through the maintained ShingleIndex and
+    * Dedup.shingleBatchPairs (the dedup_incremental read dataflow,
+    * shared verbatim with shingleIngest — O(batch × collisions));
+    * (4) an epoch-partitioned emit of every batch doc's flag row in
+    * the batch corpus_clean query's exact schema, so a downstream
+    * consumer cannot tell which path produced a row.
+    *
+    * Index bootstrap: the shingle index is BUILT from the first
+    * non-empty gated batch — freezing the stop list there, the
+    * dedup_incremental contract (refreshing it is
+    * ShingleIndex.compact, an offline decision) — and appended
+    * thereafter. With micro-batches arriving in doc_id order, a
+    * one-shot ingest of the same docs emits identical rows, and a
+    * single-batch ingest over a whole corpus is row-equal to the
+    * registered corpus_clean query itself (both asserted in
+    * StreamingSpec).
+    *
+    * Exactly-once: both index appends run under
+    * IndexLifecycle.epochOnce, the emit is epoch-partitioned dynamic
+    * overwrite, and the exact index stores (h, keeper) rather than a
+    * bare membership set precisely so a REPLAYED epoch — whose first
+    * attempt already appended this batch's new hashes — recomputes
+    * identical flags: keeper = least(index keeper, in-batch keeper)
+    * is idempotent under its own append. */
+  def cleanIngest(s: SparkSession, docs: DataFrame, exactIdx: String,
+      shingleIdx: String, nbModelIdx: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        cleanIngestBatch(s, batch.toDF(), epoch, exactIdx, shingleIdx,
+          nbModelIdx, outDir)
+      }
+      .start()
+
+  /** One cleaning micro-batch — factored out so the retry spec can
+    * replay an epoch directly. */
+  private[graft] def cleanIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, exactIdx: String, shingleIdx: String, nbModelIdx: String,
+      outDir: String): Unit = {
+    import graft.queries.{Dedup, Pipeline, Text}
+    import graft.operators.{IndexLifecycle, LakeFs, ShingleIndex}
+    val b = batch.cache()
+    // stateless gates — the registered queries' own dataflow
+    val lang = Text.langidFrom(b)
+      .select(col("doc_id"), (col("predicted_lang") === "en").as("lang_ok"))
+    val qual = Text.qualityFrom(b)
+      .select(col("doc_id"), (col("quality_score") >= 0.35).as("quality_ok"))
+    val rep = Text.repetitionFrom(b)
+      .select(col("doc_id"), col("keep").as("repetition_ok"))
+    val nbq = Pipeline.nbScoredFrom(s, nbModelIdx, b)
+      .select(col("doc_id"), (col("score_micro") > 0L).as("nb_ok"))
+    // exact dedup against the maintained keeper index
+    val hashDir = s"$exactIdx/hashes"
+    val seen =
+      if (LakeFs.exists(hashDir)) s.read.parquet(hashDir)
+      else {
+        import s.implicits._
+        Seq.empty[(String, Long)].toDF("h", "keeper")
+      }
+    val hashed = b.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("h"))
+    val batchKeeper = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("batch_keeper"))
+    val withIdx = hashed
+      .join(batchKeeper, Seq("h"))
+      .join(seen.withColumnRenamed("keeper", "idx_keeper"), Seq("h"), "left")
+      .cache()
+    IndexLifecycle.epochOnce(exactIdx, epoch) {
+      withIdx.filter(col("idx_keeper").isNull)
+        .select(col("h"), col("batch_keeper").as("keeper")).distinct()
+        .write.mode("append").parquet(hashDir)
+    }
+    val ex = withIdx.select(col("doc_id"),
+      (col("doc_id") === least(col("batch_keeper"),
+        coalesce(col("idx_keeper"), col("batch_keeper"))))
+        .as("not_exact_dup"))
+    val flags = lang.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(nbq, Seq("doc_id")).join(ex, Seq("doc_id")).cache()
+    val gatedIds = flags.filter(col("lang_ok") && col("quality_ok")
+      && col("repetition_ok") && col("nb_ok") && col("not_exact_dup"))
+      .select(col("doc_id"))
+    val bsh = Dedup.hashedShinglesOf(
+      b.join(gatedIds, Seq("doc_id"), "left_semi")).cache()
+    val bootstrapped = LakeFs.exists(s"$shingleIdx/shingles")
+    if (bootstrapped || !bsh.isEmpty)
+      IndexLifecycle.epochOnce(shingleIdx, epoch) {
+        if (bootstrapped) ShingleIndex.append(bsh, shingleIdx)
+        else ShingleIndex.build(s, bsh, shingleIdx)
+      }
+    val pairs =
+      if (!LakeFs.exists(s"$shingleIdx/shingles")) {
+        // nothing gated yet anywhere — no index, no candidates
+        import s.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+      } else {
+        val ids = broadcast(bsh.select(col("doc_id")).distinct())
+        Dedup.shingleBatchPairs(s, shingleIdx,
+          _.join(ids, Seq("doc_id"), "left_semi"),
+          _.join(ids, Seq("doc_id"), "left_anti"))
+      }
+    val nd = pairs.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup_drop", lit(true))
+    emitEpoch(
+      flags.join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+          col("repetition_ok"), col("nb_ok"), col("not_exact_dup"),
+          coalesce(col("near_dup_drop"), lit(false)).as("near_dup_drop"),
+          (col("lang_ok") && col("quality_ok") && col("repetition_ok")
+            && col("nb_ok") && col("not_exact_dup")
+            && coalesce(col("near_dup_drop"), lit(false)) === false)
+            .as("keep")),
+      epoch, outDir)
+    Seq(withIdx, flags, bsh, b).foreach(_.unpersist())
+    ()
+  }
 }
