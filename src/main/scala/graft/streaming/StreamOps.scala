@@ -723,9 +723,17 @@ object StreamOps {
       md5(lower(trim(col("text")))).as("h"))
     val batchKeeper = hashed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("batch_keeper"))
+    // epochOnce's residual window (append committed, marker crashed)
+    // self-heals here: the retry's anti-join sees the first attempt's
+    // rows and appends only still-absent hashes — nothing. The
+    // batch-sized min-agg after the index join is belt-and-braces on
+    // top: even if duplicate (h, keeper) rows ever landed, the join
+    // cannot fan out into duplicate flag rows.
     val withIdx = hashed
       .join(batchKeeper, Seq("h"))
       .join(seen.withColumnRenamed("keeper", "idx_keeper"), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("h"), col("batch_keeper"))
+      .agg(min(col("idx_keeper")).as("idx_keeper"))
       .cache()
     IndexLifecycle.epochOnce(exactIdx, epoch) {
       withIdx.filter(col("idx_keeper").isNull)

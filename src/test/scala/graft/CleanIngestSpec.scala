@@ -160,5 +160,19 @@ class CleanIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$shingle/shingles").count() == shRows,
       "epoch replay re-appended shingles")
     assert(flagRows(out) == got, "epoch replay changed the emitted flags")
+
+    // epochOnce's residual window (append committed, marker write
+    // crashed): the exact index SELF-HEALS — the retry's anti-join
+    // reads the first attempt's rows and appends nothing, so the
+    // torn-marker replay leaves both the index and the flags exactly
+    // as they were (the post-join min-agg additionally guards the
+    // flags even if duplicate (h, keeper) rows ever did land)
+    LakeFs.rmFile(s"$exact/_GRAFT_EPOCH_1")
+    StreamOps.cleanIngestBatch(spark, b2.toDF("doc_id", "text"), 1L,
+      exact, shingle, mdlDir, out)
+    assert(spark.read.parquet(s"$exact/hashes").count() == hashRows,
+      "the torn-marker replay must append only still-absent hashes (none)")
+    assert(flagRows(out) == got,
+      "a torn-marker replay changed the emitted flags")
   }
 }
