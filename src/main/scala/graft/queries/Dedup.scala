@@ -772,7 +772,7 @@ object Dedup {
     * position pair; failing a TRUE triple needs a within-doc fp
     * collision on top of the cross-doc share — two simultaneous
     * 60-bit collisions on one fp. */
-  private def substringVerifiedPairs(cand: DataFrame, wk: DataFrame,
+  private def substringVerifiedTriples(cand: DataFrame, wk: DataFrame,
       docsT: DataFrame): DataFrame = {
     val pp = wk.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("mpos"))
@@ -786,10 +786,15 @@ object Dedup {
       .join(ta, "da").join(tb, "db")
       .filter(slice(col("tka"), col("pa") + 1, lit(subW)) ===
         slice(col("tkb"), col("pb") + 1, lit(subW)))
+      .select(col("da"), col("db"), col("fp"))
+  }
+
+  private def substringVerifiedPairs(cand: DataFrame, wk: DataFrame,
+      docsT: DataFrame): DataFrame =
+    substringVerifiedTriples(cand, wk, docsT)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("n_shared"))
-  }
 
   private[graft] def substringPairsOf(docs: DataFrame): DataFrame = {
     val (docsT, wf, wk) = substringKeptWindows(docs)
@@ -807,8 +812,11 @@ object Dedup {
     * final pair set (the incremental variant restricts to
     * batch-involved pairs; same global df stats, so equality with
     * the full recompute is by construction). */
-  private def substringOracle(extraPred: String): String =
-    s"""WITH t AS (
+  /** The t → win → wf CTE prefix shared by every substring oracle
+    * (dedup, incremental, decontamination) — one text, so the window
+    * arithmetic cannot drift between the family's gates. */
+  private def substringWindowCtes: String =
+    s"""t AS (
       |  SELECT doc_id,
       |    regexp_extract_all(lower(text), '[a-z0-9]+') tk,
       |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -820,7 +828,10 @@ object Dedup {
       |      list_transform(hs[i+1:i+$subW], x -> x::HUGEINT),
       |      (a, h) -> (a * 1000003 + h) % $subMod))::BIGINT))) w
       |  FROM t WHERE len(hs) >= $subW),
-      |wf AS (SELECT doc_id, w.pos AS pos, w.fp AS fp FROM win),
+      |wf AS (SELECT doc_id, w.pos AS pos, w.fp AS fp FROM win)""".stripMargin
+
+  private def substringOracle(extraPred: String): String =
+    s"""WITH $substringWindowCtes,
       |keep AS (
       |  SELECT fp FROM (
       |    SELECT fp, COUNT(DISTINCT doc_id) df FROM wf GROUP BY fp)
@@ -847,6 +858,79 @@ object Dedup {
     (s, dir) =>
       substringPairsOf(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Substring-level benchmark decontamination (the Lee-et-al exact
+    * form of `decontaminate`, the split the Llama/GPT-4 reports use
+    * for long-match decontamination): a corpus doc is contaminated if
+    * it shares an exact >= 16-consecutive-token run with ANY eval doc
+    * (doc_id < 20, `decontaminate`'s slice) — n-gram overlap at g=5
+    * flags common phrases, a verified 16-token run is evidence of
+    * leakage. No df cap here: boilerplate runs the dedup's df<=16
+    * filter drops are exactly what decontamination must still catch.
+    *
+    * Scale shape: the EVAL side is tiny by definition — its distinct
+    * (doc, fp) set broadcasts, and the corpus's window stream meets
+    * it in one map-side join; the min-pos verify aggregation runs
+    * only over windows whose fp matched an eval fp (broadcast
+    * semi-join first), so per-run cost is O(corpus windows) scan +
+    * O(matches) everything else. Every candidate (pair, fp) triple is
+    * re-compared against raw tokens — the family's collision guard —
+    * and a doc's n_shared_runs counts distinct VERIFIED fingerprints
+    * across all eval docs. */
+  def substringContaminationOf(docs: DataFrame,
+      evalPred: Column): DataFrame = {
+    val docsT = substringDocsT(docs).cache()
+    val wf = substringWindowsOf(docsT).cache()
+    val dfp = wf.select(col("doc_id"), col("fp")).distinct()
+    val evalFp = dfp.filter(evalPred)
+    val cand = dfp.filter(!evalPred)
+      .select(col("doc_id").as("db"), col("fp"))
+      .join(broadcast(evalFp.select(col("doc_id").as("da"), col("fp"))),
+        Seq("fp"))
+      .select(col("da"), col("db"), col("fp"))
+    val wk = wf.join(broadcast(evalFp.select(col("fp")).distinct()),
+      Seq("fp"), "left_semi")
+    val hits = substringVerifiedTriples(cand, wk, docsT)
+      .select(col("db").as("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_runs"))
+    releasedAfter(
+      docs.filter(!evalPred).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared_runs"), lit(0L)).as("n_shared_runs"),
+          col("n_shared_runs").isNotNull.as("contaminated"))
+        .orderBy(col("doc_id")),
+      docsT, wf)
+  }
+
+  val decontaminateSubstring: Q = Q(
+    "decontaminate_substring",
+    s"""WITH $substringWindowCtes,
+      |ev AS (SELECT DISTINCT doc_id AS da, fp FROM wf WHERE doc_id < 20),
+      |co AS (SELECT DISTINCT doc_id AS db, fp FROM wf WHERE doc_id >= 20),
+      |cand AS (SELECT ev.da, co.db, co.fp FROM co JOIN ev USING (fp)),
+      |pp AS (
+      |  SELECT doc_id, fp, MIN(pos) mpos FROM wf
+      |  WHERE fp IN (SELECT fp FROM ev) GROUP BY 1, 2),
+      |v AS (
+      |  SELECT DISTINCT c.db, c.fp
+      |  FROM cand c
+      |  JOIN pp a ON a.doc_id = c.da AND a.fp = c.fp
+      |  JOIN pp b ON b.doc_id = c.db AND b.fp = c.fp
+      |  JOIN t ta ON ta.doc_id = c.da
+      |  JOIN t tb ON tb.doc_id = c.db
+      |  WHERE ta.tk[a.mpos+1:a.mpos+$subW] = tb.tk[b.mpos+1:b.mpos+$subW]),
+      |hits AS (
+      |  SELECT db AS doc_id, COUNT(*)::BIGINT AS n_shared_runs
+      |  FROM v GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(h.n_shared_runs, 0)::BIGINT AS n_shared_runs,
+      |  h.doc_id IS NOT NULL AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    substringContaminationOf(Tables.documents(s, dir), col("doc_id") < 20)
   }
 
   /** Incremental substring dedup — the daily-ingest twin of
@@ -957,6 +1041,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, sampleStratified, incremental, substringDedup,
-    substringIncremental)
+    decontaminate, decontaminateSubstring, sampleStratified, incremental,
+    substringDedup, substringIncremental)
 }

@@ -346,6 +346,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("poly_window_hashes"), p.take(2000))
   }
 
+  test("decontaminate_substring broadcasts the eval side, equi-join only") {
+    val p = plan(graft.queries.Dedup.decontaminateSubstring.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the tiny eval fingerprint set is the broadcast build side of the
+    // candidate join — the corpus window stream never shuffles into it
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("poly_window_hashes"), p.take(2000))
+  }
+
   test("text_bigram_lm and dedup_incremental stay equi-join only") {
     val p1 = plan(Text.bigramLm.run(spark, sf))
     assert(!p1.contains("BroadcastNestedLoopJoin"))
