@@ -428,6 +428,14 @@ object Dedup {
     val sz = docSizes(sh).cache()
     val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
       .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    minLabelClusters(pairs).orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to fixpoint over a (da, db) pair frame —
+    * the connected-components engine shared by dedup_clusters and
+    * the assignment-state build of dedup_clusters_incremental.
+    * Returns (doc_id, cluster_id) for every pair endpoint. */
+  private[graft] def minLabelClusters(pairs: DataFrame): DataFrame = {
     // Materialize the edge list ONCE (localCheckpoint is eager), then
     // size the iteration's shuffles to the edge count, not the global
     // 32: near-dup edges are a vanishing fraction of the corpus, and a
@@ -472,7 +480,127 @@ object Dedup {
       labels = next.select(col("x"), col("lbl"))
     }
     labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental connected components — the cluster-maintenance twin
+    * of dedup_clusters, completing the incremental family (shingle,
+    * substring, vector, and now the component state built on top of
+    * the pairs): cluster assignments over the INDEXED corpus are
+    * MAINTAINED lake state (built once from the ShingleIndex's own
+    * old-old pairs — the same buildOnce source+format keying as every
+    * sidecar), and the timed query is the per-ingest merge: the
+    * batch-involved pairs (dedup_incremental's read dataflow,
+    * shared) project onto component LABELS, a driver-side union-find
+    * over that bounded label-pair set (O(batch pairs) rows — the
+    * same cardinality the ingest already emits; a delta too large
+    * for one driver falls back to the distributed minLabelClusters
+    * loop) produces the label remap, and the remap broadcasts back
+    * over the assignment table in ONE pass — O(state) scan, no
+    * iteration, no corpus re-read. Output ≡ a full recompute of the
+    * components over (old-old ∪ batch-involved) pairs under the
+    * index's frozen stop list, which the oracle replays with a
+    * recursive CTE.
+    *
+    * Correctness of the label union-find: every old component's
+    * label IS its min doc_id, and unpaired endpoints carry
+    * themselves, so the min over a merged set of labels equals the
+    * min over the merged components' members — the remapped label is
+    * exactly the label a full recompute assigns. */
+  val clustersIncremental: Q = Q(
+    "dedup_clusters_incremental",
+    """WITH RECURSIVE toksv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM toksv)),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |oldsh AS (SELECT * FROM sh WHERE doc_id % 5 <> 4),
+      |hot AS (
+      |  SELECT s FROM oldsh GROUP BY s
+      |  HAVING COUNT(*) * 2 > (SELECT COUNT(DISTINCT doc_id) FROM oldsh)),
+      |rare AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |c AS (
+      |  SELECT cand.da, cand.db, COUNT(*) i
+      |  FROM cand JOIN sh a ON a.doc_id = cand.da
+      |  JOIN sh b ON b.doc_id = cand.db AND a.s = b.s
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT da, db FROM c
+      |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |  WHERE i / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (
+      |  SELECT da AS x, db AS y FROM e UNION SELECT db, da FROM e),
+      |reach AS (
+      |  SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges)
+      |  UNION
+      |  SELECT r.x, ed.y FROM reach r JOIN edges ed ON r.y = ed.x)
+      |SELECT x AS doc_id, MIN(y) AS cluster_id
+      |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val idx = Vectors.sidecarDir("shidx", dir)
+    // ensure the shared shingle index exists and read the
+    // batch-involved pairs through dedup_incremental's own dataflow
+    val batchPairs = shingleIncrementalOf(s, Tables.documents(s, dir),
+        idx, fresh = false, key = sourceKey(dir, "g3-xx64"))
+      .select(col("doc_a").as("da"), col("doc_b").as("db")).cache()
+    // maintained assignment state over the indexed (old) corpus:
+    // components of the index's own old-old pairs, built once
+    val asgDir = Vectors.sidecarDir("clusters", dir)
+    graft.operators.IndexLifecycle.buildOnce(asgDir,
+      sourceKey(dir, "g3-xx64-minlabel")) { tmp =>
+      val isNew = col("doc_id") % 5 === 4
+      val oldPairs = shingleBatchPairs(s, idx,
+          _.filter(!isNew), _.filter(lit(false)))
+        .select(col("doc_a").as("da"), col("doc_b").as("db"))
+      minLabelClusters(oldPairs).coalesce(1)
+        .write.parquet(s"$tmp/assignments")
+    }
+    val asg = s.read.parquet(s"$asgDir/assignments")
+    // endpoint labels: assignment if present, else self
+    val ends = batchPairs.select(col("da").as("doc_id"))
+      .unionByName(batchPairs.select(col("db").as("doc_id"))).distinct()
+    val endLbl = ends.join(asg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("lbl")).cache()
+    val lblPairs = batchPairs
+      .join(endLbl.select(col("doc_id").as("da"), col("lbl").as("la")),
+        Seq("da"))
+      .join(endLbl.select(col("doc_id").as("db"), col("lbl").as("lb")),
+        Seq("db"))
+      .select(col("la"), col("lb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver union-find with min-roots over the bounded label pairs
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    lblPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val remap = parent.keys.map(k => k -> find(k))
+      .filter { case (k, r) => k != r }.toSeq
+    val remapDf = broadcast(remap.toDF("lbl", "root"))
+    val oldRows = asg
+      .join(remapDf, asg("cluster_id") === remapDf("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    val newRows = endLbl.join(asg, Seq("doc_id"), "left_anti")
+      .join(remapDf, endLbl("lbl") === remapDf("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), endLbl("lbl")).as("cluster_id"))
+    oldRows.unionByName(newRows).orderBy(col("doc_id"))
   }
 
   /** Benchmark decontamination — the GPT-3-style n-gram overlap pass:
@@ -1041,6 +1169,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, decontaminateSubstring, sampleStratified, incremental,
-    substringDedup, substringIncremental)
+    clustersIncremental, decontaminate, decontaminateSubstring,
+    sampleStratified, incremental, substringDedup, substringIncremental)
 }
