@@ -783,4 +783,160 @@ object StreamOps {
     Seq(withIdx, flags, bsh, b).foreach(_.unpersist())
     ()
   }
+
+  /** Streaming cluster maintenance — the ingest twin of
+    * dedup_clusters_incremental, implemented as a LOG-STRUCTURED
+    * UNION-FIND over the lake: per micro-batch the work is O(batch),
+    * never an O(state) rewrite. State under `clusterDir`:
+    *
+    *   assignments/  (doc_id, lbl) — appended when a doc first
+    *                 enters the near-dup graph, labeled with its
+    *                 component root AT APPEND TIME; never rewritten
+    *   remap/        (lbl, root)  — appended when an epoch's pairs
+    *                 merge two existing components: the losing
+    *                 CURRENT root maps to the new min root
+    *
+    * A label is remapped at most once (an entry's key is a current
+    * root being merged away, and resolution never yields it again),
+    * so remap/ is an append-only forest whose chains
+    * (10 → 5 → 1 after two merges) the reader resolves transitively
+    * — remap rows exist only per cluster-MERGE event, a vanishing
+    * fraction of the corpus, so the driver-side resolve is the same
+    * bounded work as the batch query's union-find. Each micro-batch:
+    * append batch shingles to the maintained ShingleIndex (the
+    * shingleIngest discipline, frozen stop list), read batch-involved
+    * pairs through the shared Dedup.shingleBatchPairs, resolve the
+    * endpoints' labels through assignments + the remap chain,
+    * union-find the bounded label-pair set, and append the new remap
+    * and assignment rows.
+    *
+    * Exactly-once: index appends and state appends run under
+    * IndexLifecycle.epochOnce, and the state append is additionally
+    * SELF-HEALING across a torn marker: a replay resolves endpoints
+    * through the state its first attempt already appended, the
+    * union-find finds every pair already merged, and both append
+    * sets come back empty. */
+  def clusterIngest(s: SparkSession, docs: DataFrame, indexDir: String,
+      clusterDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", clusterDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        clusterIngestBatch(s, batch.toDF(), epoch, indexDir, clusterDir)
+      }
+      .start()
+
+  /** One cluster-maintenance micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def clusterIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, indexDir: String, clusterDir: String): Unit = {
+    import graft.operators.{IndexLifecycle, LakeFs, ShingleIndex}
+    import s.implicits._
+    val bsh = graft.queries.Dedup.hashedShinglesOf(batch).cache()
+    val bootstrapped = LakeFs.exists(s"$indexDir/shingles")
+    if (bootstrapped || !bsh.isEmpty)
+      IndexLifecycle.epochOnce(indexDir, epoch) {
+        if (bootstrapped) ShingleIndex.append(bsh, indexDir)
+        else ShingleIndex.build(s, bsh, indexDir)
+      }
+    if (!LakeFs.exists(s"$indexDir/shingles")) { bsh.unpersist(); return }
+    val ids = broadcast(bsh.select(col("doc_id")).distinct())
+    val pairs = graft.queries.Dedup.shingleBatchPairs(s, indexDir,
+        _.join(ids, Seq("doc_id"), "left_semi"),
+        _.join(ids, Seq("doc_id"), "left_anti"))
+      .select(col("doc_a").as("da"), col("doc_b").as("db")).cache()
+    val asg =
+      if (LakeFs.exists(s"$clusterDir/assignments"))
+        s.read.parquet(s"$clusterDir/assignments")
+      else Seq.empty[(Long, Long)].toDF("doc_id", "lbl")
+    val chain = resolvedRemap(s, clusterDir)
+    val chainDf = broadcast(chain.toSeq.toDF("lbl", "root"))
+    // endpoint labels: assignment if present (resolved through the
+    // remap chain), else self
+    val ends = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+    val endLbl = ends.join(asg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+      .join(chainDf, Seq("lbl"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("lbl")).as("lbl"))
+      .cache()
+    val lblPairs = pairs
+      .join(endLbl.select(col("doc_id").as("da"), col("lbl").as("la")),
+        Seq("da"))
+      .join(endLbl.select(col("doc_id").as("db"), col("lbl").as("lb")),
+        Seq("db"))
+      .select(col("la"), col("lb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    lblPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // remap rows exist only for PERSISTED roots merged away — a new
+    // doc's self-label needs none (its assignment row is written
+    // post-merge below), which is what keeps remap/ sized by
+    // cluster-merge events, not by docs
+    val persistedLbls = asg.join(ends, Seq("doc_id"), "left_semi")
+      .select(col("lbl")).distinct()
+      .collect().map(r => chain.getOrElse(r.getLong(0), r.getLong(0))).toSet
+    val newRemap = parent.keys.filter(persistedLbls.contains)
+      .map(k => k -> find(k))
+      .filter { case (k, r) => k != r }.toSeq
+    // docs entering the graph this epoch, labeled with their
+    // post-merge root (bounded: pair endpoints)
+    val newAsg = endLbl.join(asg, Seq("doc_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), find(r.getLong(1))))
+    IndexLifecycle.epochOnce(clusterDir, epoch) {
+      if (newRemap.nonEmpty)
+        newRemap.toDF("lbl", "root").coalesce(1)
+          .write.mode("append").parquet(s"$clusterDir/remap")
+      if (newAsg.nonEmpty)
+        newAsg.toSeq.toDF("doc_id", "lbl").coalesce(1)
+          .write.mode("append").parquet(s"$clusterDir/assignments")
+    }
+    Seq(bsh, pairs, endLbl).foreach(_.unpersist())
+    ()
+  }
+
+  /** Current cluster assignments — every doc in the near-dup graph
+    * with its component root, the remap chain resolved. The same
+    * (doc_id, cluster_id) surface as dedup_clusters. */
+  def clusterState(s: SparkSession, clusterDir: String): DataFrame = {
+    import graft.operators.LakeFs
+    import s.implicits._
+    val asg =
+      if (LakeFs.exists(s"$clusterDir/assignments"))
+        s.read.parquet(s"$clusterDir/assignments")
+      else Seq.empty[(Long, Long)].toDF("doc_id", "lbl")
+    val chainDf = broadcast(
+      resolvedRemap(s, clusterDir).toSeq.toDF("lbl", "root"))
+    asg.join(chainDf, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("lbl")).as("cluster_id"))
+  }
+
+  /** The remap forest collected and resolved to DIRECT (label →
+    * final root) entries — remap rows exist only per cluster-merge
+    * event, so this is bounded driver state exactly like the batch
+    * query's union-find input. */
+  private def resolvedRemap(s: SparkSession,
+      clusterDir: String): Map[Long, Long] = {
+    if (!graft.operators.LakeFs.exists(s"$clusterDir/remap"))
+      return Map.empty
+    val m = s.read.parquet(s"$clusterDir/remap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memo = scala.collection.mutable.HashMap.empty[Long, Long]
+    def res(x: Long): Long = memo.getOrElseUpdate(x,
+      m.get(x).map(res).getOrElse(x))
+    m.keys.map(k => k -> res(k)).toMap
+  }
 }
