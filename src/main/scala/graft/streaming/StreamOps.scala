@@ -924,6 +924,30 @@ object StreamOps {
         coalesce(col("root"), col("lbl")).as("cluster_id"))
   }
 
+  /** Offline compaction for the cluster state — the O(state) job the
+    * per-epoch O(batch) appends defer (ShingleIndex.compact's shape):
+    * fold the remap chain INTO the assignment rows (every doc
+    * re-labeled with its fully-resolved root) and drop remap/ — after
+    * the fold, reads resolve through an empty chain and later ingests
+    * start new, shallow chains. Published via the IndexLifecycle
+    * aside-and-rename swap so readers never see a half-folded state;
+    * clusterState before == clusterState after (spec-pinned). */
+  def compactClusterState(s: SparkSession, clusterDir: String): Unit = {
+    import graft.operators.{IndexLifecycle, LakeFs}
+    if (!LakeFs.exists(s"$clusterDir/assignments")) return
+    val folded = clusterState(s, clusterDir)
+      .select(col("doc_id"), col("cluster_id").as("lbl"))
+      .cache()
+    folded.count()
+    // carry the applied-epoch markers through the swap exactly like
+    // ShingleIndex compaction does (republish preserves them)
+    IndexLifecycle.republish(clusterDir) { tmp =>
+      folded.coalesce(1).write.parquet(s"$tmp/assignments")
+    }
+    folded.unpersist()
+    ()
+  }
+
   /** The remap forest collected and resolved to DIRECT (label →
     * final root) entries — remap rows exist only per cluster-merge
     * event, so this is bounded driver state exactly like the batch

@@ -94,5 +94,20 @@ class ClusterIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$clDir/remap").count() == remapRows
       && spark.read.parquet(s"$clDir/assignments").count() == asgRows
       && stateMap(clDir) == want, "torn-marker replay changed cluster state")
+
+    // offline compaction folds the chain into the assignments: state
+    // identical, remap/ gone, and later ingests stack on the fold
+    StreamOps.compactClusterState(spark, clDir)
+    assert(stateMap(clDir) == want, "compaction changed cluster state")
+    assert(!LakeFs.exists(s"$clDir/remap"), "compaction must drop remap/")
+    assert(spark.read.parquet(s"$clDir/assignments")
+      .collect().map(r => r.getLong(1)).forall(_ == 1L),
+      "folded assignments carry resolved roots")
+    StreamOps.clusterIngestBatch(spark, Seq(17L -> t(c1))
+      .toDF("doc_id", "text"), 3L, idxDir, clDir)
+    assert(stateMap(clDir) == want + (17L -> 1L),
+      "post-compaction ingest joins the folded cluster")
+    assert(!LakeFs.exists(s"$clDir/remap"),
+      "joining an existing root needs no remap row")
   }
 }
