@@ -521,6 +521,133 @@ object Binary {
           decodeFrames(id, bytes)
         })
     }
+
+    /** How many frames the temporal fingerprint consumes: 16 frame
+      * transitions × 4 signals = 64 bits needs 17 frames. Shorter
+      * clips drop (a fingerprint padded with constant bits would
+      * near-collide every short clip with every other). */
+    val FingerprintFrames = 17
+
+    /** Four brightness-shift-invariant scalars per frame: total luma
+      * sum (a uniform no-clip shift moves it by the same w·h·shift
+      * every frame — delta signs survive), horizontal and vertical
+      * contrast (Σ|neighbor deltas| — pixel DIFFERENCES are exactly
+      * shift-invariant), and the right-minus-left half-sum difference
+      * (the shift cancels exactly). */
+    private def frameSignals(
+        img: java.awt.image.BufferedImage): Array[Long] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L; var cx = 0L; var cy = 0L; var halves = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) & 0xFF
+          sum += p
+          if (x + 1 < w) cx += math.abs((img.getRGB(x + 1, y) & 0xFF) - p)
+          if (y + 1 < h) cy += math.abs((img.getRGB(x, y + 1) & 0xFF) - p)
+          halves += (if (2 * x >= w) p else -p)
+          x += 1
+        }
+        y += 1
+      }
+      Array(sum, cx, cy, halves)
+    }
+
+    /** 64-bit temporal fingerprint over a clip's frame-signal
+      * envelope: bit 4t+k = sign of signal k's delta across frame
+      * transition t, over the first 17 frames — the Haitsma-Kalker
+      * sign-of-delta family applied along TIME (the image dHash signs
+      * gradients along space, the audio fingerprint along the
+      * amplitude envelope). Every signal is invariant (or uniformly
+      * translated) under a no-clip global brightness shift, so a
+      * re-encoded brighter copy fingerprints bit-identically. */
+    def temporalFingerprint(
+        signals: IndexedSeq[Array[Long]]): Option[Long] =
+      if (signals.length < FingerprintFrames) None
+      else Some((0 until 16).foldLeft(0L) { (acc, t) =>
+        (0 until 4).foldLeft(acc) { (a, k) =>
+          if (signals(t + 1)(k) > signals(t)(k)) a | (1L << (4 * t + k))
+          else a
+        }
+      })
+
+    /** Per-clip signal rows for fingerprinting — the decodeFrames
+      * reader loop with the 4-signal extraction; empty on corrupt
+      * payloads. */
+    private def clipSignals(payload: Array[Byte]): Seq[Array[Long]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              (0 until r.getNumImages(true)).map(i => frameSignals(r.read(i)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+    /** Batched clip fingerprinting — decode frames in container
+      * order, fingerprint the signal envelope; corrupt payloads and
+      * clips shorter than 17 frames drop, never kill the scan. */
+    def fingerprintVideos(s: SparkSession,
+        payloads: DataFrame): DataFrame = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          temporalFingerprint(clipSignals(bytes).toIndexedSeq)
+            .map(fp => (id, fp))
+        }).toDF("doc_id", "vfp")
+    }
+
+    /** Planted pseudorandom animated GIF for the perceptual-dedup
+      * corpus — plantedGif's mixed twin: pixel (x, y) of frame f is
+      * mix(seed, x, y, f) mod 240 plus `shift` (a shift up to 15
+      * never wraps), so a shifted copy is a uniformly brighter clip
+      * with EVERY file byte different and a bit-identical temporal
+      * fingerprint. */
+    def plantedGifMixed(seed: Long, w: Int, h: Int, nFrames: Int,
+        shift: Int): Array[Byte] = {
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0,
+                (java.lang.Math.floorMod(
+                  mix64(seed * 1000003L + x * 9176L + y * 131L + f * 7919L),
+                  240L) + shift).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
   }
 
   /** One decoded record: byte length and leading byte (the shape a

@@ -332,7 +332,42 @@ object Multimodal {
     graft.operators.HammingLsh.pairs(fps, "doc_id", "afp")
   }
 
+  /** Perceptual VIDEO near-dedup — the temporal member closing the
+    * perceptual family across its three axes: the image dHash signs
+    * gradients along SPACE, the audio fingerprint along the amplitude
+    * envelope, this one along TIME (Binary.VideoCodec
+    * .temporalFingerprint: 16 frame transitions × 4 shift-invariant
+    * per-frame signals — luma sum, x/y contrast, half-difference —
+    * over 17 decoded frames, the frame-envelope shape of the
+    * TMK/video copy-detection family). Candidates and verify are the SHARED
+    * operators.HammingLsh banded equi-join + bit_count(XOR) ≤ 3 —
+    * one integer op per candidate, never all-pairs. The planted
+    * corpus: every doc with doc_id % 11 == 4 carries a brightness-9
+    * re-encode of doc (id-1)'s clip (pixels stay < 249, no wrap), so
+    * every file byte differs, every frame sum shifts by exactly
+    * w·h·9, every delta sign survives, and exactly those (id-1, id)
+    * pairs surface at Hamming 0; unrelated clips are pseudorandom
+    * envelopes ~32 bits apart. Rows-only (binary decode);
+    * MultimodalSpec pins the planted pair set, the shift-invariance
+    * law, and the corrupt / too-short drop. */
+  private def videoDedupPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val src = if (id % 11 == 4) id - 1 else id
+        val shift = if (id % 11 == 4) 9 else 0
+        (id, Binary.VideoCodec.plantedGifMixed(src, 6, 5,
+          Binary.VideoCodec.FingerprintFrames, shift))
+      }).toDF("doc_id", "data")
+  }
+
+  val videoDedup: Q = Q.rowsOnly("mm_video_dedup") { (s, dir) =>
+    val fps = Binary.VideoCodec.fingerprintVideos(s, videoDedupPayloads(s, dir))
+      .cache() // feeds both sides of the banded self-join
+    graft.operators.HammingLsh.pairs(fps, "doc_id", "vfp")
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
     patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
-    audioDedup)
+    audioDedup, videoDedup)
 }

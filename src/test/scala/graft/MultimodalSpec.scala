@@ -265,4 +265,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).toSet == Set(1L),
       "short/corrupt payloads must drop silently")
   }
+
+  test("mm_video_dedup finds exactly the planted brightness-shifted re-encodes") {
+    val rows = graft.queries.Multimodal.videoDedup.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids.filter(id => id % 11 == 4 && ids.contains(id - 1))
+      .map(id => (id - 1, id))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // a +9 global brightness shift with no wrap moves every frame sum
+    // by the same w·h·9 — every temporal delta sign survives, so the
+    // planted re-encodes sit at Hamming distance exactly 0
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"planted re-encode pair $r not at Hamming 0"))
+    assert(want.nonEmpty, "corpus too small to plant any pair")
+  }
+
+  test("video fingerprint: shift invariance, unrelated clips far, short/corrupt drop") {
+    import graft.multimodal.Binary.VideoCodec
+    import spark.implicits._
+    val n = VideoCodec.FingerprintFrames
+    val base = VideoCodec.plantedGifMixed(91L, 6, 5, n, 0)
+    val brighter = VideoCodec.plantedGifMixed(91L, 6, 5, n, 9)
+    assert(!java.util.Arrays.equals(base, brighter))
+    def fp(b: Array[Byte]): Long =
+      VideoCodec.fingerprintVideos(spark,
+        Seq((1L, b)).toDF("doc_id", "data")).head().getLong(1)
+    assert(fp(base) == fp(brighter),
+      "brightness-shifted re-encode must fingerprint identically")
+    val other = VideoCodec.plantedGifMixed(92L, 6, 5, n, 0)
+    assert(java.lang.Long.bitCount(fp(base) ^ fp(other)) > 3,
+      "unrelated clips must land far apart")
+    // clips too short for 64 transition bits and corrupt payloads drop
+    val bad = Seq(
+      (1L, base),
+      (2L, VideoCodec.plantedGifMixed(93L, 6, 5, n - 1, 0)), // 64 frames
+      (3L, base.take(25)),
+      (4L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "data")
+    val kept = VideoCodec.fingerprintVideos(spark, bad).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L),
+      "short/corrupt payloads must drop silently")
+  }
 }
