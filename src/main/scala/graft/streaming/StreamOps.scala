@@ -907,6 +907,42 @@ object StreamOps {
     ()
   }
 
+  /** Streaming decontamination — the ingest-time eval-leak gate:
+    * every micro-batch of documents is checked against the FIXED
+    * eval set through EXACTLY the registered decontaminate_substring
+    * dataflow (Dedup.substringContaminationOf, shared verbatim — the
+    * eval windows broadcast, the batch's window stream meets them
+    * map-side, candidates get the raw-token verify), and each batch
+    * doc's (n_shared_runs, contaminated) row lands epoch-partitioned.
+    * Stateless given the eval set — so exactly-once needs only the
+    * dynamic-overwrite emit, like nbScoreIngest. The eval id list is
+    * collected once at stream start (an eval set is bounded by
+    * definition); batch doc ids must be disjoint from it. */
+  def decontaminateIngest(s: SparkSession, docs: DataFrame,
+      evalDocs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ev = evalDocs.select(col("doc_id"), col("text")).cache()
+    val evalIds = ev.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        decontaminateBatch(s, batch.toDF(), epoch, ev, evalIds, outDir)
+      }
+      .start()
+  }
+
+  /** One decontamination micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def decontaminateBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, ev: DataFrame, evalIds: Seq[Long],
+      outDir: String): Unit =
+    emitEpoch(graft.queries.Dedup.substringContaminationOf(
+        batch.select(col("doc_id"), col("text")).unionByName(ev),
+        col("doc_id").isInCollection(evalIds)),
+      epoch, outDir)
+
   /** Current cluster assignments — every doc in the near-dup graph
     * with its component root, the remap chain resolved. The same
     * (doc_id, cluster_id) surface as dedup_clusters. */
