@@ -533,7 +533,8 @@ object Binary {
       * every frame — delta signs survive), horizontal and vertical
       * contrast (Σ|neighbor deltas| — pixel DIFFERENCES are exactly
       * shift-invariant), and the right-minus-left half-sum difference
-      * (the shift cancels exactly). */
+      * (equal column counts per side — the middle column of an
+      * odd-width frame is excluded — so the shift cancels exactly). */
     private def frameSignals(
         img: java.awt.image.BufferedImage): Array[Long] = {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -546,7 +547,8 @@ object Binary {
           sum += p
           if (x + 1 < w) cx += math.abs((img.getRGB(x + 1, y) & 0xFF) - p)
           if (y + 1 < h) cy += math.abs((img.getRGB(x, y + 1) & 0xFF) - p)
-          halves += (if (2 * x >= w) p else -p)
+          if (x < w / 2) halves -= p
+          else if (x >= w - w / 2) halves += p
           x += 1
         }
         y += 1

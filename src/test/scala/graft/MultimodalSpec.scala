@@ -298,6 +298,11 @@ class MultimodalSpec extends AnyFunSuite {
     val other = VideoCodec.plantedGifMixed(92L, 6, 5, n, 0)
     assert(java.lang.Long.bitCount(fp(base) ^ fp(other)) > 3,
       "unrelated clips must land far apart")
+    // odd frame width: the half-difference excludes the middle
+    // column, so shift invariance holds there too
+    assert(fp(VideoCodec.plantedGifMixed(94L, 7, 5, n, 0)) ==
+      fp(VideoCodec.plantedGifMixed(94L, 7, 5, n, 9)),
+      "odd-width shift invariance")
     // clips too short for 64 transition bits and corrupt payloads drop
     val bad = Seq(
       (1L, base),
