@@ -677,6 +677,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-k deterministic per-source sampling — the reservoir-sample
+    * shape done scale-right: keep the k=10 docs with the smallest
+    * portable md5 slot per source, so the sample is exact-size,
+    * reproducible on any engine at any cluster size (no rand(), no
+    * per-partition state), and computed by the bounded TopKAgg —
+    * map-side partial top-k per source, k rows per group per
+    * partition through the shuffle, NO per-group window sort (the
+    * row_number form funnels each source into one task's sort; at
+    * 100 TB a source is most of the corpus). Ordering ties break on
+    * doc_id, pinned in both engines. */
+  val sampleExactK: Q = Q(
+    "corpus_sample_exact",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS hsh
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hsh, doc_id)
+      |      AS rank
+      |  FROM t)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+      |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin) {
+    (s, dir) =>
+      val t = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long").as("hsh"))
+      // TopK.ranked orders score DESC, id ASC — negate the 40-bit slot
+      // (exact in a double) so the smallest hashes win
+      graft.functions.TopK.ranked(t, "source",
+          -col("hsh").cast("double"), col("doc_id"), 10, "doc_id", "negh")
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"))
+        .orderBy(col("source"), col("rank"))
+  }
+
   /** Incremental near-dedup — the daily-ingest shape: a NEW batch of
     * docs (here doc_id % 5 = 4 stands in for today's crawl) checked
     * against the already-indexed corpus WITHOUT re-running the corpus
@@ -1170,5 +1206,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
     clustersIncremental, decontaminate, decontaminateSubstring,
-    sampleStratified, incremental, substringDedup, substringIncremental)
+    sampleStratified, sampleExactK, incremental, substringDedup,
+    substringIncremental)
 }

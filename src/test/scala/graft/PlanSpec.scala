@@ -346,6 +346,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("poly_window_hashes"), p.take(2000))
   }
 
+  test("corpus_sample_exact ranks via bounded topk_by, no per-source window sort") {
+    val p = plan(graft.queries.Dedup.sampleExactK.run(spark, sf))
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p.take(2000))
+  }
+
   test("decontaminate_substring broadcasts the eval side, equi-join only") {
     val p = plan(graft.queries.Dedup.decontaminateSubstring.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
