@@ -229,6 +229,52 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  // ---- named tags: immutable version pins (the Iceberg-tag shape) ----
+
+  private val TagPrefix = "_SNAP_TAG_"
+
+  /** Pin committed version `v` under an immutable name — the
+    * audit/reproducibility ref ("train-run-2026-08-14" → v=17) every
+    * versioned lake grows: `read(asOf = tagVersion(..))` reproduces
+    * the exact table a job consumed, and the vacuum family KEEPS
+    * every version a tag needs — for a log root, the tag's whole
+    * as-of reader window — so retention can run freely without
+    * destroying pinned history. Tags are immutable: re-tagging a
+    * live name refuses (untag first); untag + the next vacuum reaps
+    * the no-longer-pinned versions. One marker file per tag at the
+    * root, named content-free listing like every other marker. */
+  def tag(root: String, name: String, v: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"tag name must be [A-Za-z0-9_.-]+: '$name'")
+    require(committed(root).exists(_._1 == v),
+      s"tag '$name': v=$v is not a committed version of $root")
+    val p = s"$root/$TagPrefix$name"
+    require(!LakeFs.isFile(p),
+      s"tag '$name' already exists (tags are immutable — untag first)")
+    LakeFs.write(p, v.toString)
+  }
+
+  /** All tags as name → version (one root listing). */
+  def tags(root: String): Map[String, Long] =
+    LakeFs.list(root).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(TagPrefix) || !st.isFile) None
+      else LakeFs.readString(st.getPath.toString)
+        .flatMap(c => c.trim.toLongOption)
+        .map(v => n.stripPrefix(TagPrefix) -> v)
+    }.toMap
+
+  def tagVersion(root: String, name: String): Long =
+    tags(root).getOrElse(name, sys.error(s"no tag '$name' in $root"))
+
+  def untag(root: String, name: String): Unit =
+    LakeFs.rmFile(s"$root/$TagPrefix$name")
+
+  /** Snapshot-flavor read of the tagged version; log roots use
+    * `readLog(s, root, asOf = Some(tagVersion(root, name)))`. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    read(s, root, asOf = Some(tagVersion(root, name)))
+
   /** Commit time of version `v` (epoch millis) — the commit marker's
     * modification time, which IS the commit event (the marker create
     * is the atomic commit point, so its timestamp is authoritative
@@ -759,10 +805,14 @@ object Snapshots {
     if (live.nonEmpty) {
       // keep exactly the current reader window (which chains through
       // tiered BASE_FROM folds — a fold's own inputs are subsumed but
-      // the older segments it chains ONTO are still read); everything
-      // committed outside the window is subsumed, torn dirs below the
-      // latest commit are invisible already
-      val keep = logWindow(root, None).map(_._1).toSet
+      // the older segments it chains ONTO are still read), PLUS every
+      // tagged version's whole as-of window (a pinned log read unions
+      // its own window — keeping just the tagged dir would read a
+      // truncated table); everything committed outside is subsumed,
+      // torn dirs below the latest commit are invisible already
+      val keep = logWindow(root, None).map(_._1).toSet ++
+        tags(root).values.toSet
+          .flatMap((tv: Long) => logWindow(root, Some(tv)).map(_._1))
       val latest = live.last._1
       val toReap = versions(root).filter { case (v, d) =>
         (isCommitted(d) && !keep(v)) || (!isCommitted(d) && v < latest)
@@ -915,8 +965,10 @@ object Snapshots {
     if (live.nonEmpty) {
       val keepFrom = live.takeRight(keep).head._1
       val latest = live.last._1
+      val pinned = tags(root).values.toSet // tagged versions never reap
       val toReap = versions(root).filter { case (v, d) =>
-        (isCommitted(d) && v < keepFrom) || (!isCommitted(d) && v < latest)
+        (isCommitted(d) && v < keepFrom && !pinned(v)) ||
+          (!isCommitted(d) && v < latest)
       }
       raiseStreamHorizon(root, // fence before delete, as in vacuumLog
         toReap.collect { case (v, d) if isCommitted(d) => v })

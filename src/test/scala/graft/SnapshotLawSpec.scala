@@ -25,8 +25,11 @@ class SnapshotLawSpec extends AnyFunSuite {
       new java.io.File(root).mkdirs()
       var appended = List.empty[Long]
       var nextId = 0L
+      // live tags: name -> the row multiset its as-of read must
+      // return FOREVER (until untagged), whatever folds/vacuums run
+      var pinned = Map.empty[String, List[Long]]
       (0 until 12).foreach { step =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 | 2 => // appends dominate, as in a real ingest
             val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
               nextId += 1; nextId
@@ -43,6 +46,19 @@ class SnapshotLawSpec extends AnyFunSuite {
           case 5 if appended.nonEmpty =>
             Snapshots.maintainLog(spark, root, maxTail = 3, maxChain = 2)
             Snapshots.vacuumLog(root)
+          case 6 if appended.nonEmpty =>
+            // toggle one pin: tag the current latest (its as-of read
+            // is today's multiset, and must stay exactly that through
+            // every later fold/vacuum), or drop the existing tag
+            pinned.headOption match {
+              case Some((name, _)) =>
+                Snapshots.untag(root, name); pinned -= name
+              case None =>
+                val name = s"pin$step"
+                Snapshots.tag(root, name,
+                  Snapshots.latestVersion(root).get)
+                pinned += name -> appended
+            }
           case _ => () // fold/vacuum before the first append: no-op
         }
         if (appended.nonEmpty) {
@@ -51,6 +67,14 @@ class SnapshotLawSpec extends AnyFunSuite {
           assert(got == appended.sorted,
             s"multiset broken at seed=$seed step=$step: " +
               s"expected ${appended.size} rows, got ${got.size}")
+        }
+        pinned.foreach { case (name, want) =>
+          val got = Snapshots.readLog(spark, root,
+              asOf = Some(Snapshots.tagVersion(root, name)))
+            .collect().map(_.getLong(0)).sorted.toList
+          assert(got == want.sorted,
+            s"pinned read broken at seed=$seed step=$step tag=$name: " +
+              s"expected ${want.size} rows, got ${got.size}")
         }
       }
     }
