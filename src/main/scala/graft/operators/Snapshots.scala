@@ -450,12 +450,15 @@ object Snapshots {
     * only (O(versions) marker stats, no data reads). */
   def history(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
+    val byV = tags(root).toSeq.groupBy(_._2)
+      .view.mapValues(_.map(_._1).sorted).toMap
     versions(root).map { case (v, d) =>
       (v, isCommitted(d), hasBase(d), hasTombstone(d),
         LakeFs.isFile(s"$d/${SnapStats.ManifestName}"),
-        commitTimestamp(root, v), baseFrom(d))
+        commitTimestamp(root, v), baseFrom(d),
+        byV.getOrElse(v, Seq.empty))
     }.toDF("version", "committed", "compacted_base", "tombstone",
-      "has_stats", "committed_at_ms", "base_from")
+      "has_stats", "committed_at_ms", "base_from", "tags")
   }
 
   /** The streaming reader's batch window (sources.SnapshotStreamSource,

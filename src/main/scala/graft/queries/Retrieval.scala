@@ -907,7 +907,60 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieval-quality evaluation — the IR eval harness every
+    * retrieval pipeline ships next to the retrieval itself: standard
+    * rank metrics per query over the shared BM25 ranking against a
+    * DETERMINISTIC relevance table (relevant(q, d) ⟺ same `source` —
+    * the topical proxy a synthetic corpus affords; a production eval
+    * swaps in judged qrels, the metric dataflow is identical).
+    * Precision@3 and reciprocal rank@10, both as exact rank
+    * arithmetic rounded once at 4dp. Scale shape: the ranking is the
+    * existing bm25 join (bounded query set broadcast), the relevance
+    * join attaches two source lookups (query side broadcast), and
+    * the metrics are ONE partial-aggregating groupBy — no second
+    * corpus pass, no window beyond the ranking's own. */
+  val eval: Q = Q(
+    "retrieval_eval",
+    s"""WITH $bm25Cte,
+      |src AS (SELECT doc_id, source FROM documents),
+      |rel AS (
+      |  SELECT r.query_id, r.rn,
+      |    CASE WHEN ds.source = qs.source THEN 1 ELSE 0 END AS is_rel
+      |  FROM ranked r
+      |  JOIN src ds ON r.doc_id = ds.doc_id
+      |  JOIN src qs ON r.query_id = qs.doc_id)
+      |SELECT query_id,
+      |  ROUND(CAST(SUM(CASE WHEN rn <= 3 THEN is_rel ELSE 0 END)
+      |    AS DOUBLE) / 3.0, 4) AS p_at_3,
+      |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) /
+      |    MIN(CASE WHEN is_rel = 1 AND rn <= 10 THEN rn END), 0.0), 4)
+      |    AS rr_at_10,
+      |  CAST(COALESCE(MIN(CASE WHEN is_rel = 1 THEN rn END), 0) AS BIGINT)
+      |    AS first_rel_rank
+      |FROM rel GROUP BY query_id ORDER BY query_id""".stripMargin) {
+    (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      val qsrc = src.select(col("doc_id").as("query_id"),
+        col("source").as("qsrc"))
+      bm25Ranked(s, dir)
+        .join(src, "doc_id")
+        .join(broadcast(qsrc), "query_id")
+        .withColumn("is_rel",
+          (col("source") === col("qsrc")).cast("long"))
+        .groupBy(col("query_id"))
+        .agg(
+          round(sum(when(col("rn") <= 3, col("is_rel")).otherwise(0L))
+            .cast("double") / 3.0, 4).as("p_at_3"),
+          round(coalesce(lit(1.0) /
+            min(when(col("is_rel") === 1L && col("rn") <= 10, col("rn"))),
+            lit(0.0)), 4).as("rr_at_10"),
+          coalesce(min(when(col("is_rel") === 1L, col("rn"))), lit(0))
+            .cast("long").as("first_rel_rank"))
+        .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
     embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr,
-    maxsim)
+    maxsim, eval)
 }

@@ -26,6 +26,11 @@ class TagSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.tag(root, "baseline", v0))
     intercept[IllegalArgumentException](Snapshots.tag(root, "nope", 99L))
     intercept[IllegalArgumentException](Snapshots.tag(root, "bad name", v0))
+    // history surfaces the pin on its version
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](7)).toMap
+    assert(h(v0) == Seq("baseline") && h.filterKeys(_ != v0).values
+      .forall(_.isEmpty), s"history tags column: $h")
     Snapshots.vacuum(root, keep = 1)
     // v0 pinned; the untagged middle version reaped
     assert(rows(Snapshots.readTag(spark, root, "baseline")) == Set(1L))
