@@ -558,6 +558,62 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Balanced deterministic source interleaving — the training-order
+    * complement of corpus_shuffle for MULTI-SOURCE corpora: a plain
+    * seeded shuffle leaves source runs wherever the hash puts them,
+    * while a dataloader wants sources evenly spread through the
+    * epoch. position = (rank_in_source − 1)·n_sources + source_index
+    * — exact round-robin across sources, each source's internal
+    * order the same seeded md5 permutation (crash-rerun and
+    * re-sharding safe, no rand()). Unequal sources leave tail gaps:
+    * position is an ORDER key, not a dense index (a dense index is
+    * one more GlobalPrefix over it — deliberately not paid here).
+    *
+    * Scale shape: ONE GlobalPrefix pass ordered (source, key) gives
+    * global ranks (range exchange, no single-partition window —
+    * PlanSpec); per-source offsets/indexes are an O(#sources) driver
+    * set broadcast back. A per-source window would funnel each
+    * source — most of the corpus — into one task's sort. */
+  val corpusInterleave: Q = Q(
+    "corpus_interleave",
+    """WITH t AS (
+      |  SELECT doc_id, source, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+      |  FROM (SELECT DISTINCT source FROM t)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS rin
+      |  FROM t)
+      |SELECT r.doc_id, r.source, r.rin AS rank_in_source,
+      |  CAST((r.rin - 1) * n.ns + s.sidx AS BIGINT) AS position
+      |FROM r JOIN s ON r.source = s.source CROSS JOIN n
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val keyed = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
+    val (ranked, _) = graft.operators.GlobalPrefix.withCumSum(
+      keyed, Seq(col("source"), col("k"), col("doc_id")), lit(1L))
+    // O(#sources) driver set: cumulative offsets + dense source index
+    val counts = keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val ns = counts.length.toLong
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .zipWithIndex.map { case ((src, off), i) => (src, off, i.toLong) }
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("source", "off", "sidx"))
+    ranked.join(offDf, "source")
+      .select(col("doc_id"), col("source"),
+        (col("cum") - col("off")).as("rank_in_source"),
+        ((col("cum") - col("off") - 1L) * ns + col("sidx")).as("position"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * doc by how target-domain-like its HASHED n-gram features are —
@@ -638,5 +694,6 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
-    qualityNbFit, qualityNbApply, corpusShuffle, qualityDsir)
+    qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
+    qualityDsir)
 }

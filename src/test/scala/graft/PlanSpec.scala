@@ -273,6 +273,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("corpus_interleave ranks without a single-partition global window") {
+    val p = plan(graft.queries.Pipeline.corpusInterleave.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("quality_dsir broadcasts the bounded bucket model to the scoring join") {
     val p = plan(graft.queries.Pipeline.qualityDsir.run(spark, sf))
     // the 1024-row model reaches the corpus-scale scoring join as a
