@@ -275,6 +275,90 @@ object Snapshots {
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     read(s, root, asOf = Some(tagVersion(root, name)))
 
+  // ---- branches: writable refs over the append log ----------------
+
+  private val BranchPrefix = "_SNAP_BRANCH_"
+
+  private def branchRoot(root: String, name: String): String =
+    s"$root/branch=$name"
+
+  /** Fork the append log at its current latest version: the branch
+    * pins that base (its marker's content, honored by the vacuum
+    * family exactly like a tag pin) and all branch WRITES land in a
+    * branch-scoped sub-log (`branch=<name>/v=*` — invisible to main
+    * readers, whose version listing matches only root `v=N` dirs, so
+    * isolation needs no filtering at all). Union semantics make the
+    * branch conflict-free by construction: a branch read is
+    * base-as-of ∪ branch appends, and merging is re-appending the
+    * branch's rows onto main — commutative with anything main
+    * appended meanwhile (the append-only contract; tombstoned MoR
+    * branches are refused, like compactLog refuses them). The
+    * staging/backfill shape: land and validate a risky backfill on a
+    * branch, merge when green, drop when not. */
+  def createBranch(root: String, name: String): Long = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"branch name must be [A-Za-z0-9_.-]+: '$name'")
+    val base = latestVersion(root).getOrElse(
+      sys.error(s"createBranch '$name': $root has no committed version"))
+    val p = s"$root/$BranchPrefix$name"
+    require(!LakeFs.isFile(p), s"branch '$name' already exists")
+    LakeFs.write(p, base.toString)
+    base
+  }
+
+  /** All branches as name → pinned base version (one root listing). */
+  def branches(root: String): Map[String, Long] =
+    LakeFs.list(root).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(BranchPrefix) || !st.isFile) None
+      else LakeFs.readString(st.getPath.toString)
+        .flatMap(c => c.trim.toLongOption)
+        .map(v => n.stripPrefix(BranchPrefix) -> v)
+    }.toMap
+
+  private def branchBase(root: String, name: String): Long =
+    branches(root).getOrElse(name, sys.error(s"no branch '$name' in $root"))
+
+  /** Append one batch to the branch — O(batch), the branch sub-log's
+    * own version space. */
+  def publishBranch(df: DataFrame, root: String, name: String): Long = {
+    branchBase(root, name) // must exist
+    publishAppend(df, branchRoot(root, name))
+  }
+
+  /** Branch read: the pinned base window ∪ the branch's appends. */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val base = readLog(s, root, asOf = Some(branchBase(root, name)))
+    val br = branchRoot(root, name)
+    if (committed(br).isEmpty) base
+    else base.unionByName(readLog(s, br), allowMissingColumns = true)
+  }
+
+  /** Merge the branch back: every branch row re-appends onto main as
+    * ONE new version (append-only union semantics — commutative with
+    * main's interim appends, so there is nothing to reconcile), then
+    * the branch marker and sub-log are dropped. No-op publish when
+    * the branch never wrote. Returns the published version, if any. */
+  def mergeBranch(s: SparkSession, root: String,
+      name: String): Option[Long] = {
+    branchBase(root, name)
+    val br = branchRoot(root, name)
+    val v =
+      if (committed(br).isEmpty) None
+      else {
+        requireNoTombstones(br, "mergeBranch", "a MoR branch merge", None)
+        Some(publishAppend(readLog(s, br), root))
+      }
+    dropBranch(root, name)
+    v
+  }
+
+  /** Abandon the branch: marker and sub-log gone, main untouched. */
+  def dropBranch(root: String, name: String): Unit = {
+    LakeFs.rmFile(s"$root/$BranchPrefix$name")
+    LakeFs.rmTree(branchRoot(root, name))
+  }
+
   /** Commit time of version `v` (epoch millis) — the commit marker's
     * modification time, which IS the commit event (the marker create
     * is the atomic commit point, so its timestamp is authoritative
@@ -814,7 +898,7 @@ object Snapshots {
       // truncated table); everything committed outside is subsumed,
       // torn dirs below the latest commit are invisible already
       val keep = logWindow(root, None).map(_._1).toSet ++
-        tags(root).values.toSet
+        (tags(root).values.toSet ++ branches(root).values)
           .flatMap((tv: Long) => logWindow(root, Some(tv)).map(_._1))
       val latest = live.last._1
       val toReap = versions(root).filter { case (v, d) =>
@@ -968,7 +1052,8 @@ object Snapshots {
     if (live.nonEmpty) {
       val keepFrom = live.takeRight(keep).head._1
       val latest = live.last._1
-      val pinned = tags(root).values.toSet // tagged versions never reap
+      // tagged/branch-pinned versions never reap
+      val pinned = tags(root).values.toSet ++ branches(root).values
       val toReap = versions(root).filter { case (v, d) =>
         (isCommitted(d) && v < keepFrom && !pinned(v)) ||
           (!isCommitted(d) && v < latest)

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LakeFs, Snapshots}
+
+/** Writable branches over the append log: pinned base + isolated
+  * sub-log, conflict-free merge by union semantics. */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(xs: Long*) = {
+    import spark.implicits._
+    xs.toDF("x")
+  }
+  private def rows(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+    d.select("x").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("branch isolation, pin through retention, merge, drop") {
+    val root = "/tmp/graft_branch_log"
+    LakeFs.rmTree(root)
+    Snapshots.publishAppend(df(1L), root) // v0
+    Snapshots.publishAppend(df(2L), root) // v1
+    val base = Snapshots.createBranch(root, "backfill")
+    assert(base == 2L, s"branch pins the latest committed version, got $base")
+    intercept[IllegalArgumentException](
+      Snapshots.createBranch(root, "backfill"))
+    // branch writes are invisible to main; main writes invisible to
+    // the branch's pinned base
+    Snapshots.publishBranch(df(10L), root, "backfill")
+    Snapshots.publishAppend(df(3L), root) // main moves on: v2
+    Snapshots.publishBranch(df(11L), root, "backfill")
+    assert(rows(Snapshots.readLog(spark, root)) == Seq(1L, 2L, 3L),
+      "main must not see branch rows")
+    assert(rows(Snapshots.readBranch(spark, root, "backfill")) ==
+      Seq(1L, 2L, 10L, 11L),
+      "branch = pinned base ∪ branch appends, without main's interim v2")
+    // retention honors the branch pin: compact main and vacuum — the
+    // base window the branch reads must survive
+    Snapshots.compactLog(spark, root)
+    Snapshots.vacuumLog(root)
+    assert(rows(Snapshots.readBranch(spark, root, "backfill")) ==
+      Seq(1L, 2L, 10L, 11L), "branch read must survive main retention")
+    // merge: branch rows land as one new main version, branch gone
+    val mv = Snapshots.mergeBranch(spark, root, "backfill")
+    assert(mv.nonEmpty)
+    assert(rows(Snapshots.readLog(spark, root)) ==
+      Seq(1L, 2L, 3L, 10L, 11L), "merge must union branch onto main")
+    assert(Snapshots.branches(root).isEmpty)
+    assert(!LakeFs.exists(s"$root/branch=backfill"))
+    // a dropped branch leaves main untouched
+    Snapshots.createBranch(root, "risky")
+    Snapshots.publishBranch(df(99L), root, "risky")
+    Snapshots.dropBranch(root, "risky")
+    assert(rows(Snapshots.readLog(spark, root)) ==
+      Seq(1L, 2L, 3L, 10L, 11L), "dropped branch must leave no rows")
+    // an empty branch merges as a no-op publish
+    Snapshots.createBranch(root, "empty")
+    assert(Snapshots.mergeBranch(spark, root, "empty").isEmpty)
+  }
+}
