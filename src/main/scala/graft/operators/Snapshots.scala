@@ -302,6 +302,10 @@ object Snapshots {
       sys.error(s"createBranch '$name': $root has no committed version"))
     val p = s"$root/$BranchPrefix$name"
     require(!LakeFs.isFile(p), s"branch '$name' already exists")
+    // a merged-marker with no branch is a crashed merge's leftover
+    // (it is removed last) — clear it so the NEW branch's first merge
+    // cannot be skipped as "already published"
+    LakeFs.rmFile(s"$root/$MergedPrefix$name")
     LakeFs.write(p, base.toString)
     base
   }
@@ -334,22 +338,35 @@ object Snapshots {
     else base.unionByName(readLog(s, br), allowMissingColumns = true)
   }
 
+  private val MergedPrefix = "_SNAP_MERGED_"
+
   /** Merge the branch back: every branch row re-appends onto main as
     * ONE new version (append-only union semantics — commutative with
     * main's interim appends, so there is nothing to reconcile), then
     * the branch marker and sub-log are dropped. No-op publish when
-    * the branch never wrote. Returns the published version, if any. */
+    * the branch never wrote. Returns the published version, if any.
+    *
+    * Crash-safe via a merged-marker written AFTER the publish and
+    * removed LAST: a retry of a merge that crashed between publish
+    * and drop sees the marker, skips the re-publish (which would
+    * double every branch row), and completes the drop; a marker left
+    * behind by a crash after the drop is cleared by the next
+    * createBranch of that name. */
   def mergeBranch(s: SparkSession, root: String,
       name: String): Option[Long] = {
     branchBase(root, name)
     val br = branchRoot(root, name)
+    val m = s"$root/$MergedPrefix$name"
     val v =
-      if (committed(br).isEmpty) None
+      if (committed(br).isEmpty || LakeFs.isFile(m)) None
       else {
         requireNoTombstones(br, "mergeBranch", "a MoR branch merge", None)
-        Some(publishAppend(readLog(s, br), root))
+        val pv = publishAppend(readLog(s, br), root)
+        LakeFs.write(m, pv.toString)
+        Some(pv)
       }
     dropBranch(root, name)
+    LakeFs.rmFile(m)
     v
   }
 

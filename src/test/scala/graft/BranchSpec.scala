@@ -57,5 +57,25 @@ class BranchSpec extends AnyFunSuite {
     // an empty branch merges as a no-op publish
     Snapshots.createBranch(root, "empty")
     assert(Snapshots.mergeBranch(spark, root, "empty").isEmpty)
+
+    // a merge that crashed between publish and drop must not double
+    // the branch rows on retry: simulate by re-creating the exact
+    // crash state (branch still present, merged-marker present)
+    Snapshots.createBranch(root, "crashy")
+    Snapshots.publishBranch(df(77L), root, "crashy")
+    val before = rows(Snapshots.readLog(spark, root))
+    val mv2 = Snapshots.mergeBranch(spark, root, "crashy")
+    assert(mv2.nonEmpty)
+    val after = rows(Snapshots.readLog(spark, root))
+    assert(after == (before :+ 77L).sorted)
+    // crash state: branch dir + marker restored as if drop never ran
+    Snapshots.createBranch(root, "crashy")
+    Snapshots.publishBranch(df(77L), root, "crashy")
+    LakeFs.write(s"$root/_SNAP_MERGED_crashy", mv2.get.toString)
+    assert(Snapshots.mergeBranch(spark, root, "crashy").isEmpty,
+      "retry of a crashed merge must skip the re-publish")
+    assert(rows(Snapshots.readLog(spark, root)) == after,
+      "crashed-merge retry doubled the branch rows")
+    assert(Snapshots.branches(root).isEmpty)
   }
 }
