@@ -28,8 +28,13 @@ class SnapshotLawSpec extends AnyFunSuite {
       // live tags: name -> the row multiset its as-of read must
       // return FOREVER (until untagged), whatever folds/vacuums run
       var pinned = Map.empty[String, List[Long]]
+      // live branch: (name, rows at fork, branch's own appends) —
+      // readBranch must return fork ∪ branch-appends FOREVER, whatever
+      // main folds/vacuums run; merge moves the appends onto main
+      var branch: Option[(String, List[Long], List[Long])] = None
+      var nextBranchId = 1000000L
       (0 until 12).foreach { step =>
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 | 1 | 2 => // appends dominate, as in a real ingest
             val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
               nextId += 1; nextId
@@ -59,6 +64,28 @@ class SnapshotLawSpec extends AnyFunSuite {
                   Snapshots.latestVersion(root).get)
                 pinned += name -> appended
             }
+          case 7 if appended.nonEmpty =>
+            branch match {
+              case None =>
+                val name = s"b$step"
+                Snapshots.createBranch(root, name)
+                branch = Some((name, appended, Nil))
+              case Some((name, fork, bRows)) => rnd.nextInt(3) match {
+                case 0 =>
+                  val rows = (0 until 1 + rnd.nextInt(2)).map { _ =>
+                    nextBranchId += 1; nextBranchId
+                  }.toList
+                  Snapshots.publishBranch(rows.toDF("k"), root, name)
+                  branch = Some((name, fork, bRows ++ rows))
+                case 1 =>
+                  Snapshots.mergeBranch(spark, root, name)
+                  appended = appended ++ bRows
+                  branch = None
+                case _ =>
+                  Snapshots.dropBranch(root, name)
+                  branch = None
+              }
+            }
           case _ => () // fold/vacuum before the first append: no-op
         }
         if (appended.nonEmpty) {
@@ -75,6 +102,13 @@ class SnapshotLawSpec extends AnyFunSuite {
           assert(got == want.sorted,
             s"pinned read broken at seed=$seed step=$step tag=$name: " +
               s"expected ${want.size} rows, got ${got.size}")
+        }
+        branch.foreach { case (name, fork, bRows) =>
+          val got = Snapshots.readBranch(spark, root, name)
+            .collect().map(_.getLong(0)).sorted.toList
+          assert(got == (fork ++ bRows).sorted,
+            s"branch read broken at seed=$seed step=$step branch=$name: " +
+              s"expected ${fork.size + bRows.size} rows, got ${got.size}")
         }
       }
     }
