@@ -28,8 +28,7 @@ object HammingLsh {
     * a < b and Hamming(hash_a, hash_b) <= maxDist, where maxDist <=
     * bands − 1 keeps the recall guarantee. Output: (doc_a, doc_b,
     * hamming), sorted. */
-  def pairs(hashes: DataFrame, idCol: String, hashCol: String,
-      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+  private def checkParams(bands: Int, maxDist: Int): Unit = {
     // bands > 64 would make bandBits = 0 and mask = 0 (every row
     // collides in every band — an all-pairs join blowup), and a
     // non-divisor would silently drop the top 64 % bands bits from
@@ -38,21 +37,60 @@ object HammingLsh {
       s"bands $bands must divide 64 (1..64)")
     require(maxDist <= bands - 1,
       s"maxDist $maxDist needs ${maxDist + 1} bands for guaranteed recall")
+  }
+
+  private def banded(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int): DataFrame = {
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+    hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("v", expr(s"shiftrightunsigned(h, band * $bandBits)")
         .bitwiseAND(lit(mask)))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.v") === col("b.v")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("a.h").as("ha"),
-        col("b.id").as("doc_b"), col("b.h").as("hb"))
-      .distinct()
+  }
+
+  private def verified(cand: DataFrame, maxDist: Int): DataFrame =
+    cand.distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  def pairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    checkParams(bands, maxDist)
+    val b = banded(hashes, idCol, hashCol, bands)
+    verified(
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("a.h").as("ha"),
+          col("b.id").as("doc_b"), col("b.h").as("hb")),
+      maxDist)
+  }
+
+  /** Batch-involved near-pairs — the incremental/ingest twin of
+    * [[pairs]] (dedup_incremental's shape for Hamming space): the
+    * NEW side drives both joins, new-vs-index (disjoint id sets
+    * assumed — the ingest splits by batch membership) and
+    * new-vs-new; per-ingest cost O(batch bands × bucket occupancy),
+    * never an index self-join. */
+  def batchPairs(newHashes: DataFrame, idxHashes: DataFrame,
+      idCol: String, hashCol: String,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    checkParams(bands, maxDist)
+    val bn = banded(newHashes, idCol, hashCol, bands)
+    val bo = banded(idxHashes, idCol, hashCol, bands)
+    val newOld = bn.as("a").join(bo.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+    val newNew = bn.as("a").join(bn.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+    verified(newOld.unionByName(newNew), maxDist)
   }
 }

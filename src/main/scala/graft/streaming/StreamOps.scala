@@ -943,6 +943,58 @@ object StreamOps {
         col("doc_id").isInCollection(evalIds)),
       epoch, outDir)
 
+  /** Streaming perceptual-dedup ingest — the fingerprint family's
+    * twin of shingleIngest, shared across modalities: each
+    * micro-batch of (doc_id, data) payloads is fingerprinted by the
+    * caller-supplied codec stage (Binary.ImageCodec.hashImages /
+    * AudioCodec.fingerprintAudios / VideoCodec.fingerprintVideos —
+    * one ingest shape, three codecs), the (doc_id, fp) rows APPEND to
+    * a maintained fingerprint index (O(batch) writes — a 64-bit row
+    * per payload, the cheapest index in the lake), and batch-involved
+    * near-pairs emit through HammingLsh.batchPairs — new-vs-index +
+    * new-vs-new banded equi-joins, never an index self-join.
+    * Cross-micro-batch pairs surface when the later side arrives.
+    *
+    * Exactly-once: the index append runs under epochOnce and the
+    * pair emit is epoch-partitioned dynamic overwrite; even the
+    * torn-marker replay's duplicate index rows are absorbed at read
+    * (identical (pair, ha, hb) candidates collapse in the distinct —
+    * verified in the spec). */
+  def fingerprintIngest(s: SparkSession, docs: DataFrame,
+      fingerprint: (SparkSession, DataFrame) => DataFrame,
+      hashCol: String, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        fingerprintIngestBatch(s, batch.toDF(), epoch, fingerprint,
+          hashCol, indexDir, outDir)
+      }
+      .start()
+
+  /** One fingerprint-ingest micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def fingerprintIngestBatch(s: SparkSession,
+      batch: DataFrame, epoch: Long,
+      fingerprint: (SparkSession, DataFrame) => DataFrame,
+      hashCol: String, indexDir: String, outDir: String): Unit = {
+    import graft.operators.{HammingLsh, IndexLifecycle}
+    val hashes = fingerprint(s, batch).cache()
+    IndexLifecycle.epochOnce(indexDir, epoch) {
+      hashes.write.mode("append").parquet(s"$indexDir/hashes")
+    }
+    val idx = s.read.parquet(s"$indexDir/hashes")
+    val ids = broadcast(hashes.select(col("doc_id")).distinct())
+    emitEpoch(HammingLsh.batchPairs(
+        idx.join(ids, Seq("doc_id"), "left_semi"),
+        idx.join(ids, Seq("doc_id"), "left_anti"),
+        "doc_id", hashCol),
+      epoch, outDir)
+    hashes.unpersist()
+    ()
+  }
+
   /** Current cluster assignments — every doc in the near-dup graph
     * with its component root, the remap chain resolved. The same
     * (doc_id, cluster_id) surface as dedup_clusters. */
