@@ -588,7 +588,12 @@ object Binary {
             val r = readers.next()
             try {
               r.setInput(iis)
-              (0 until r.getNumImages(true)).map(i => frameSignals(r.read(i)))
+              // decode only the frames the fingerprint consumes — the
+              // frame COUNT suffices for the length guard, so a
+              // multi-thousand-frame clip costs the same 17 decodes
+              val n = r.getNumImages(true)
+              if (n < FingerprintFrames) Seq.empty
+              else (0 until FingerprintFrames).map(i => frameSignals(r.read(i)))
             } finally r.dispose()
           }
         } finally iis.close()

@@ -81,15 +81,23 @@ object ShingleIndex {
     * through appends finally leave the candidate join. Publish is the
     * shared IndexLifecycle aside-and-rename swap. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val sh = shingles(spark, indexDir).cache()
-    val nd = sizes(spark, indexDir).count()
+    // .distinct() REPAIRS the torn-append window (epochOnce's
+    // documented residual: an append whose marker write crashed
+    // re-appends on retry, duplicating (doc_id, s) rows — which the
+    // family's raw intersection counts would double-count forever).
+    // In the normal path rows are already distinct, so this is
+    // bit-neutral there (DedupSpec's compact == fresh-build pin);
+    // sizes are re-derived from the deduped rows for the same reason.
+    val sh = shingles(spark, indexDir).distinct().cache()
+    val nd = sizes(spark, indexDir).select(col("doc_id")).distinct().count()
     IndexLifecycle.republish(indexDir) { tmp =>
       sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") * 2 > lit(nd)).select(col("s"))
         .coalesce(1).write.parquet(tmp + "/stop")
       withBucket(sh).repartition(col("s_b"))
         .write.partitionBy("s_b").parquet(tmp + "/shingles")
-      sizes(spark, indexDir).coalesce(1).write.parquet(tmp + "/sizes")
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .coalesce(1).write.parquet(tmp + "/sizes")
     }
     sh.unpersist()
   }

@@ -254,14 +254,26 @@ object Snapshots {
     LakeFs.write(p, v.toString)
   }
 
-  /** All tags as name → version (one root listing). */
+  /** All tags as name → version (one root listing). A marker whose
+    * content doesn't parse is a TORN write: fail loudly — silently
+    * skipping it would drop the pin from the vacuum keep-set and let
+    * retention destroy tagged history. */
   def tags(root: String): Map[String, Long] =
+    pinMarkers(root, TagPrefix, "tag")
+
+  private def pinMarkers(root: String, prefix: String,
+      kind: String): Map[String, Long] =
     LakeFs.list(root).flatMap { st =>
       val n = st.getPath.getName
-      if (!n.startsWith(TagPrefix) || !st.isFile) None
-      else LakeFs.readString(st.getPath.toString)
-        .flatMap(c => c.trim.toLongOption)
-        .map(v => n.stripPrefix(TagPrefix) -> v)
+      if (!n.startsWith(prefix) || !st.isFile) None
+      else {
+        val v = LakeFs.readString(st.getPath.toString)
+          .flatMap(c => c.trim.toLongOption)
+          .getOrElse(sys.error(
+            s"torn $kind marker $n in $root — repair or remove it " +
+              "before any read/retention runs"))
+        Some(n.stripPrefix(prefix) -> v)
+      }
     }.toMap
 
   def tagVersion(root: String, name: String): Long =
@@ -298,27 +310,22 @@ object Snapshots {
   def createBranch(root: String, name: String): Long = {
     require(name.matches("[A-Za-z0-9_.-]+"),
       s"branch name must be [A-Za-z0-9_.-]+: '$name'")
+    // branches ride RAW log union semantics: on a MoR root the raw
+    // base read would resurrect tombstoned keys and surface tombstone
+    // key-batches as data — refuse loudly, like compactLog
+    requireNoTombstones(root, "createBranch", "branching a MoR log", None)
     val base = latestVersion(root).getOrElse(
       sys.error(s"createBranch '$name': $root has no committed version"))
     val p = s"$root/$BranchPrefix$name"
     require(!LakeFs.isFile(p), s"branch '$name' already exists")
-    // a merged-marker with no branch is a crashed merge's leftover
-    // (it is removed last) — clear it so the NEW branch's first merge
-    // cannot be skipped as "already published"
-    LakeFs.rmFile(s"$root/$MergedPrefix$name")
     LakeFs.write(p, base.toString)
     base
   }
 
-  /** All branches as name → pinned base version (one root listing). */
+  /** All branches as name → pinned base version (one root listing);
+    * torn markers fail loudly, as in [[tags]]. */
   def branches(root: String): Map[String, Long] =
-    LakeFs.list(root).flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(BranchPrefix) || !st.isFile) None
-      else LakeFs.readString(st.getPath.toString)
-        .flatMap(c => c.trim.toLongOption)
-        .map(v => n.stripPrefix(BranchPrefix) -> v)
-    }.toMap
+    pinMarkers(root, BranchPrefix, "branch")
 
   private def branchBase(root: String, name: String): Long =
     branches(root).getOrElse(name, sys.error(s"no branch '$name' in $root"))
@@ -330,7 +337,10 @@ object Snapshots {
     publishAppend(df, branchRoot(root, name))
   }
 
-  /** Branch read: the pinned base window ∪ the branch's appends. */
+  /** Branch read: the pinned base window ∪ the branch's appends.
+    * The raw union is safe because createBranch refuses tombstoned
+    * roots and the pinned as-of window predates any tombstone
+    * published after the fork. */
   def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
     val base = readLog(s, root, asOf = Some(branchBase(root, name)))
     val br = branchRoot(root, name)
@@ -338,7 +348,7 @@ object Snapshots {
     else base.unionByName(readLog(s, br), allowMissingColumns = true)
   }
 
-  private val MergedPrefix = "_SNAP_MERGED_"
+  private val FromBranchPrefix = "_SNAP_FROM_BRANCH_"
 
   /** Merge the branch back: every branch row re-appends onto main as
     * ONE new version (append-only union semantics — commutative with
@@ -346,27 +356,39 @@ object Snapshots {
     * the branch marker and sub-log are dropped. No-op publish when
     * the branch never wrote. Returns the published version, if any.
     *
-    * Crash-safe via a merged-marker written AFTER the publish and
-    * removed LAST: a retry of a merge that crashed between publish
-    * and drop sees the marker, skips the re-publish (which would
-    * double every branch row), and completes the drop; a marker left
-    * behind by a crash after the drop is cleared by the next
-    * createBranch of that name. */
+    * Crash-safe WITHOUT a separate protocol step: the merge version
+    * carries a `_SNAP_FROM_BRANCH_<name>` marker written BEFORE its
+    * commit marker (the _SNAP_BASE discipline — a committed version
+    * always knows what it is), so a retry of a merge that crashed
+    * anywhere finds either (a) no committed from-branch version
+    * above the branch's base → the publish never committed, publish
+    * now (a torn merge dir is invisible, its number never reused); or
+    * (b) one → skip the re-publish that would double every row and
+    * just complete the drop. Name reuse is safe: a previous
+    * same-name branch's merge committed BEFORE this branch was
+    * created, so it sits at or below this branch's base and the
+    * `> base` scan never sees it. */
   def mergeBranch(s: SparkSession, root: String,
       name: String): Option[Long] = {
-    branchBase(root, name)
+    val base = branchBase(root, name)
     val br = branchRoot(root, name)
-    val m = s"$root/$MergedPrefix$name"
+    val already = committed(root).collectFirst {
+      case (v, d) if v > base &&
+          LakeFs.isFile(s"$d/$FromBranchPrefix$name") => v
+    }
     val v =
-      if (committed(br).isEmpty || LakeFs.isFile(m)) None
-      else {
+      if (committed(br).isEmpty) None
+      else already.orElse {
         requireNoTombstones(br, "mergeBranch", "a MoR branch merge", None)
-        val pv = publishAppend(readLog(s, br), root)
-        LakeFs.write(m, pv.toString)
-        Some(pv)
+        val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+        writeVersion(readLog(s, br), s"$root/v=$n")
+        require(LakeFs.createMarker(s"$root/v=$n/$FromBranchPrefix$name"),
+          s"from-branch marker v=$n")
+        require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+          s"merge v=$n already committed — concurrent writer?")
+        Some(n)
       }
     dropBranch(root, name)
-    LakeFs.rmFile(m)
     v
   }
 

@@ -492,9 +492,11 @@ object Dedup {
     * batch-involved pairs (dedup_incremental's read dataflow,
     * shared) project onto component LABELS, a driver-side union-find
     * over that bounded label-pair set (O(batch pairs) rows — the
-    * same cardinality the ingest already emits; a delta too large
-    * for one driver falls back to the distributed minLabelClusters
-    * loop) produces the label remap, and the remap broadcasts back
+    * same cardinality the batch-pair output itself has, so any batch
+    * the pair emit can materialize the driver can fold; a delta
+    * beyond driver memory means the blocking caps are mistuned and
+    * the offline dedup_clusters loop is the right tool)
+    * produces the label remap, and the remap broadcasts back
     * over the assignment table in ONE pass — O(state) scan, no
     * iteration, no corpus re-read. Output ≡ a full recompute of the
     * components over (old-old ∪ batch-involved) pairs under the
@@ -600,7 +602,8 @@ object Dedup {
       .join(remapDf, endLbl("lbl") === remapDf("lbl"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), endLbl("lbl")).as("cluster_id"))
-    oldRows.unionByName(newRows).orderBy(col("doc_id"))
+    releasedAfter(oldRows.unionByName(newRows).orderBy(col("doc_id")),
+      batchPairs, endLbl)
   }
 
   /** Benchmark decontamination — the GPT-3-style n-gram overlap pass:

@@ -680,8 +680,13 @@ object StreamOps {
     * overwrite, and the exact index stores (h, keeper) rather than a
     * bare membership set precisely so a REPLAYED epoch — whose first
     * attempt already appended this batch's new hashes — recomputes
-    * identical flags: keeper = least(index keeper, in-batch keeper)
-    * is idempotent under its own append. */
+    * identical flags: first-wins keeper resolution reads its own
+    * append as "this batch's keeper" and lands on the same verdicts.
+    * The SHINGLE append inherits epochOnce's documented residual
+    * window (append committed, marker crashed → retry re-appends;
+    * intersection counts would double) — ShingleIndex.compact
+    * repairs exactly that, so the standing compaction job is also
+    * the window's bound. */
   def cleanIngest(s: SparkSession, docs: DataFrame, exactIdx: String,
       shingleIdx: String, nbModelIdx: String,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -740,9 +745,16 @@ object StreamOps {
         .select(col("h"), col("batch_keeper").as("keeper")).distinct()
         .write.mode("append").parquet(hashDir)
     }
+    // FIRST-WINS keeper semantics (arrival order): a doc is an exact
+    // dup iff its hash was already indexed by an earlier epoch (any
+    // keeper) or a lower-id doc holds it within this batch — so a
+    // later-arriving copy drops even when its doc_id is SMALLER than
+    // the indexed keeper's. Replay-idempotent: a replayed epoch reads
+    // its own appended (h, batch_keeper) rows and computes identical
+    // flags. Equals the batch query's min-id keeper exactly when
+    // arrival order follows doc_id order (the ingest contract).
     val ex = withIdx.select(col("doc_id"),
-      (col("doc_id") === least(col("batch_keeper"),
-        coalesce(col("idx_keeper"), col("batch_keeper"))))
+      (col("doc_id") === coalesce(col("idx_keeper"), col("batch_keeper")))
         .as("not_exact_dup"))
     val flags = lang.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
       .join(nbq, Seq("doc_id")).join(ex, Seq("doc_id")).cache()
@@ -768,7 +780,20 @@ object StreamOps {
           _.join(ids, Seq("doc_id"), "left_semi"),
           _.join(ids, Seq("doc_id"), "left_anti"))
       }
-    val nd = pairs.select(col("doc_b").as("doc_id")).distinct()
+    // near-dup drops, first-wins like the exact gate: a batch doc
+    // drops when it pairs with ANY earlier-indexed doc (whichever
+    // side of the ordered pair it landed on — an out-of-order arrival
+    // can be doc_a) or as doc_b of an in-batch pair
+    val batchIds = bsh.select(col("doc_id")).distinct()
+    val nd = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      .join(batchIds.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))
+        .join(batchIds, Seq("doc_id"), "left_semi"))
+      .distinct()
       .withColumn("near_dup_drop", lit(true))
     emitEpoch(
       flags.join(nd, Seq("doc_id"), "left")
@@ -815,7 +840,9 @@ object StreamOps {
     * SELF-HEALING across a torn marker: a replay resolves endpoints
     * through the state its first attempt already appended, the
     * union-find finds every pair already merged, and both append
-    * sets come back empty. */
+    * sets come back empty. The shingle append inherits epochOnce's
+    * residual window like every member of the family —
+    * ShingleIndex.compact repairs re-appended duplicates. */
   def clusterIngest(s: SparkSession, docs: DataFrame, indexDir: String,
       clusterDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -937,11 +964,20 @@ object StreamOps {
     * spec can replay an epoch directly. */
   private[graft] def decontaminateBatch(s: SparkSession, batch: DataFrame,
       epoch: Long, ev: DataFrame, evalIds: Seq[Long],
-      outDir: String): Unit =
+      outDir: String): Unit = {
+    // a colliding id would route the batch doc to the eval side (its
+    // verdict silently dropped) and double its token rows in the
+    // verify joins — fail loudly instead
+    val clash = batch.select(col("doc_id"))
+      .filter(col("doc_id").isInCollection(evalIds)).limit(1).collect()
+    require(clash.isEmpty,
+      s"decontaminateIngest: batch doc_id ${clash.head.getLong(0)} " +
+        "collides with an eval id")
     emitEpoch(graft.queries.Dedup.substringContaminationOf(
         batch.select(col("doc_id"), col("text")).unionByName(ev),
         col("doc_id").isInCollection(evalIds)),
       epoch, outDir)
+  }
 
   /** Streaming perceptual-dedup ingest — the fingerprint family's
     * twin of shingleIngest, shared across modalities: each

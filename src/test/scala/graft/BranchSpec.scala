@@ -58,24 +58,40 @@ class BranchSpec extends AnyFunSuite {
     Snapshots.createBranch(root, "empty")
     assert(Snapshots.mergeBranch(spark, root, "empty").isEmpty)
 
-    // a merge that crashed between publish and drop must not double
-    // the branch rows on retry: simulate by re-creating the exact
-    // crash state (branch still present, merged-marker present)
-    Snapshots.createBranch(root, "crashy")
+    // a merge that crashed between the publish and the drop must not
+    // double the branch rows on retry: the committed merge version
+    // carries its from-branch marker, so a retry finds it
+    val crashBase = Snapshots.createBranch(root, "crashy")
     Snapshots.publishBranch(df(77L), root, "crashy")
     val before = rows(Snapshots.readLog(spark, root))
     val mv2 = Snapshots.mergeBranch(spark, root, "crashy")
     assert(mv2.nonEmpty)
     val after = rows(Snapshots.readLog(spark, root))
     assert(after == (before :+ 77L).sorted)
-    // crash state: branch dir + marker restored as if drop never ran
-    Snapshots.createBranch(root, "crashy")
+    // crash state: branch marker + sub-log restored as if the drop
+    // never ran — the retry must find the committed merge and only
+    // complete the drop
+    LakeFs.write(s"$root/_SNAP_BRANCH_crashy", crashBase.toString)
     Snapshots.publishBranch(df(77L), root, "crashy")
-    LakeFs.write(s"$root/_SNAP_MERGED_crashy", mv2.get.toString)
-    assert(Snapshots.mergeBranch(spark, root, "crashy").isEmpty,
-      "retry of a crashed merge must skip the re-publish")
+    assert(Snapshots.mergeBranch(spark, root, "crashy") == mv2,
+      "retry of a crashed merge must resolve to the committed version")
     assert(rows(Snapshots.readLog(spark, root)) == after,
       "crashed-merge retry doubled the branch rows")
     assert(Snapshots.branches(root).isEmpty)
+    // name reuse after a completed merge: the old merge version sits
+    // at or below the new base, so a fresh same-name branch merges
+    // its own rows normally
+    Snapshots.createBranch(root, "crashy")
+    Snapshots.publishBranch(df(88L), root, "crashy")
+    assert(Snapshots.mergeBranch(spark, root, "crashy").exists(_ > mv2.get))
+    assert(rows(Snapshots.readLog(spark, root)) == (after :+ 88L).sorted)
+
+    // a tombstoned (merge-on-read) root refuses branching loudly
+    val morRoot = "/tmp/graft_branch_mor"
+    LakeFs.rmTree(morRoot)
+    Snapshots.publishAppend(df(5L), morRoot)
+    Snapshots.publishDeletes(df(5L), morRoot)
+    intercept[IllegalArgumentException](
+      Snapshots.createBranch(morRoot, "b"))
   }
 }

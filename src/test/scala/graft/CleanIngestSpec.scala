@@ -174,5 +174,22 @@ class CleanIngestSpec extends AnyFunSuite {
       "the torn-marker replay must append only still-absent hashes (none)")
     assert(flagRows(out) == got,
       "a torn-marker replay changed the emitted flags")
+
+    // OUT-OF-ORDER arrivals: first-wins dedup, not min-id — doc 0
+    // duplicates doc 4's text (kept in batch 1), doc 16 near-dups
+    // the 20/27 base — both must DROP even with smaller doc_ids
+    val b3 = Seq(0L -> filler(4L)._2,
+      16L -> (base.dropRight(1) :+ "zz2").mkString(" "))
+    StreamOps.cleanIngestBatch(spark, b3.toDF("doc_id", "text"), 2L,
+      exact, shingle, mdlDir, out)
+    val e2 = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("epoch") === 2)
+      .select("doc_id", "not_exact_dup", "near_dup_drop", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(e2(0L)._1 == false && e2(0L)._3 == false,
+      s"later-arriving exact copy must drop first-wins: ${e2(0L)}")
+    assert(e2(16L)._2 == true && e2(16L)._3 == false,
+      s"later-arriving near-dup must drop even as the smaller id: ${e2(16L)}")
   }
 }

@@ -240,6 +240,17 @@ class DedupSpec extends AnyFunSuite {
     assert(stopA == Set(100L), stopA)
     assert(stopA == stopB && shA == shB && szA == szB,
       s"compacted != fresh: stop $stopA/$stopB sh ${shA.size}/${shB.size}")
+    // compaction REPAIRS the torn-append window: a re-appended batch
+    // (epochOnce's residual — append committed, marker crashed,
+    // retry re-appended) leaves duplicate rows and doubled sizes;
+    // after compact the state must again equal the fresh build
+    graft.operators.ShingleIndex.append(batchSh, dirA) // the duplicate
+    assert(graft.operators.ShingleIndex.shingles(spark, dirA).count() >
+      shB.size, "setup: duplicates present")
+    graft.operators.ShingleIndex.compact(spark, dirA)
+    val (stopA2, shA2, szA2) = state(dirA)
+    assert(stopA2 == stopB && shA2 == shB && szA2 == szB,
+      "compaction must fold torn-append duplicates away")
   }
 
   test("exact dedup marks no false duplicates on a corpus without any") {
