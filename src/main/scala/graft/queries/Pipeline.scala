@@ -693,7 +693,163 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split — the holdout assignment
+    * every training corpus draws before anything else touches the
+    * data. Each doc's split is a pure function of (seed, doc_id): the
+    * seeded md5-prefix slot maps onto 20 equal hash buckets and
+    * buckets 0-17/18/19 become train/val/test (90/5/5). Because the
+    * assignment is content-addressed rather than positional, it is
+    * reproducible on ANY engine at ANY cluster size (re-running a
+    * crashed job, re-sharding, or re-ingesting the corpus never moves
+    * a doc across the split boundary — the property that keeps eval
+    * sets uncontaminated across pipeline re-runs), and a new seed is
+    * a fresh independent draw. Stratification across sources holds by
+    * hash uniformity; an EXACT per-source quota is quality_top_pct's
+    * ranked shape instead.
+    *
+    * Scale shape: a pure per-row map — the corpus never shuffles at
+    * all (the orderBy is the gate's, not the operator's). The bucket
+    * test is integer-only (slot·20 div 2^32), so both engines decide
+    * identically on every row. */
+  val corpusSplit: Q = Q(
+    "corpus_split",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS slot
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN slot * 20 // 4294967296 < 18 THEN 'train'
+      |       WHEN slot * 20 // 4294967296 = 18 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bucket = expr("(slot * 20) div 4294967296")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("13:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("slot"))
+      .select(col("doc_id"), col("source"),
+        when(bucket < 18, "train").when(bucket === 18, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-sampled source mixing (α = 0.5) — the multilingual
+    * rebalancing trick (mBERT / XLM-R, Conneau et al. 2020): sample
+    * sources so kept tokens ∝ (source tokens)^α, flattening the
+    * head-source dominance a raw corpus has without upsampling the
+    * tail. Realized as pure downsampling with the SMALLEST source
+    * binding at rate 1: rate_s = sqrt(tok_min / tok_s), so expected
+    * kept tokens from s = sqrt(tok_min · tok_s) ∝ tok_s^0.5 — exactly
+    * the α = 0.5 temperature curve. Selection is the seeded
+    * md5-prefix slot (reproducible anywhere, no rand()); the rate is
+    * quantized to integer MICRO-units via correctly-rounded double
+    * ops (divide, sqrt, and multiply are all IEEE correctly-rounded
+    * in both engines — the quality_nb micro-nat discipline), so the
+    * keep test slot·1e6 < rate_micro·2^32 is pure int64 arithmetic
+    * (max ~2^52, overflow-safe) and both engines keep identical docs.
+    *
+    * Scale shape: corpus_mix's exactly — one pass over the corpus,
+    * one partial-agg groupBy to #sources rows broadcast back, the
+    * scalar min cross-joined; the fact table never shuffles. */
+  val corpusTemperature: Q = Q(
+    "corpus_temperature",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tok,
+      |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS slot
+      |  FROM documents),
+      |st AS (SELECT source, SUM(n_tok)::BIGINT AS src_tok FROM d GROUP BY 1),
+      |k AS (SELECT MIN(src_tok) AS tok_min FROM st),
+      |r AS (
+      |  SELECT source, src_tok,
+      |    CAST(FLOOR(sqrt(CAST(tok_min AS DOUBLE) / GREATEST(src_tok, 1))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS rate_micro
+      |  FROM st CROSS JOIN k)
+      |SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok)::BIGINT AS tok_kept
+      |FROM d JOIN r USING (source)
+      |WHERE d.slot * 1000000 < r.rate_micro * 4294967296
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(graft.functions.TextExprs.tokens(col("text")))
+        .cast("long").as("n_tok"),
+      conv(substring(md5(concat(lit("7:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").as("slot"))
+    val st = d.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    val tokMin = st.agg(min(col("src_tok")).as("tok_min"))
+    val rates = st.crossJoin(broadcast(tokMin)).select(col("source"),
+      floor(sqrt(col("tok_min").cast("double") /
+          greatest(col("src_tok"), lit(1L)))
+        * 1000000.0 + 0.5).cast("long").as("rate_micro"))
+    d.join(broadcast(rates), Seq("source"))
+      .filter(col("slot") * 1000000L < col("rate_micro") * lit(4294967296L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Top-k%-by-classifier selection, stratified per source — the
+    * DCLM / FineWeb-Edu curation shape: score every doc with the
+    * maintained NB quality model (the nbScored serving path — ONE
+    * corpus pass against the persisted ≤512-row broadcast model) and
+    * keep each source's best 10% by score. Unlike the fixed-threshold
+    * gate (quality_nb_apply's pred), a per-source PERCENTILE keeps
+    * the selection rate constant as score distributions drift across
+    * sources — the production reason curation pipelines rank rather
+    * than threshold.
+    *
+    * Rank discipline: ties broken by doc_id, so ranks are total and
+    * hash-exact; selected iff rank·10 ≤ n_source (floor semantics).
+    * Scale shape: ranks come from ONE GlobalPrefix pass ordered
+    * (source, −score, doc_id) — a range exchange plus per-partition
+    * windows, NO single-partition window and NO per-source window (a
+    * per-source window funnels each source, most of the corpus, into
+    * one task's sort — the corpus_interleave lesson); per-source
+    * offsets/counts are an O(#sources) driver set broadcast back.
+    * The oracle replays the model from the corpus (stale sidecar
+    * hash-diverges — freshness is itself gated, as quality_nb_apply). */
+  val qualityTopPct: Q = Q(
+    "quality_top_pct",
+    s"""WITH $nbModelCtes,
+      |$nbScoreCtes,
+      |scored AS (
+      |  SELECT l.doc_id,
+      |    CAST(pri.prior_micro + COALESCE(sc.tok_score, 0) AS BIGINT)
+      |      AS score_micro
+      |  FROM lab l LEFT JOIN nbsc sc ON l.doc_id = sc.doc_id CROSS JOIN pri),
+      |rk AS (
+      |  SELECT s.doc_id, d.source, s.score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY s.score_micro DESC, s.doc_id) AS BIGINT)
+      |      AS rank_in_source,
+      |    CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS n_src
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+      |SELECT doc_id, source, score_micro, rank_in_source,
+      |  rank_in_source * 10 <= n_src AS selected
+      |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val scored = nbScored(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("__neg", -col("score_micro"))
+    val (ranked, _) = graft.operators.GlobalPrefix.withCumSum(
+      scored, Seq(col("source"), col("__neg"), col("doc_id")), lit(1L))
+    // O(#sources) driver set: cumulative offsets + per-source counts
+    val counts = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .zip(counts.map(_._2)).map { case ((src, off), n) => (src, off, n) }
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("source", "off", "n_src"))
+    ranked.join(offDf, "source")
+      .select(col("doc_id"), col("source"), col("score_micro"),
+        (col("cum") - col("off")).as("rank_in_source"),
+        ((col("cum") - col("off")) * 10L <= col("n_src")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
-    qualityDsir)
+    qualityDsir, corpusSplit, corpusTemperature, qualityTopPct)
 }

@@ -278,6 +278,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("quality_top_pct ranks without single-partition or per-source windows") {
+    val p = plan(graft.queries.Pipeline.qualityTopPct.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    // ranks ride GlobalPrefix's range exchange; the only window is
+    // per-partition (partitionBy __pid), never hashpartitioned on
+    // source — a per-source window would funnel each source's whole
+    // slice of the corpus into one task's sort
+    assert(!p.contains("hashpartitioning(source"), p.take(2000))
+  }
+
+  test("corpus_temperature keeps the fact table unshuffled to the keep test") {
+    val p = plan(graft.queries.Pipeline.corpusTemperature.run(spark, sf))
+    // the per-source rate model reaches the corpus as a broadcast
+    // join; the only nested loop is the 1-row tok_min cross join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("quality_dsir broadcasts the bounded bucket model to the scoring join") {
     val p = plan(graft.queries.Pipeline.qualityDsir.run(spark, sf))
     // the 1024-row model reaches the corpus-scale scoring join as a
