@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer fit — the OTHER production
+  * subword algorithm next to [[BpeFit]] (Kudo, "Subword
+  * Regularization", ACL 2018; the SentencePiece default). Where BPE
+  * grows a vocabulary bottom-up by merging, the unigram model starts
+  * from a large candidate set and fits piece probabilities by EM over
+  * each word's segmentation lattice, then prunes to the target
+  * vocabulary — the probabilistic model BPE lacks (it can score and
+  * sample alternative segmentations, the property subword
+  * regularization exploits).
+  *
+  * Decomposition for 100 TB — identical to BpeFit's:
+  *   1. word-frequency table: the ONLY corpus-scale pass, one
+  *      map-side-combined groupBy(token).count();
+  *   2. vocabulary cap: top-V words by (freq desc, word asc) — EM
+  *      statistics concentrate in the head, V bounds the model state
+  *      independent of corpus size;
+  *   3. EM loop: in-process over the collected V-row word table
+  *      (O(V · len · maxPieceLen) per iteration — MB-scale at
+  *      V = 1M), the corpus never re-read. Fixed iteration count
+  *      (the production setting: SentencePiece defaults to a small
+  *      constant number of EM sub-iterations per prune round).
+  *
+  * Determinism discipline (the BpeFit/IvfIndex rule — a fit rerun on
+  * the same input must be bit-identical): candidate seeding, all
+  * normalization sums, and expected-count accumulation iterate in
+  * SORTED piece / word order (never HashMap order), forward-backward
+  * is plain sequential double arithmetic, and ties in the final
+  * vocabulary cut break on (count desc, piece asc). Log-probs are
+  * quantized to integer MICRO-NATS (floor(ln p · 1e6 + 0.5)) in the
+  * published model, the quality_nb discipline.
+  *
+  * Single-char pieces are ALWAYS retained (never pruned) so every
+  * word over the fit alphabet segments; a character outside the fit
+  * alphabet scores the fixed UNK penalty at apply time — standard
+  * <unk> handling, deterministic on both the fit and apply sides.
+  */
+object UnigramFit {
+
+  /** Fixed per-unknown-char log-prob (micro-nats): harsher than any
+    * fitted piece can be, so Viterbi uses known pieces wherever they
+    * cover. */
+  val UnkMicro: Long = -20000000L
+
+  /** Max candidate piece length. 4 captures the head subwords on the
+    * test corpus; production fits use 8-16 — the loop costs scale
+    * linearly in it, never in corpus size. */
+  val MaxPieceLen: Int = 4
+
+  /** One fitted piece: probability in micro-nats. */
+  final case class Piece(piece: String, logp_micro: Long)
+
+  /** Seed candidates: every substring (length 1..maxLen) of every
+    * word, weighted by word freq × occurrences; keep the `seedCap`
+    * best by (count desc, piece asc) PLUS every single char (coverage
+    * guarantee). Sorted-order accumulation for determinism. */
+  private[graft] def seed(words: Array[(String, Long)], maxLen: Int,
+      seedCap: Int): Array[(String, Long)] = {
+    val cnt = scala.collection.mutable.TreeMap.empty[String, Long]
+    words.sortBy(_._1).foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          cnt.update(p, cnt.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val all = cnt.toArray
+    val kept = all.sortBy { case (p, c) => (-c, p) }.take(seedCap)
+    val chars = all.filter(_._1.length == 1)
+    (kept ++ chars).distinct.sortBy(_._1)
+  }
+
+  /** Forward-backward over one word's segmentation lattice: returns
+    * (Z, per-edge posterior visitor). α(i) = Σ paths covering
+    * w[0,i); β(i) = Σ paths covering w[i,len). Plain probabilities —
+    * fine at word scale (≤ exp(-20)^len underflows only past
+    * ~15-char all-unk words, where the posterior is uniform anyway
+    * and EM assigns it nothing useful). */
+  private def forwardBackward(w: String, lp: collection.Map[String, Double],
+      maxLen: Int): (Double, Array[Double], Array[Double]) = {
+    val n = w.length
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      var s = 0.0
+      while (l <= maxLen && l <= i) {
+        lp.get(w.substring(i - l, i)).foreach(p => s += alpha(i - l) * p)
+        l += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    beta(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      var s = 0.0
+      while (l <= maxLen && i + l <= n) {
+        lp.get(w.substring(i, i + l)).foreach(p => s += beta(i + l) * p)
+        l += 1
+      }
+      beta(i) = s
+      i -= 1
+    }
+    (alpha(n), alpha, beta)
+  }
+
+  /** In-process EM fit over a bounded (word, freq) vocabulary —
+    * exposed for property tests. Returns the final piece table
+    * (probabilities, NOT yet micro-quantized) sorted by piece. */
+  private[graft] def fitLocal(words: Array[(String, Long)],
+      vocabTarget: Int, emIters: Int = 2,
+      maxLen: Int = MaxPieceLen): Array[(String, Double)] = {
+    require(vocabTarget >= 1 && emIters >= 1)
+    val sortedWords = words.sortBy(_._1)
+    val seeded = seed(sortedWords, maxLen, seedCap = vocabTarget * 8)
+    // initial probs ∝ seed counts (sorted-order sum)
+    var pieces: Array[(String, Double)] = {
+      val z = seeded.iterator.map(_._2.toDouble).sum
+      seeded.map { case (p, c) => (p, c / z) }
+    }
+    var iter = 0
+    while (iter < emIters) {
+      val lp = pieces.toMap
+      // E-step: expected piece counts, sorted word order, TreeMap
+      // accumulation (deterministic iteration for the M-step sum)
+      val ec = scala.collection.mutable.TreeMap.empty[String, Double]
+      sortedWords.foreach { case (w, f) =>
+        val (z, alpha, beta) = forwardBackward(w, lp, maxLen)
+        if (z > 0.0) {
+          var i = 0
+          while (i < w.length) {
+            var l = 1
+            while (l <= maxLen && i + l <= w.length) {
+              val p = w.substring(i, i + l)
+              lp.get(p).foreach { pr =>
+                val post = alpha(i) * pr * beta(i + l) / z
+                if (post > 0.0) ec.update(p, ec.getOrElse(p, 0.0) + f * post)
+              }
+              l += 1
+            }
+            i += 1
+          }
+        }
+      }
+      // M-step: renormalize over the surviving support; pieces that
+      // received no mass drop out (chars re-seeded by the final cut
+      // only if they had mass — a char inside retained pieces only
+      // is legitimately prunable mid-EM, coverage is restored below)
+      val z = ec.valuesIterator.sum
+      pieces = ec.iterator.map { case (p, c) => (p, c / z) }.toArray
+      iter += 1
+    }
+    // final cut: top vocabTarget by (prob desc, piece asc), plus every
+    // single char of the fit alphabet (coverage guarantee) at its
+    // fitted prob — or, if EM starved it to zero mass, at the floor
+    // just above the UNK penalty so it stays strictly preferable
+    val byProb = pieces.sortBy { case (p, pr) => (-pr, p) }
+    val kept = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    byProb.take(vocabTarget).foreach { case (p, pr) => kept.update(p, pr) }
+    val alphabet = sortedWords.iterator.flatMap(_._1.iterator)
+      .map(_.toString).toArray.distinct.sorted
+    val floor = math.exp(UnkMicro / 1e6 + 1.0)
+    alphabet.foreach { ch =>
+      if (!kept.contains(ch))
+        kept.update(ch, pieces.collectFirst {
+          case (p, pr) if p == ch => pr
+        }.getOrElse(floor))
+    }
+    kept.toArray.sortBy(_._1)
+  }
+
+  /** Fit over a (word, freq) table the CALLER has already capped
+    * (the BpeFit contract — the collect is bounded by that cap).
+    * Returns (piece, logp_micro) sorted by piece: the piece table IS
+    * the fitted tokenizer. */
+  def fit(spark: SparkSession, words: DataFrame, vocabTarget: Int,
+      emIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vocab = words.select(col("word"), col("freq").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    fitLocal(vocab, vocabTarget, emIters)
+      .map { case (p, pr) =>
+        (p, math.floor(math.log(pr) * 1e6 + 0.5).toLong)
+      }
+      .toSeq.toDF("piece", "logp_micro")
+      .orderBy(col("piece"))
+  }
+
+  /** Viterbi segmentation of one word against the fitted piece table
+    * (micro-nat log-probs; unknown single chars score [[UnkMicro]]).
+    * Deterministic tie-break: candidates scanned at each position in
+    * DECREASING piece length with strict improvement required — equal
+    * scores resolve to the longest-piece parse, fixed on any engine.
+    * Exposed for the distributed apply's mapPartitions and the spec. */
+  def viterbi(w: String, lp: collection.Map[String, Long],
+      maxLen: Int = MaxPieceLen): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Long.MinValue)
+    val back = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        if (best(i - l) != Long.MinValue) {
+          val piece = w.substring(i - l, i)
+          val sc = lp.get(piece) match {
+            case Some(m) => Some(m)
+            case None => if (l == 1) Some(UnkMicro) else None
+          }
+          sc.foreach { m =>
+            if (best(i - l) + m > best(i)) {
+              best(i) = best(i - l) + m
+              back(i) = l
+            }
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    var pos = n
+    val rev = List.newBuilder[Int]
+    while (pos > 0) { rev += back(pos); pos -= back(pos) }
+    val lens = rev.result().reverse
+    var s = 0
+    lens.foreach { l => out += w.substring(s, s + l); s += l }
+    out.result()
+  }
+}

@@ -845,6 +845,63 @@ object Text {
     }
   }
 
+  /** Unigram-LM vocabulary target — small against the test corpus's
+    * ~60-word dictionary head so pruning is actually exercised;
+    * production fits target 32k-100k (still MB-scale driver state). */
+  private val unigramVocab = 64
+
+  /** FIT the unigram-LM tokenizer (Kudo 2018 — the SentencePiece
+    * default, the probabilistic counterpart to tokenizer_bpe_fit):
+    * word-frequency head capped exactly as the BPE fit (shared
+    * bpeCappedWords — ONE corpus pass), then the in-process EM over
+    * substring-candidate pieces with the final top-V cut; see
+    * operators.UnigramFit for the determinism discipline. Published
+    * model = (piece, logp_micro) — micro-nat quantized, the
+    * quality_nb rule. Rows-only BY DESIGN: the E-step is a
+    * forward-backward DP over each word's segmentation lattice
+    * (recursive state, the chunk_recursive precedent); UnigramSpec
+    * pins the EM arithmetic on a hand-computed fixture instead. */
+  val unigramFit: Q = Q.rowsOnly("tokenizer_unigram_fit") { (s, dir) =>
+    graft.operators.UnigramFit.fit(s, bpeCappedWords(s, dir), unigramVocab)
+  }
+
+  /** APPLY the fitted unigram tokenizer to the WHOLE corpus — the
+    * distributed half, same shape as tokenizer_bpe_apply: the model
+    * is a bounded broadcast table (≤ vocab + alphabet rows),
+    * segmentation is computed once per DISTINCT word (the
+    * dictionary-encode trick) via Viterbi in a mapPartitions (a DP
+    * with no Catalyst expression form — the Chunker rule), and
+    * corpus occurrences join the small word→n_sub table. Output per
+    * doc mirrors bpe_apply: word count, piece count, ratio (4dp).
+    * Rows-only like the fit; UnigramSpec pins Viterbi against
+    * hand-computed parses and the reassembly law. */
+  val unigramApply: Q = Q.rowsOnly("tokenizer_unigram_apply") { (s, dir) =>
+    import s.implicits._
+    val model = graft.operators.UnigramFit
+      .fit(s, bpeCappedWords(s, dir), unigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = s.sparkContext.broadcast(model)
+    val tokd = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val wn = tokd.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, graft.operators.UnigramFit.viterbi(w, m).length.toLong))
+      }.toDF("word", "n_sub")
+    val agg = tokd.join(wn, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("n_words") > 0, r4(col("n_pieces") / col("n_words")))
+          .as("unigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** UTF-8 tokenizer over a NON-ASCII corpus variant: the documents
     * text with vowels/s/N translated into accented Latin + Cyrillic
     * (the multilingual shape a real crawl has), tokenized by the
@@ -971,5 +1028,5 @@ object Text {
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    tokensUnicode, entropy, oov)
+    unigramFit, unigramApply, tokensUnicode, entropy, oov)
 }
