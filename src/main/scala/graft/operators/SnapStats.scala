@@ -93,7 +93,13 @@ object SnapStats {
     * range provably misses [lo, hi] drop; files without an entry for
     * `col` stay), every parquet file when it does not. */
   def prunedPaths(dir: String, col: String,
-      lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+      lo: BigDecimal, hi: BigDecimal): Seq[String] =
+    prunedPaths(dir, col, Some(lo), Some(hi))
+
+  /** Half-open variant: `None` on a side means unbounded (the
+    * graftsnap pushdown shape — a bare `k > 5` has no upper bound). */
+  def prunedPaths(dir: String, col: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal]): Seq[String] = {
     val files = LakeFs.list(dir).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") &&
@@ -111,7 +117,8 @@ object SnapStats {
         }.toMap
         files.filter { p =>
           ranges.get(p.getName) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case Some((mn, mx)) =>
+              lo.forall(mx >= _) && hi.forall(mn <= _)
             case None => true // no stats — never prune blind
           }
         }.map(_.toString)

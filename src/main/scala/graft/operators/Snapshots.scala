@@ -229,6 +229,48 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  /** Newest version committed at or before `tsMillis` — the shared
+    * TIMESTAMP AS OF resolution (see [[readAsOfTimestamp]] for the
+    * clock caveat). One listing + O(versions) marker stats. */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long =
+    committed(root).takeWhile { case (v, _) =>
+      commitTimestamp(root, v).exists(_ <= tsMillis)
+    }.lastOption.map(_._1).getOrElse(sys.error(
+      s"no snapshot committed at or before ts=$tsMillis in $root"))
+
+  /** The resolved log reader window's parquet data files, for the
+    * graftsnap BATCH scan: same window resolution as [[readLog]]
+    * (compaction subsumption, as-of), same tombstone refusal (a raw
+    * file union would surface delete key-batches as data — MoR logs
+    * read through [[readLogMerged]]), files in (version, name) order.
+    * Schema evolution needs no unionByName here: the graftsnap
+    * per-file reader null-fills columns a FILE lacks against the
+    * table schema, which is exactly unionWindow's null-fill semantics
+    * applied at the page level. */
+  private[graft] def batchFiles(root: String,
+      asOf: Option[Long]): Seq[String] =
+    batchFiles(root, asOf, Map.empty)
+
+  /** With PUSHED filter bounds: each window version's file list is
+    * intersected across the bound columns through its own `_SNAP_STATS`
+    * manifest ([[SnapStats.prunedPaths]]) — versions without a
+    * manifest (or columns without stats) contribute ALL their files,
+    * so pruning only ever reduces I/O, never rows; the engine keeps
+    * every pushed filter as a residual for exactly that reason. */
+  private[graft] def batchFiles(root: String, asOf: Option[Long],
+      bounds: Map[String, (Option[BigDecimal], Option[BigDecimal])])
+      : Seq[String] = {
+    requireNoTombstones(root, "graftsnap batch read", "Snapshots.readLogMerged",
+      asOf)
+    logWindow(root, asOf).flatMap { case (_, d) =>
+      val all = graft.sources.SnapshotStreamTable.dataFiles(d)
+      bounds.foldLeft(all) { case (acc, (c, (lo, hi))) =>
+        val kept = SnapStats.prunedPaths(d, c, lo, hi).toSet
+        acc.filter(kept)
+      }
+    }
+  }
+
   // ---- named tags: immutable version pins (the Iceberg-tag shape) ----
 
   private val TagPrefix = "_SNAP_TAG_"
@@ -413,14 +455,8 @@ object Snapshots {
     * writer path; don't mix writers with skewed clocks and expect
     * timestamp travel to interleave them correctly. */
   def readAsOfTimestamp(s: SparkSession, root: String,
-      tsMillis: Long): DataFrame = {
-    val pick = committed(root).takeWhile { case (v, _) =>
-      commitTimestamp(root, v).exists(_ <= tsMillis)
-    }.lastOption
-    val (_, dir) = pick.getOrElse(sys.error(
-      s"no snapshot committed at or before ts=$tsMillis in $root"))
-    s.read.parquet(dir)
-  }
+      tsMillis: Long): DataFrame =
+    s.read.parquet(s"$root/v=${versionAtTimestamp(root, tsMillis)}")
 
   /** RESTORE TO VERSION, snapshot flavor: republish version `v`'s
     * content as the NEW latest version — history stays immutable (the

@@ -12,8 +12,9 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -111,8 +112,13 @@ object SnapshotStreamTable {
       case other => sys.error(
         s"graftsnap: unsupported parquet type $other for '${t.getName}'")
     }
-    StructField(t.getName, dt,
-      nullable = t.getRepetition != PType.Repetition.REQUIRED)
+    // ALWAYS nullable, whatever this file's repetition says: the
+    // schema is inferred from the NEWEST version's footer, but under
+    // log schema evolution any column can be absent from older files
+    // in the same read window — those rows null-fill, and a
+    // non-nullable StructField would make Spark's codegen read the
+    // null slot as 0/false/garbage instead of NULL
+    StructField(t.getName, dt, nullable = true)
   }
 
   /** Parquet data files directly under a version dir (markers,
@@ -131,27 +137,110 @@ class SnapshotStreamTable(root: String, schema0: StructType)
   override def name(): String = s"graftsnap:$root"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotStreamScanBuilder(root, schema0)
+    new SnapshotStreamScanBuilder(root, schema0, options)
 }
 
-class SnapshotStreamScanBuilder(root: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class SnapshotStreamScanBuilder(root: String, full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var bounds:
+    Map[String, (Option[BigDecimal], Option[BigDecimal])] = Map.empty
+  private var accepted: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SnapshotStreamScan(root, required)
+
+  /** Best-effort MANIFEST pruning, Iceberg/Delta data-skipping shape:
+    * numeric range/equality predicates fold into per-column [lo, hi]
+    * bounds that drop whole files through each version's `_SNAP_STATS`
+    * manifest. Every filter is returned as a RESIDUAL (pruning is
+    * I/O-only — a version without a manifest contributes all its
+    * files, so the engine must still evaluate rows); strict
+    * inequalities use their inclusive bound, which can only keep an
+    * extra file, never drop a matching one. */
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val numericCols = full.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toSet
+    def num(v: Any): Option[BigDecimal] = v match {
+      case l: java.lang.Long => Some(BigDecimal(l.longValue))
+      case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+      case d: java.lang.Double => Some(BigDecimal(d.doubleValue))
+      case f: java.lang.Float => Some(BigDecimal(f.floatValue.toDouble))
+      case _ => None
+    }
+    val picked = filters.flatMap {
+      case f @ sources.EqualTo(c, v) if numericCols(c) =>
+        num(v).map(b => (f, c, Some(b), Some(b)))
+      case f @ sources.GreaterThan(c, v) if numericCols(c) =>
+        num(v).map(b => (f, c, Some(b), None))
+      case f @ sources.GreaterThanOrEqual(c, v) if numericCols(c) =>
+        num(v).map(b => (f, c, Some(b), None))
+      case f @ sources.LessThan(c, v) if numericCols(c) =>
+        num(v).map(b => (f, c, None, Some(b)))
+      case f @ sources.LessThanOrEqual(c, v) if numericCols(c) =>
+        num(v).map(b => (f, c, None, Some(b)))
+      case _ => None
+    }
+    bounds = picked.groupBy(_._2).map { case (c, fs) =>
+      val los = fs.flatMap(_._3)
+      val his = fs.flatMap(_._4)
+      c -> (if (los.isEmpty) None else Some(los.max),
+        if (his.isEmpty) None else Some(his.min))
+    }
+    accepted = picked.map(_._1)
+    filters // ALL residual: skipping reduces I/O, never row evaluation
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = {
+    val vAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val tAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(vAsOf.isEmpty || tAsOf.isEmpty,
+      "graftsnap: versionAsOf and timestampAsOf are mutually exclusive")
+    new SnapshotStreamScan(root, required,
+      vAsOf.orElse(tAsOf.map(Snapshots.versionAtTimestamp(root, _))),
+      bounds)
+  }
 }
 
-class SnapshotStreamScan(root: String, required: StructType) extends Scan {
+class SnapshotStreamScan(root: String, required: StructType,
+    asOf: Option[Long] = None,
+    bounds: Map[String, (Option[BigDecimal], Option[BigDecimal])] =
+      Map.empty) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"SnapshotStreamScan(root=$root, " +
-      s"columns=${required.fieldNames.mkString(",")})"
+      s"columns=${required.fieldNames.mkString(",")}" +
+      asOf.map(v => s", asOf=$v").getOrElse("") + ")"
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(root, required)
+
+  /** BATCH read of the same table: the resolved log reader window
+    * (compaction subsumption + version/timestamp time travel, exactly
+    * Snapshots.readLog's resolution; tombstoned MoR windows refuse)
+    * planned as one InputPartition per immutable data file through
+    * the same executor-side pruned parquet reader the stream uses —
+    * `spark.read.format("graftsnap").option("versionAsOf", 3)
+    * .load(root)` is the Delta-style batch surface over the lake
+    * table, schema evolution null-filled per FILE at the page level. */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        Snapshots.batchFiles(root, asOf, bounds)
+          .map(f => SnapFilePartition(f): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SnapshotStreamReaderFactory(required,
+          new SerializableConfiguration(LakeFs.hadoopConf))
+    }
 }
 
 /** Offset = newest committed version delivered (0 = nothing yet). */
