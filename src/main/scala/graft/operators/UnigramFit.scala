@@ -199,6 +199,98 @@ object UnigramFit {
       .orderBy(col("piece"))
   }
 
+  /** SUBWORD REGULARIZATION sampling (the unigram model's actual
+    * training-time use — Kudo 2018 §3: each epoch samples a DIFFERENT
+    * segmentation per word ∝ its tempered lattice probability, the
+    * data augmentation BPE cannot express): forward-filtering
+    * backward-sampling over the word lattice with piece weights
+    * p^alpha. alpha → ∞ approaches Viterbi; alpha → 0 approaches
+    * uniform over parses.
+    *
+    * The "random" draws are DETERMINISTIC md5 hashes of
+    * (salt, word, step) mapped onto [0,1) — the corpus_shuffle seed
+    * discipline: the same (word, salt) samples the same parse on any
+    * engine at any cluster size (crash-rerun and re-shard safe), and
+    * a new salt (epoch number) is a fresh independent draw. Unknown
+    * single chars ride the [[UnkMicro]] penalty, as Viterbi. */
+  def sampleSegmentation(w: String, lp: collection.Map[String, Long],
+      alpha: Double, salt: String,
+      maxLen: Int = MaxPieceLen): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    // LOG-space throughout: a linear-space forward pass underflows to
+    // 0 past ~35 consecutive unknown chars (exp(-20)^35 < 2^-1074)
+    // and a 0/0 lattice would never terminate; in log space every
+    // backward-edge probability is exp(a ratio ≤ 0) — always finite
+    def logw(piece: String): Option[Double] =
+      lp.get(piece) match {
+        case Some(m) => Some(alpha * m / 1e6)
+        case None =>
+          if (piece.length == 1) Some(alpha * UnkMicro / 1e6) else None
+      }
+    val fwl = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      var mx = Double.NegativeInfinity
+      val terms = new Array[Double](math.min(maxLen, i))
+      while (l <= maxLen && l <= i) {
+        terms(l - 1) = logw(w.substring(i - l, i)) match {
+          case Some(lg) => fwl(i - l) + lg
+          case None => Double.NegativeInfinity
+        }
+        if (terms(l - 1) > mx) mx = terms(l - 1)
+        l += 1
+      }
+      var s = 0.0
+      terms.foreach(t => if (t > Double.NegativeInfinity) s += math.exp(t - mx))
+      fwl(i) = mx + math.log(s) // mx finite: l=1 always has a weight
+      i += 1
+    }
+    // backward sampling: at position i pick the incoming edge length
+    // with probability exp(fwl(i-l) + logw - fwl(i)); the uniform
+    // draw is the md5-prefix of (salt, word, draw index) — portable,
+    // no rand()
+    val lens = List.newBuilder[Int]
+    var pos = n
+    var step = 0
+    while (pos > 0) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$w:$step".getBytes("UTF-8"))
+      val u = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)).toDouble / 4294967296.0
+      var acc = 0.0
+      var picked = -1
+      var l = 1
+      while (l <= maxLen && l <= pos && picked < 0) {
+        logw(w.substring(pos - l, pos)).foreach { lg =>
+          acc += math.exp(fwl(pos - l) + lg - fwl(pos))
+          if (u < acc) picked = l
+        }
+        l += 1
+      }
+      // float-sum shortfall (acc ≈ 1-ulp < u): the single-char edge
+      // is ALWAYS viable (logw is total on length 1), take the
+      // longest weighted edge
+      if (picked < 0) {
+        var ll = math.min(maxLen, pos)
+        while (picked < 0 && ll >= 1) {
+          if (logw(w.substring(pos - ll, pos)).nonEmpty) picked = ll
+          ll -= 1
+        }
+      }
+      lens += picked
+      pos -= picked
+      step += 1
+    }
+    val out = List.newBuilder[String]
+    var s2 = 0
+    lens.result().reverse.foreach { l =>
+      out += w.substring(s2, s2 + l); s2 += l
+    }
+    out.result()
+  }
+
   /** Viterbi segmentation of one word against the fitted piece table
     * (micro-nat log-probs; unknown single chars score [[UnkMicro]]).
     * Deterministic tie-break: candidates scanned at each position in

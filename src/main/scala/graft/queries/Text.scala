@@ -902,6 +902,47 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** SAMPLE a segmentation per word under subword regularization
+    * (Kudo 2018 §3 — the unigram model's training-time use: each
+    * epoch re-samples every word's parse ∝ its tempered lattice
+    * probability, the augmentation BPE cannot express) and report it
+    * against the Viterbi baseline per doc. The salt is the epoch
+    * knob: same salt → identical corpus on any engine/cluster
+    * (crash-rerun safe), next epoch's salt → a fresh draw. Same
+    * distributed shape as unigram_apply: bounded broadcast model,
+    * one FFBS + one Viterbi per DISTINCT word in a mapPartitions,
+    * occurrences join the small per-word table. */
+  val unigramSample: Q = Q.rowsOnly("tokenizer_unigram_sample") { (s, dir) =>
+    import s.implicits._
+    val model = graft.operators.UnigramFit
+      .fit(s, bpeCappedWords(s, dir), unigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = s.sparkContext.broadcast(model)
+    val tokd = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val wn = tokd.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { w =>
+          (w, graft.operators.UnigramFit.viterbi(w, m).length.toLong,
+            graft.operators.UnigramFit
+              .sampleSegmentation(w, m, alpha = 0.5, salt = "epoch0")
+              .length.toLong)
+        }
+      }.toDF("word", "n_vit", "n_smp")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(tokd.join(wn, "word").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_vit")).as("n_pieces_viterbi"),
+          sum(col("n_smp")).as("n_pieces_sampled")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces_viterbi"), lit(0L)).as("n_pieces_viterbi"),
+        coalesce(col("n_pieces_sampled"), lit(0L)).as("n_pieces_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
   /** UTF-8 tokenizer over a NON-ASCII corpus variant: the documents
     * text with vowels/s/N translated into accented Latin + Cyrillic
     * (the multilingual shape a real crawl has), tokenized by the
@@ -1028,5 +1069,5 @@ object Text {
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    unigramFit, unigramApply, tokensUnicode, entropy, oov)
+    unigramFit, unigramApply, unigramSample, tokensUnicode, entropy, oov)
 }

@@ -105,6 +105,52 @@ class UnigramSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("sampling: deterministic per (word, salt), correct marginals, sharp→Viterbi") {
+    // fixture model: P([ab]) = (7/18) / (7/18 + (1/6)(4/9)) = 0.84
+    // of the alpha=1 lattice mass for "ab"
+    val m = Map("a" -> -1791759L, "ab" -> -944462L, "b" -> -810930L)
+    val one = UnigramFit.sampleSegmentation("ab", m, 1.0, "s0")
+    // determinism: same (word, salt, alpha) → same parse, always
+    (1 to 5).foreach(_ =>
+      assert(UnigramFit.sampleSegmentation("ab", m, 1.0, "s0") == one))
+    // reassembly holds for every draw; both parses appear across salts
+    val draws = (0 until 200).map(i =>
+      UnigramFit.sampleSegmentation("ab", m, 1.0, s"s$i"))
+    draws.foreach(p => assert(p.mkString == "ab", p))
+    val whole = draws.count(_ == Seq("ab"))
+    assert(whole > 130 && whole < 198, // E≈168, ±5σ≈±26
+      s"P([ab])≈0.84 but sampled $whole/200")
+    // sharp temperature concentrates on the Viterbi parse
+    val sharp = (0 until 50).map(i =>
+      UnigramFit.sampleSegmentation("ab", m, 8.0, s"t$i"))
+    assert(sharp.forall(_ == UnigramFit.viterbi("ab", m, maxLen = 4)),
+      "alpha=8 must concentrate on the max-probability parse")
+    // unknown chars sample like Viterbi's UNK path, never crash
+    assert(UnigramFit.sampleSegmentation("xa", m, 1.0, "s0")
+      .mkString == "xa")
+    assert(UnigramFit.sampleSegmentation("", m, 1.0, "s0") == Seq.empty)
+    // a LONG all-unknown word would underflow a linear-space forward
+    // pass to an unterminating 0/0 lattice — log space must terminate
+    // and reassemble (60 chars ≫ the ~35-char linear underflow point)
+    val long = "x" * 60
+    assert(UnigramFit.sampleSegmentation(long, m, 1.0, "s0")
+      .mkString == long)
+  }
+
+  test("tokenizer_unigram_sample holds its accounting laws") {
+    val rows = graft.queries.Text.unigramSample.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nv, ns) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nv >= nw && ns >= nw,
+        s"doc ${r.getLong(0)}: words $nw viterbi $nv sampled $ns")
+    }
+    // rerun is identical (the epoch-salt determinism law, end to end)
+    val again = graft.queries.Text.unigramSample.run(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("tokenizer_unigram_fit and _apply hold their accounting laws") {
     val model = graft.queries.Text.unigramFit.run(spark, sf).collect()
     assert(model.nonEmpty)
