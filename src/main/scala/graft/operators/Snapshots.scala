@@ -944,6 +944,16 @@ object Snapshots {
     n
   }
 
+  /** REPLACE the table's readable content with `df` in one committed
+    * version carrying the base marker — log readers see exactly `df`
+    * afterward (the window collapses to this version), while history
+    * below stays time-travelable until vacuumLog. The graftsnap DSv2
+    * write maps SaveMode.Overwrite here; it is also the manual
+    * "rebuild the table" primitive next to restoreLog's
+    * as-of-flavored one. */
+  def publishReplace(df: DataFrame, root: String): Long =
+    commitCompacted(df, root)
+
   private def commitCompacted(folded: DataFrame, root: String): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
     writeVersion(folded, s"$root/v=$n")

@@ -132,15 +132,49 @@ object SnapshotStreamTable {
 }
 
 class SnapshotStreamTable(root: String, schema0: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(root != null, "graftsnap requires a path")
   override def name(): String = s"graftsnap:$root"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotStreamScanBuilder(root, schema0, options)
+
+  /** BATCH WRITE through the snapshot protocol (the V1 bridge — the
+    * df lands via the Snapshots publish APIs, whose marker create is
+    * the atomic commit point): `mode("append")` publishes one new
+    * committed version (Snapshots.publishAppend); `mode("overwrite")`
+    * publishes a base version that REPLACES the readable window
+    * (Snapshots.publishReplace) with history below still
+    * time-travelable. Writing to a root that has no committed version
+    * yet is Snapshots.publishAppend's job directly — the provider
+    * infers its schema from the newest committed footer, so a
+    * path-only write cannot bootstrap a table. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (df: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              if (replace) Snapshots.publishReplace(df, root)
+              else Snapshots.publishAppend(df, root)
+              ()
+            }
+        }
+    }
 }
 
 class SnapshotStreamScanBuilder(root: String, full: StructType,

@@ -104,6 +104,30 @@ class GraftsnapBatchSpec extends AnyFunSuite {
     assert(ks(batch(root).filter("k >= 20")) == Seq(20L, 21L))
   }
 
+  test("DSv2 writes ride the snapshot protocol: append and overwrite") {
+    import spark.implicits._
+    val root = freshRoot("write")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    // append publishes one committed version through publishAppend
+    Seq((2L, "b")).toDF("k", "v")
+      .write.format("graftsnap").mode("append").save(root)
+    assert(ks(batch(root)) == Seq(1L, 2L))
+    assert(Snapshots.latestVersion(root).contains(2L))
+    assert(ks(Snapshots.readLog(spark, root)) == Seq(1L, 2L),
+      "DSv2 append must be a native log version")
+    // overwrite REPLACES the readable window via a base version;
+    // history below stays time-travelable
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("graftsnap").mode("overwrite").save(root)
+    assert(ks(batch(root)) == Seq(9L))
+    assert(ks(batch(root, "versionAsOf" -> "2")) == Seq(1L, 2L),
+      "overwrite must not destroy time travel")
+    // appends stack on top of the new base
+    Seq((10L, "y")).toDF("k", "v")
+      .write.format("graftsnap").mode("append").save(root)
+    assert(ks(batch(root)) == Seq(9L, 10L))
+  }
+
   test("a tombstoned merge-on-read window refuses the raw batch read") {
     import spark.implicits._
     val root = freshRoot("mor")
