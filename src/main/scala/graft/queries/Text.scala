@@ -943,6 +943,161 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece merge count — the tokenizer-family knob (see bpeMerges). */
+  private val wpMerges = 8
+
+  /** Shared oracle CTE chain for the WordPiece fit — bpeFitCtes with
+    * the likelihood argmax: per step, wy$i freq-weighted symbol
+    * counts, wq$i pair counts, wm$i the argmax on
+    * `cnt::DOUBLE / (scnt_l * scnt_r)::DOUBLE` (one IEEE division of
+    * exact int64s — identical in Spark; ties (score desc, l, r) in
+    * binary order), u$i the delimited-string merge replace. */
+  private def wpFitCtes: String = {
+    val stages = (1 to wpMerges).map { i =>
+      val prev = s"u${i - 1}"
+      s"""wy$i AS (
+        |  SELECT sym, SUM(freq)::BIGINT scnt FROM (
+        |    SELECT freq, unnest(list_filter(string_split(s, '||'),
+        |      x -> x <> '')) sym FROM $prev)
+        |  GROUP BY 1),
+        |wq$i AS (
+        |  SELECT p[1] l, p[2] r, SUM(freq)::BIGINT cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)),
+        |      i -> [a[i], a[i+1]])) p
+        |    FROM (SELECT freq, list_filter(string_split(s, '||'),
+        |      x -> x <> '') a FROM $prev))
+        |  GROUP BY 1, 2),
+        |wm$i AS MATERIALIZED (
+        |  SELECT q.l, q.r, q.cnt FROM wq$i q
+        |  JOIN wy$i yl ON yl.sym = q.l JOIN wy$i yr ON yr.sym = q.r
+        |  ORDER BY q.cnt::DOUBLE / (yl.scnt * yr.scnt)::DOUBLE DESC, q.l, q.r
+        |  LIMIT 1),
+        |u$i AS MATERIALIZED (
+        |  SELECT replace($prev.s, '|' || m.l || '||' || m.r || '|',
+        |    '|' || m.l || m.r || '|') s, freq
+        |  FROM $prev CROSS JOIN wm$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""tokd AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |wf AS (
+      |  SELECT word, COUNT(*)::BIGINT freq FROM tokd GROUP BY word
+      |  ORDER BY freq DESC, word LIMIT $bpeVocabCap),
+      |u0 AS MATERIALIZED (
+      |  SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') ||
+      |    '</w>||' AS s, freq FROM wf)""".stripMargin + ",\n" + stages
+    // NOTE: interpolated into SQL strings that call .stripMargin
+    // AGAIN — no line above may START with '|' (see bpeFitCtes)
+  }
+
+  /** WordPiece tokenizer FIT (operators.WordPieceFit — Schuster &
+    * Nakajima 2012, the BERT vocabulary builder): BpeFit's exact
+    * decomposition (ONE corpus pass for the capped word head, bounded
+    * in-process merge loop) with the likelihood argmax — merge the
+    * pair maximizing `cnt(l,r)/(cnt(l)·cnt(r))`, preferring
+    * exclusively-co-occurring pairs over merely-frequent ones (step 2
+    * of the spec fixture diverges from BPE's choice on the same
+    * corpus). ORACLE-CHECKED by full unrolled replay: the score is
+    * one correctly-rounded IEEE division of exact int64 counts, so
+    * DuckDB's argmax row is bit-identical (ties (score desc, l, r)
+    * in binary order). */
+  val wordpieceFit: Q = {
+    val union = (1 to wpMerges).map(i =>
+      s"SELECT $i::BIGINT step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt FROM wm$i").mkString("\nUNION ALL\n")
+    Q(
+      "tokenizer_wordpiece_fit",
+      s"""WITH $wpFitCtes
+        |SELECT * FROM (
+        |$union
+        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.WordPieceFit.fit(s, bpeCappedWords(s, dir), wpMerges)
+    }
+  }
+
+  /** APPLY the fitted WordPiece tokenizer corpus-wide via greedy
+    * longest-match-first (BERT's MaxMatch) over `word + "</w>"` —
+    * the third tokenizer-apply shape next to bpe_apply's replace
+    * chain and unigram_apply's Viterbi: bounded vocab broadcast
+    * (fixed [a-z0-9] alphabet + `</w>` + ≤ wpMerges fitted pieces),
+    * segmentation once per DISTINCT word (dictionary-encode trick)
+    * in a mapPartitions (a scan loop with no Catalyst form — the
+    * Chunker rule), occurrences join the small word→n_sub table.
+    * Output per doc mirrors bpe_apply: word count, piece count,
+    * 4dp ratio.
+    *
+    * ORACLE-CHECKED — the first hash-gated greedy tokenizer apply:
+    * the oracle replays MaxMatch as a recursive CTE whose step joins
+    * the one piece matching at `pos` with no longer match (anti-join
+    * on "a longer piece also matches here"); the fixed alphabet
+    * guarantees total coverage so the recursion terminates with
+    * exactly one row per word. */
+  val wordpieceApply: Q = {
+    val vocabUnion = (1 to wpMerges)
+      .map(i => s"    UNION ALL SELECT l || r FROM wm$i").mkString("\n")
+    Q(
+      "tokenizer_wordpiece_apply",
+      s"""WITH RECURSIVE $wpFitCtes,
+        |vocab AS MATERIALIZED (
+        |  SELECT DISTINCT piece FROM (
+        |    SELECT chr(i::INTEGER) piece FROM range(97, 123) t(i)
+        |    UNION ALL SELECT chr(i::INTEGER) FROM range(48, 58) t(i)
+        |    UNION ALL SELECT '</w>'
+        |$vocabUnion)),
+        |aw AS (SELECT DISTINCT word FROM tokd),
+        |seg AS (
+        |  SELECT word, word || '</w>' AS s, 1 AS pos,
+        |    CAST(0 AS BIGINT) AS n FROM aw
+        |  UNION ALL
+        |  SELECT seg.word, seg.s, seg.pos + len(v.piece), seg.n + 1
+        |  FROM seg JOIN vocab v
+        |    ON substr(seg.s, seg.pos, len(v.piece)) = v.piece
+        |  WHERE seg.pos <= len(seg.s)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM vocab v2
+        |      WHERE len(v2.piece) > len(v.piece)
+        |        AND substr(seg.s, seg.pos, len(v2.piece)) = v2.piece)),
+        |wn AS (SELECT word, n AS n_sub FROM seg WHERE pos > len(s)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT n_words, SUM(n_sub)::BIGINT n_wp
+        |  FROM tokd JOIN wn USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_wp, 0) AS n_wp,
+        |  CASE WHEN n_words > 0
+        |    THEN FLOOR(n_wp / n_words * 10000 + 0.5) / 10000 END AS wp_ratio
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val mergeRows = graft.operators.WordPieceFit
+        .fit(s, bpeCappedWords(s, dir), wpMerges).collect()
+      val vocab = graft.operators.WordPieceFit
+        .vocabulary(mergeRows.map(_.getString(3)).toSeq)
+      val maxLen = vocab.map(_.length).max
+      val bc = s.sparkContext.broadcast((vocab, maxLen))
+      val tokd = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      val wn = tokd.select(col("word")).distinct().as[String]
+        .mapPartitions { it =>
+          val (v, ml) = bc.value
+          it.map(w =>
+            (w, graft.operators.WordPieceFit.greedyPieces(w, v, ml)))
+        }.toDF("word", "n_sub")
+      val agg = tokd.join(wn, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_wp"))
+      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_wp"), lit(0L)).as("n_wp"),
+          when(col("n_words") > 0, r4(col("n_wp") / col("n_words")))
+            .as("wp_ratio"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** UTF-8 tokenizer over a NON-ASCII corpus variant: the documents
     * text with vowels/s/N translated into accented Latin + Cyrillic
     * (the multilingual shape a real crawl has), tokenized by the
@@ -1069,5 +1224,6 @@ object Text {
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    unigramFit, unigramApply, unigramSample, tokensUnicode, entropy, oov)
+    unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
+    tokensUnicode, entropy, oov)
 }
