@@ -1021,6 +1021,96 @@ object Snapshots {
     v
   }
 
+  /** Commit task-staged parquet files as ONE new committed log
+    * version — the DSv2 streaming sink's commit half (the executors
+    * already wrote `staged`; this is pure control-plane: renames and
+    * markers, no data I/O).
+    *
+    * Exactly-once with NO residual window, tightening [[epochOnce]]'s
+    * documented crash gap via the _SNAP_BASE discipline ("a committed
+    * version always knows what it is"): the version dir carries
+    * `_SNAP_EPOCH_<scope>_<epoch>` BEFORE its commit marker, so a
+    * replay that finds no root-level epoch hint still detects the
+    * already-committed epoch by scanning committed versions — a crash
+    * at ANY point either left the version uncommitted (torn dir,
+    * invisible, numbers never reused) or left it committed and
+    * self-describing. The root-level `_GRAFT_EPOCH_<scope>_<epoch>`
+    * hint is only the O(1) fast path (and what the vacuum family's
+    * marker retention already reaps); correctness never depends on it.
+    *
+    * Steps: staged files fold into one attempt-unique commit dir
+    * (task-retry orphans in the staging area are never swept in —
+    * only the files the driver's commit messages name), the dir
+    * claims the next version number by rename (collision with a
+    * concurrent writer = retry with the next number — fan-in
+    * publishes interleave via ordinary version allocation), then
+    * epoch tag → commit marker → hint. An empty epoch writes the hint
+    * only (no empty version dir to poison schema inference — the
+    * lakePipe rule). Returns the version, None when already done. */
+  def commitStagedEpoch(root: String, staged: Seq[String], scope: String,
+      epoch: Long, stageDir: String): Option[Long] = {
+    require(scope.matches("[A-Za-z0-9_-]+"),
+      s"scope must be [A-Za-z0-9_-]+: '$scope'")
+    val hint = s"$root/_GRAFT_EPOCH_${scope}_$epoch"
+    val epochTag = s"_SNAP_EPOCH_${scope}_$epoch"
+    if (LakeFs.isFile(hint)) { LakeFs.rmTree(stageDir); return None }
+    // crash-recovery scan, bounded: walk committed versions NEWEST
+    // first; per-scope epochs are monotone, so the first version
+    // carrying one of this scope's tags decides — tag == epoch means
+    // the crashed commit already happened, tag < epoch means it never
+    // did and nothing older can carry it. The normal path (this
+    // scope's previous version is recent) stops after a handful of
+    // listings, independent of the log's depth.
+    val TagRe = s"^_SNAP_EPOCH_${java.util.regex.Pattern.quote(scope)}_(\\d+)$$".r
+    val crashedCommit = committed(root).reverseIterator
+      .map { case (_, d) =>
+        LakeFs.list(d).iterator.map(_.getPath.getName).collectFirst {
+          case TagRe(e) => e.toLong
+        }
+      }
+      .collectFirst { case Some(e) => e == epoch }
+      .getOrElse(false)
+    if (crashedCommit) {
+      LakeFs.mkdirs(root)
+      LakeFs.write(hint, "")
+      LakeFs.rmTree(stageDir)
+      return None
+    }
+    if (staged.isEmpty) {
+      LakeFs.mkdirs(root)
+      LakeFs.write(hint, "")
+      LakeFs.rmTree(stageDir)
+      return None
+    }
+    // fold the committed task files into an attempt-unique dir (a
+    // crashed prior attempt's partially-filled commit dir must never
+    // be reused — its leftovers would double rows)
+    val commitDir = s"$stageDir/commit-${java.util.UUID.randomUUID}"
+    LakeFs.mkdirs(commitDir)
+    staged.foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      require(LakeFs.rename(f, s"$commitDir/$name"),
+        s"staged file vanished or collided: $f")
+    }
+    LakeFs.mkdirs(root)
+    var n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    var attempts = 0
+    while (!LakeFs.rename(commitDir, s"$root/v=$n")) {
+      // v=n appeared concurrently (committed, or torn and owned by an
+      // in-flight writer — never reap it); take the next number
+      attempts += 1
+      require(attempts < 1024, s"cannot claim a version under $root")
+      n = math.max(n + 1,
+        versions(root).lastOption.map(_._1).getOrElse(0L) + 1)
+    }
+    LakeFs.write(s"$root/v=$n/$epochTag", "")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"snapshot v=$n already committed — concurrent writer?")
+    LakeFs.write(hint, "")
+    LakeFs.rmTree(stageDir)
+    Some(n)
+  }
+
   /** MERGE-publish: the next snapshot is the previous one with
     * `upserts` applied by `key` (matched rows replaced, new keys
     * appended) and `deleteKeys` dropped (tombstones) — the MERGE INTO

@@ -61,6 +61,11 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotStreamTable.inferSchema(options.get("path"))
 
+  /** Writes carry the query's own schema (so a streaming sink can
+    * BOOTSTRAP a fresh root — no committed footer to infer from yet);
+    * reads without a user schema still resolve via [[inferSchema]]. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -140,7 +145,8 @@ class SnapshotStreamTable(root: String, schema0: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotStreamScanBuilder(root, schema0, options)
 
@@ -173,8 +179,171 @@ class SnapshotStreamTable(root: String, schema0: StructType)
               else Snapshots.publishAppend(df, root)
               ()
             }
+          /** STREAMING WRITE — `df.writeStream.format("graftsnap")
+            * .start(root)`: each epoch lands as one committed log
+            * version through Snapshots.commitStagedEpoch, whose
+            * in-version epoch tag closes even the crash window
+            * between version marker and epoch hint (exactly-once
+            * with no residual gap). Tasks write parquet straight
+            * into the root's staging area; the driver commit is
+            * pure renames + markers. Append mode only — Complete/
+            * Update would have to rewrite the readable window per
+            * epoch, which is a batch overwrite's job. */
+          override def toStreaming: org.apache.spark.sql.connector.write
+              .streaming.StreamingWrite = {
+            if (replace) throw new UnsupportedOperationException(
+              "graftsnap streaming write supports append mode only")
+            new GraftsnapStreamingWrite(root, info.schema(),
+              Option(info.options.get("streamid"))
+                .getOrElse(info.queryId()).replaceAll("[^A-Za-z0-9_-]", "-"))
+          }
         }
     }
+}
+
+/** Driver half of the graftsnap streaming sink: per epoch, tasks
+  * stage `part-<partition>-<task>.parquet` files under
+  * `root/_stage_<scope>/<epoch>/` (task ids are attempt-unique, so
+  * speculative/retried attempts never collide; only files named by
+  * the driver's commit messages are ever published), and commit folds
+  * them into one committed log version via
+  * [[graft.operators.Snapshots.commitStagedEpoch]]. The scope
+  * defaults to the streaming query id (stable across restarts — it
+  * lives in the checkpoint), overridable with `.option("streamId",…)`
+  * for multi-query fan-in naming. */
+class GraftsnapStreamingWrite(root: String, schema: StructType,
+    scope: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private def stageDir(epoch: Long) = s"$root/_stage_$scope/$epoch"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new GraftsnapStreamWriterFactory(s"$root/_stage_$scope", schema,
+      new SerializableConfiguration(LakeFs.hadoopConf))
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case StagedFileMessage(path) if path.nonEmpty => path
+    }.toSeq
+    Snapshots.commitStagedEpoch(root, files, scope, epochId,
+      stageDir(epochId))
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit =
+    LakeFs.rmTree(stageDir(epochId))
+}
+
+case class StagedFileMessage(path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftsnapStreamWriterFactory(stageRoot: String, schema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftsnapDataWriter(
+      s"$stageRoot/$epochId/part-$partitionId-$taskId.parquet",
+      schema, conf.value)
+}
+
+/** Executor-side parquet encode of one task's rows — the write twin
+  * of [[SnapshotFileReader]], over the same flat-primitive subset
+  * (long / int / double / float / boolean / string / binary /
+  * timestamp as INT64 micros — the graftsnap convention the read
+  * side normalizes on). A zero-row task deletes its file in commit
+  * (an empty footer-only file would still cost readers a footer
+  * fetch each batch). */
+class GraftsnapDataWriter(file: String, schema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{Types => PTypes}
+  import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+
+  private val msgType: MessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType => PTypes.optional(PrimitiveTypeName.INT64)
+        case TimestampType => PTypes.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case IntegerType => PTypes.optional(PrimitiveTypeName.INT32)
+        case DoubleType => PTypes.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType => PTypes.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType => PTypes.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType => PTypes.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => PTypes.optional(PrimitiveTypeName.BINARY)
+        case dt => sys.error(
+          s"graftsnap: unsupported write type $dt for '${f.name}' — " +
+            "the streamed-log subset is flat primitives")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("graftsnap")
+  }
+  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+      .fromPath(new Path(file), conf))
+    .withConf(conf)
+    .withType(msgType)
+    .build()
+  private val groupFactory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = groupFactory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(i, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getBinary(i)))
+        case dt => sys.error(s"graftsnap: unsupported write type $dt")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  // executor side: no active session — delete through the task conf
+  private def deleteStaged(): Unit = {
+    val p = new Path(file)
+    try p.getFileSystem(conf).delete(p, false)
+    catch { case _: java.io.FileNotFoundException => }
+    ()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) {
+      deleteStaged()
+      StagedFileMessage("")
+    } else StagedFileMessage(file)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => }
+    deleteStaged()
+  }
+
+  override def close(): Unit = ()
 }
 
 class SnapshotStreamScanBuilder(root: String, full: StructType,
