@@ -943,6 +943,135 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney trigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form with fixed discount
+    * D=0.75) — the KenLM-shape model CCNet actually filters with,
+    * upgrading text_perplexity's add-one bigram: continuation
+    * probabilities score how PRODUCTIVELY a word appears in new
+    * contexts, the property that separates natural prose from
+    * keyword-stuffed spam that add-one smoothing scores fluent.
+    *
+    * The three layers, all exact integer type/token counts:
+    *   p_cont(w3)        = N1+(·w3) / N_bigram_types
+    *   p(w3|w2)   = (max(N1+(·w2w3)−D,0) + D·t2(w2)·p_cont(w3)) / m2(w2)
+    *   p(w3|w1w2) = (max(c3−D,0) + D·t12(w1w2)·p(w3|w2)) / c2(w1w2)
+    * with t2/m2 the distinct-continuation/total type counts of the
+    * middle layer and t12 the distinct continuations of the (w1,w2)
+    * prefix. Each layer telescopes (Σ max(c−D,0) = total − D·types),
+    * so every layer is a PROPER distribution — KneserNeySpec proves
+    * Σ_w3 p(w3|w1,w2) = 1 on a fixture, the law mis-derived KN
+    * variants break.
+    *
+    * Scale shape (the text_perplexity discipline): trigrams hash to
+    * 8-byte keys before the first shuffle, the model tables are
+    * map-side-combining groupBys over types, scoring is equi-joins of
+    * the occurrence table against bounded per-key model rows, the
+    * one global (bigram-type count) broadcasts as a 1-row frame.
+    * Oracle parity: every probability is a fixed expression tree of
+    * exact int64 counts and the 0.75 literal — identical IEEE
+    * evaluation in both engines; the -ln sums land inside the 4dp
+    * rounding (the bm25/perplexity precedent). Every scored trigram
+    * occurs in the corpus (the model IS the corpus), so c3 ≥ 1 and
+    * no denominator can be zero. */
+  val knTrigram: Q = Q(
+    "text_kneser_ney",
+    """WITH tokv AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |tg AS MATERIALIZED (
+      |  SELECT doc_id, ts[i+1] w1, ts[i+2] w2, ts[i+3] w3
+      |  FROM (SELECT doc_id, ts,
+      |    unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM tokv)),
+      |bgr AS MATERIALIZED (
+      |  SELECT ts[i+1] v1, ts[i+2] v2
+      |  FROM (SELECT ts,
+      |    unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM tokv)),
+      |c3t AS MATERIALIZED (
+      |  SELECT w1, w2, w3, COUNT(*)::BIGINT c3 FROM tg GROUP BY 1, 2, 3),
+      |c2t AS (
+      |  SELECT w1, w2, SUM(c3)::BIGINT c2, COUNT(*)::BIGINT t12
+      |  FROM c3t GROUP BY 1, 2),
+      |n23t AS MATERIALIZED (
+      |  SELECT w2, w3, COUNT(*)::BIGINT n23 FROM c3t GROUP BY 1, 2),
+      |t2m AS (
+      |  SELECT w2, COUNT(*)::BIGINT t2, SUM(n23)::BIGINT m2
+      |  FROM n23t GROUP BY 1),
+      |btyp AS MATERIALIZED (SELECT v1, v2 FROM bgr GROUP BY 1, 2),
+      |n1w3t AS (
+      |  SELECT v2 AS w3, COUNT(*)::BIGINT n1w3 FROM btyp GROUP BY 1),
+      |nbt AS (SELECT COUNT(*)::BIGINT nbt FROM btyp),
+      |sc AS (
+      |  SELECT tg.doc_id, COUNT(*) n_tri,
+      |    SUM(-ln((greatest(c3 - 0.75, 0.0) + 0.75 * t12 *
+      |      ((greatest(n23 - 0.75, 0.0) + 0.75 * t2 * (n1w3 / nbt.nbt))
+      |        / m2)) / c2)) nll
+      |  FROM tg JOIN c3t USING (w1, w2, w3) JOIN c2t USING (w1, w2)
+      |    JOIN n23t USING (w2, w3) JOIN t2m USING (w2)
+      |    JOIN n1w3t USING (w3) CROSS JOIN nbt
+      |  GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_tri, 0)::BIGINT AS n_trigrams,
+      |  CASE WHEN n_tri > 0
+      |    THEN FLOOR(nll / n_tri * 10000 + 0.5) / 10000 END AS avg_nll,
+      |  CASE WHEN n_tri > 0
+      |    THEN FLOOR(exp(nll / n_tri) * 10000 + 0.5) / 10000 END AS kn_ppl
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+    // hash every n-gram/word to an 8-byte key BEFORE the first
+    // shuffle (the bigram_lm rule; collision odds at hashedShinglesOf)
+    val w = split(col("g"), " ")
+    val tg = t.select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramsN(col("ts"), 3)).as("g"))
+      .select(col("doc_id"),
+        xxhash64(substring_index(col("g"), " ", 2)).as("h12"),
+        xxhash64(col("g")).as("h123"),
+        xxhash64(w.getItem(1)).as("h2"),
+        xxhash64(concat_ws(" ", w.getItem(1), w.getItem(2))).as("h23"),
+        xxhash64(w.getItem(2)).as("h3"))
+      .cache() // feeds the model aggregations and the scoring join
+    val bgr = t.select(
+        explode(graft.functions.TextExprs.gramsN(col("ts"), 2)).as("g"))
+      .select(xxhash64(col("g")).as("hb"),
+        xxhash64(split(col("g"), " ").getItem(1)).as("h3"))
+    val c3t = tg.groupBy(col("h12"), col("h123"), col("h2"), col("h23"))
+      .agg(count(lit(1)).as("c3"))
+    val c2t = c3t.groupBy(col("h12"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("t12"))
+    val n23t = c3t.groupBy(col("h2"), col("h23"))
+      .agg(count(lit(1)).as("n23"))
+    val t2m = n23t.groupBy(col("h2"))
+      .agg(count(lit(1)).as("t2"), sum(col("n23")).as("m2"))
+    val btyp = bgr.groupBy(col("hb"), col("h3")).agg(count(lit(1)).as("_c"))
+    val n1w3t = btyp.groupBy(col("h3")).agg(count(lit(1)).as("n1w3"))
+    val nbt = btyp.agg(count(lit(1)).as("nbt"))
+    val pl3 = col("n1w3") / col("nbt")
+    val mid = (greatest(col("n23") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("t2") * pl3) / col("m2")
+    val top = (greatest(col("c3") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("t12") * mid) / col("c2")
+    val sc = tg
+      .join(c3t.select(col("h12"), col("h123"), col("c3")),
+        Seq("h12", "h123"))
+      .join(c2t, Seq("h12"))
+      .join(n23t, Seq("h2", "h23"))
+      .join(t2m, Seq("h2"))
+      .join(n1w3t, Seq("h3"))
+      .crossJoin(broadcast(nbt))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(-log(top)).as("nll"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_trigrams"),
+        when(col("n_tri") > 0, r4(col("nll") / col("n_tri")))
+          .as("avg_nll"),
+        when(col("n_tri") > 0, r4(exp(col("nll") / col("n_tri"))))
+          .as("kn_ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WordPiece merge count — the tokenizer-family knob (see bpeMerges). */
   private val wpMerges = 8
 
@@ -1225,5 +1354,5 @@ object Text {
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
-    tokensUnicode, entropy, oov)
+    knTrigram, tokensUnicode, entropy, oov)
 }
