@@ -1131,6 +1131,103 @@ object Snapshots {
     * the join's build side can be optimized AWAY with the join (e.g.
     * empty-relation propagation when the target snapshot is empty),
     * silently publishing the duplicates it was guarding against. */
+  /** Per-expectation violation counts of a committed publishExpect
+    * version (empty for versions published without expectations). */
+  def expectReport(root: String, version: Long): Map[String, Long] =
+    LakeFs.readString(s"$root/v=$version/$ExpectMarker") match {
+      case None => Map.empty
+      case Some(body) => body.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(n, c) = l.split("\t"); n -> c.toLong
+      }.toMap
+    }
+
+  private val ExpectMarker = "_SNAP_EXPECT"
+
+  /** Outcome of [[publishExpect]]: the committed main version (None
+    * when every row violated in drop/quarantine mode — an empty
+    * version is never published, the lakePipe rule), the per-
+    * expectation violation counts, and the quarantine version holding
+    * the violating rows (quarantine mode, when any existed). */
+  final case class ExpectResult(version: Option[Long],
+      violations: Map[String, Long], quarantineVersion: Option[Long])
+
+  /** Publish a batch THROUGH named CHECK expectations — the
+    * Delta-constraint / DLT-expectation shape, the lake's admission
+    * control: bad rows stop at the table boundary instead of
+    * poisoning every downstream reader.
+    *
+    * A row PASSES an expectation iff its predicate is exactly true —
+    * NULL is a violation (the data-quality reading, stricter than SQL
+    * CHECK's null-passes: an expectation that cannot be evaluated is
+    * not evidence of health). Modes:
+    *
+    *  - `"fail"`: any violation aborts — nothing is written at all
+    *    (stronger than the torn-dir rule: not even a torn dir).
+    *  - `"drop"`: passing rows publish; violations are counted away.
+    *  - `"quarantine"`: passing rows publish; violating rows land in
+    *    the `root/_quarantine` sub-log (a FIRST-CLASS snapshot log —
+    *    time travel, compaction, reprocess-and-merge-back all work),
+    *    each row tagged `_violated` with the comma-joined names of
+    *    the expectations it failed (kept a flat string so the
+    *    quarantine log stays in the streamed-log primitive subset).
+    *
+    * The violation counts are written INTO the version dir
+    * (`_SNAP_EXPECT`, before the commit marker — a committed version
+    * always knows what it is) and read back via [[expectReport]].
+    * Cost: one extra aggregate pass over the cached batch (the
+    * metrics), then the split writes touch each row once. */
+  def publishExpect(df: DataFrame, root: String,
+      expectations: Seq[(String, Column)],
+      mode: String = "fail"): ExpectResult = {
+    require(expectations.nonEmpty, "publishExpect needs >= 1 expectation")
+    expectations.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_-]+"),
+        s"expectation name must be [A-Za-z0-9_-]+: '$n'") }
+    require(Set("fail", "drop", "quarantine")(mode),
+      s"mode must be fail|drop|quarantine: '$mode'")
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, not, sum}
+    def passes(e: Column): Column = coalesce(e, lit(false))
+    val cached = df.cache()
+    try {
+      val counts = cached.select(expectations.map { case (n, e) =>
+        sum(when(not(passes(e)), 1L).otherwise(0L)).as(n)
+      }: _*).collect().headOption
+        .map(r => expectations.indices
+          .map(i => expectations(i)._1 ->
+            (if (r.isNullAt(i)) 0L else r.getLong(i))).toMap)
+        .getOrElse(expectations.map(_._1 -> 0L).toMap)
+      val totalBad = counts.values.sum
+      if (mode == "fail") require(totalBad == 0L,
+        s"expectations violated under mode=fail: " +
+          counts.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }
+            .mkString(", "))
+      val allPass = expectations.map(e => passes(e._2))
+        .reduce(_ && _)
+      val good = cached.filter(allPass)
+      val version =
+        if (good.isEmpty) None
+        else {
+          val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+          writeVersion(good, s"$root/v=$n")
+          LakeFs.write(s"$root/v=$n/$ExpectMarker",
+            expectations.map { case (en, _) =>
+              s"$en\t${counts(en)}" }.mkString("\n"))
+          require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+            s"snapshot v=$n already committed — concurrent writer?")
+          Some(n)
+        }
+      val qv =
+        if (mode == "quarantine" && totalBad > 0L) {
+          val bad = cached.filter(not(allPass))
+            .withColumn("_violated", concat_ws(",",
+              expectations.map { case (en, e) =>
+                when(not(passes(e)), lit(en)) }: _*))
+          Some(publishAppend(bad, s"$root/_quarantine"))
+        } else None
+      ExpectResult(version, counts, qv)
+    } finally { cached.unpersist(); () }
+  }
+
   def publishMerge(s: SparkSession, root: String, key: String,
       upserts: DataFrame, deleteKeys: DataFrame): Long = {
     val k = col(key)
