@@ -537,6 +537,37 @@ object StreamOps {
     ()
   }
 
+  /** Streaming twin of Snapshots.publishExpect — CHECK expectations
+    * enforced AT INGEST, the DLT pipeline shape: every micro-batch
+    * passes through the same named predicates, passing rows append to
+    * the log, violations quarantine into `root/_quarantine` tagged
+    * with what they failed (mode "drop" counts them away instead;
+    * "fail" is deliberately unsupported here — killing a continuous
+    * ingest on one bad row is an operational anti-pattern, batch
+    * admission is where fail belongs). Exactly-once is the
+    * epochOnceFor discipline scoped by `streamId` (the fan-in
+    * lesson); the epoch guard wraps BOTH the main and quarantine
+    * publishes, with epochOnce's documented residual window. */
+  def expectIngest(s: SparkSession, rows: DataFrame, root: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      streamId: String, mode: String = "quarantine")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(mode == "quarantine" || mode == "drop",
+      s"expectIngest mode must be quarantine|drop: '$mode'")
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${root}_ckpt_$streamId")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.operators.IndexLifecycle.epochOnceFor(root, streamId, epoch) {
+          graft.operators.Snapshots
+            .publishExpect(batch.toDF(), root, expectations, mode)
+          ()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** MULTI-WRITER streaming ingest: any number of independent
     * streaming queries append to ONE log root concurrently — the
     * fan-in shape a large ingest actually has (one table, many

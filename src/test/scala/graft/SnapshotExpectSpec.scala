@@ -86,6 +86,29 @@ class SnapshotExpectSpec extends AnyFunSuite {
     assert(Snapshots.readLog(spark, root).count() == 2L)
   }
 
+  test("streaming expectIngest: per-batch gating, replay-safe") {
+    import spark.implicits._
+    val root = tmp()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamOps.expectIngest(spark,
+      ms.toDF().toDF("k", "s", "score"), root, exps, "spec")
+    try {
+      ms.addData((1L, "a", 50L), (-2L, "b", 50L)); q.processAllAvailable()
+      ms.addData((3L, "c", 900L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.readLog(spark, root).select("k").as[Long]
+      .collect().toSet == Set(1L))
+    val quar = Snapshots.readLog(spark, s"$root/_quarantine")
+      .select("k", "_violated").as[(Long, String)].collect().toMap
+    assert(quar == Map(-2L -> "k-positive", 3L -> "score-range"))
+    // replaying an epoch is a no-op (the epochOnceFor guard)
+    graft.operators.IndexLifecycle.epochOnceFor(root, "spec", 0L) {
+      fail("epoch 0 must not re-run")
+    }
+  }
+
   test("NULL predicate is a violation, not a pass") {
     import spark.implicits._
     val root = tmp()
