@@ -849,7 +849,91 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Contrastive-triplet mining for embedding-model training — the
+    * (anchor, positive, negative) generator every contrastive /
+    * metric-learning recipe (SimCSE-hard-negatives, E5, GTE) feeds
+    * on, built FROM the registered dedup dataflow so "positive"
+    * means exactly what dedup_ngram_jaccard means:
+    *
+    *  - POSITIVES: the anchor's best near-dup partner — the shared
+    *    capped-blocking exact-Jaccard pairs (Dedup.ngramPairsOf,
+    *    verbatim), symmetrized, argmax per anchor by (jaccard desc,
+    *    partner asc). Anchors without a near-dup mint no triplet
+    *    (a corpus with no paraphrase pairs has no positives to mine).
+    *  - NEGATIVES: deterministic uniform draws with NO corpus-sized
+    *    shuffle of pair candidates: every doc gets one negative — its
+    *    ring successor in seeded-md5 order WITHIN its hash bucket
+    *    (64 buckets; the bucket windows parallelize, and the ring is
+    *    as uniform as the hash). Same (seed, doc_id)-pure scheme as
+    *    corpus_shuffle/split: any engine at any cluster size draws
+    *    the same negative, re-runs never move it. The rare ring
+    *    collision (negative == anchor or == positive) drops the
+    *    triplet deterministically on both engines. 64 is fixed for
+    *    oracle parity (the corpus_sample_exact literal rule);
+    *    production sizes buckets ∝ corpus/executor count.
+    *
+    * Scale: pair mining is the LSH-capped dedup plan (never
+    * all-pairs); the positive argmax windows over an anchor's few
+    * candidate partners; the negative ring is one narrow
+    * (doc_id, md5) frame windowed per bucket. */
+  val corpusTriplets: Q = Q(
+    "corpus_triplets",
+    s"""WITH ${Dedup.cappedPairsCtesFrom("documents")},
+      |pj AS (
+      |  SELECT da, db, ROUND(i / (sa.n + sb.n - i), 6) j
+      |  FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |  WHERE i / (sa.n + sb.n - i) >= 0.8),
+      |sym AS (
+      |  SELECT da a, db p, j FROM pj
+      |  UNION ALL SELECT db, da, j FROM pj),
+      |pos AS (
+      |  SELECT a, p, j FROM (
+      |    SELECT a, p, j,
+      |      ROW_NUMBER() OVER (PARTITION BY a ORDER BY j DESC, p) rn
+      |    FROM sym) WHERE rn = 1),
+      |ring AS (
+      |  SELECT doc_id, k,
+      |    ('0x' || substr(k, 1, 8))::BIGINT % 64 AS b
+      |  FROM (SELECT doc_id,
+      |    md5('7:' || CAST(doc_id AS VARCHAR)) k FROM documents)),
+      |neg AS (
+      |  SELECT doc_id, COALESCE(
+      |    LEAD(doc_id) OVER (PARTITION BY b ORDER BY k, doc_id),
+      |    FIRST_VALUE(doc_id) OVER (PARTITION BY b ORDER BY k, doc_id))
+      |    neg_id
+      |  FROM ring)
+      |SELECT pos.a AS anchor_id, pos.p AS positive_id,
+      |  neg.neg_id AS negative_id, pos.j AS jaccard
+      |FROM pos JOIN neg ON pos.a = neg.doc_id
+      |WHERE neg.neg_id <> pos.a AND neg.neg_id <> pos.p
+      |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pj = Dedup.ngramPairsOf(docs)
+    val sym = pj.select(col("doc_a").as("a"), col("doc_b").as("p"),
+        col("jaccard").as("j"))
+      .unionAll(pj.select(col("doc_b").as("a"), col("doc_a").as("p"),
+        col("jaccard").as("j")))
+    val wa = Window.partitionBy(col("a")).orderBy(col("j").desc, col("p"))
+    val pos = sym.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1).drop("rn")
+    val ring = docs.select(col("doc_id"),
+        md5(concat(lit("7:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("b",
+        conv(substring(col("k"), 1, 8), 16, 10).cast("long") % 64)
+    val wr = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))
+    val neg = ring.select(col("doc_id"),
+      coalesce(lead(col("doc_id"), 1).over(wr),
+        first(col("doc_id")).over(wr)).as("neg_id"))
+    pos.join(neg, pos("a") === neg("doc_id"))
+      .filter(col("neg_id") =!= col("a") && col("neg_id") =!= col("p"))
+      .select(col("a").as("anchor_id"), col("p").as("positive_id"),
+        col("neg_id").as("negative_id"), col("j").as("jaccard"))
+      .orderBy(col("anchor_id"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
-    qualityDsir, corpusSplit, corpusTemperature, qualityTopPct)
+    qualityDsir, corpusSplit, corpusTemperature, qualityTopPct,
+    corpusTriplets)
 }
