@@ -1197,34 +1197,44 @@ object Text {
         |    THEN FLOOR(n_wp / n_words * 10000 + 0.5) / 10000 END AS wp_ratio
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
       val mergeRows = graft.operators.WordPieceFit
         .fit(s, bpeCappedWords(s, dir), wpMerges).collect()
       val vocab = graft.operators.WordPieceFit
         .vocabulary(mergeRows.map(_.getString(3)).toSeq)
-      val maxLen = vocab.map(_.length).max
-      val bc = s.sparkContext.broadcast((vocab, maxLen))
-      val tokd = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-      val wn = tokd.select(col("word")).distinct().as[String]
-        .mapPartitions { it =>
-          val (v, ml) = bc.value
-          it.map(w =>
-            (w, graft.operators.WordPieceFit.greedyPieces(w, v, ml)))
-        }.toDF("word", "n_sub")
-      val agg = tokd.join(wn, "word")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_wp"))
-      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("n_wp"), lit(0L)).as("n_wp"),
-          when(col("n_words") > 0, r4(col("n_wp") / col("n_words")))
-            .as("wp_ratio"))
+      wordpieceStatsFrom(s, Tables.documents(s, dir), vocab)
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** Per-doc WordPiece stats over ANY (doc_id, text) frame with a
+    * given vocabulary — the dataflow wordpieceApply registers and
+    * StreamOps.tokenizeIngest serves per micro-batch from the
+    * persisted TokenizerIndex model (the nbScoredFrom pattern: one
+    * shared implementation so batch and stream cannot drift). */
+  private[graft] def wordpieceStatsFrom(s: SparkSession, docs: DataFrame,
+      vocab: Set[String]): DataFrame = {
+    import s.implicits._
+    val maxLen = vocab.map(_.length).max
+    val bc = s.sparkContext.broadcast((vocab, maxLen))
+    val tokd = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val wn = tokd.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val (v, ml) = bc.value
+        it.map(w =>
+          (w, graft.operators.WordPieceFit.greedyPieces(w, v, ml)))
+      }.toDF("word", "n_sub")
+    val agg = tokd.join(wn, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_wp"))
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_wp"), lit(0L)).as("n_wp"),
+        when(col("n_words") > 0, r4(col("n_wp") / col("n_words")))
+          .as("wp_ratio"))
   }
 
   /** UTF-8 tokenizer over a NON-ASCII corpus variant: the documents

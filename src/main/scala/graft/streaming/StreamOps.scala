@@ -455,6 +455,30 @@ object StreamOps {
     emitEpoch(graft.queries.Pipeline.nbScoredFrom(s, modelIdx, batch),
       epoch, outDir)
 
+  /** Streaming tokenization against the FROZEN tokenizer model — the
+    * nbScoreIngest discipline applied to the tokenizer family: the
+    * persisted TokenizerIndex merge table (fit once, kept for the
+    * life of the training run) is loaded ONCE at stream start and
+    * broadcast-served to every micro-batch through the same
+    * wordpieceStatsFrom dataflow the registered batch query runs, so
+    * ingest-time token accounting can never drift from the batch
+    * numbers. Stateless given the model; exactly-once needs only the
+    * epoch-partitioned dynamic-overwrite emit (a replayed epoch
+    * rewrites its own partition to identical rows). */
+  def tokenizeIngest(s: SparkSession, docs: DataFrame, modelIdx: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val vocab = graft.operators.TokenizerIndex.loadVocabulary(s, modelIdx)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        emitEpoch(
+          graft.queries.Text.wordpieceStatsFrom(s, batch.toDF(), vocab),
+          epoch, outDir)
+      }
+      .start()
+  }
+
   /** Streaming ingest into a versioned lake table — each micro-batch
     * becomes one committed append-log version (operators.Snapshots:
     * commit marker written last, torn writes invisible), so a reader

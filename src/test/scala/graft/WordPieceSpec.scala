@@ -74,6 +74,62 @@ class WordPieceSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("TokenizerIndex: frozen model round-trips; same key keeps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokidx")
+      .toString + "/idx"
+    val words = Seq(("ab", 10L), ("ac", 5L)).toDF("word", "freq")
+    graft.operators.TokenizerIndex.build(spark, words, 3, dir, "k1")
+    val v1 = graft.operators.TokenizerIndex.loadVocabulary(spark, dir)
+    val direct = graft.operators.WordPieceFit.vocabulary(
+      graft.operators.WordPieceFit.fitLocal(
+        Array("ab" -> 10L, "ac" -> 5L), 3).map(m => m.left + m.right))
+    assert(v1 == direct)
+    // same key: the frozen model survives a rebuild attempt with
+    // DIFFERENT words — fit-once means the first fit wins
+    graft.operators.TokenizerIndex.build(spark,
+      Seq(("zz", 99L)).toDF("word", "freq"), 3, dir, "k1")
+    assert(graft.operators.TokenizerIndex.loadVocabulary(spark, dir) == v1)
+    // new key refits
+    graft.operators.TokenizerIndex.build(spark,
+      Seq(("zz", 99L)).toDF("word", "freq"), 3, dir, "k2")
+    // (the likelihood argmax merges z+</w> first, then z+z</w>)
+    assert(graft.operators.TokenizerIndex
+      .loadVocabulary(spark, dir).contains("zz</w>"))
+  }
+
+  test("tokenizeIngest: micro-batched == one-shot through the " +
+      "shared dataflow") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tokingest")
+      .toString
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    val all = Seq((1L, "aa ab ab ra"), (2L, "ab ab xq"), (3L, "ra zz aa"))
+    val words = all.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextExprs.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+      .groupBy("word").count().withColumnRenamed("count", "freq")
+    graft.operators.TokenizerIndex.build(spark, words, 4, idx, "spec")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.tokenizeIngest(spark,
+      ms.toDF().toDF("doc_id", "text"), idx, out)
+    try {
+      ms.addData(all(0), all(1)); q.processAllAvailable()
+      ms.addData(all(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_words", "n_wp", "wp_ratio")
+      .collect().map(_.toSeq).toSet
+    val vocab = graft.operators.TokenizerIndex.loadVocabulary(spark, idx)
+    val want = graft.queries.Text.wordpieceStatsFrom(spark,
+        all.toDF("doc_id", "text"), vocab)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("registered apply keeps the per-doc accounting laws") {
     val df = SparkEntry.queries("tokenizer_wordpiece_apply")(spark, sf)
     val rows = df.collect()
