@@ -629,7 +629,98 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Multi-touch attribution — the marketing-analytics operator every
+    * event warehouse ships (first-touch / last-touch / linear credit
+    * of conversion revenue to the touch events that preceded it):
+    * each purchase is a conversion whose attribution window is the
+    * user's touches (view/click) since their PREVIOUS purchase —
+    * epochs assigned by one running purchase-count window, so a
+    * purchase's touches join it on (user, epoch) equi-keys, never a
+    * range join. Credit arithmetic is EXACT int64 cents (the Exact
+    * discipline): first/last credit the whole v_cents to the
+    * rank-1/rank-n touch; linear credits v_cents div n to every touch
+    * with the remainder pinned to the first (a float v/n share would
+    * make the corpus-wide sums order-dependent, exactly what the 4dp
+    * gate cannot absorb at scale) — credited totals are exact
+    * integers, the final /100.0 is one division of an exact int.
+    * Conversions with no touches in their window credit nobody.
+    * Scale: per-user windows parallelize, the join is an equi-join,
+    * the credit union aggregates map-side. */
+  val attribution: Q = Q(
+    "events_attribution",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) v_cents,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) epoch
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |conv AS (
+      |  SELECT user_id, epoch, v_cents FROM ev
+      |  WHERE event_type = 'purchase'),
+      |tr AS (
+      |  SELECT t.event_type, c.v_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY t.user_id, t.epoch
+      |      ORDER BY t.ts, t.event_id) rf,
+      |    ROW_NUMBER() OVER (PARTITION BY t.user_id, t.epoch
+      |      ORDER BY t.ts DESC, t.event_id DESC) rl,
+      |    COUNT(*) OVER (PARTITION BY t.user_id, t.epoch) n
+      |  FROM (SELECT * FROM ev WHERE event_type <> 'purchase') t
+      |  JOIN conv c ON t.user_id = c.user_id AND t.epoch = c.epoch),
+      |cr AS (
+      |  SELECT event_type, 'first_touch' model,
+      |    CASE WHEN rf = 1 THEN v_cents ELSE 0 END c FROM tr
+      |  UNION ALL
+      |  SELECT event_type, 'last_touch',
+      |    CASE WHEN rl = 1 THEN v_cents ELSE 0 END FROM tr
+      |  UNION ALL
+      |  SELECT event_type, 'linear',
+      |    v_cents // n + CASE WHEN rf = 1 THEN v_cents % n ELSE 0 END
+      |  FROM tr)
+      |SELECT event_type AS touch_type, model,
+      |  SUM(c)::BIGINT / 100.0 AS credited,
+      |  SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_credited
+      |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v_cents"),
+        coalesce(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("epoch"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("epoch"), col("v_cents"))
+    val byEpoch = Window.partitionBy(col("user_id"), col("epoch"))
+    val tr = ev.filter(col("event_type") =!= "purchase")
+      .drop("v_cents")
+      .join(conv, Seq("user_id", "epoch"))
+      .select(col("event_type"), col("v_cents"),
+        row_number().over(byEpoch.orderBy(col("ts"), col("event_id")))
+          .as("rf"),
+        row_number().over(byEpoch.orderBy(col("ts").desc,
+          col("event_id").desc)).as("rl"),
+        count(lit(1)).over(byEpoch).as("n"))
+    val cr = tr.select(col("event_type"), lit("first_touch").as("model"),
+        when(col("rf") === 1, col("v_cents")).otherwise(0L).as("c"))
+      .unionAll(tr.select(col("event_type"), lit("last_touch"),
+        when(col("rl") === 1, col("v_cents")).otherwise(0L)))
+      .unionAll(tr.select(col("event_type"), lit("linear"),
+        expr("v_cents div n") +
+          when(col("rf") === 1, col("v_cents") % col("n")).otherwise(0L)))
+    cr.groupBy(col("event_type").as("touch_type"), col("model"))
+      .agg((sum(col("c")).cast("long") / 100.0).as("credited"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_credited"))
+      .withColumnRenamed("event_type", "touch_type")
+      .orderBy(col("touch_type"), col("model"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
-    anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank)
+    anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
+    attribution)
 }

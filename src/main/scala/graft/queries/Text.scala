@@ -1072,6 +1072,60 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Flesch readability — the classic quality-band signal (Flesch
+    * Reading Ease + Flesch-Kincaid grade level) a curation pipeline
+    * thresholds alongside text_quality/text_entropy: too-easy AND
+    * too-hard both correlate with junk (listicles / OCR noise).
+    * Pure per-row expressions of exact integer counts — sentences =
+    * terminator runs (min 1), words = the shared tokenizer, syllables
+    * = vowel-group runs with consonant-only words floored at 1 (runs
+    * never span words, so the whole-text run count equals the
+    * per-word sum) — then the fixed-constant formulas, one expression
+    * tree, identical IEEE evaluation in both engines, 4dp rounded.
+    * Zero shuffles: this is a map over the scan. */
+  val readability: Q = Q(
+    "text_readability",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) n_sent,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+      |      len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        w -> NOT regexp_matches(w, '[aeiouy]'))) n_syll
+      |  FROM documents)
+      |SELECT doc_id, n_words::BIGINT AS n_words, n_sent::BIGINT AS n_sent,
+      |  n_syll::BIGINT AS n_syll,
+      |  CASE WHEN n_words > 0 THEN
+      |    FLOOR((206.835 - 1.015 * (n_words / n_sent)
+      |      - 84.6 * (n_syll / n_words)) * 10000 + 0.5) / 10000
+      |  END AS fre,
+      |  CASE WHEN n_words > 0 THEN
+      |    FLOOR((0.39 * (n_words / n_sent) + 11.8 * (n_syll / n_words)
+      |      - 15.59) * 10000 + 0.5) / 10000
+      |  END AS fk_grade
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val lower = org.apache.spark.sql.functions.lower(col("text"))
+    val nWords = size(toks(col("text"))).cast("long")
+    val nSent = greatest(
+      regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+    val nSyll = (regexp_count(lower, lit("[aeiouy]+")) +
+      size(filter(toks(col("text")), w => !w.rlike("[aeiouy]"))))
+      .cast("long")
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sent"),
+        nSyll.as("n_syll"))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syll"),
+        when(col("n_words") > 0, r4(lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sent"))
+          - lit(84.6) * (col("n_syll") / col("n_words")))).as("fre"),
+        when(col("n_words") > 0, r4(
+          lit(0.39) * (col("n_words") / col("n_sent"))
+            + lit(11.8) * (col("n_syll") / col("n_words"))
+            - lit(15.59))).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WordPiece merge count — the tokenizer-family knob (see bpeMerges). */
   private val wpMerges = 8
 
@@ -1364,5 +1418,5 @@ object Text {
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
-    knTrigram, tokensUnicode, entropy, oov)
+    knTrigram, readability, tokensUnicode, entropy, oov)
 }
