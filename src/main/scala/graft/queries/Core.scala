@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -689,10 +690,118 @@ object Core {
       .orderBy(col("p_brand"))
   }
 
+  /** Market-basket association mining over order baskets — the
+    * classic co-occurrence/lift analysis (Agrawal-Srikant's measure
+    * set without the apriori iteration, which a 2-item analysis
+    * doesn't need): supports and pairwise lift of parts co-ordered in
+    * one basket. Scale: the pair generator is a SELF-JOIN WITHIN the
+    * basket key — fan-out is C(items_per_order, 2), bounded by basket
+    * size (≤7 in TPC-H), never corpus-quadratic; per-item supports
+    * are one partial-agg groupBy; the basket count broadcasts as one
+    * row. Lift = cnt·n_baskets/(cnt_a·cnt_b) — one expression of
+    * exact int64s, 6dp. Top 20 by (n_pairs desc, part_a, part_b) —
+    * fully deterministic through the tie. */
+  val qBasketLift: Q = Q(
+    "q_basket_lift",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pc AS (SELECT l_partkey, COUNT(*)::BIGINT ca FROM li GROUP BY 1),
+      |nb AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT n FROM li),
+      |pr AS (
+      |  SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*)::BIGINT cnt
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT pa AS part_a, pb AS part_b, cnt AS n_pairs,
+      |  FLOOR(cnt * nb.n / (x.ca * y.ca) * 1000000 + 0.5) / 1000000
+      |    AS lift
+      |FROM pr JOIN pc x ON pa = x.l_partkey
+      |JOIN pc y ON pb = y.l_partkey CROSS JOIN nb
+      |ORDER BY n_pairs DESC, part_a, part_b LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
+      val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("ca"))
+      val nb = li.agg(countDistinct(col("l_orderkey")).as("n"))
+      val pr = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
+      def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+      pr.join(pc.select(col("l_partkey").as("pa"), col("ca").as("cax")), "pa")
+        .join(pc.select(col("l_partkey").as("pb"), col("ca").as("cay")), "pb")
+        .crossJoin(broadcast(nb))
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("cnt").as("n_pairs"),
+          r6(col("cnt") * col("n") / (col("cax") * col("cay"))).as("lift"))
+        .orderBy(col("n_pairs").desc, col("part_a"), col("part_b"))
+        .limit(20)
+  }
+
+  /** RFM customer segmentation (recency / frequency / monetary) —
+    * the warehouse segmentation classic, done scale-right: exact
+    * MEDIAN boundaries per dimension (one percentile aggregate,
+    * broadcast back — NEVER an NTILE over a global sort, which
+    * funnels every customer into one task), then a pure per-row
+    * bucket compare → 8 binary segments. Monetary is exact cents;
+    * recency is integer days from the corpus's own max order date
+    * (self-contained — no wall clock); per-segment avg spend is one
+    * division of exact int64s, 4dp. */
+  val qRfmSegments: Q = Q(
+    "q_rfm_segments",
+    """WITH mx AS (SELECT MAX(o_orderdate) m FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    DATE_DIFF('day', MAX(o_orderdate), (SELECT m FROM mx))::BIGINT r,
+      |    COUNT(*)::BIGINT f,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT m_cents
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT CAST(QUANTILE_CONT(r, 0.5) AS DOUBLE) rm,
+      |    CAST(QUANTILE_CONT(f, 0.5) AS DOUBLE) fm,
+      |    CAST(QUANTILE_CONT(m_cents, 0.5) AS DOUBLE) mm
+      |  FROM cust),
+      |seg AS (
+      |  SELECT 'R' || CAST(CASE WHEN r <= rm THEN 1 ELSE 0 END AS VARCHAR)
+      |    || 'F' || CAST(CASE WHEN f >= fm THEN 1 ELSE 0 END AS VARCHAR)
+      |    || 'M' || CAST(CASE WHEN m_cents >= mm THEN 1 ELSE 0 END AS VARCHAR)
+      |    AS segment, m_cents
+      |  FROM cust CROSS JOIN med)
+      |SELECT segment, COUNT(*)::BIGINT n_customers,
+      |  FLOOR(SUM(m_cents)::BIGINT / COUNT(*) / 100.0 * 10000 + 0.5) / 10000
+      |    AS avg_spend
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val mx = o.agg(max(col("o_orderdate")).as("m"))
+    val cust = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(max(col("m")), max(col("o_orderdate"))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("long").as("m_cents"))
+    val med = cust.agg(
+      percentile(col("r"), lit(0.5)).as("rm"),
+      percentile(col("f"), lit(0.5)).as("fm"),
+      percentile(col("m_cents"), lit(0.5)).as("mm"))
+    def flag(c: Column): Column = when(c, "1").otherwise("0")
+    val seg = cust.crossJoin(broadcast(med))
+      .select(concat(lit("R"), flag(col("r") <= col("rm")),
+        lit("F"), flag(col("f") >= col("fm")),
+        lit("M"), flag(col("m_cents") >= col("mm"))).as("segment"),
+        col("m_cents"))
+    seg.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (floor(sum(col("m_cents")).cast("long") / count(lit(1)) / 100.0
+          * 10000 + 0.5) / 10000).as("avg_spend"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
-    qMergeUpsert, qAvgFilter)
+    qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments)
 }
