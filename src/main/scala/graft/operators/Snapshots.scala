@@ -995,6 +995,23 @@ object Snapshots {
       // silently skips rows whose dirs are already gone
       raiseStreamHorizon(root,
         toReap.collect { case (v, d) if isCommitted(d) => v })
+      // promote in-version sink epoch tags (_SNAP_EPOCH_<scope>_<e>,
+      // commitStagedEpoch's crash-recovery witness) to root hints
+      // BEFORE the dir is deleted — otherwise reaping a committed
+      // version whose root hint was never written (crash between
+      // commit marker and hint) would erase the only record that the
+      // epoch ran, and a later replay would double it. Committed dirs
+      // only: a torn version's epoch never happened.
+      val SinkTag = "^_SNAP_EPOCH_(.+)$".r
+      toReap.foreach { case (_, d) =>
+        if (isCommitted(d))
+          LakeFs.list(d).map(_.getPath.getName).foreach {
+            case SinkTag(se) =>
+              val h = s"$root/_GRAFT_EPOCH_$se"
+              if (!LakeFs.isFile(h)) LakeFs.write(h, "")
+            case _ => ()
+          }
+      }
       toReap.foreach { case (_, d) => LakeFs.rmTree(d) }
       reapEpochMarkers(root, keepEpochs)
       reapDeadClaims(root)
@@ -1093,19 +1110,20 @@ object Snapshots {
         s"staged file vanished or collided: $f")
     }
     LakeFs.mkdirs(root)
-    var n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    var attempts = 0
-    while (!LakeFs.rename(commitDir, s"$root/v=$n")) {
-      // v=n appeared concurrently (committed, or torn and owned by an
-      // in-flight writer — never reap it); take the next number
-      attempts += 1
-      require(attempts < 1024, s"cannot claim a version under $root")
-      n = math.max(n + 1,
-        versions(root).lastOption.map(_._1).getOrElse(0L) + 1)
-    }
+    // claim the version number through the OCC claim marker (the
+    // publishConcurrent primitive — create-if-absent is atomic, and
+    // claims are visible to every other allocator), NOT by probing
+    // rename: LakeFs.rename's exists-check is check-then-act, and
+    // Hadoop rename moves a directory INTO an existing destination —
+    // two fan-in writers probing the same n would nest the loser's
+    // commit dir inside the winner's version and silently lose it
+    val n = claimNext(root)
+    require(LakeFs.rename(commitDir, s"$root/v=$n"),
+      s"claimed v=$n under $root but the rename failed — torn state?")
     LakeFs.write(s"$root/v=$n/$epochTag", "")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
       s"snapshot v=$n already committed — concurrent writer?")
+    LakeFs.rmFile(s"$root/_SNAP_CLAIM_$n")
     LakeFs.write(hint, "")
     LakeFs.rmTree(stageDir)
     Some(n)

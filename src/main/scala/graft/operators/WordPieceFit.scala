@@ -74,11 +74,16 @@ object WordPieceFit {
       }
       if (pairCnt.isEmpty) exhausted = true // every word fully merged
       else {
-        // argmax on score = cnt/(cntL*cntR); ties (score desc, l, r).
-        // The score is one division of exact int64s — identical IEEE
-        // result in DuckDB's replay, so the argmax row matches.
+        // argmax on score = cnt/(cntL·cntR); ties (score desc, l, r).
+        // Each count casts to double BEFORE the multiply (the oracle
+        // does the same: scnt::DOUBLE * scnt::DOUBLE) — an int64
+        // product would silently wrap at 100 TB head frequencies
+        // (~1e12 each) while doubles never overflow, and both engines
+        // perform the identical two roundings, so the argmax row
+        // still matches bit-for-bit at any scale.
         val ((l, r), c) = pairCnt.minBy { case ((kl, kr), kc) =>
-          (-(kc.toDouble / (symCnt(kl) * symCnt(kr)).toDouble), kl, kr)
+          (-(kc.toDouble / (symCnt(kl).toDouble * symCnt(kr).toDouble)),
+            kl, kr)
         }
         out += Merge(step.toLong, l, r, c)
         seqs = seqs.map { case (syms, f) =>

@@ -713,8 +713,8 @@ object Core {
       |    AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2)
       |SELECT pa AS part_a, pb AS part_b, cnt AS n_pairs,
-      |  FLOOR(cnt * nb.n / (x.ca * y.ca) * 1000000 + 0.5) / 1000000
-      |    AS lift
+      |  FLOOR(cnt::DOUBLE * nb.n::DOUBLE / (x.ca::DOUBLE * y.ca::DOUBLE)
+      |    * 1000000 + 0.5) / 1000000 AS lift
       |FROM pr JOIN pc x ON pa = x.l_partkey
       |JOIN pc y ON pb = y.l_partkey CROSS JOIN nb
       |ORDER BY n_pairs DESC, part_a, part_b LIMIT 20""".stripMargin) {
@@ -734,7 +734,9 @@ object Core {
         .crossJoin(broadcast(nb))
         .select(col("pa").as("part_a"), col("pb").as("part_b"),
           col("cnt").as("n_pairs"),
-          r6(col("cnt") * col("n") / (col("cax") * col("cay"))).as("lift"))
+          r6(col("cnt").cast("double") * col("n").cast("double")
+            / (col("cax").cast("double") * col("cay").cast("double")))
+            .as("lift"))
         .orderBy(col("n_pairs").desc, col("part_a"), col("part_b"))
         .limit(20)
   }

@@ -715,7 +715,6 @@ object Events {
       .agg((sum(col("c")).cast("long") / 100.0).as("credited"),
         sum(when(col("c") > 0, 1L).otherwise(0L)).cast("long")
           .as("n_credited"))
-      .withColumnRenamed("event_type", "touch_type")
       .orderBy(col("touch_type"), col("model"))
   }
 

@@ -895,7 +895,7 @@ object Pipeline {
       |  SELECT doc_id, k,
       |    ('0x' || substr(k, 1, 8))::BIGINT % 64 AS b
       |  FROM (SELECT doc_id,
-      |    md5('7:' || CAST(doc_id AS VARCHAR)) k FROM documents)),
+      |    md5('17:' || CAST(doc_id AS VARCHAR)) k FROM documents)),
       |neg AS (
       |  SELECT doc_id, COALESCE(
       |    LEAD(doc_id) OVER (PARTITION BY b ORDER BY k, doc_id),
@@ -918,7 +918,7 @@ object Pipeline {
     val pos = sym.withColumn("rn", row_number().over(wa))
       .filter(col("rn") === 1).drop("rn")
     val ring = docs.select(col("doc_id"),
-        md5(concat(lit("7:"), col("doc_id").cast("string"))).as("k"))
+        md5(concat(lit("17:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("b",
         conv(substring(col("k"), 1, 8), 16, 10).cast("long") % 64)
     val wr = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))

@@ -1153,7 +1153,7 @@ object Text {
         |wm$i AS MATERIALIZED (
         |  SELECT q.l, q.r, q.cnt FROM wq$i q
         |  JOIN wy$i yl ON yl.sym = q.l JOIN wy$i yr ON yr.sym = q.r
-        |  ORDER BY q.cnt::DOUBLE / (yl.scnt * yr.scnt)::DOUBLE DESC, q.l, q.r
+        |  ORDER BY q.cnt::DOUBLE / (yl.scnt::DOUBLE * yr.scnt::DOUBLE) DESC, q.l, q.r
         |  LIMIT 1),
         |u$i AS MATERIALIZED (
         |  SELECT replace($prev.s, '|' || m.l || '||' || m.r || '|',

@@ -193,9 +193,20 @@ class SnapshotStreamTable(root: String, schema0: StructType)
               .streaming.StreamingWrite = {
             if (replace) throw new UnsupportedOperationException(
               "graftsnap streaming write supports append mode only")
-            new GraftsnapStreamingWrite(root, info.schema(),
-              Option(info.options.get("streamid"))
-                .getOrElse(info.queryId()).replaceAll("[^A-Za-z0-9_-]", "-"))
+            // a user-supplied streamId is REJECTED when invalid, not
+            // sanitized: mapping "job.1" and "job 1" both to "job-1"
+            // would collide two fan-in streams on one epoch scope and
+            // silently swallow each other's batches (the default
+            // query-id scope is a UUID — already in the alphabet)
+            val scope = Option(info.options.get("streamid")) match {
+              case Some(sid) =>
+                require(sid.matches("[A-Za-z0-9_-]+"),
+                  s"streamId must be [A-Za-z0-9_-]+: '$sid'")
+                sid
+              case None =>
+                info.queryId().replaceAll("[^A-Za-z0-9_-]", "-")
+            }
+            new GraftsnapStreamingWrite(root, info.schema(), scope)
           }
         }
     }

@@ -141,6 +141,42 @@ class GraftsnapSinkSpec extends AnyFunSuite {
     assert(Snapshots.readLog(spark, root).count() == rowsAfter + 1)
   }
 
+  test("crashed-commit epoch survives compaction + vacuum: " +
+      "vacuumLog promotes the in-version tag to a root hint") {
+    import spark.implicits._
+    val root = tmp("graftsnap-vacuum-tag")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "s"), root)
+
+    def stageOne(tag: String): (String, Seq[String]) = {
+      val stage = s"$root/_stage_spec/$tag"
+      val f = s"$stage/part-0-0.parquet"
+      Seq((9L, tag)).toDF("k", "s").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/raw")
+      val part = LakeFs.list(s"$stage/raw")
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+      require(LakeFs.rename(part, f))
+      (stage, Seq(f))
+    }
+
+    val (st1, files1) = stageOne("e5")
+    val v = Snapshots.commitStagedEpoch(root, files1, "spec", 5L, st1).get
+    // crash before the hint, then MAINTENANCE runs before restart:
+    // the fold subsumes v and vacuumLog deletes its dir — the only
+    // record of the epoch is the in-version tag it must promote
+    LakeFs.rmFile(s"$root/_GRAFT_EPOCH_spec_5")
+    Snapshots.compactLog(spark, root)
+    Snapshots.vacuumLog(root)
+    assert(!LakeFs.exists(s"$root/v=$v"), "raw dir should be reaped")
+    assert(LakeFs.isFile(s"$root/_GRAFT_EPOCH_spec_5"),
+      "vacuumLog must promote the reaped version's epoch tag")
+
+    val rows = Snapshots.readLog(spark, root).count()
+    val (st2, files2) = stageOne("e5b")
+    assert(Snapshots.commitStagedEpoch(root, files2, "spec", 5L, st2)
+      .isEmpty, "replay after maintenance must stay a no-op")
+    assert(Snapshots.readLog(spark, root).count() == rows)
+  }
+
   test("empty epoch writes the hint only — no empty version dir") {
     import spark.implicits._
     val root = tmp("graftsnap-empty")
