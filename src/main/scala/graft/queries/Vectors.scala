@@ -840,6 +840,53 @@ object Vectors {
       .orderBy(col("cid"))
   }
 
+  /** ANN quality evaluation — "measure, don't guess" applied to the
+    * index family itself: recall@5 of the IVF probe path and the PQ
+    * ADC path against the brute-force truth, as ONE registered query
+    * (the retrieval_eval counterpart for vectors; VectorSpec's
+    * per-method thresholds gate regressions, this query publishes
+    * the measured numbers). Composed FROM the registered queries'
+    * own dataflows/oracles (the corpus_clean embedding rule), so the
+    * evaluation can never drift from what the operators actually
+    * compute. Recall arithmetic is exact: hit counts are int64 joins
+    * on (query, neighbor), the one division happens at output (4dp).
+    * Scale: adds one equi-join per method over 50·5-row frames — the
+    * cost is the underlying searches, all index-pruned. */
+  val annEval: Q = Q(
+    "ann_eval",
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get})),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (${knnIvf.oracle.get})),
+      |pq AS (
+      |  SELECT query_id, neighbor_id FROM (${knnPq.oracle.get})),
+      |h AS (
+      |  SELECT 'ivf' AS method, COUNT(*)::BIGINT hits
+      |  FROM ivf JOIN truth USING (query_id, neighbor_id)
+      |  UNION ALL
+      |  SELECT 'pq', COUNT(*)::BIGINT
+      |  FROM pq JOIN truth USING (query_id, neighbor_id)),
+      |ne AS (SELECT COUNT(*)::BIGINT n FROM truth)
+      |SELECT method, hits, ne.n AS n_expected,
+      |  FLOOR(hits / ne.n * 10000 + 0.5) / 10000 AS recall
+      |FROM h CROSS JOIN ne ORDER BY method""".stripMargin) { (s, dir) =>
+    val truth = knnBrute.run(s, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def hitsOf(name: String, approx: org.apache.spark.sql.DataFrame) =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    val ne = broadcast(truth.agg(count(lit(1)).as("n")))
+    hitsOf("ivf", knnIvf.run(s, dir))
+      .unionAll(hitsOf("pq", knnPq.run(s, dir)))
+      .crossJoin(ne)
+      .select(col("method"), col("hits"), col("n").as("n_expected"),
+        (floor(col("hits") / col("n") * 10000 + 0.5) / 10000).as("recall"))
+      .orderBy(col("method"))
+  }
+
   val all: Seq[Q] = Seq(embeddingNearDup, embeddingIncremental, knnBrute,
-    knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca, semanticDedup)
+    knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca, semanticDedup,
+    annEval)
 }
