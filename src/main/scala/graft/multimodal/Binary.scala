@@ -197,6 +197,101 @@ object Binary {
         }).toDF("doc_id", "dhash")
     }
 
+    private val PhashN = 32
+    // cos((2i+1)·u·π / 2N) — the DCT-II basis, shared by both passes
+    private lazy val dctCos: Array[Array[Double]] = {
+      val t = Array.ofDim[Double](PhashN, PhashN)
+      var i = 0
+      while (i < PhashN) {
+        var u = 0
+        while (u < PhashN) {
+          t(i)(u) = math.cos((2 * i + 1) * u * math.Pi / (2.0 * PhashN))
+          u += 1
+        }
+        i += 1
+      }
+      t
+    }
+
+    /** 64-bit pHash: 32x32 nearest-sampled grayscale → 2-D DCT-II
+      * (two separable 1-D passes) → the low-frequency 8x8 block,
+      * each bit = coefficient > the block's AC mean (DC excluded).
+      * The spectral complement of dHash's gradient signs: dHash keys
+      * on LOCAL edges (robust to global brightness), pHash keys on
+      * the GLOBAL low-frequency structure (robust to high-frequency
+      * noise/sharpening that flips local gradients). Brightness-shift
+      * invariance is exact by construction — a constant pixel shift
+      * moves only the DC coefficient, which the AC mean excludes. */
+    def pHash(img: java.awt.image.BufferedImage): Long = {
+      val n = PhashN
+      val w = img.getWidth; val h = img.getHeight
+      val g = Array.ofDim[Double](n, n)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          val rgb = img.getRGB(x * w / n, y * h / n)
+          g(y)(x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      // rows pass: tmp(y)(u) = Σ_x g(y)(x)·cos_x,u  (only u < 8 needed)
+      val tmp = Array.ofDim[Double](n, 8)
+      y = 0
+      while (y < n) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var x = 0
+          while (x < n) { s += g(y)(x) * dctCos(x)(u); x += 1 }
+          tmp(y)(u) = s
+          u += 1
+        }
+        y += 1
+      }
+      // cols pass: d(v)(u) = Σ_y tmp(y)(u)·cos_y,v  (v < 8)
+      val d = Array.ofDim[Double](8, 8)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var yy = 0
+          while (yy < n) { s += tmp(yy)(u) * dctCos(yy)(v); yy += 1 }
+          d(v)(u) = s
+          u += 1
+        }
+        v += 1
+      }
+      var sum = 0.0
+      v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) { if (v != 0 || u != 0) sum += d(v)(u); u += 1 }
+        v += 1
+      }
+      val mean = sum / 63.0
+      var bits = 0L
+      v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          if (d(v)(u) > mean) bits |= 1L << (v * 8 + u)
+          u += 1
+        }
+        v += 1
+      }
+      bits
+    }
+
+    /** Batched decode→pHash; same drop-on-corrupt contract. */
+    def pHashImages(s: SparkSession, payloads: DataFrame): DataFrame = {
+      import s.implicits._
+      payloads.select(col("doc_id"), col("data")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          readImage(bytes).map(img => (id, pHash(img)))
+        }).toDF("doc_id", "phash")
+    }
+
     /** Deterministic pseudorandom planted PNG for the perceptual-dedup
       * corpus: channel c of pixel (x, y) is mix(seed, x, y, c) mod 240
       * plus `shift`. Base values stay under 240, so a shift up to 15

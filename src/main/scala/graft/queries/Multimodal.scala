@@ -367,7 +367,30 @@ object Multimodal {
     graft.operators.HammingLsh.pairs(fps, "doc_id", "vfp")
   }
 
+  /** Spectral perceptual image dedup — pHash (32x32 grayscale →
+    * 2-D DCT-II → low-frequency 8x8 block, bits vs the AC mean,
+    * Binary.ImageCodec.pHash), the frequency-domain complement of
+    * mm_image_dedup's gradient-sign dHash: dHash keys on local edges,
+    * pHash on global low-frequency structure — a production pipeline
+    * runs both and unions the pair sets, because each is blind to the
+    * other's invariance class (noise that flips local gradients vs
+    * edits that move energy between frequency bands). Same planted
+    * corpus and the SAME shared banded Hamming LSH + bit_count(XOR)
+    * verify (operators.HammingLsh) — one more 64-bit fingerprint
+    * column through one candidate machinery. Brightness invariance
+    * is exact by construction (a constant shift moves only the DC
+    * coefficient, excluded from the mean), so the planted +12-shift
+    * re-encodes surface at Hamming 0 here too. Rows-only (binary
+    * decode); MultimodalSpec pins the planted pairs, the exact
+    * brightness-invariance law, and that dHash and pHash agree on
+    * this corpus's pair set. */
+  val imageDedupPhash: Q = Q.rowsOnly("mm_image_dedup_phash") { (s, dir) =>
+    val hashes = Binary.ImageCodec.pHashImages(s, dedupPayloads(s, dir))
+      .cache() // feeds both sides of the banded self-join
+    graft.operators.HammingLsh.pairs(hashes, "doc_id", "phash")
+  }
+
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
     patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
-    audioDedup, videoDedup)
+    audioDedup, videoDedup, imageDedupPhash)
 }

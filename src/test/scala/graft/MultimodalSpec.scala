@@ -203,6 +203,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(want.nonEmpty, "corpus too small to plant any pair")
   }
 
+  test("mm_image_dedup_phash agrees with dHash on the planted pairs") {
+    val rows = graft.queries.Multimodal.imageDedupPhash.run(spark, sf)
+      .collect()
+    spark.catalog.clearCache()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids.filter(id => id % 7 == 3 && ids.contains(id - 1))
+      .map(id => (id - 1, id))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted brightness re-encode must surface at Hamming 0
+    // (constant shift moves only the DC coefficient, excluded from
+    // the AC mean); pseudorandom rasters may rarely collide within
+    // the <=3 verify, so planted ⊆ got rather than set equality
+    assert(want.subsetOf(got), s"missing=${want -- got}")
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    want.foreach(p => assert(byPair(p) == 0L, s"planted pair $p not at 0"))
+    assert(want.nonEmpty, "corpus too small to plant any pair")
+  }
+
+  test("pHash: exact brightness invariance; spectral vs gradient " +
+      "independence on unrelated rasters") {
+    import graft.multimodal.Binary.ImageCodec
+    val base = ImageCodec.plantedPngMixed(91L, 15, 11, 0)
+    val brighter = ImageCodec.plantedPngMixed(91L, 15, 11, 12)
+    val i1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val i2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(brighter))
+    // exact law: constant shift moves only DC, excluded from the mean
+    assert(ImageCodec.pHash(i1) == ImageCodec.pHash(i2))
+    // unrelated seeds land far apart in the spectral space too
+    val other = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageCodec.plantedPngMixed(92L, 15, 11, 0)))
+    assert(java.lang.Long.bitCount(
+      ImageCodec.pHash(i1) ^ ImageCodec.pHash(other)) > 3)
+    // corrupt payloads drop, never throw
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "data")
+    assert(ImageCodec.pHashImages(spark, bad).count() == 0)
+  }
+
   test("dHash: brightness-shift invariance and corrupt-payload drop") {
     import graft.multimodal.Binary.ImageCodec
     // shifted copy: every encoded byte differs, fingerprint identical
