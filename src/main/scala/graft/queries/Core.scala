@@ -800,10 +800,58 @@ object Core {
       .orderBy(col("segment"))
   }
 
+  /** 2-D skyline (Pareto frontier) of parts on (price low, size
+    * high): a part survives iff no part is strictly cheaper AND
+    * strictly larger — the classic dominance query, whose textbook
+    * form is a sequential running max over the GLOBAL price order
+    * (an Exchange SinglePartition that funnels the corpus into one
+    * task). Scale-right decomposition: the dominance test only needs
+    * `max(size) over strictly-cheaper price GROUPS`, so (1) group to
+    * distinct prices (corpus → price-domain cardinality), (2) band by
+    * integer price, (3) within-band cummax windows parallelize per
+    * band, (4) the cross-band prefix runs over the BANDS frame —
+    * bounded by the price domain, not the row count (the O(#sources)
+    * broadcast rule). The oracle replays the plain global-window
+    * form — semantically identical, and DuckDB is welcome to the
+    * single-threaded sort at oracle scale. */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    """WITH g AS (
+      |  SELECT p_retailprice pr, MAX(p_size) mx FROM part GROUP BY 1),
+      |cm AS (
+      |  SELECT pr, MAX(mx) OVER (ORDER BY pr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+      |  FROM g)
+      |SELECT p_partkey, p_retailprice, p_size
+      |FROM part JOIN cm ON p_retailprice = cm.pr
+      |WHERE pm IS NULL OR pm <= p_size
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val part = Tables.part(s, dir)
+    val g = part.groupBy(col("p_retailprice").as("pr"))
+      .agg(max(col("p_size")).as("mx"))
+      .withColumn("band", floor(col("pr")).cast("long"))
+    val inBand = Window.partitionBy(col("band")).orderBy(col("pr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bands = g.groupBy(col("band")).agg(max(col("mx")).as("bmx"))
+    // the bands frame is bounded by the price DOMAIN (≈1.2k bands for
+    // TPC-H retail prices) — a single-partition window over it is the
+    // broadcast-scalar pattern, not a corpus funnel
+    val bandPrev = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandsPm = bands.withColumn("bpm", max(col("bmx")).over(bandPrev))
+    val cm = g.join(bandsPm, "band")
+      .withColumn("ipm", max(col("mx")).over(inBand))
+      .select(col("pr"), greatest(col("bpm"), col("ipm")).as("pm"))
+    part.join(cm, col("p_retailprice") === col("pr"))
+      .filter(col("pm").isNull || col("pm") <= col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
-    qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments)
+    qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline)
 }
