@@ -208,6 +208,64 @@ object StreamOps {
     * stays under 2⁶³ up to ~10⁹ events per user at this value range —
     * beyond that, shard the per-user state by day the way a real
     * deployment windows its stats. */
+  /** One attribution-relevant event (value pre-converted to exact
+    * cents — the events_attribution discipline). */
+  final case class AttrMsg(user_id: Long, event_id: Long, tsMicros: Long,
+      event_type: String, valueCents: Long)
+  /** Touches buffered since the user's last purchase. */
+  final case class AttrState(touches: List[(Long, Long, String)])
+  /** One credit row: a conversion credited `creditCents` to a touch
+    * of `touch_type` under `model`. */
+  final case class AttrOut(user_id: Long, touch_type: String,
+      model: String, creditCents: Long)
+
+  /** Streaming twin of events_attribution — multi-touch credit
+    * assignment as per-user state (the buffered touches since the
+    * last purchase ARE the attribution window, so no epochs/windows
+    * are recomputed): touches accumulate in state; a purchase drains
+    * the buffer, emitting the first/last/linear credit rows with the
+    * SAME exact integer-cents arithmetic as the batch query (linear =
+    * cents div n, remainder pinned to the first touch). State is
+    * bounded by a user's touches between purchases. Parity contract
+    * (the scd2/stats twins' rule): per-user event-time-ordered
+    * arrival — each batch is sorted on (ts, event_id) before the
+    * fold, so intra-batch disorder is absorbed; a touch arriving
+    * AFTER its conversion's purchase crossed batches would credit
+    * the next conversion instead (disclosed, the streaming-late-data
+    * reality every attribution system documents). */
+  def attributionState(s: SparkSession, msgs: Dataset[AttrMsg])
+      : Dataset[AttrOut] = {
+    import s.implicits._
+    msgs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, ms: Iterator[AttrMsg], state: GroupState[AttrState]) =>
+          var touches = state.getOption.getOrElse(AttrState(Nil)).touches
+          val out = Seq.newBuilder[AttrOut]
+          ms.toSeq.sortBy(m => (m.tsMicros, m.event_id)).foreach { m =>
+            if (m.event_type == "purchase") {
+              val ordered = touches.reverse // buffered newest-first
+              val n = ordered.length.toLong
+              if (n > 0) {
+                val v = m.valueCents
+                out += AttrOut(user, ordered.head._3, "first_touch", v)
+                out += AttrOut(user, ordered.last._3, "last_touch", v)
+                ordered.zipWithIndex.foreach { case ((_, _, tt), i) =>
+                  out += AttrOut(user, tt, "linear",
+                    v / n + (if (i == 0) v % n else 0L))
+                }
+              }
+              touches = Nil
+            } else {
+              touches = (m.tsMicros, m.event_id, m.event_type) :: touches
+            }
+          }
+          state.update(AttrState(touches))
+          out.result().iterator
+      }
+  }
+
   def statsState(s: SparkSession, msgs: Dataset[StatMsg]): Dataset[StatsOut] = {
     import s.implicits._
     msgs

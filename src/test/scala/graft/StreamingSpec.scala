@@ -245,6 +245,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 100L, 5000L)))
   }
 
+  test("stateful attribution: stream credits == events_attribution " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the whole events table as AttrMsgs, split into two batches at
+    // the global ts midpoint (per-user ts-ordered arrival — the
+    // twin's disclosed parity contract)
+    val msgs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("valueCents"))
+      .as[StreamOps.AttrMsg].collect().sortBy(m => (m.tsMicros, m.event_id))
+    val mid = msgs(msgs.length / 2).tsMicros
+    val (b1, b2) = msgs.partition(_.tsMicros <= mid)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.AttrMsg]
+    val q = StreamOps.attributionState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("attr_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_twin")
+      .groupBy(col("touch_type"), col("model"))
+      .agg((sum(col("creditCents")).cast("long") / 100.0).as("credited"),
+        sum(when(col("creditCents") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_credited"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    val want = graft.queries.Events.attribution.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
   test("stateful trailing-hour rolling: flatMapGroupsWithState == batch RANGE frame") {
     import spark.implicits._
     val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
