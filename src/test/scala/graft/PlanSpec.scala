@@ -504,4 +504,39 @@ class PlanSpec extends AnyFunSuite {
     // shuffle, no join for the cluster id itself
     assert(p.contains("array_min"), p.take(2000))
   }
+
+  test("events_attribution: touches join conversions on equi-keys, " +
+      "windows partition per (user, epoch)") {
+    val p = plan(Events.attribution.run(spark, sf))
+    // the epoch trick keeps the attribution window an equi-join —
+    // a range/theta join here would fan out touches x purchases
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // no corpus-sized global sort: every window partitions by user
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("q_skyline: the only single-partition frame is the bands one") {
+    val p = plan(Core.qSkyline.run(spark, sf))
+    // one Exchange SinglePartition is EXPECTED — the cross-band
+    // prefix over the bounded bands frame (price-domain cardinality,
+    // the O(#sources) broadcast rule); more would mean the corpus or
+    // the distinct-price frame funneled into one task
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n <= 1, s"$n single-partition exchanges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("corpus_triplets and q_basket_lift never go all-pairs") {
+    val p1 = plan(graft.queries.Pipeline.corpusTriplets.run(spark, sf))
+    assert(!p1.contains("BroadcastNestedLoopJoin"), p1.take(2000))
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    spark.catalog.clearCache()
+    val p2 = plan(Core.qBasketLift.run(spark, sf))
+    // pair generation is the within-basket equi self-join
+    assert(!p2.contains("BroadcastNestedLoopJoin") ||
+      p2.contains("BuildRight, Cross"), p2.take(2000))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    spark.catalog.clearCache()
+  }
 }
