@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -849,6 +849,82 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** k-of-n ENSEMBLE quality gate — the voting composition next to
+    * corpus_clean's AND-chain (the FineWeb-ablation shape: unanimous
+    * gating over-filters because every signal has false positives,
+    * so production curation keeps a doc when MOST signals agree):
+    * five registered quality signals vote — heuristic quality,
+    * repetition, the learned NB gate, character entropy (band low
+    * cut, the padding/garbage axis), and corpus-model perplexity
+    * (band high cut, the gibberish axis) — and the composite is the
+    * exact integer vote count with keep = n_pass >= 4. Every signal
+    * IS its registered operator's dataflow (corpus_clean's rule), the
+    * bands compare 4dp-rounded values both engines already agree on,
+    * and the vote arithmetic is pure int — nothing new to drift.
+    * Scale: five equi-joins on doc_id over per-doc flag frames, all
+    * partial-aggregating upstream. */
+  val qualityEnsemble: Q = Q(
+    "quality_ensemble",
+    s"""WITH qual AS (
+      |  SELECT doc_id, quality_score FROM (${Text.quality.oracle.get})),
+      |rep AS (
+      |  SELECT doc_id, keep AS rep_keep FROM (${Text.repetition.oracle.get})),
+      |ent AS (
+      |  SELECT doc_id, entropy FROM (${Text.entropy.oracle.get})),
+      |ppx AS (
+      |  SELECT doc_id, ppl FROM (${Text.perplexity.oracle.get})),
+      |$nbModelCtes,
+      |$nbScoreCtes,
+      |nbq AS (
+      |  SELECT l.doc_id,
+      |    pri.prior_micro + COALESCE(s2.tok_score, 0) > 0 AS nb_ok
+      |  FROM lab l LEFT JOIN nbsc s2 ON l.doc_id = s2.doc_id CROSS JOIN pri),
+      |v AS (
+      |  SELECT d.doc_id,
+      |    q.quality_score >= 0.35 AS quality_ok,
+      |    r.rep_keep AS repetition_ok,
+      |    b.nb_ok AS nb_ok,
+      |    e.entropy >= 2.78 AS entropy_ok,
+      |    x.ppl <= 30.7 AS ppl_ok
+      |  FROM documents d
+      |  JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+      |  JOIN nbq b USING (doc_id) JOIN ent e USING (doc_id)
+      |  JOIN ppx x USING (doc_id))
+      |SELECT doc_id, quality_ok, repetition_ok, nb_ok, entropy_ok, ppl_ok,
+      |  (CASE WHEN quality_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN repetition_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN nb_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN entropy_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN ppl_ok THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+      |  (CASE WHEN quality_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN repetition_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN nb_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN entropy_ok THEN 1 ELSE 0 END
+      |    + CASE WHEN ppl_ok THEN 1 ELSE 0 END) >= 4 AS ensemble_keep
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val qual = Text.quality.run(s, dir)
+      .select(col("doc_id"), (col("quality_score") >= 0.35).as("quality_ok"))
+    val rep = Text.repetition.run(s, dir)
+      .select(col("doc_id"), col("keep").as("repetition_ok"))
+    val nbq = nbScored(s, dir)
+      .select(col("doc_id"), (col("score_micro") > 0L).as("nb_ok"))
+    val ent = Text.entropy.run(s, dir)
+      .select(col("doc_id"), (col("entropy") >= 2.78).as("entropy_ok"))
+    val ppx = Text.perplexity.run(s, dir)
+      .select(col("doc_id"), (col("ppl") <= 30.7).as("ppl_ok"))
+    def i(c: Column): Column = when(c, 1).otherwise(0)
+    val v = Tables.documents(s, dir).select(col("doc_id"))
+      .join(qual, "doc_id").join(rep, "doc_id").join(nbq, "doc_id")
+      .join(ent, "doc_id").join(ppx, "doc_id")
+    val nPass = (i(col("quality_ok")) + i(col("repetition_ok"))
+      + i(col("nb_ok")) + i(col("entropy_ok")) + i(col("ppl_ok")))
+    v.select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+        col("nb_ok"), col("entropy_ok"), col("ppl_ok"),
+        nPass.cast("long").as("n_pass"),
+        (nPass >= 4).as("ensemble_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contrastive-triplet mining for embedding-model training — the
     * (anchor, positive, negative) generator every contrastive /
     * metric-learning recipe (SimCSE-hard-negatives, E5, GTE) feeds
@@ -935,5 +1011,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
     qualityDsir, corpusSplit, corpusTemperature, qualityTopPct,
-    corpusTriplets)
+    corpusTriplets, qualityEnsemble)
 }
