@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every operator in the engine, one entry per SURVEY §2 row. */
   private def registry: Seq[Q] =
     Core.all ++ Events.all ++ Text.all ++ Dedup.all ++ Vectors.all ++
-      Retrieval.all ++ Multimodal.all ++ Sinks.all ++ Pipeline.all
+      Retrieval.all ++ Multimodal.all ++ Sinks.all ++ Pipeline.all ++
+      Linkage.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -848,10 +848,135 @@ object Core {
       .orderBy(col("p_partkey"))
   }
 
+  /** Approximate query processing by deterministic 10% sampling: the
+    * expansion estimator with a 95% CI, the AQP pattern (BlinkDB) a
+    * 100 TB interactive layer runs before committing to a full scan.
+    * The sample predicate is a portable md5 slot on the row key — no
+    * rand(), so the estimate is reproducible on any engine at any
+    * parallelism — and the CI comes from EXACT decimal sums (Σq, Σq²)
+    * with one double formula at the end, so no float accumulation
+    * order can flap the gate. At scale the sample filter evaluates
+    * map-side in the scan stage and the aggregation combines
+    * partially; nothing materializes the full table. */
+  val qSampleAgg: Q = Q(
+    "q_sample_agg",
+    """WITH s AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q
+      |  FROM lineitem
+      |  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+      |    || CAST(l_linenumber AS VARCHAR)), 1, 10))::BIGINT % 10 = 0),
+      |a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n, SUM(q) AS sq,
+      |    SUM(q * q) AS sqq
+      |  FROM s GROUP BY 1)
+      |SELECT l_returnflag, n AS n_sample,
+      |  CAST(sq AS DOUBLE) * 10 AS est_sum,
+      |  ROUND(19.6 * SQRT(CAST(n AS DOUBLE)
+      |    * ((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+      |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (n - 1)))), 4) + 0 AS ci_half
+      |FROM a ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val slot = conv(substring(md5(concat(
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 10), 16, 10)
+      .cast("long") % 10
+    Tables.lineitem(s, dir)
+      .filter(slot === 0)
+      .select(col("l_returnflag"), money(col("l_quantity")).as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("l_returnflag"), col("n").as("n_sample"),
+        (col("sq").cast("double") * 10).as("est_sum"),
+        (round(lit(19.6) * sqrt(col("n").cast("double")
+          * ((col("n").cast("double") * col("sqq").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1)))), 4) + 0)
+          .as("ci_half"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Differentially private release of per-group counts: Laplace(1/ε)
+    * noise (ε=1) via the inverse CDF over a uniform DERIVED
+    * DETERMINISTICALLY from the group key (md5 → 40-bit slot →
+    * (slot+0.5)/2^40 − 0.5, open interval so ln never sees 0) — the
+    * seeded-noise construction a production privacy layer uses so a
+    * re-run publishes the SAME release instead of leaking fresh
+    * samples of the true count (each re-randomized release spends ε
+    * again; a pinned release doesn't). Counts are exact integers,
+    * the noise formula is one fixed double expression — identical on
+    * both engines. */
+  val qDpCounts: Q = Q(
+    "q_dp_counts",
+    """WITH g AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
+      |u AS (
+      |  SELECT o_orderpriority, n,
+      |    (('0x' || substr(md5(o_orderpriority || ':dp1'), 1, 10))::BIGINT
+      |      + 0.5) / 1099511627776.0 - 0.5 AS u
+      |  FROM g)
+      |SELECT o_orderpriority,
+      |  ROUND(n - (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)
+      |    * LN(1 - 2 * ABS(u)), 4) + 0 AS dp_count
+      |FROM u ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val u = (conv(substring(md5(concat(col("o_orderpriority"),
+        lit(":dp1"))), 1, 10), 16, 10).cast("long") + 0.5) /
+      1099511627776.0 - 0.5
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .select(col("o_orderpriority"),
+        (round(col("n") - when(col("u") < 0, -1.0).otherwise(1.0)
+          * log(lit(1) - lit(2) * abs(col("u"))), 4) + 0).as("dp_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Cohort LTV triangle: customers grouped by first-order month,
+    * revenue tracked by months-since-cohort age — the retention
+    * economics query every growth team runs. Two shuffles, both on
+    * o_custkey (the cohort aggregate and the join back are
+    * co-partitioned — AQE reuses the exchange), then one
+    * map-side-combining rollup on the tiny (cohort, age) domain.
+    * Month arithmetic is integer (year*12+month deltas), revenue is
+    * decimal-exact. */
+  val qCohortLtv: Q = Q(
+    "q_cohort_ltv",
+    """WITH f AS (
+      |  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(f.cohort AS DATE) AS cohort_month,
+      |    CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+      |      + (month(o.o_orderdate) - month(f.cohort)) AS BIGINT)
+      |      AS age_months,
+      |    o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+      |SELECT cohort_month, age_months,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(SUM(p) AS DOUBLE) AS revenue
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val f = o.groupBy(col("o_custkey"))
+      .agg(min(to_date(date_trunc("month", col("o_orderdate"))))
+        .as("cohort"))
+    o.join(f, Seq("o_custkey"))
+      .select(col("cohort").as("cohort_month"),
+        ((year(col("o_orderdate")) - year(col("cohort"))) * 12
+          + (month(col("o_orderdate")) - month(col("cohort"))))
+          .cast("long").as("age_months"),
+        col("o_custkey"), money(col("o_totalprice")).as("p"))
+      .groupBy(col("cohort_month"), col("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("p")).cast("double").as("revenue"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
-    qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline)
+    qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
+    qSampleAgg, qDpCounts, qCohortLtv)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -718,8 +719,196 @@ object Events {
       .orderBy(col("touch_type"), col("model"))
   }
 
+  /** The per-type hourly count series on a dense calendar spine —
+    * shared input of events_autocorr and events_cusum. The spine is
+    * CALENDAR-bounded (hours between the corpus min/max — a broadcast
+    * 1-row bound), not data-sized: gaps become explicit zero counts so
+    * lag alignment is by wall-clock hour, the only defensible series
+    * semantics. One map-side-combining shuffle builds the counts; the
+    * spine join is a broadcast of the tiny type × hour frame at any
+    * corpus size (hours grow with TIME, not bytes). */
+  private def hourlySeries(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = base.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val spine = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(base.agg(min(col("h")).as("h0"),
+        max(col("h")).as("h1"))))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  private val seriesSql =
+    """series AS (
+      |  SELECT t.event_type, s.h, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (
+      |    SELECT unnest(generate_series(
+      |      (SELECT MIN(date_trunc('hour', ts)) FROM events),
+      |      (SELECT MAX(date_trunc('hour', ts)) FROM events),
+      |      INTERVAL 1 HOUR)) AS h) s
+      |  LEFT JOIN (
+      |    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |    FROM events GROUP BY 1, 2) c
+      |  ON t.event_type = c.event_type AND s.h = c.h)""".stripMargin
+
+  /** Lag-1 and lag-24 (daily-seasonality) autocorrelation of the
+    * hourly count series per event type. Pearson r is computed from
+    * EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² over BIGINT counts)
+    * with ONE double formula at the end — no float accumulation, so
+    * the result is bit-identical regardless of partitioning or
+    * engine (the corr() aggregate's running co-moments would not be).
+    * Constant series (zero variance) yield NULL via NULLIF. Scale:
+    * the lag windows partition by type over a calendar-sized series;
+    * the sums aggregate map-side. */
+  val autocorr: Q = Q(
+    "events_autocorr",
+    s"""WITH $seriesSql,
+      |lagged AS (
+      |  SELECT event_type, c,
+      |    lag(c, 1) OVER w AS l1, lag(c, 24) OVER w AS l24
+      |  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+      |stacked AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS lag_h, c AS x, l1 AS y
+      |    FROM lagged WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 24, c, l24 FROM lagged WHERE l24 IS NOT NULL),
+      |sums AS (
+      |  SELECT event_type, lag_h, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM stacked GROUP BY 1, 2)
+      |SELECT event_type, lag_h,
+      |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / NULLIF(SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0), 6)
+      |    + 0 AS autocorr
+      |FROM sums ORDER BY event_type, lag_h""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = hourlySeries(s, dir).select(col("event_type"), col("c"),
+      lag(col("c"), 1).over(w).as("l1"), lag(col("c"), 24).over(w).as("l24"))
+    // melt the two lags with ONE explode instead of a UNION of two
+    // filtered projections — a union would duplicate the whole series
+    // subtree (spine build, bounds agg, count shuffle) into each branch
+    val stacked = lagged.select(col("event_type"), explode(array(
+        struct(lit(1L).as("lag_h"), col("c").as("x"), col("l1").as("y")),
+        struct(lit(24L).as("lag_h"), col("c").as("x"),
+          col("l24").as("y")))).as("kv"))
+      .select(col("event_type"), col("kv.lag_h").as("lag_h"),
+        col("kv.x").as("x"), col("kv.y").as("y"))
+      .filter(col("y").isNotNull)
+    stacked.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag_h"),
+        (round((col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / nullif(sqrt((col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * (col("n").cast("double") * col("syy")
+              - col("sy").cast("double") * col("sy"))), lit(0.0)), 6)
+          + 0).as("autocorr"))
+      .orderBy(col("event_type"), col("lag_h"))
+  }
+
+  /** Exponentially weighted moving average over each user's last 8
+    * values — the streaming-friendly smoother, as one window pass.
+    * True EWMA is a recursion (not window-expressible); the K-term
+    * truncation is the standard bounded-memory form and what a
+    * Structured Streaming state store would keep. Weights
+    * α(1−α)^j with α=1/4 are EXACT binary doubles (3^j/4^(j+1)), the
+    * 8-term sum is one fixed-order expression tree, and missing lags
+    * renormalize the denominator — bit-identical on both engines. */
+  val ewma: Q = {
+    val weights = (0 until 8).map(j => 0.25 * math.pow(0.75, j))
+    val terms = weights.zipWithIndex.map { case (wj, j) =>
+      val v = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      (s"COALESCE($v * $wj, 0.0)", s"CASE WHEN $v IS NULL THEN 0.0 ELSE $wj END")
+    }
+    Q(
+      "events_ewma",
+      s"""SELECT event_id, user_id,
+        |  ROUND((${terms.map(_._1).mkString(" + ")})
+        |    / (${terms.map(_._2).mkString(" + ")}), 6) + 0 AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      def lagV(j: Int): Column =
+        if (j == 0) col("value") else lag(col("value"), j).over(w)
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        coalesce(lagV(j) * wj, lit(0.0)) }.reduceLeft(_ + _)
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        when(lagV(j).isNull, 0.0).otherwise(wj) }.reduceLeft(_ + _)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (round(num / den, 6) + 0).as("ewma"))
+        .orderBy(col("event_id"))
+    }
+  }
+
+  /** One-sided CUSUM changepoint detection over the hourly count
+    * series: standardize by the per-type mean/std (from exact integer
+    * sums), then S_t = max(0, S_{t−1} + z_t − k) via the closed form
+    * S_t = C_t − min_{j≤t} C_j with C the running sum of (z − k) —
+    * two sequential window passes instead of an inexpressible
+    * recursion (Page '54's statistic, prefix-decomposed). k = 0.5σ
+    * slack, alarm at S > 4. Running sums accumulate in the window's
+    * pinned order, so the doubles match across engines. */
+  val cusum: Q = Q(
+    "events_cusum",
+    s"""WITH $seriesSql,
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(c) AS sx, SUM(c * c) AS sxx
+      |  FROM series GROUP BY 1),
+      |z AS (
+      |  SELECT s.event_type, s.h,
+      |    (s.c - CAST(t.sx AS DOUBLE) / t.n)
+      |      / NULLIF(SQRT((CAST(t.n AS DOUBLE) * t.sxx
+      |        - CAST(t.sx AS DOUBLE) * t.sx)
+      |        / (CAST(t.n AS DOUBLE) * (t.n - 1))), 0.0) AS z
+      |  FROM series s JOIN stats t ON s.event_type = t.event_type),
+      |ct AS (
+      |  SELECT event_type, h, SUM(z - 0.5) OVER w AS c
+      |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING)),
+      |st AS (
+      |  SELECT event_type, h, c - MIN(c) OVER w AS s
+      |  FROM ct WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, h AS hour, ROUND(s, 6) + 0 AS cusum,
+      |  s > 4.0 AS alarm
+      |FROM st ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+    // cached: the calendar-sized series feeds both the stats agg and
+    // the z scoring join (caller-owned cleanup — Q's cache contract)
+    val series = hourlySeries(s, dir).cache()
+    val stats = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+    val z = series.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("h"),
+        ((col("c") - col("sx").cast("double") / col("n"))
+          / nullif(sqrt((col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            / (col("n").cast("double") * (col("n") - 1))), lit(0.0))).as("z"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    z.withColumn("ct", sum(col("z") - 0.5).over(w))
+      .withColumn("s", col("ct") - min(col("ct")).over(w))
+      .select(col("event_type"), col("h").as("hour"),
+        (round(col("s"), 6) + 0).as("cusum"), (col("s") > 4.0).as("alarm"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
-    attribution)
+    attribution, autocorr, ewma, cusum)
 }

@@ -1414,9 +1414,61 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI-ranked collocations — the phrase-mining pass (Mikolov-style
+    * word2phrase, AutoPhrase's scoring core) a tokenizer-vocabulary
+    * pipeline runs to promote "new york"-style units before fitting.
+    * PMI = ln(n_xy·N / (n_x·n_y)) over EXACT integer counts (the
+    * double formula is one fixed expression, so engines agree
+    * bit-for-bit), min support 5, global top-20 by (PMI, w1, w2).
+    * Plan shape at 100 TB: one tokenize pass feeds both count tables
+    * (map-side combining); the scoring join is on the AGGREGATED
+    * bigram vocabulary, not the corpus; the global top-20 is
+    * TakeOrderedAndProject — per-partition partial top-k, never a
+    * full sort. */
+  val collocations: Q = Q(
+    "text_collocations",
+    """WITH tokv AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') ts
+      |  FROM documents),
+      |un AS (
+      |  SELECT w, COUNT(*) AS n
+      |  FROM (SELECT unnest(ts) AS w FROM tokv) GROUP BY 1),
+      |bg AS (
+      |  SELECT w1, w2, COUNT(*) AS n_xy FROM (
+      |    SELECT ts[i+1] AS w1, ts[i+2] AS w2
+      |    FROM (SELECT ts, unnest(range(0, greatest(len(ts) - 1, 0))) AS i
+      |      FROM tokv)) GROUP BY 1, 2),
+      |nn AS (SELECT SUM(n_xy)::BIGINT AS nb FROM bg)
+      |SELECT w1, w2, n_xy,
+      |  ROUND(LN((CAST(n_xy AS DOUBLE) * nb)
+      |    / (CAST(a.n AS DOUBLE) * b.n)), 6) + 0 AS pmi
+      |FROM bg JOIN un a ON bg.w1 = a.w JOIN un b ON bg.w2 = b.w
+      |CROSS JOIN nn
+      |WHERE n_xy >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir).select(toks(col("text")).as("ts"))
+    val un = t.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bg = t.select(explode(
+        graft.functions.TextExprs.gramsN(col("ts"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_xy"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("n_xy"))
+    val nb = bg.agg(sum(col("n_xy")).as("nb"))
+    bg.join(un.select(col("w").as("w1"), col("n").as("na")), Seq("w1"))
+      .join(un.select(col("w").as("w2"), col("n").as("nbb")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .filter(col("n_xy") >= 5)
+      .select(col("w1"), col("w2"), col("n_xy"),
+        (round(log((col("n_xy").cast("double") * col("nb"))
+          / (col("na").cast("double") * col("nbb"))), 6) + 0).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
-    knTrigram, readability, tokensUnicode, entropy, oov)
+    knTrigram, readability, tokensUnicode, entropy, oov, collocations)
 }

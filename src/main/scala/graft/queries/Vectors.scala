@@ -886,7 +886,87 @@ object Vectors {
       .orderBy(col("method"))
   }
 
+  /** Binary quantization search — the 1-bit compression every recent
+    * vector store ships next to PQ: each 64-dim embedding packs to
+    * its SIGN BITS (two 32-bit words in BIGINTs, so neither engine's
+    * shift can overflow), candidate ranking is two xor+bit_count
+    * integer ops per pair (64× smaller reads than the float vectors,
+    * the same ADC economics as knn_pq at even lower precision), and
+    * the Hamming top-16 shortlist is reranked by EXACT cosine over
+    * only the shortlisted vectors. At 100 TB the packed table is the
+    * only full scan; the rerank fetch is an equi-join driven by the
+    * broadcast shortlist (a point-lookup read against the lake's
+    * bloom/manifest indexes). Shortlist and final ranks both run on
+    * the bounded TopKAgg — no per-query window sort — with ties
+    * pinned on neighbor_id in both engines. */
+  val knnBq: Q = Q(
+    "knn_bq",
+    s"""WITH $oracleEmb,
+      |b AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+      |        ELSE 0 END)) AS BIGINT) AS hi,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33))
+      |        ELSE 0 END)) AS BIGINT) AS lo
+      |  FROM n),
+      |h AS (
+      |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+      |    bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) AS ham
+      |  FROM b q JOIN b c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |sl AS (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY ham, neighbor_id) rn
+      |  FROM h),
+      |r AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> q.v[i] * c.v[i])) / sqrt(q.n2 * c.n2) AS cos
+      |  FROM sl s JOIN n q ON q.vec_id = s.query_id
+      |    JOIN n c ON c.vec_id = s.neighbor_id
+      |  WHERE s.rn <= 16),
+      |rr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) rn
+      |  FROM r WHERE NOT isnan(cos))
+      |SELECT query_id, rr.rn AS rank, neighbor_id,
+      |  ROUND(cos, 4) + 0 AS cos_sim
+      |FROM rr WHERE rr.rn <= 5 ORDER BY query_id, rank""".stripMargin) {
+    (s, dir) =>
+    val e = emb(s, dir)
+    val packed = e.select(col("vec_id"),
+      expr("""aggregate(transform(sequence(1, 32),
+        i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)),
+        0L, (a, x) -> a + x)""").as("hi"),
+      expr("""aggregate(transform(sequence(33, 64),
+        i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 33), 0L)),
+        0L, (a, x) -> a + x)""").as("lo"))
+    val q = packed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("hi").as("qhi"),
+        col("lo").as("qlo"))
+    val c = packed.select(col("vec_id").as("neighbor_id"),
+      col("hi").as("chi"), col("lo").as("clo"))
+    val ham = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("ham",
+        expr("bit_count(qhi ^ chi) + bit_count(qlo ^ clo)"))
+    val shortlist = graft.functions.TopK.ranked(ham, "query_id",
+        -col("ham").cast("double"), col("neighbor_id"), 16,
+        "neighbor_id", "negh")
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = broadcast(shortlist)
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("vq"),
+        col("n2").as("nq")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+        col("n2").as("nc")), Seq("neighbor_id"))
+      .withColumn("cos", dot(col("vq"), col("vc"))
+        / sqrt(col("nq") * col("nc")))
+    graft.functions.TopK.ranked(rerank, "query_id", col("cos"),
+        col("neighbor_id"), 5, "neighbor_id", "cos_sim")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(embeddingNearDup, embeddingIncremental, knnBrute,
     knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca, semanticDedup,
-    annEval)
+    annEval, knnBq)
 }

@@ -1185,6 +1185,43 @@ object StreamOps {
     ()
   }
 
+  /** Streaming fuzzy record linkage — er_fuzzy_names' ingest twin,
+    * fingerprintIngest's shape for edit distance: each micro-batch
+    * (1) appends its distinct name domain to a maintained lake index
+    * (epoch-gated, exactly-once) and (2) emits the batch-involved
+    * verified fuzzy pairs (new-vs-known + new-vs-new) through
+    * Linkage.batchFuzzyPairs — a pair surfaces exactly once, when its
+    * second member first arrives. Per-batch cost is the batch's
+    * block fan-out against the index, never an index self-join. */
+  def linkIngest(s: SparkSession, names: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    names.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        linkIngestBatch(s, batch.toDF(), epoch, indexDir, outDir)
+      }
+      .start()
+
+  /** One linkage-ingest micro-batch — factored out so the retry spec
+    * can replay an epoch directly. */
+  private[graft] def linkIngestBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, indexDir: String, outDir: String): Unit = {
+    import graft.operators.IndexLifecycle
+    val names = batch.select(col("name")).distinct().cache()
+    IndexLifecycle.epochOnce(indexDir, epoch) {
+      names.write.mode("append").parquet(s"$indexDir/names")
+    }
+    val idx = s.read.parquet(s"$indexDir/names")
+    val bn = broadcast(names)
+    emitEpoch(graft.queries.Linkage.batchFuzzyPairs(
+        idx.join(bn, Seq("name"), "left_semi"),
+        idx.join(bn, Seq("name"), "left_anti")),
+      epoch, outDir)
+    names.unpersist()
+    ()
+  }
+
   /** The remap forest collected and resolved to DIRECT (label →
     * final root) entries — remap rows exist only per cluster-merge
     * event, so this is bounded driver state exactly like the batch

@@ -539,4 +539,77 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2.take(2000))
     spark.catalog.clearCache()
   }
+
+  test("er fuzzy matching: blocked equi-joins on the aggregated domain, never all-pairs") {
+    val p1 = plan(graft.queries.Linkage.fuzzyNames.run(spark, sf))
+    // candidates come from the blk equi-join; the levenshtein verify
+    // is a post-join filter, never a join condition that degrades to
+    // a nested-loop over the cross product
+    assert(!p1.contains("BroadcastNestedLoopJoin"), p1.take(2000))
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    // the join runs on the aggregated name DOMAIN (a HashAggregate
+    // feeds the join), not on raw part rows
+    assert(p1.contains("HashAggregate"), p1.take(2000))
+    spark.catalog.clearCache()
+    val p2 = plan(graft.queries.Linkage.canonicalize.run(spark, sf))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    // the row-level join rides the broadcast of the tiny mapping
+    assert(p2.contains("BroadcastHashJoin"), p2.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("text_collocations: global top-20 is TakeOrderedAndProject, no full sort") {
+    val p = plan(Text.collocations.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    // one single-partition exchange is EXPECTED: the 1-row total
+    // bigram count; more would mean a corpus-sized funnel
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n <= 1, s"$n single-partition exchanges:\n${p.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("knn_bq: integer Hamming shortlist + topk_by ranks, no window sorts") {
+    val p = plan(Vectors.knnBq.run(spark, sf))
+    // both ranking stages (Hamming shortlist, cosine rerank) are the
+    // bounded aggregate — a per-query row_number would single-task
+    // sort n rows per query at scale
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+    // the candidate filter is the codegen'd bit_count(xor) pair op
+    assert(p.contains("bit_count"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("events_ewma: one user_id shuffle feeds the single window pass") {
+    val p = plan(Events.ewma.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(n == 1, s"$n user_id exchanges:\n${p.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("events_autocorr and events_cusum: windows partition by type, no corpus funnel") {
+    // one single-partition exchange each is EXPECTED: the 1-row
+    // global (min, max) hour bounds behind the calendar spine; more
+    // would mean the event stream itself funneled into one task.
+    // Count DISTINCT plan ids — a cached relation's child plan is
+    // PRINTED once per InMemoryTableScan site, but it is one exchange
+    def singles(p: String): Set[String] =
+      "Exchange SinglePartition.*?\\[plan_id=(\\d+)\\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+    val p1 = plan(Events.autocorr.run(spark, sf))
+    assert(singles(p1).size <= 1,
+      s"${singles(p1).size} single-partition exchanges:\n${p1.take(3000)}")
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    // clear BEFORE building: cusum's builder caches the series frame
+    // (plan() clearing after run() would unregister it and split the
+    // shared subtree back into two copies)
+    spark.catalog.clearCache()
+    val p2 = Events.cusum.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(singles(p2).size <= 1,
+      s"${singles(p2).size} single-partition exchanges:\n${p2.take(3000)}")
+    spark.catalog.clearCache()
+  }
 }
