@@ -972,11 +972,76 @@ object Core {
       .orderBy(col("cohort_month"), col("age_months"))
   }
 
+  /** Distribution shape in one pass: mean, population stddev,
+    * skewness, and excess kurtosis per group from the four raw power
+    * sums — the single-scan moments pattern (no second pass over
+    * centered residuals). l_quantity is integral (1..50), so Σq..Σq⁴
+    * are EXACT BIGINTs (q⁴ ≤ 6.25e6 — the sums hold exactly to
+    * ~10^12 rows) and the raw→central moment conversion is one fixed
+    * double expression per group: bit-identical across engines, no
+    * float accumulation anywhere. */
+  val qMoments: Q = Q(
+    "q_moments",
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS s1,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS s2,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT)) AS s3,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS s4
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+      |    CAST(s3 AS DOUBLE) / n AS m3, CAST(s4 AS DOUBLE) / n AS m4
+      |  FROM s),
+      |ctr AS (
+      |  SELECT l_returnflag, n, m1,
+      |    m2 - m1 * m1 AS v,
+      |    m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS u3,
+      |    m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+      |      AS u4
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  ROUND(m1, 6) + 0 AS mean,
+      |  ROUND(SQRT(v), 6) + 0 AS stddev_pop,
+      |  ROUND(u3 / NULLIF(SQRT(v) * v, 0.0), 6) + 0 AS skewness,
+      |  ROUND(u4 / NULLIF(v * v, 0.0) - 3, 6) + 0 AS kurtosis_excess
+      |FROM ctr ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val q = col("l_quantity").cast("long")
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+        sum(q * q * q * q).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("m2"),
+        (col("s3").cast("double") / col("n")).as("m3"),
+        (col("s4").cast("double") / col("n")).as("m4"))
+    val v = col("m2") - col("m1") * col("m1")
+    val u3 = col("m3") - lit(3) * col("m1") * col("m2") +
+      lit(2) * col("m1") * col("m1") * col("m1")
+    val u4 = col("m4") - lit(4) * col("m1") * col("m3") +
+      lit(6) * col("m1") * col("m1") * col("m2") -
+      lit(3) * col("m1") * col("m1") * col("m1") * col("m1")
+    base.select(col("l_returnflag"), col("n"),
+        (round(col("m1"), 6) + 0).as("mean"),
+        (round(sqrt(v), 6) + 0).as("stddev_pop"),
+        (round(u3 / nullif(sqrt(v) * v, lit(0.0)), 6) + 0).as("skewness"),
+        (round(u4 / nullif(v * v, lit(0.0)) - 3, 6) + 0)
+          .as("kurtosis_excess"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
     qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
-    qSampleAgg, qDpCounts, qCohortLtv)
+    qSampleAgg, qDpCounts, qCohortLtv, qMoments)
 }

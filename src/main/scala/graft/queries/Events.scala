@@ -907,8 +907,114 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Per-type OLS trend over the hourly count series: slope,
+    * intercept, and r² of count-vs-time — the load-growth regression
+    * behind every capacity dashboard, as ONE distributed pass. The
+    * regressor is the dense 0-based hour index (ROW_NUMBER per type
+    * over the calendar spine — small integers at any calendar span,
+    * so the normal-equation cross sums stay exact BIGINTs), the six
+    * sums aggregate map-side, and the closed-form solution is one
+    * fixed double expression — bit-identical across engines. Degenerate
+    * (zero-variance) series yield NULL via NULLIF. */
+  val trend: Q = Q(
+    "events_trend",
+    s"""WITH $seriesSql,
+      |idx AS (
+      |  SELECT event_type, c,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+      |      - 1 AS BIGINT) AS t
+      |  FROM series),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(c) AS sc,
+      |    SUM(t * c) AS stc, SUM(t * t) AS stt, SUM(c * c) AS scc
+      |  FROM idx GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n,
+      |    n * stc - st * sc AS sxy, n * stt - st * st AS sxx,
+      |    n * scc - sc * sc AS syy, st, sc
+      |  FROM sums)
+      |SELECT event_type, n,
+      |  ROUND(CAST(sxy AS DOUBLE) / NULLIF(CAST(sxx AS DOUBLE), 0.0), 6)
+      |    + 0 AS slope,
+      |  ROUND((CAST(sc AS DOUBLE) - (CAST(sxy AS DOUBLE)
+      |    / NULLIF(CAST(sxx AS DOUBLE), 0.0)) * st) / n, 6) + 0
+      |    AS intercept,
+      |  ROUND(CAST(sxy AS DOUBLE) * sxy
+      |    / NULLIF(CAST(sxx AS DOUBLE) * syy, 0.0), 6) + 0 AS r2
+      |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val idx = hourlySeries(s, dir).select(col("event_type"), col("c"),
+      (row_number().over(w) - 1).cast("long").as("t"))
+    idx.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("c")).as("sc"), sum(col("t") * col("c")).as("stc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("stc") - col("st") * col("sc")).as("sxy"),
+        (col("n") * col("stt") - col("st") * col("st")).as("sxx"),
+        (col("n") * col("scc") - col("sc") * col("sc")).as("syy"),
+        col("st"), col("sc"))
+      .select(col("event_type"), col("n"),
+        (round(col("sxy").cast("double")
+          / nullif(col("sxx").cast("double"), lit(0.0)), 6) + 0).as("slope"),
+        (round((col("sc").cast("double") - (col("sxy").cast("double")
+            / nullif(col("sxx").cast("double"), lit(0.0))) * col("st"))
+          / col("n"), 6) + 0).as("intercept"),
+        (round(col("sxy").cast("double") * col("sxy")
+          / nullif(col("sxx").cast("double") * col("syy"), lit(0.0)), 6)
+          + 0).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Chi-square independence components: is event mix independent of
+    * weekday? Observed (type, weekday) counts vs the rank-1 expected
+    * table, each type's Σ(o−e)²/e reported as its component (global
+    * χ² = their sum; dof = (types−1)·6). Weekday is ISO Monday=0 on
+    * both engines. The margins are three tiny broadcast aggregates
+    * off one shared count pass; every term is built from exact
+    * integer counts via fixed double products (counts·N stay below
+    * 2^53, so the doubles are exact), and the 7-term per-type sum is
+    * same-sign with ROUND(6) — the retrieval_bm25 float-sum
+    * discipline. */
+  val chisq: Q = Q(
+    "q_chisq",
+    """WITH o AS (
+      |  SELECT event_type, isodow(ts) - 1 AS dow, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, SUM(o)::BIGINT AS r FROM o GROUP BY 1),
+      |c AS (SELECT dow, SUM(o)::BIGINT AS c FROM o GROUP BY 1),
+      |t AS (SELECT SUM(o)::BIGINT AS n FROM o),
+      |terms AS (
+      |  SELECT o.event_type,
+      |    (CAST(o.o AS DOUBLE) * t.n - CAST(r.r AS DOUBLE) * c.c)
+      |      * (CAST(o.o AS DOUBLE) * t.n - CAST(r.r AS DOUBLE) * c.c)
+      |      / (CAST(r.r AS DOUBLE) * c.c * t.n) AS term
+      |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t)
+      |SELECT event_type, ROUND(SUM(term), 6) + 0 AS chi2_component
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.events(s, dir)
+      .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .cache() // feeds its own three margins (caller-owned cleanup)
+    val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val t = o.agg(sum(col("o")).as("n"))
+    val d = col("o").cast("double") * col("n") -
+      col("r").cast("double") * col("c")
+    o.join(broadcast(r), Seq("event_type"))
+      .join(broadcast(c), Seq("dow"))
+      .crossJoin(broadcast(t))
+      .select(col("event_type"),
+        (d * d / (col("r").cast("double") * col("c") * col("n")))
+          .as("term"))
+      .groupBy(col("event_type"))
+      .agg((round(sum(col("term")), 6) + 0).as("chi2_component"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
-    attribution, autocorr, ewma, cusum)
+    attribution, autocorr, ewma, cusum, trend, chisq)
 }

@@ -148,5 +148,42 @@ object Linkage {
       .orderBy(col("name_a"), col("name_b"))
   }
 
-  val all: Seq[Q] = Seq(fuzzyNames, canonicalize)
+  /** Transitive entity clusters over the fuzzy pair graph — the full
+    * closure er_canonicalize's one-hop pass approximates: the edge
+    * list from [[fuzzyNames]]' blocked join feeds the SAME min-label
+    * propagation engine as dedup_clusters (Dedup.minLabelClusters —
+    * edge-count-sized shuffles, one action per round), so a chain
+    * old gear — cold gear — gold gear lands in ONE entity even when
+    * its endpoints exceed the pair threshold. Output covers every
+    * name in the pair graph (singletons have no merge decision to
+    * make). Oracle: recursive-CTE reachability closure. */
+  val clusters: Q = Q(
+    "er_clusters",
+    """WITH RECURSIVE d AS (
+      |  SELECT p_name, split_part(p_name, ' ', 2) AS blk
+      |  FROM part GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a.p_name AS na, b.p_name AS nb
+      |  FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |edges AS (
+      |  SELECT na AS x, nb AS y FROM e UNION SELECT nb, na FROM e),
+      |reach AS (
+      |  SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges)
+      |  UNION
+      |  SELECT r.x, ed.y FROM reach r JOIN edges ed ON r.y = ed.x)
+      |SELECT x AS name, MIN(y) AS entity_id
+      |FROM reach GROUP BY x ORDER BY name""".stripMargin) { (s, dir) =>
+    val d = domain(s, dir).select(col("p_name"), col("blk"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk")
+          && col("a.p_name") < col("b.p_name")
+          && levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_name").as("da"), col("b.p_name").as("db"))
+    Dedup.minLabelClusters(pairs)
+      .select(col("doc_id").as("name"), col("cluster_id").as("entity_id"))
+      .orderBy(col("name"))
+  }
+
+  val all: Seq[Q] = Seq(fuzzyNames, canonicalize, clusters)
 }

@@ -1008,8 +1008,46 @@ object Pipeline {
       .orderBy(col("anchor_id"))
   }
 
+  /** Curriculum training order: quality-banded easy-first scheduling
+    * with a seeded shuffle INSIDE each band — the curriculum-learning
+    * data order (Bengio et al. '09 applied corpus-side): band 4
+    * (highest quality) streams first, each band internally a
+    * deterministic md5 permutation so the order is reproducible on
+    * any engine at any parallelism and a new seed is a fresh epoch.
+    * Rank via GlobalPrefix ordered (band desc, key, doc_id) — ONE
+    * range exchange + O(partitions) offsets, no single-partition
+    * window. Composes the hash-proven quality score (Text.quality's
+    * dataflow) — the banding is a pure map over it. */
+  val seqCurriculum: Q = Q(
+    "seq_curriculum",
+    s"""WITH q AS (
+      |  SELECT doc_id, quality_score FROM (${Text.quality.oracle.get})),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(LEAST(FLOOR(quality_score * 5), 4) AS BIGINT) AS band,
+      |    md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM q)
+      |SELECT doc_id, band,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY band DESC, k, doc_id) AS BIGINT)
+      |    AS curriculum_rank
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val banded = graft.queries.Text
+      .qualityFrom(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        least(floor(col("quality_score") * 5), lit(4)).cast("long")
+          .as("band"),
+        md5(concat(lit("7:"), col("doc_id").cast("string"))).as("k"))
+    // GlobalPrefix sorts ascending; 4 - band inverts to easy-first
+    val (ranked, _) = graft.operators.GlobalPrefix.withCumSum(
+      banded.withColumn("inv", lit(4L) - col("band")),
+      Seq(col("inv"), col("k"), col("doc_id")), lit(1L))
+    ranked.select(col("doc_id"), col("band"),
+        col("cum").as("curriculum_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
     qualityDsir, corpusSplit, corpusTemperature, qualityTopPct,
-    corpusTriplets, qualityEnsemble)
+    corpusTriplets, qualityEnsemble, seqCurriculum)
 }

@@ -208,6 +208,39 @@ object StreamOps {
     * stays under 2⁶³ up to ~10⁹ events per user at this value range —
     * beyond that, shard the per-user state by day the way a real
     * deployment windows its stats. */
+  /** One valued event for the EWMA fold. */
+  final case class EwmaMsg(user_id: Long, event_id: Long, tsMicros: Long,
+      value: Double)
+  /** One smoothed point: the EWMA after folding this event. */
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** TRUE recursive EWMA (α=1/4) as per-user streaming state — what
+    * the batch events_ewma's 8-term truncation approximates with
+    * bounded window memory (truncated tail weight 0.75⁸ ≈ 0.10): the
+    * recursion s ← α·x + (1−α)·s is inexpressible as a batch window
+    * but is ONE double of state per user here, the textbook
+    * mapGroupsWithState shape. Emits the post-fold smoothed value per
+    * event. Parity contract (the stats/rolling twins' rule): per-user
+    * event-time-ordered arrival — each batch sorts on (ts, event_id)
+    * before the fold, so intra-batch disorder is absorbed; state
+    * carries across micro-batches (spec-pinned against a reference
+    * fold). */
+  def ewmaState(s: SparkSession, msgs: Dataset[EwmaMsg]): Dataset[EwmaOut] = {
+    import s.implicits._
+    msgs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, ms: Iterator[EwmaMsg], state: GroupState[Double]) =>
+          var cur = state.getOption
+          val out = ms.toSeq.sortBy(m => (m.tsMicros, m.event_id)).map { m =>
+            cur = Some(cur.fold(m.value)(p => 0.25 * m.value + 0.75 * p))
+            EwmaOut(user, m.event_id, cur.get)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One attribution-relevant event (value pre-converted to exact
     * cents — the events_attribution discipline). */
   final case class AttrMsg(user_id: Long, event_id: Long, tsMicros: Long,

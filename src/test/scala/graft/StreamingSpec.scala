@@ -283,6 +283,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=$got batch=$want")
   }
 
+  test("stateful EWMA: true recursion carries across micro-batches, " +
+      "batch truncation tracks it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[StreamOps.EwmaMsg].collect().sortBy(m => (m.tsMicros, m.event_id))
+    val mid = msgs(msgs.length / 2).tsMicros
+    val (b1, b2) = msgs.partition(_.tsMicros <= mid)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.EwmaMsg]
+    val q = StreamOps.ewmaState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_twin").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // reference: the same per-user (ts, event_id)-ordered fold in
+    // plain Scala — identical operation order, so equality is EXACT.
+    // Keeps each event's per-user position for the truncation bound.
+    val ref = msgs.groupBy(_.user_id).values.toSeq.flatMap { us =>
+      var s = Option.empty[Double]
+      us.sortBy(m => (m.tsMicros, m.event_id)).zipWithIndex.map {
+        case (m, i) =>
+          s = Some(s.fold(m.value)(p => 0.25 * m.value + 0.75 * p))
+          (m.event_id, s.get, i)
+      }
+    }
+    val want = ref.map(t => t._1 -> t._2).toMap
+    assert(got.size == msgs.length && got == want,
+      s"stream fold diverged: ${got.size} rows")
+    // the registered batch query's 8-term truncation tracks the true
+    // recursion within the truncated tail weight (0.75^8 of the value
+    // range — both are convex combinations of the same history, the
+    // recursion putting tail mass 0.75^8 outside the batch's window).
+    // Holds from the 9th event per user on; earlier rows renormalize
+    // over shorter histories with different weight profiles.
+    val batch = graft.queries.Events.ewma.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val range = msgs.map(_.value).max - msgs.map(_.value).min
+    val settled = ref.filter(_._3 >= 8)
+    assert(settled.nonEmpty)
+    val worst = settled.map { case (id, s, _) =>
+      math.abs(s - batch(id)) }.max
+    assert(worst <= math.pow(0.75, 8) * range + 1e-6,
+      s"truncation bound violated: $worst")
+  }
+
   test("stateful trailing-hour rolling: flatMapGroupsWithState == batch RANGE frame") {
     import spark.implicits._
     val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
