@@ -222,7 +222,87 @@ object Snapshots {
       s"no committed snapshot in $root" +
         asOf.map(v => s" at or before v=$v").getOrElse("")))
     require(v >= 0, "unreachable")
-    s.read.parquet(dir)
+    s.read.parquet(dataDirs(dir): _*)
+  }
+
+  /** The shallow-clone marker: a version directory holding this file
+    * has NO data files of its own — each line of the marker names a
+    * DATA DIRECTORY whose parquet files ARE this version's content
+    * (Delta SHALLOW CLONE semantics: a metadata-only copy, zero data
+    * movement). Written RESOLVED at clone time (a clone of a clone
+    * lists the original data dirs), so reader resolution is always
+    * single-level. */
+  private[graft] val CloneMarker = "_SNAP_CLONE"
+
+  /** Data location(s) of a version dir: itself, unless it is a
+    * shallow clone — then the source dirs its marker names. Every
+    * version-data read in this file and the graftsnap connectors
+    * routes through this resolver. */
+  private[graft] def dataDirs(dir: String): Seq[String] =
+    LakeFs.readString(s"$dir/$CloneMarker") match {
+      case Some(m) =>
+        val dirs = m.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        require(dirs.nonEmpty, s"torn clone marker in $dir")
+        dirs
+      case None => Seq(dir)
+    }
+
+  private def cloneInto(window: Seq[(Long, String)], srcRoot: String,
+      dstRoot: String): Long = {
+    require(window.nonEmpty, s"cloneTable: no committed state in $srcRoot")
+    val pin = window.last._1
+    // pin the source FIRST: once the tag exists, the source's vacuum
+    // family keeps the whole referenced as-of window (tags already
+    // participate in every retention keep-set), so the clone can
+    // never dangle. Idempotent name per (dst, version); a re-clone of
+    // the same state reuses the existing pin.
+    val tagName = "clone-" +
+      dstRoot.replaceAll("[^A-Za-z0-9_.-]", "_") + s"-v$pin"
+    if (!tags(srcRoot).contains(tagName)) tag(srcRoot, tagName, pin)
+    val dirs = window.flatMap { case (_, d) => dataDirs(d) }
+    val n = versions(dstRoot).lastOption.map(_._1).getOrElse(0L) + 1
+    val dir = s"$dstRoot/v=$n"
+    LakeFs.mkdirs(dir)
+    LakeFs.write(s"$dir/$CloneMarker", dirs.mkString("\n"))
+    // a clone is a full-state version: the base marker makes log
+    // readers treat it as subsuming everything below, so cloning
+    // INTO a live log behaves like RESTORE-from-elsewhere
+    require(LakeFs.createMarker(s"$dir/$Base"), s"base marker v=$n")
+    require(LakeFs.createMarker(s"$dir/$Marker"), s"commit marker v=$n")
+    n
+  }
+
+  /** SHALLOW CLONE of a snapshot-flavor table: publish `srcRoot`'s
+    * current (or as-of) state as the next committed version of
+    * `dstRoot` without copying a byte — the dev/test-table and
+    * what-if-experiment primitive every table format ships. The new
+    * version is a [[CloneMarker]] pointer; reads resolve through
+    * [[dataDirs]]; writes to the clone publish ordinary full versions
+    * (copy-on-write divergence — the source never sees them); the
+    * source version is pinned by an immutable tag so its retention
+    * never reaps the referenced files. Returns the clone's version. */
+  def cloneTable(s: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Long] = None): Long = {
+    val live = committed(srcRoot)
+    val pick = asOf match {
+      case Some(v) => live.takeWhile(_._1 <= v)
+      case None => live
+    }
+    cloneInto(pick.takeRight(1), srcRoot, dstRoot)
+  }
+
+  /** SHALLOW CLONE of an append-log root: the clone's one version
+    * points at the source's whole as-of reader window (the union
+    * [[readLog]] resolves), flattened — so the clone reads the same
+    * rows with none of the source's version structure. Tombstoned
+    * (merge-on-read) windows are refused, the raw-fold rule: a clone
+    * flattens the union, which would turn deletes into rows — clone
+    * the compacted state (compactLogMerged) instead. */
+  def cloneLog(s: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Long] = None): Long = {
+    requireNoTombstones(srcRoot, "cloneLog",
+      "compactLogMerged, then cloneLog", asOf)
+    cloneInto(logWindow(srcRoot, asOf), srcRoot, dstRoot)
   }
 
   /** Latest committed version number, None when the table is empty. */
@@ -262,13 +342,16 @@ object Snapshots {
       : Seq[String] = {
     requireNoTombstones(root, "graftsnap batch read", "Snapshots.readLogMerged",
       asOf)
-    logWindow(root, asOf).flatMap { case (_, d) =>
-      val all = graft.sources.SnapshotStreamTable.dataFiles(d)
-      bounds.foldLeft(all) { case (acc, (c, (lo, hi))) =>
-        val kept = SnapStats.prunedPaths(d, c, lo, hi).toSet
-        acc.filter(kept)
+    // resolve clone versions FIRST so pruning consults the SOURCE
+    // dirs' manifests (a clone dir holds neither files nor manifests)
+    logWindow(root, asOf).flatMap { case (_, d) => dataDirs(d) }
+      .flatMap { d =>
+        val all = graft.sources.SnapshotStreamTable.dataFiles(d)
+        bounds.foldLeft(all) { case (acc, (c, (lo, hi))) =>
+          val kept = SnapStats.prunedPaths(d, c, lo, hi).toSet
+          acc.filter(kept)
+        }
       }
-    }
   }
 
   // ---- named tags: immutable version pins (the Iceberg-tag shape) ----
@@ -456,7 +539,8 @@ object Snapshots {
     * timestamp travel to interleave them correctly. */
   def readAsOfTimestamp(s: SparkSession, root: String,
       tsMillis: Long): DataFrame =
-    s.read.parquet(s"$root/v=${versionAtTimestamp(root, tsMillis)}")
+    s.read.parquet(
+      dataDirs(s"$root/v=${versionAtTimestamp(root, tsMillis)}"): _*)
 
   /** RESTORE TO VERSION, snapshot flavor: republish version `v`'s
     * content as the NEW latest version — history stays immutable (the
@@ -594,12 +678,15 @@ object Snapshots {
     // and tombstones published after asOf must not refuse a clean one
     requireNoTombstones(root, "readLogPruned", "readLogMerged", asOf)
     val window = logWindow(root, asOf)
-    val paths = window.flatMap { case (_, d) =>
-      SnapStats.prunedPaths(d, c, BigDecimal(lo), BigDecimal(hi))
+    // clone versions resolve to their source dirs FIRST, so a cloned
+    // window prunes through the SOURCE's own manifests
+    val paths = window.flatMap { case (_, d) => dataDirs(d) }.flatMap {
+      d => SnapStats.prunedPaths(d, c, BigDecimal(lo), BigDecimal(hi))
     }
     val base =
       if (paths.nonEmpty) s.read.parquet(paths: _*)
-      else s.read.parquet(window.map(_._2): _*).filter(lit(false))
+      else s.read.parquet(window.flatMap(w => dataDirs(w._2)): _*)
+        .filter(lit(false))
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -615,9 +702,11 @@ object Snapshots {
       (v, isCommitted(d), hasBase(d), hasTombstone(d),
         LakeFs.isFile(s"$d/${SnapStats.ManifestName}"),
         commitTimestamp(root, v), baseFrom(d),
-        byV.getOrElse(v, Seq.empty))
+        byV.getOrElse(v, Seq.empty),
+        LakeFs.isFile(s"$d/$CloneMarker"))
     }.toDF("version", "committed", "compacted_base", "tombstone",
-      "has_stats", "committed_at_ms", "base_from", "tags")
+      "has_stats", "committed_at_ms", "base_from", "tags",
+      "shallow_clone")
   }
 
   /** The streaming reader's batch window (sources.SnapshotStreamSource,
@@ -729,9 +818,10 @@ object Snapshots {
     * compactLog folds the count back down. */
   private def unionWindow(s: SparkSession,
       window: Seq[(Long, String)]): DataFrame = {
-    val frames = window.map { case (_, d) => s.read.parquet(d) }
+    val frames = window.map { case (_, d) =>
+      s.read.parquet(dataDirs(d): _*) }
     if (frames.map(_.schema).distinct.sizeIs == 1)
-      s.read.parquet(window.map(_._2): _*)
+      s.read.parquet(window.flatMap(w => dataDirs(w._2)): _*)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -759,7 +849,7 @@ object Snapshots {
       asOf: Option[Long] = None): DataFrame = {
     val window = logWindow(root, asOf)
     val frames = window.map { case (v, d) =>
-      s.read.parquet(d)
+      s.read.parquet(dataDirs(d): _*)
         .withColumn("_graft_v", lit(v))
         .withColumn("_graft_tomb", lit(hasTombstone(d)))
     }

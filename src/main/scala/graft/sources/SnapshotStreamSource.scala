@@ -126,9 +126,14 @@ object SnapshotStreamTable {
     StructField(t.getName, dt, nullable = true)
   }
 
-  /** Parquet data files directly under a version dir (markers,
-    * manifests, and _SUCCESS excluded), deterministic order. */
+  /** Parquet data files of a version dir (markers, manifests, and
+    * _SUCCESS excluded), deterministic order. Shallow-clone versions
+    * resolve to their source data dirs first (Snapshots.dataDirs), so
+    * the graftsnap batch/stream connectors read clones natively. */
   def dataFiles(dir: String): Seq[String] =
+    graft.operators.Snapshots.dataDirs(dir).flatMap(dataFilesRaw).sorted
+
+  private def dataFilesRaw(dir: String): Seq[String] =
     LakeFs.list(dir).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") &&

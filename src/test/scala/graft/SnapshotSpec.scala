@@ -1057,4 +1057,75 @@ class SnapshotSpec extends AnyFunSuite {
         "fresh stream = newest base + later appends, exactly once")
     } finally q3.stop()
   }
+
+  test("shallow clone: zero-copy reads, copy-on-write divergence, source retention pinned") {
+    import spark.implicits._
+    val src = freshRoot("clone_src")
+    val dst = freshRoot("clone_dst")
+    Snapshots.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+    Snapshots.publish(Seq((1L, "a2")).toDF("k", "v"), src)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // clone v1 (as-of) — reads resolve to the SOURCE's files
+    val cv = Snapshots.cloneTable(spark, src, dst, asOf = Some(1L))
+    assert(cv == 1L)
+    assert(rows(Snapshots.read(spark, dst)) == Set(1L -> "a", 2L -> "b"))
+    // shallow: the clone dir holds NO parquet data of its own
+    assert(LakeFs.list(s"$dst/v=1").forall(st =>
+      !st.getPath.getName.endsWith(".parquet")), "clone copied data")
+    // history surfaces the clone
+    assert(Snapshots.history(spark, dst).filter("shallow_clone")
+      .count() == 1L)
+
+    // copy-on-write divergence: a publish to the clone never touches src
+    Snapshots.publish(Seq((9L, "z")).toDF("k", "v"), dst)
+    assert(rows(Snapshots.read(spark, dst)) == Set(9L -> "z"))
+    assert(rows(Snapshots.read(spark, src)) == Set(1L -> "a2"))
+    assert(rows(Snapshots.read(spark, dst, asOf = Some(1L)))
+      == Set(1L -> "a", 2L -> "b"), "clone version stays travelable")
+
+    // the clone pinned src v=1 with a tag, so retention keeps it
+    Snapshots.vacuum(src, keep = 1)
+    assert(rows(Snapshots.read(spark, dst, asOf = Some(1L)))
+      == Set(1L -> "a", 2L -> "b"), "source vacuum broke the clone")
+
+    // re-cloning the same state reuses the pin (idempotent tag)
+    val dst2 = freshRoot("clone_dst2")
+    Snapshots.cloneTable(spark, src, dst2)
+    Snapshots.cloneTable(spark, src, freshRoot("clone_dst2b"))
+    assert(rows(Snapshots.read(spark, dst2)) == Set(1L -> "a2"))
+  }
+
+  test("shallow clone of an append log: window flattened, graftsnap reads it, MoR refused") {
+    import spark.implicits._
+    val src = freshRoot("clonelog_src")
+    val dst = freshRoot("clonelog_dst")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "v"), src)
+    Snapshots.publishAppend(Seq((2L, "b")).toDF("k", "v"), src)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Snapshots.cloneLog(spark, src, dst)
+    assert(rows(Snapshots.read(spark, dst)) == Set(1L -> "a", 2L -> "b"))
+    // the clone is a full-state base: appends on top of it union
+    Snapshots.publishAppend(Seq((3L, "c")).toDF("k", "v"), dst)
+    assert(rows(Snapshots.readLog(spark, dst))
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the graftsnap batch connector resolves clone versions natively
+    assert(rows(spark.read.format("graftsnap").load(dst))
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // source compaction + retention cannot dangle the clone: the tag
+    // pins the cloned window
+    Snapshots.compactLog(spark, src)
+    Snapshots.vacuumLog(src)
+    assert(rows(Snapshots.read(spark, dst, asOf = Some(1L)))
+      == Set(1L -> "a", 2L -> "b"), "source vacuumLog broke the clone")
+    // merge-on-read windows are refused (a clone flattens the union)
+    val mor = freshRoot("clonelog_mor")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "v"), mor)
+    Snapshots.publishDeletes(Seq(1L).toDF("k"), mor)
+    intercept[IllegalArgumentException](
+      Snapshots.cloneLog(spark, mor, freshRoot("clonelog_mor_dst")))
+  }
+
 }
