@@ -1013,8 +1013,53 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Peak concurrency by sweep line: how many sessions were open at
+    * once, and when that peak was first reached — the load-planning
+    * question whose naive form is a range self-join (sessions ×
+    * sessions interval overlap, quadratic in the peak). The sweep
+    * decomposition is linear: sessions melt to ±1 boundary events,
+    * the global running sum IS the concurrency profile, and its max
+    * is the answer. The textbook global window is the canonical
+    * single-partition funnel, so the prefix sum runs through
+    * GlobalPrefix (range exchange + broadcast offsets). Closed
+    * intervals: a session starting exactly when another ends
+    * overlaps it — starts order before ends at equal timestamps
+    * (negd sort key), both engines. */
+  val concurrency: Q = Q(
+    "q_concurrency",
+    s"""WITH sess AS (
+      |  SELECT session_start, session_end FROM (${sessionize.oracle.get})),
+      |ev AS (
+      |  SELECT session_start AS t, 1 AS d FROM sess
+      |  UNION ALL SELECT session_end, -1 FROM sess),
+      |c AS (
+      |  SELECT t, SUM(d) OVER (ORDER BY t, -d ROWS UNBOUNDED PRECEDING)
+      |    AS cur
+      |  FROM ev),
+      |m AS (SELECT MAX(cur) AS mx FROM c)
+      |SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+      |  MIN(c.t) AS first_peak_ts
+      |FROM c CROSS JOIN m WHERE c.cur = m.mx GROUP BY m.mx""".stripMargin) {
+    (s, dir) =>
+    val sess = sessionizeDf(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value")))
+      .select(col("session_start"), col("session_end"))
+    val ev = sess.select(col("session_start").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select(col("session_end"), lit(-1L)))
+      .withColumn("negd", -col("d"))
+    val (c, _) = graft.operators.GlobalPrefix.withCumSum(
+      ev, Seq(col("t"), col("negd")), col("d"))
+    val cc = c.cache() // feeds the max agg and the argmin join
+    val m = cc.agg(max(col("cum")).as("mx"))
+    cc.join(broadcast(m), col("cum") === col("mx"))
+      .groupBy(col("mx"))
+      .agg(min(col("t")).as("first_peak_ts"))
+      .select(col("mx").cast("long").as("max_concurrent"),
+        col("first_peak_ts"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
-    attribution, autocorr, ewma, cusum, trend, chisq)
+    attribution, autocorr, ewma, cusum, trend, chisq, concurrency)
 }

@@ -241,6 +241,44 @@ object StreamOps {
       }
   }
 
+  /** One smoothed + one-step-forecast point from the Holt fold. */
+  final case class HoltOut(user_id: Long, event_id: Long, level: Double,
+      trend: Double, forecast_next: Double)
+
+  /** Holt's linear-trend double exponential smoothing (α=1/4, β=1/8)
+    * as per-user streaming state — the one-step forecaster next to
+    * [[ewmaState]]'s level-only smoother: l ← αx + (1−α)(l + b),
+    * b ← β(l − l_prev) + (1−β)b, forecast = l + b. A 2-double state
+    * vector per key, a LINEAR recursion no batch window expresses;
+    * initialized the standard way (l₀ = x₀, b₀ = x₁ − x₀ on the
+    * second point, forecasts defined from there). Same ordered-arrival
+    * parity contract as the EWMA twin; spec-pinned exactly against a
+    * reference fold across micro-batch boundaries. */
+  def holtState(s: SparkSession, msgs: Dataset[EwmaMsg]): Dataset[HoltOut] = {
+    import s.implicits._
+    msgs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Double, Double), HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, ms: Iterator[EwmaMsg],
+            state: GroupState[(Int, Double, Double)]) =>
+          var (n, l, b) = state.getOption.getOrElse((0, 0.0, 0.0))
+          val out = Seq.newBuilder[HoltOut]
+          ms.toSeq.sortBy(m => (m.tsMicros, m.event_id)).foreach { m =>
+            if (n == 0) { l = m.value; b = 0.0 }
+            else if (n == 1) { b = m.value - l; l = m.value }
+            else {
+              val lp = l
+              l = 0.25 * m.value + 0.75 * (l + b)
+              b = 0.125 * (l - lp) + 0.875 * b
+            }
+            n += 1
+            if (n >= 2) out += HoltOut(user, m.event_id, l, b, l + b)
+          }
+          state.update((n, l, b))
+          out.result().iterator
+      }
+  }
+
   /** One attribution-relevant event (value pre-converted to exact
     * cents — the events_attribution discipline). */
   final case class AttrMsg(user_id: Long, event_id: Long, tsMicros: Long,

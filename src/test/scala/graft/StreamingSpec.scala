@@ -335,6 +335,46 @@ class StreamingSpec extends AnyFunSuite {
       s"truncation bound violated: $worst")
   }
 
+  test("stateful Holt forecast: level+trend recursion carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msgs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[StreamOps.EwmaMsg].collect().sortBy(m => (m.tsMicros, m.event_id))
+    val mid = msgs(msgs.length / 2).tsMicros
+    val (b1, b2) = msgs.partition(_.tsMicros <= mid)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.EwmaMsg]
+    val q = StreamOps.holtState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("holt_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("holt_twin").collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    // reference fold, identical operation order → EXACT equality
+    val want = msgs.groupBy(_.user_id).values.toSeq.flatMap { us =>
+      var n = 0; var l = 0.0; var b = 0.0
+      us.sortBy(m => (m.tsMicros, m.event_id)).flatMap { m =>
+        if (n == 0) { l = m.value; b = 0.0 }
+        else if (n == 1) { b = m.value - l; l = m.value }
+        else {
+          val lp = l
+          l = 0.25 * m.value + 0.75 * (l + b)
+          b = 0.125 * (l - lp) + 0.875 * b
+        }
+        n += 1
+        if (n >= 2) Some(m.event_id -> ((l, b, l + b))) else None
+      }
+    }.toMap
+    assert(got.size == want.size && got == want,
+      s"holt fold diverged: ${got.size} vs ${want.size} rows")
+  }
+
   test("stateful trailing-hour rolling: flatMapGroupsWithState == batch RANGE frame") {
     import spark.implicits._
     val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
