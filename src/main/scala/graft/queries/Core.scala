@@ -1037,11 +1037,96 @@ object Core {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Decile lift / gains table — the model-evaluation query every
+    * scoring pipeline ships (here: the quality score "predicting" the
+    * langid gate, the two registered signals): exact decile
+    * boundaries via ONE percentile aggregate broadcast back (the
+    * q_rfm_segments rule — never an NTILE over a global sort), decile
+    * assignment a pure per-row compare, then counts, cumulative
+    * top-down gains, and lift over the base rate. The only window
+    * runs on the 10-row decile frame (the bounded-bands rule); all
+    * rates are single divisions of exact integers. */
+  val qDecileLift: Q = {
+    val qualSub = graft.queries.Text.quality.oracle.get
+    val langSub = graft.queries.Text.langid.oracle.get
+    Q(
+      "q_decile_lift",
+      s"""WITH qq AS (
+        |  SELECT doc_id, quality_score FROM ($qualSub)),
+        |ll AS (SELECT doc_id, predicted_lang FROM ($langSub)),
+        |s AS (
+        |  SELECT qq.doc_id, qq.quality_score AS score,
+        |    CASE WHEN ll.predicted_lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM qq JOIN ll USING (doc_id)),
+        |b AS (
+        |  SELECT ${(1 to 9).map(j =>
+             s"CAST(QUANTILE_CONT(score, 0.$j) AS DOUBLE) AS b$j")
+             .mkString(", ")}
+        |  FROM s),
+        |d AS (
+        |  SELECT pos, 1 + ${(1 to 9).map(j =>
+             s"(CASE WHEN score > b$j THEN 1 ELSE 0 END)").mkString(" + ")}
+        |    AS decile
+        |  FROM s CROSS JOIN b),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n, SUM(pos)::BIGINT AS np
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n)::BIGINT AS tn, SUM(np)::BIGINT AS tp FROM g),
+        |c AS (
+        |  SELECT decile, n, np,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+        |    CAST(SUM(np) OVER w AS BIGINT) AS cp
+        |  FROM g WINDOW w AS (ORDER BY decile DESC
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(decile AS BIGINT) AS decile, n, np AS n_pos,
+        |  ROUND(CAST(cp AS DOUBLE) / cn, 4) + 0 AS cum_rate,
+        |  ROUND((CAST(cp AS DOUBLE) / cn)
+        |    / (CAST(tp AS DOUBLE) / tn), 4) + 0 AS lift
+        |FROM c CROSS JOIN t ORDER BY decile DESC""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val scored = graft.queries.Text.qualityFrom(docs)
+          .select(col("doc_id"), col("quality_score").as("score"))
+          .join(graft.queries.Text.langidFrom(docs)
+            .select(col("doc_id"),
+              (col("predicted_lang") === "en").cast("int").as("pos")),
+            Seq("doc_id"))
+        val b = scored.agg(
+          (1 to 9).map(j => percentile(col("score"), lit(j / 10.0))
+            .as(s"b$j")).head,
+          (2 to 9).map(j => percentile(col("score"), lit(j / 10.0))
+            .as(s"b$j")): _*)
+        val d = scored.crossJoin(broadcast(b))
+          .select(col("pos"),
+            (1 to 9).map(j =>
+              when(col("score") > col(s"b$j"), 1).otherwise(0))
+              .foldLeft(lit(1))(_ + _).as("decile"))
+        val g = d.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).cast("long").as("np"))
+          .cache() // feeds the totals agg and the cumulative window
+        val t = g.agg(sum(col("n")).cast("long").as("tn"),
+          sum(col("np")).cast("long").as("tp"))
+        val w = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        g.select(col("decile"), col("n"), col("np"),
+            sum(col("n")).over(w).cast("long").as("cn"),
+            sum(col("np")).over(w).cast("long").as("cp"))
+          .crossJoin(broadcast(t))
+          .select(col("decile").cast("long").as("decile"), col("n"),
+            col("np").as("n_pos"),
+            (round(col("cp").cast("double") / col("cn"), 4) + 0)
+              .as("cum_rate"),
+            (round((col("cp").cast("double") / col("cn"))
+              / (col("tp").cast("double") / col("tn")), 4) + 0).as("lift"))
+          .orderBy(col("decile").desc)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
     qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
-    qSampleAgg, qDpCounts, qCohortLtv, qMoments)
+    qSampleAgg, qDpCounts, qCohortLtv, qMoments, qDecileLift)
 }

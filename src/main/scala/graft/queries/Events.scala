@@ -727,7 +727,7 @@ object Events {
     * semantics. One map-side-combining shuffle builds the counts; the
     * spine join is a broadcast of the tiny type × hour frame at any
     * corpus size (hours grow with TIME, not bytes). */
-  private def hourlySeries(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hourlySeries(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
     val counts = base.groupBy(col("event_type"), col("h"))
@@ -859,8 +859,10 @@ object Events {
     * sums), then S_t = max(0, S_{t−1} + z_t − k) via the closed form
     * S_t = C_t − min_{j≤t} C_j with C the running sum of (z − k) —
     * two sequential window passes instead of an inexpressible
-    * recursion (Page '54's statistic, prefix-decomposed). k = 0.5σ
-    * slack, alarm at S > 4. Running sums accumulate in the window's
+    * recursion (Page '54's statistic, prefix-decomposed — the prefix
+    * min includes the EMPTY prefix C₀ = 0, without which every
+    * series' first excursion would read 0). k = 0.5σ slack, alarm at
+    * S > 4. Running sums accumulate in the window's
     * pinned order, so the doubles match across engines. */
   val cusum: Q = Q(
     "events_cusum",
@@ -880,7 +882,7 @@ object Events {
       |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY h
       |    ROWS UNBOUNDED PRECEDING)),
       |st AS (
-      |  SELECT event_type, h, c - MIN(c) OVER w AS s
+      |  SELECT event_type, h, c - LEAST(0.0, MIN(c) OVER w) AS s
       |  FROM ct WINDOW w AS (PARTITION BY event_type ORDER BY h
       |    ROWS UNBOUNDED PRECEDING))
       |SELECT event_type, h AS hour, ROUND(s, 6) + 0 AS cusum,
@@ -901,7 +903,8 @@ object Events {
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, 0)
     z.withColumn("ct", sum(col("z") - 0.5).over(w))
-      .withColumn("s", col("ct") - min(col("ct")).over(w))
+      .withColumn("s",
+        col("ct") - least(lit(0.0), min(col("ct")).over(w)))
       .select(col("event_type"), col("h").as("hour"),
         (round(col("s"), 6) + 0).as("cusum"), (col("s") > 4.0).as("alarm"))
       .orderBy(col("event_type"), col("hour"))
@@ -912,9 +915,12 @@ object Events {
     * behind every capacity dashboard, as ONE distributed pass. The
     * regressor is the dense 0-based hour index (ROW_NUMBER per type
     * over the calendar spine — small integers at any calendar span,
-    * so the normal-equation cross sums stay exact BIGINTs), the six
-    * sums aggregate map-side, and the closed-form solution is one
-    * fixed double expression — bit-identical across engines. Degenerate
+    * so the six power sums stay exact BIGINTs at any calendar span),
+    * the sums aggregate map-side, and the closed-form solution is one
+    * fixed double expression over DOUBLE-cast cross products —
+    * bit-identical across engines, and the products cannot silently
+    * wrap at 100 TB counts (the int64 form would wrap in Spark while
+    * DuckDB errors — the WordPiece-denominator lesson). Degenerate
     * (zero-variance) series yield NULL via NULLIF. */
   val trend: Q = Q(
     "events_trend",
@@ -930,8 +936,10 @@ object Events {
       |  FROM idx GROUP BY 1),
       |f AS (
       |  SELECT event_type, n,
-      |    n * stc - st * sc AS sxy, n * stt - st * st AS sxx,
-      |    n * scc - sc * sc AS syy, st, sc
+      |    CAST(n AS DOUBLE) * stc - CAST(st AS DOUBLE) * sc AS sxy,
+      |    CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st AS sxx,
+      |    CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc AS syy,
+      |    st, sc
       |  FROM sums)
       |SELECT event_type, n,
       |  ROUND(CAST(sxy AS DOUBLE) / NULLIF(CAST(sxx AS DOUBLE), 0.0), 6)
@@ -951,9 +959,12 @@ object Events {
         sum(col("t") * col("t")).as("stt"),
         sum(col("c") * col("c")).as("scc"))
       .select(col("event_type"), col("n"),
-        (col("n") * col("stc") - col("st") * col("sc")).as("sxy"),
-        (col("n") * col("stt") - col("st") * col("st")).as("sxx"),
-        (col("n") * col("scc") - col("sc") * col("sc")).as("syy"),
+        (col("n").cast("double") * col("stc")
+          - col("st").cast("double") * col("sc")).as("sxy"),
+        (col("n").cast("double") * col("stt")
+          - col("st").cast("double") * col("st")).as("sxx"),
+        (col("n").cast("double") * col("scc")
+          - col("sc").cast("double") * col("sc")).as("syy"),
         col("st"), col("sc"))
       .select(col("event_type"), col("n"),
         (round(col("sxy").cast("double")

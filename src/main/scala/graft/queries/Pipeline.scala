@@ -1046,8 +1046,53 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-weighted sampling without replacement — the
+    * Efraimidis-Spirakis weighted-reservoir ordering done
+    * deterministically: each doc draws an exponential race key
+    * −ln(u)/w (u a pure md5 uniform, w its quality score), the k
+    * smallest keys ARE a weighted sample without replacement, and
+    * the whole draw reproduces on any engine at any parallelism (the
+    * corpus_sample seed discipline, weights added). The top-k is
+    * TakeOrderedAndProject — per-partition partial top-k, no global
+    * sort; the final rank is a window over k=10 rows. */
+  val sampleWeighted: Q = Q(
+    "corpus_sample_weighted",
+    s"""WITH q AS (
+      |  SELECT doc_id, quality_score FROM (${Text.quality.oracle.get})),
+      |d AS (
+      |  SELECT doc_id, quality_score,
+      |    -LN((('0x' || substr(md5('wr7:' || CAST(doc_id AS VARCHAR)),
+      |      1, 10))::BIGINT + 0.5) / 1099511627776.0) / quality_score
+      |      AS draw
+      |  FROM q WHERE quality_score > 0),
+      |r AS (
+      |  SELECT doc_id, quality_score, draw,
+      |    ROW_NUMBER() OVER (ORDER BY draw, doc_id) AS rank
+      |  FROM d)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+      |  ROUND(quality_score, 4) + 0 AS weight,
+      |  ROUND(draw, 6) + 0 AS draw_key
+      |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+    val u = (conv(substring(md5(concat(lit("wr7:"),
+        col("doc_id").cast("string"))), 1, 10), 16, 10).cast("long")
+      + 0.5) / 1099511627776.0
+    val top = graft.queries.Text.qualityFrom(Tables.documents(s, dir))
+      .select(col("doc_id"), col("quality_score"))
+      .filter(col("quality_score") > 0)
+      .withColumn("draw", -log(u) / col("quality_score"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(10)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("draw"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        (round(col("quality_score"), 4) + 0).as("weight"),
+        (round(col("draw"), 6) + 0).as("draw_key"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
     qualityDsir, corpusSplit, corpusTemperature, qualityTopPct,
-    corpusTriplets, qualityEnsemble, seqCurriculum)
+    corpusTriplets, qualityEnsemble, seqCurriculum, sampleWeighted)
 }

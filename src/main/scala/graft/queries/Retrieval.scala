@@ -913,22 +913,30 @@ object Retrieval {
     * DETERMINISTIC relevance table (relevant(q, d) ⟺ same `source` —
     * the topical proxy a synthetic corpus affords; a production eval
     * swaps in judged qrels, the metric dataflow is identical).
-    * Precision@3 and reciprocal rank@10, both as exact rank
-    * arithmetic rounded once at 4dp. Scale shape: the ranking is the
-    * existing bm25 join (bounded query set broadcast), the relevance
-    * join attaches two source lookups (query side broadcast), and
-    * the metrics are ONE partial-aggregating groupBy — no second
-    * corpus pass, no window beyond the ranking's own. */
+    * Precision@3, reciprocal rank@10, and nDCG@10, all as exact rank
+    * arithmetic (the DCG terms are same-sign 1/log2 doubles under the
+    * bm25 float-sum discipline; the ideal DCG is a fixed ascending
+    * fold over min(R,10) terms with R = the query's corpus-wide
+    * relevant count — a tiny source-size broadcast; R = 0 yields NULL
+    * on BOTH engines, guarded explicitly because Spark's
+    * sequence(1, 0) infers step −1 where DuckDB's range is empty)
+    * rounded once at 4dp. Scale shape: the ranking is the existing bm25 join (bounded
+    * query set broadcast), the relevance join attaches two source
+    * lookups (query side broadcast), and the metrics are ONE
+    * partial-aggregating groupBy — no second corpus pass, no window
+    * beyond the ranking's own. */
   val eval: Q = Q(
     "retrieval_eval",
     s"""WITH $bm25Cte,
       |src AS (SELECT doc_id, source FROM documents),
+      |ssz AS (SELECT source, COUNT(*) AS sn FROM src GROUP BY 1),
       |rel AS (
-      |  SELECT r.query_id, r.rn,
+      |  SELECT r.query_id, r.rn, z.sn - 1 AS n_rel,
       |    CASE WHEN ds.source = qs.source THEN 1 ELSE 0 END AS is_rel
       |  FROM ranked r
       |  JOIN src ds ON r.doc_id = ds.doc_id
-      |  JOIN src qs ON r.query_id = qs.doc_id)
+      |  JOIN src qs ON r.query_id = qs.doc_id
+      |  JOIN ssz z ON qs.source = z.source)
       |SELECT query_id,
       |  ROUND(CAST(SUM(CASE WHEN rn <= 3 THEN is_rel ELSE 0 END)
       |    AS DOUBLE) / 3.0, 4) AS p_at_3,
@@ -936,16 +944,28 @@ object Retrieval {
       |    MIN(CASE WHEN is_rel = 1 AND rn <= 10 THEN rn END), 0.0), 4)
       |    AS rr_at_10,
       |  CAST(COALESCE(MIN(CASE WHEN is_rel = 1 THEN rn END), 0) AS BIGINT)
-      |    AS first_rel_rank
+      |    AS first_rel_rank,
+      |  CASE WHEN MIN(n_rel) < 1 THEN NULL ELSE ROUND(
+      |    SUM(CASE WHEN rn <= 10 THEN is_rel / log2(rn + 1.0)
+      |      ELSE 0.0 END)
+      |    / list_sum(list_transform(
+      |        range(1, CAST(LEAST(MIN(n_rel), 10) AS INTEGER) + 1),
+      |        i -> 1.0 / log2(i + 1.0))), 4) + 0 END AS ndcg_at_10
       |FROM rel GROUP BY query_id ORDER BY query_id""".stripMargin) {
     (s, dir) =>
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"))
+      val ssz = src.groupBy(col("source")).agg(count(lit(1)).as("sn"))
       val qsrc = src.select(col("doc_id").as("query_id"),
         col("source").as("qsrc"))
+      val idcg = expr("""aggregate(sequence(1,
+        CAST(LEAST(MIN(n_rel), 10) AS INT)),
+        0D, (a, i) -> a + 1.0 / log2(i + 1.0))""")
       bm25Ranked(s, dir)
         .join(src, "doc_id")
-        .join(broadcast(qsrc), "query_id")
+        .join(broadcast(qsrc.join(ssz,
+          col("qsrc") === col("source")).drop("source")
+          .withColumn("n_rel", col("sn") - 1).drop("sn")), "query_id")
         .withColumn("is_rel",
           (col("source") === col("qsrc")).cast("long"))
         .groupBy(col("query_id"))
@@ -956,7 +976,11 @@ object Retrieval {
             min(when(col("is_rel") === 1L && col("rn") <= 10, col("rn"))),
             lit(0.0)), 4).as("rr_at_10"),
           coalesce(min(when(col("is_rel") === 1L, col("rn"))), lit(0))
-            .cast("long").as("first_rel_rank"))
+            .cast("long").as("first_rel_rank"),
+          when(min(col("n_rel")) < 1, lit(null))
+            .otherwise(round(sum(when(col("rn") <= 10,
+              col("is_rel") / log2(col("rn") + 1.0)).otherwise(0.0))
+            / idcg, 4) + 0).as("ndcg_at_10"))
         .orderBy(col("query_id"))
   }
 

@@ -279,6 +279,46 @@ object StreamOps {
       }
   }
 
+  /** One observation for the keyed CUSUM fold. */
+  final case class CusumMsg(key: String, seq_id: Long, tsMicros: Long,
+      value: Double)
+  /** One scored point: the CUSUM statistic after this observation. */
+  final case class CusumOut(key: String, seq_id: Long, cusum: Double,
+    alarm: Boolean)
+
+  /** Streaming CUSUM scoring against FROZEN per-key (mean, std) — the
+    * anomaly-serving shape (nbScoreIngest's rule: models are FIT by
+    * the batch side, streams only score — re-estimating σ per batch
+    * would make the alarm threshold drift with traffic): state is two
+    * doubles per key, the running C = Σ(z − k) and its prefix min
+    * (initialized 0 = the empty prefix, events_cusum's exact
+    * semantics), S = C − min ≤0-clamped prefix, alarm at S > h. Same
+    * ordered-arrival parity contract as the EWMA/Holt twins;
+    * spec-pinned equal to the REGISTERED batch query over the same
+    * series split across micro-batches. */
+  def cusumScoreState(s: SparkSession, msgs: Dataset[CusumMsg],
+      stats: Map[String, (Double, Double)], slack: Double = 0.5,
+      threshold: Double = 4.0): Dataset[CusumOut] = {
+    import s.implicits._
+    msgs.groupByKey(_.key)
+      .flatMapGroupsWithState[(Double, Double), CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, ms: Iterator[CusumMsg],
+            state: GroupState[(Double, Double)]) =>
+          val (mean, sd) = stats.getOrElse(key, (0.0, 1.0))
+          var (c, mn) = state.getOption.getOrElse((0.0, 0.0))
+          val out = ms.toSeq.sortBy(x => (x.tsMicros, x.seq_id)).map { x =>
+            val z = (x.value - mean) / sd
+            c += z - slack
+            if (c < mn) mn = c // mn starts at the empty prefix's 0
+            val stat = c - mn
+            CusumOut(key, x.seq_id, stat, stat > threshold)
+          }
+          state.update((c, mn))
+          out.iterator
+      }
+  }
+
   /** One attribution-relevant event (value pre-converted to exact
     * cents — the events_attribution discipline). */
   final case class AttrMsg(user_id: Long, event_id: Long, tsMicros: Long,

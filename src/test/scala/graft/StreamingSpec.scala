@@ -375,6 +375,53 @@ class StreamingSpec extends AnyFunSuite {
       s"holt fold diverged: ${got.size} vs ${want.size} rows")
   }
 
+  test("streaming CUSUM scoring: frozen-stats state == the registered batch query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch query's own series dataflow feeds the stream, and the
+    // frozen stats are the query's own exact-sum formula
+    val series = graft.queries.Events.hourlySeries(spark, sf)
+      .select(col("event_type"), unix_micros(col("h")).as("hm"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stats = series.groupBy(_._1).map { case (k, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._3).sum
+      val sxx = rows.map(x => x._3 * x._3).sum
+      val mean = sx.toDouble / n
+      val sd = math.sqrt((n.toDouble * sxx - sx.toDouble * sx)
+        / (n.toDouble * (n - 1)))
+      k -> ((mean, sd))
+    }
+    val msgs = series.map { case (k, hm, c) =>
+      StreamOps.CusumMsg(k, hm, hm, c.toDouble) }
+      .sortBy(m => (m.tsMicros, m.seq_id))
+    val mid = msgs(msgs.length / 2).tsMicros
+    val (b1, b2) = msgs.partition(_.tsMicros <= mid)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.CusumMsg]
+    val q = StreamOps.cusumScoreState(spark, ms.toDS(), stats).toDF()
+      .writeStream.format("memory").queryName("cusum_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val got = spark.table("cusum_twin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r6(r.getDouble(2)), r.getBoolean(3)))).toMap
+    val want2 = graft.queries.Events.cusum.run(spark, sf)
+      .select(col("event_type"), unix_micros(col("hour")).as("hm"),
+        col("cusum"), col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2) + 0.0, r.getBoolean(3)))).toMap
+    assert(got.size == want2.size && got == want2,
+      s"stream cusum diverged: ${got.size} vs ${want2.size}")
+  }
+
   test("stateful trailing-hour rolling: flatMapGroupsWithState == batch RANGE frame") {
     import spark.implicits._
     val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
