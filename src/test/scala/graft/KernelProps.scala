@@ -210,4 +210,23 @@ object KernelProps extends Properties("kernels") {
         books.forall(_.forall(_.length == d / m)) &&
         books.forall(_.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
     }
+  property("CUSUM prefix decomposition equals the direct recursion") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-3.0, 3.0))) { zs =>
+      // the batch query computes S_t = C_t - min(0, min_{j<=t} C_j)
+      // with C the running sum of (z - k); Page's statistic is the
+      // recursion S_t = max(0, S_{t-1} + z_t - k), S_0 = 0 — the two
+      // must agree on ANY series (floats are exact here: identical
+      // adds in identical order on both sides of the identity)
+      val k = 0.5
+      val viaPrefix = zs.scanLeft(0.0)(_ + _ - k).tail
+        .scanLeft((0.0, 0.0)) { case ((mn, _), c) =>
+          (math.min(mn, c), c - math.min(mn, c))
+        }.tail.map(_._2)
+      val viaRecursion = zs.scanLeft(0.0)((s, z) =>
+        math.max(0.0, s + z - k)).tail
+      // identical up to float associativity of the shared running sum
+      viaPrefix.zip(viaRecursion).forall { case (a, b) =>
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      }
+    }
 }
