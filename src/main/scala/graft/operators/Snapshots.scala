@@ -709,6 +709,30 @@ object Snapshots {
       "shallow_clone")
   }
 
+  /** DESCRIBE DETAIL: one-row table summary — sizes, file counts,
+    * version/pin counts, flavor flags — from driver-side listings
+    * only (the reader window's data dirs are resolved through
+    * [[dataDirs]], so clone versions report their SOURCE bytes: the
+    * honest answer to "how much data does this table read"). */
+  def detail(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val live = committed(root)
+    val window = logWindow(root, None)
+    val files = window.flatMap { case (_, d) => dataDirs(d) }
+      .flatMap(d => LakeFs.list(d))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    Seq((latestVersion(root).getOrElse(0L), live.size.toLong,
+      (versions(root).size - live.size).toLong, window.size.toLong,
+      files.size.toLong, files.map(_.getLen).sum,
+      tags(root).size.toLong, branches(root).size.toLong,
+      window.exists { case (_, d) => hasTombstone(d) },
+      window.count { case (_, d) =>
+        LakeFs.isFile(s"$d/$CloneMarker") }.toLong))
+      .toDF("latest_version", "n_committed", "n_torn", "window_versions",
+        "n_data_files", "size_bytes", "n_tags", "n_branches",
+        "has_tombstones", "n_clone_versions")
+  }
+
   /** The streaming reader's batch window (sources.SnapshotStreamSource,
     * `format("graftsnap")`): committed versions in (after, until],
     * skipping tombstone key-batches (delete markers, not data rows)

@@ -1126,6 +1126,40 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshots.publishDeletes(Seq(1L).toDF("k"), mor)
     intercept[IllegalArgumentException](
       Snapshots.cloneLog(spark, mor, freshRoot("clonelog_mor_dst")))
+
+    // OPTIMIZE materializes: compacting the CLONE root folds the
+    // pointer window into real local files — after it, the clone
+    // owns its data and the source pin is the only remaining tie
+    Snapshots.compactLog(spark, dst)
+    assert(rows(Snapshots.read(spark, dst))
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    val latest = Snapshots.latestVersion(dst).get
+    assert(LakeFs.list(s"$dst/v=$latest").exists(st =>
+      st.getPath.getName.endsWith(".parquet")),
+      "compaction did not materialize the clone")
+  }
+
+  test("DESCRIBE DETAIL summarizes versions, files, bytes, and pins") {
+    import spark.implicits._
+    val root = freshRoot("detail")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.publishAppend(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    Snapshots.tag(root, "rel1", 1L)
+    val d = Snapshots.detail(spark, root).collect()(0)
+    assert(d.getAs[Long]("latest_version") == 2L)
+    assert(d.getAs[Long]("n_committed") == 2L)
+    assert(d.getAs[Long]("n_torn") == 0L)
+    assert(d.getAs[Long]("window_versions") == 2L)
+    assert(d.getAs[Long]("n_data_files") >= 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("n_tags") == 1L)
+    assert(!d.getAs[Boolean]("has_tombstones"))
+    // a clone root reports its SOURCE bytes through the resolver
+    val dst = freshRoot("detail_clone")
+    Snapshots.cloneLog(spark, root, dst)
+    val cd = Snapshots.detail(spark, dst).collect()(0)
+    assert(cd.getAs[Long]("n_clone_versions") == 1L)
+    assert(cd.getAs[Long]("size_bytes") == d.getAs[Long]("size_bytes"))
   }
 
 }
