@@ -248,7 +248,7 @@ object Snapshots {
     }
 
   private def cloneInto(window: Seq[(Long, String)], srcRoot: String,
-      dstRoot: String): Long = {
+      dstRoot: String, logFlavor: Boolean): Long = {
     require(window.nonEmpty, s"cloneTable: no committed state in $srcRoot")
     val pin = window.last._1
     // pin the source FIRST: once the tag exists, the source's vacuum
@@ -264,10 +264,14 @@ object Snapshots {
     val dir = s"$dstRoot/v=$n"
     LakeFs.mkdirs(dir)
     LakeFs.write(s"$dir/$CloneMarker", dirs.mkString("\n"))
-    // a clone is a full-state version: the base marker makes log
-    // readers treat it as subsuming everything below, so cloning
-    // INTO a live log behaves like RESTORE-from-elsewhere
-    require(LakeFs.createMarker(s"$dir/$Base"), s"base marker v=$n")
+    // a LOG clone is a full-state version: its base marker makes log
+    // readers treat it as subsuming everything below (cloning INTO a
+    // live log behaves like RESTORE-from-elsewhere). A SNAPSHOT clone
+    // must NOT carry one — vacuum() refuses roots with base markers
+    // (the append-log guard), so the marker would permanently break
+    // the destination's snapshot retention path.
+    if (logFlavor)
+      require(LakeFs.createMarker(s"$dir/$Base"), s"base marker v=$n")
     require(LakeFs.createMarker(s"$dir/$Marker"), s"commit marker v=$n")
     n
   }
@@ -288,7 +292,7 @@ object Snapshots {
       case Some(v) => live.takeWhile(_._1 <= v)
       case None => live
     }
-    cloneInto(pick.takeRight(1), srcRoot, dstRoot)
+    cloneInto(pick.takeRight(1), srcRoot, dstRoot, logFlavor = false)
   }
 
   /** SHALLOW CLONE of an append-log root: the clone's one version
@@ -302,7 +306,19 @@ object Snapshots {
       asOf: Option[Long] = None): Long = {
     requireNoTombstones(srcRoot, "cloneLog",
       "compactLogMerged, then cloneLog", asOf)
-    cloneInto(logWindow(srcRoot, asOf), srcRoot, dstRoot)
+    val window = logWindow(srcRoot, asOf)
+    // fix for the flattening hazard: the clone's one version reads
+    // its dirs as ONE multi-path scan, which takes a single footer's
+    // schema — an evolved window would silently drop later columns
+    // that readLog's unionByName path null-fills. Refuse; compact the
+    // source first (the fold resolves the union with null-fill).
+    val schemas = window.flatMap { case (_, d) => dataDirs(d) }
+      .map(d => s.read.parquet(d).schema).distinct
+    require(schemas.sizeIs <= 1,
+      s"cloneLog($srcRoot): the window spans ${schemas.size} distinct " +
+        "schemas — a flattened clone would drop evolved columns; run " +
+        "compactLog on the source first")
+    cloneInto(window, srcRoot, dstRoot, logFlavor = true)
   }
 
   /** Latest committed version number, None when the table is empty. */
@@ -346,7 +362,8 @@ object Snapshots {
     // dirs' manifests (a clone dir holds neither files nor manifests)
     logWindow(root, asOf).flatMap { case (_, d) => dataDirs(d) }
       .flatMap { d =>
-        val all = graft.sources.SnapshotStreamTable.dataFiles(d)
+        // d is already resolved — skip dataFiles' own clone probe
+        val all = graft.sources.SnapshotStreamTable.dataFilesRaw(d)
         bounds.foldLeft(all) { case (acc, (c, (lo, hi))) =>
           val kept = SnapStats.prunedPaths(d, c, lo, hi).toSet
           acc.filter(kept)
@@ -606,8 +623,15 @@ object Snapshots {
     * job for point-lookup tables; one data pass, amortized across
     * every readPoint after. */
   def addBloom(s: SparkSession, root: String, c: String,
-      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Unit =
-    SnapStats.writeBloom(s, resolveDir(root, None), c, expectedPerFile, fpp)
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val dir = resolveDir(root, None)
+    // a clone's data dirs belong to the SOURCE table — writing index
+    // sidecars into them would mutate a dir this root does not own
+    require(!LakeFs.isFile(s"$dir/$CloneMarker"),
+      s"addBloom($root): the latest version is a shallow clone — " +
+        "index the source table, or materialize first (compactLog)")
+    SnapStats.writeBloom(s, dir, c, expectedPerFile, fpp)
+  }
 
   /** Equality probe over the resolved snapshot with Bloom file
     * skipping — on unclustered data min/max prunes nothing (every
@@ -615,7 +639,9 @@ object Snapshots {
     * that cannot hold the key; the exact filter stays in the plan. */
   def readPoint(s: SparkSession, root: String, c: String, value: Long,
       asOf: Option[Long] = None): DataFrame =
-    SnapStats.scanPoint(s, resolveDir(root, asOf), c, value)
+    dataDirs(resolveDir(root, asOf))
+      .map(d => SnapStats.scanPoint(s, d, c, value))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   private def resolveDir(root: String, asOf: Option[Long]): String = {
     val live = committed(root)
@@ -638,7 +664,9 @@ object Snapshots {
     * filter, never to wrong rows. */
   def readPruned(s: SparkSession, root: String, c: String,
       lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
-    SnapStats.scanRange(s, resolveDir(root, asOf), c, lo, hi)
+    dataDirs(resolveDir(root, asOf))
+      .map(d => SnapStats.scanRange(s, d, c, lo, hi))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Append-log flavor: each committed version holds one BATCH, and
     * a reader resolves the UNION of every committed version (up to an
@@ -718,18 +746,25 @@ object Snapshots {
     import s.implicits._
     val live = committed(root)
     val window = logWindow(root, None)
-    val files = window.flatMap { case (_, d) => dataDirs(d) }
-      .flatMap(d => LakeFs.list(d))
+    def pq(dirs: Seq[String]) = dirs.flatMap(d => LakeFs.list(d))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // two read costs, because the flavor decides which one a reader
+    // pays: window_* = the log union readLog resolves; latest_* = the
+    // one version a snapshot-flavor read() scans
+    val files = pq(window.flatMap { case (_, d) => dataDirs(d) })
+    val latestFiles = pq(live.lastOption.toSeq
+      .flatMap { case (_, d) => dataDirs(d) })
     Seq((latestVersion(root).getOrElse(0L), live.size.toLong,
       (versions(root).size - live.size).toLong, window.size.toLong,
       files.size.toLong, files.map(_.getLen).sum,
+      latestFiles.size.toLong, latestFiles.map(_.getLen).sum,
       tags(root).size.toLong, branches(root).size.toLong,
       window.exists { case (_, d) => hasTombstone(d) },
       window.count { case (_, d) =>
         LakeFs.isFile(s"$d/$CloneMarker") }.toLong))
       .toDF("latest_version", "n_committed", "n_torn", "window_versions",
-        "n_data_files", "size_bytes", "n_tags", "n_branches",
+        "n_data_files", "size_bytes", "latest_data_files",
+        "latest_size_bytes", "n_tags", "n_branches",
         "has_tombstones", "n_clone_versions")
   }
 

@@ -874,7 +874,8 @@ object Core {
       |  ROUND(19.6 * SQRT(CAST(n AS DOUBLE)
       |    * ((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
       |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-      |      / (CAST(n AS DOUBLE) * (n - 1)))), 4) + 0 AS ci_half
+      |      / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0.0))), 4) + 0
+      |    AS ci_half
       |FROM a ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val slot = conv(substring(md5(concat(
         col("l_orderkey").cast("string"), lit("-"),
@@ -891,7 +892,8 @@ object Core {
         (round(lit(19.6) * sqrt(col("n").cast("double")
           * ((col("n").cast("double") * col("sqq").cast("double")
               - col("sq").cast("double") * col("sq").cast("double"))
-            / (col("n").cast("double") * (col("n") - 1)))), 4) + 0)
+            / nullif(col("n").cast("double") * (col("n") - 1),
+              lit(0.0)))), 4) + 0)
           .as("ci_half"))
       .orderBy(col("l_returnflag"))
   }
@@ -908,20 +910,19 @@ object Core {
     * both engines. */
   val qDpCounts: Q = Q(
     "q_dp_counts",
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
       |u AS (
       |  SELECT o_orderpriority, n,
-      |    (('0x' || substr(md5(o_orderpriority || ':dp1'), 1, 10))::BIGINT
-      |      + 0.5) / 1099511627776.0 - 0.5 AS u
+      |    ${graft.functions.Slots.uniformOpenSql("dp1", "o_orderpriority")}
+      |      - 0.5 AS u
       |  FROM g)
       |SELECT o_orderpriority,
       |  ROUND(n - (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)
       |    * LN(1 - 2 * ABS(u)), 4) + 0 AS dp_count
       |FROM u ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-    val u = (conv(substring(md5(concat(col("o_orderpriority"),
-        lit(":dp1"))), 1, 10), 16, 10).cast("long") + 0.5) /
-      1099511627776.0 - 0.5
+    val u = graft.functions.Slots.uniformOpen("dp1",
+      col("o_orderpriority")) - 0.5
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))

@@ -24,24 +24,18 @@ import graft.sources.Tables
   * retrieval_bm25 disclosed-determinism argument). */
 object Geo {
 
-  private val Slot = 1099511627776.0 // 2^40
-
-  private def u(salt: String, key: Column): Column =
-    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))),
-      1, 10), 16, 10).cast("long") / Slot
+  import graft.functions.Slots
 
   /** Deterministic coordinates in a 40..50°N, -5..5°E box. */
   private def coords(df: DataFrame, key: String): DataFrame =
-    df.withColumn("lat", lit(40.0) + u("geolat", col(key)) * 10)
-      .withColumn("lon", lit(-5.0) + u("geolon", col(key)) * 10)
-
-  private def uSql(salt: String, key: String): String =
-    s"(('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 10))" +
-      s"::BIGINT / $Slot)"
+    df.withColumn("lat",
+        lit(40.0) + Slots.uniform("geolat", col(key)) * 10)
+      .withColumn("lon",
+        lit(-5.0) + Slots.uniform("geolon", col(key)) * 10)
 
   private def coordsSql(key: String): String =
-    s"40.0 + ${uSql("geolat", key)} * 10 AS lat, " +
-      s"-5.0 + ${uSql("geolon", key)} * 10 AS lon"
+    s"40.0 + ${Slots.uniformSql("geolat", key)} * 10 AS lat, " +
+      s"-5.0 + ${Slots.uniformSql("geolon", key)} * 10 AS lon"
 
   private def cellCols(df: DataFrame): DataFrame =
     df.withColumn("cx", floor(col("lat") / 0.5).cast("long"))

@@ -1061,9 +1061,8 @@ object Pipeline {
       |  SELECT doc_id, quality_score FROM (${Text.quality.oracle.get})),
       |d AS (
       |  SELECT doc_id, quality_score,
-      |    -LN((('0x' || substr(md5('wr7:' || CAST(doc_id AS VARCHAR)),
-      |      1, 10))::BIGINT + 0.5) / 1099511627776.0) / quality_score
-      |      AS draw
+      |    -LN(${graft.functions.Slots.uniformOpenSql("wr7", "doc_id")})
+      |      / quality_score AS draw
       |  FROM q WHERE quality_score > 0),
       |r AS (
       |  SELECT doc_id, quality_score, draw,
@@ -1073,9 +1072,7 @@ object Pipeline {
       |  ROUND(quality_score, 4) + 0 AS weight,
       |  ROUND(draw, 6) + 0 AS draw_key
       |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
-    val u = (conv(substring(md5(concat(lit("wr7:"),
-        col("doc_id").cast("string"))), 1, 10), 16, 10).cast("long")
-      + 0.5) / 1099511627776.0
+    val u = graft.functions.Slots.uniformOpen("wr7", col("doc_id"))
     val top = graft.queries.Text.qualityFrom(Tables.documents(s, dir))
       .select(col("doc_id"), col("quality_score"))
       .filter(col("quality_score") > 0)

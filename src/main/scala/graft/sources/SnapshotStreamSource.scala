@@ -133,7 +133,7 @@ object SnapshotStreamTable {
   def dataFiles(dir: String): Seq[String] =
     graft.operators.Snapshots.dataDirs(dir).flatMap(dataFilesRaw).sorted
 
-  private def dataFilesRaw(dir: String): Seq[String] =
+  private[graft] def dataFilesRaw(dir: String): Seq[String] =
     LakeFs.list(dir).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") &&

@@ -305,7 +305,13 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, ms: Iterator[CusumMsg],
             state: GroupState[(Double, Double)]) =>
-          val (mean, sd) = stats.getOrElse(key, (0.0, 1.0))
+          // models are FIT batch-side: an un-fit key must fail loudly,
+          // not silently score raw values as z-scores against (0, 1)
+          val (mean, sd) = stats.getOrElse(key, sys.error(
+            s"cusumScoreState: no frozen stats for key '$key' — " +
+              "fit the batch side first (events_cusum's stats pass)"))
+          require(sd > 0,
+            s"cusumScoreState: frozen std for '$key' must be > 0")
           var (c, mn) = state.getOption.getOrElse((0.0, 0.0))
           val out = ms.toSeq.sortBy(x => (x.tsMicros, x.seq_id)).map { x =>
             val z = (x.value - mean) / sd
@@ -1298,12 +1304,19 @@ object StreamOps {
 
   /** Streaming fuzzy record linkage — er_fuzzy_names' ingest twin,
     * fingerprintIngest's shape for edit distance: each micro-batch
-    * (1) appends its distinct name domain to a maintained lake index
-    * (epoch-gated, exactly-once) and (2) emits the batch-involved
-    * verified fuzzy pairs (new-vs-known + new-vs-new) through
-    * Linkage.batchFuzzyPairs — a pair surfaces exactly once, when its
-    * second member first arrives. Per-batch cost is the batch's
-    * block fan-out against the index, never an index self-join. */
+    * (1) appends the names it is FIRST to see to a maintained lake
+    * index (epoch-gated, anti-joined against the index so hot names
+    * recurring in every batch never grow it) tagged with their
+    * first-seen epoch, and (2) emits the fuzzy pairs whose second
+    * member this epoch introduced, via Linkage.batchFuzzyPairs over
+    * the first-seen split — a pair surfaces EXACTLY once, however
+    * often its member names recur in later batches, and an epoch
+    * replay recomputes the identical split from the index's own
+    * first-seen tags (replay-stable by construction: the emit never
+    * classifies against "what this batch carried" but against "what
+    * the index says was first seen now"). Per-batch cost is the
+    * batch's block fan-out against the index, never an index
+    * self-join. */
   def linkIngest(s: SparkSession, names: DataFrame, indexDir: String,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     names.writeStream
@@ -1318,16 +1331,29 @@ object StreamOps {
     * can replay an epoch directly. */
   private[graft] def linkIngestBatch(s: SparkSession, batch: DataFrame,
       epoch: Long, indexDir: String, outDir: String): Unit = {
-    import graft.operators.IndexLifecycle
+    import graft.operators.{IndexLifecycle, LakeFs}
     val names = batch.select(col("name")).distinct().cache()
     IndexLifecycle.epochOnce(indexDir, epoch) {
-      names.write.mode("append").parquet(s"$indexDir/names")
+      // only names the index has never seen are appended — a name
+      // recurring across batches neither grows the index nor (below)
+      // re-emits its pairs. The anti-join also absorbs a torn-marker
+      // replay: the first attempt's rows are already there.
+      val existing =
+        if (LakeFs.exists(s"$indexDir/names"))
+          s.read.parquet(s"$indexDir/names").select(col("name"))
+        else names.filter(lit(false))
+      names.join(existing, Seq("name"), "left_anti")
+        .withColumn("first_epoch", lit(epoch))
+        .write.mode("append").parquet(s"$indexDir/names")
     }
-    val idx = s.read.parquet(s"$indexDir/names")
-    val bn = broadcast(names)
+    // classify off the INDEX's first-seen tags, not the batch: an
+    // epoch replay (marker present, append skipped) recomputes the
+    // identical fresh/known split
+    val firstSeen = s.read.parquet(s"$indexDir/names")
+      .groupBy(col("name")).agg(min(col("first_epoch")).as("e0"))
     emitEpoch(graft.queries.Linkage.batchFuzzyPairs(
-        idx.join(bn, Seq("name"), "left_semi"),
-        idx.join(bn, Seq("name"), "left_anti")),
+        firstSeen.filter(col("e0") === epoch).select(col("name")),
+        firstSeen.filter(col("e0") < epoch).select(col("name"))),
       epoch, outDir)
     names.unpersist()
     ()

@@ -39,22 +39,36 @@ class LinkIngestSpec extends AnyFunSuite {
     assert(got == Map(("cold anvil", "old anvil") -> 1L,
       ("red gear", "reed gear") -> 1L), s"planted pair set: $got")
 
-    // epoch replay: marker skips the append, emit overwrites in place
+    // epoch replay: marker skips the append; the emit reclassifies
+    // off the index's first-seen tags, so it rewrites the SAME pairs
     val idxRows = spark.read.parquet(s"$idxDir/names").count()
     StreamOps.linkIngestBatch(spark, b2.toDF("rec_id", "name"), 1L,
       idxDir, outDir)
     assert(spark.read.parquet(s"$idxDir/names").count() == idxRows
       && pairs() == got, "epoch replay changed state")
 
-    // torn-marker replay re-appends (the residual window) — duplicate
-    // index rows must be absorbed by the candidate distinct
+    // torn-marker replay (marker gone, rows already appended): the
+    // first-seen anti-join absorbs the re-append entirely — no
+    // duplicate index rows, identical pairs
     LakeFs.rmFile(s"$idxDir/_GRAFT_EPOCH_1")
     StreamOps.linkIngestBatch(spark, b2.toDF("rec_id", "name"), 1L,
       idxDir, outDir)
-    assert(spark.read.parquet(s"$idxDir/names").count() > idxRows,
-      "the torn-marker window is real (rows re-appended)")
+    assert(spark.read.parquet(s"$idxDir/names").count() == idxRows,
+      "torn-marker replay duplicated index rows")
     assert(pairs() == got,
-      "duplicate index rows leaked into the emitted pairs")
+      "torn-marker replay changed the emitted pairs")
+
+    // a RECURRING name in a later epoch neither grows the index nor
+    // re-emits its pairs; only the genuinely new member's pairs emit
+    val b3 = Seq(6L -> "old anvil", 7L -> "bold anvil")
+    StreamOps.linkIngestBatch(spark, b3.toDF("rec_id", "name"), 2L,
+      idxDir, outDir)
+    assert(spark.read.parquet(s"$idxDir/names").count() == idxRows + 1,
+      "recurring name grew the index")
+    val got3 = pairs()
+    assert(got3 == got ++ Map(
+      ("bold anvil", "cold anvil") -> 1L,
+      ("bold anvil", "old anvil") -> 1L), s"epoch-2 pair set: $got3")
   }
 
   test("batchFuzzyPairs equals the one-shot pair join on the union") {
