@@ -1069,8 +1069,48 @@ object Events {
         col("first_peak_ts"))
   }
 
+  /** Seasonal profile decomposition (the profile half of an STL):
+    * each type's hour-of-day load profile — share of its events per
+    * clock hour, an exact int/int division — plus a seasonality
+    * strength score, the profile's max/min share ratio over exact
+    * counts. One map-side-combining groupBy on (type, hour-of-day);
+    * the 24-row-per-type profile domain is alphabet-bounded, so the
+    * share join is a broadcast at any corpus size. The deviation
+    * TWIN is events_anomaly (per-entity z-scores); this is the
+    * calendar-shape complement. */
+  val seasonalProfile: Q = Q(
+    "events_seasonal_profile",
+    """WITH o AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n)::BIGINT AS tot FROM o GROUP BY 1),
+      |x AS (SELECT event_type, MAX(n)::BIGINT mx, MIN(n)::BIGINT mn
+      |  FROM o GROUP BY 1)
+      |SELECT o.event_type, o.hod, o.n,
+      |  ROUND(CAST(o.n AS DOUBLE) / t.tot, 6) + 0 AS share,
+      |  ROUND(CAST(x.mx AS DOUBLE) / x.mn, 4) + 0 AS peak_trough_ratio
+      |FROM o JOIN t USING (event_type) JOIN x USING (event_type)
+      |ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+    val o = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds its own two margins (caller-owned cleanup)
+    val t = o.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    val x = o.groupBy(col("event_type")).agg(max(col("n")).as("mx"),
+      min(col("n")).as("mn"))
+    o.join(broadcast(t), Seq("event_type"))
+      .join(broadcast(x), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n"),
+        (round(col("n").cast("double") / col("tot"), 6) + 0).as("share"),
+        (round(col("mx").cast("double") / col("mn"), 4) + 0)
+          .as("peak_trough_ratio"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
-    attribution, autocorr, ewma, cusum, trend, chisq, concurrency)
+    attribution, autocorr, ewma, cusum, trend, chisq, concurrency,
+    seasonalProfile)
 }
