@@ -1123,11 +1123,119 @@ object Core {
     }
   }
 
+  /** Table profiling — the Deequ/Great-Expectations ANALYZE pass a
+    * pipeline runs before trusting a new source: per-column row/null/
+    * distinct counts and numeric min/max, ALL columns in ONE scan (25
+    * aggregate expressions over one pass, melted to rows by a bounded
+    * explode — never a scan per column). Exact distincts here for the
+    * gate; at 100 TB the same shape swaps in approx_count_distinct
+    * (q_approx_distinct's sketch), nothing else moves. */
+  val qProfile: Q = {
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val allCols = numCols :+ "l_returnflag"
+    Q(
+      "q_profile",
+      allCols.map { c =>
+        val mn =
+          if (numCols.contains(c)) s"CAST(MIN($c) AS DOUBLE)" else "NULL"
+        val mx =
+          if (numCols.contains(c)) s"CAST(MAX($c) AS DOUBLE)" else "NULL"
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n,
+          |  COUNT(*) - COUNT($c) AS n_null,
+          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          |  $mn AS min_val, $mx AS max_val
+          |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")) {
+      (s, dir) =>
+        val aggs = allCols.flatMap { c =>
+          val mn = if (numCols.contains(c)) min(col(c)).cast("double")
+            else lit(null).cast("double")
+          val mx = if (numCols.contains(c)) max(col(c)).cast("double")
+            else lit(null).cast("double")
+          Seq(count(lit(1)).as(s"${c}__n"),
+            (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
+        }
+        Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(allCols.map(c => struct(
+            lit(c).as("column_name"), col(s"${c}__n").as("n"),
+            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").as("min_val"),
+            col(s"${c}__mx").as("max_val"))): _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy(col("column_name"))
+    }
+  }
+
+  /** Sketch SET ALGEBRA: distinct-user overlap between event-type
+    * pairs by inclusion-exclusion over mergeable HLL sketches —
+    * |A∩B| ≈ |A| + |B| − |A∪B|, the audience-overlap query a 100 TB
+    * warehouse answers without an exact double-distinct shuffle
+    * (sketches merge map-side; the union sketch is one more merge,
+    * not a second scan). Oracle shape = q_approx_distinct's: exact
+    * counts replayed in SQL plus approx_ok asserting the estimate
+    * inside 15% of truth (three 1%-rsd sketches compose; the bound is
+    * deterministic at this seed and corpus). */
+  val qSetSketch: Q = Q(
+    "q_set_sketch",
+    """WITH p(ta, tb) AS (
+      |  VALUES ('click', 'purchase'), ('view', 'click'),
+      |    ('view', 'purchase')),
+      |j AS (
+      |  SELECT p.ta, p.tb, e.user_id
+      |  FROM p JOIN events e ON e.event_type IN (p.ta, p.tb)),
+      |u AS (
+      |  SELECT ta, tb, COUNT(DISTINCT user_id) AS exact_u
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS ex
+      |  FROM events GROUP BY 1)
+      |SELECT u.ta, u.tb, a.ex AS exact_a, b.ex AS exact_b,
+      |  CAST(a.ex + b.ex - u.exact_u AS BIGINT) AS exact_inter,
+      |  TRUE AS approx_ok
+      |FROM u JOIN t a ON u.ta = a.event_type
+      |JOIN t b ON u.tb = b.event_type
+      |ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"))
+    val byType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ex"),
+        approx_count_distinct(col("user_id"), 0.01).as("est"))
+    val pairs = Seq(("click", "purchase"), ("view", "click"),
+      ("view", "purchase")).toDF("ta", "tb")
+    // a 3-row broadcast fans events into their pairs; the per-pair
+    // union sketch is ONE more merge pass, never a second exact
+    // double-distinct shuffle per pair
+    val perPair = ev.join(broadcast(pairs),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(countDistinct(col("user_id")).as("exact_u"),
+        approx_count_distinct(col("user_id"), 0.01).as("est_u"))
+    perPair
+      .join(broadcast(byType.select(col("event_type").as("ta"),
+        col("ex").as("exact_a"), col("est").as("est_a"))), Seq("ta"))
+      .join(broadcast(byType.select(col("event_type").as("tb"),
+        col("ex").as("exact_b"), col("est").as("est_b"))), Seq("tb"))
+      .select(col("ta"), col("tb"), col("exact_a"), col("exact_b"),
+        (col("exact_a") + col("exact_b") - col("exact_u"))
+          .cast("long").as("exact_inter"),
+        (abs((col("est_a") + col("est_b") - col("est_u"))
+            - (col("exact_a") + col("exact_b") - col("exact_u")))
+          <= greatest(lit(1L),
+            ((col("exact_a") + col("exact_b") - col("exact_u"))
+              * 0.15).cast("long"))).as("approx_ok"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
     qTopkPerKey, qApproxDistinct, qApproxQuantiles, qRunningSum, qNtile,
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
     qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
-    qSampleAgg, qDpCounts, qCohortLtv, qMoments, qDecileLift)
+    qSampleAgg, qDpCounts, qCohortLtv, qMoments, qDecileLift, qProfile,
+    qSetSketch)
 }
