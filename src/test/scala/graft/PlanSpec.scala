@@ -589,6 +589,14 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_profile reads the table ONCE for all columns") {
+    val p = plan(Core.qProfile.run(spark, sf))
+    // the melt must not decompose into a scan per profiled column
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans lineitem scans:\n${p.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("events_autocorr and events_cusum: windows partition by type, no corpus funnel") {
     // one single-partition exchange each is EXPECTED: the 1-row
     // global (min, max) hour bounds behind the calendar spine; more
