@@ -1043,7 +1043,11 @@ object Core {
     * langid gate, the two registered signals): exact decile
     * boundaries via ONE percentile aggregate broadcast back (the
     * q_rfm_segments rule — never an NTILE over a global sort), decile
-    * assignment a pure per-row compare, then counts, cumulative
+    * assignment a per-row compare ON THE 4dp INTEGER GRID the scores
+    * live on (boundary values quantized identically on both engines —
+    * an interpolated boundary inside a tie run lands exactly on a
+    * grid value, where a raw double compare is ulp-sensitive), then
+    * counts, cumulative
     * top-down gains, and lift over the base rate. The only window
     * runs on the 10-row decile frame (the bounded-bands rule); all
     * rates are single divisions of exact integers. */
@@ -1066,7 +1070,9 @@ object Core {
         |  FROM s),
         |d AS (
         |  SELECT pos, 1 + ${(1 to 9).map(j =>
-             s"(CASE WHEN score > b$j THEN 1 ELSE 0 END)").mkString(" + ")}
+             "(CASE WHEN FLOOR(score * 10000 + 0.5) " +
+               s"> FLOOR(b$j * 10000 + 0.5) THEN 1 ELSE 0 END)")
+             .mkString(" + ")}
         |    AS decile
         |  FROM s CROSS JOIN b),
         |g AS (
@@ -1097,10 +1103,16 @@ object Core {
             .as(s"b$j")).head,
           (2 to 9).map(j => percentile(col("score"), lit(j / 10.0))
             .as(s"b$j")): _*)
+        // compare on the 4dp integer grid the scores live on: the
+        // exact-percentile boundary can differ between engines by an
+        // ulp when it interpolates within a TIE RUN (it lands exactly
+        // ON a grid value), and a raw double compare would flip every
+        // doc sitting on that boundary — caught by the sf0.1 gate
         val d = scored.crossJoin(broadcast(b))
           .select(col("pos"),
             (1 to 9).map(j =>
-              when(col("score") > col(s"b$j"), 1).otherwise(0))
+              when(floor(col("score") * 10000 + 0.5)
+                > floor(col(s"b$j") * 10000 + 0.5), 1).otherwise(0))
               .foldLeft(lit(1))(_ + _).as("decile"))
         val g = d.groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), sum(col("pos")).cast("long").as("np"))
