@@ -1108,9 +1108,53 @@ object Events {
       .orderBy(col("event_type"), col("hod"))
   }
 
+  /** Cumulative unique users per day — the growth curve every
+    * dashboard opens with, decomposed the only way it scales: a
+    * COUNT(DISTINCT) per expanding window recomputes the whole set
+    * per day (quadratic in days × users); the first-seen
+    * decomposition is one min(ts) per user (map-side combining), one
+    * count per first-seen day, and a running sum over the
+    * calendar-bounded day frame. Daily actives ride the same pass. */
+  val userGrowth: Q = Q(
+    "events_user_growth",
+    """WITH f AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT d0 AS day, COUNT(*) AS new_users FROM f GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    COUNT(DISTINCT user_id) AS active_users
+      |  FROM events GROUP BY 1)
+      |SELECT a.day, COALESCE(n.new_users, 0) AS new_users,
+      |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users,
+      |  a.active_users
+      |FROM a LEFT JOIN n ON a.day = n.day
+      |ORDER BY a.day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val n = ev.groupBy(col("user_id")).agg(min(col("ts")).as("ts0"))
+      .groupBy(to_date(col("ts0")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val a = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    // the running sum's window is the day frame — calendar-bounded,
+    // the bounded-bands single-partition rule
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    a.join(n, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        col("active_users"))
+      .withColumn("cumulative_users",
+        sum(col("new_users")).over(w).cast("long"))
+      .select(col("day"), col("new_users"), col("cumulative_users"),
+        col("active_users"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
     attribution, autocorr, ewma, cusum, trend, chisq, concurrency,
-    seasonalProfile)
+    seasonalProfile, userGrowth)
 }
