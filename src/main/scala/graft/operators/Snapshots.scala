@@ -321,6 +321,25 @@ object Snapshots {
     cloneInto(window, srcRoot, dstRoot, logFlavor = true)
   }
 
+  /** Release the clone pins `dstRoot` holds on `srcRoot` — the
+    * retention counterpart of [[cloneTable]]/[[cloneLog]] (ADVICE
+    * r13: without it every clone pins a source version forever).
+    * Call ONLY after the clone root is deleted or abandoned: a
+    * dropped pin lets the source's vacuum reap the files a live
+    * clone still reads through its [[CloneMarker]]. Matches exactly
+    * the `clone-<sanitized dst>-v<n>` names cloneInto writes (the
+    * all-digit suffix guard keeps a dst whose own name ends in
+    * `-v<k>` from sweeping another table's pins). Returns the number
+    * of pins released. */
+  def dropClonePins(srcRoot: String, dstRoot: String): Int = {
+    val prefix = "clone-" +
+      dstRoot.replaceAll("[^A-Za-z0-9_.-]", "_") + "-v"
+    val mine = tags(srcRoot).keys.filter(n => n.startsWith(prefix) &&
+      n.stripPrefix(prefix).toLongOption.isDefined).toSeq
+    mine.foreach(untag(srcRoot, _))
+    mine.size
+  }
+
   /** Latest committed version number, None when the table is empty. */
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
@@ -745,7 +764,10 @@ object Snapshots {
   def detail(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
     val live = committed(root)
-    val window = logWindow(root, None)
+    // DESCRIBE DETAIL on an empty/uncreated table is a summary, not a
+    // read — answer with a zero row instead of logWindow's
+    // "no committed snapshot" failure (ADVICE r13)
+    val window = if (live.isEmpty) Nil else logWindow(root, None)
     def pq(dirs: Seq[String]) = dirs.flatMap(d => LakeFs.list(d))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     // two read costs, because the flavor decides which one a reader

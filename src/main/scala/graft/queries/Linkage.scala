@@ -105,8 +105,13 @@ object Linkage {
       .groupBy(col("p_name"))
       .agg(least(col("p_name"),
         coalesce(min(col("nb")), col("p_name"))).as("canon"))
+    // no broadcast hint on m: the canonical mapping spans the whole
+    // name DOMAIN (10^6-10^8 at scale — the module doc's sizing), far
+    // past broadcastable; AQE broadcasts it when the measured size
+    // allows and falls back to a shuffle join beyond that (ADVICE r13
+    // — a forced broadcast here OOMs the driver at 100 TB)
     Tables.part(s, dir)
-      .join(broadcast(m), Seq("p_name"))
+      .join(m, Seq("p_name"))
       .groupBy(col("canon").as("canon_name"))
       .agg(countDistinct(col("p_name")).as("n_variants"),
         count(lit(1)).as("n_rows"),

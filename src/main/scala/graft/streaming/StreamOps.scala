@@ -1333,6 +1333,13 @@ object StreamOps {
       epoch: Long, indexDir: String, outDir: String): Unit = {
     import graft.operators.{IndexLifecycle, LakeFs}
     val names = batch.select(col("name")).distinct().cache()
+    // an EMPTY micro-batch (triggers fire on the clock, not on data)
+    // must not touch the index: on a fresh stream its append would
+    // write a zero-file dir and the unconditional $indexDir/names
+    // read below would fail schema inference (ADVICE r13). Nothing
+    // is lost by skipping — no fresh names, no pairs to emit — and a
+    // replay of the same empty epoch skips identically.
+    if (names.isEmpty) { names.unpersist(); return }
     IndexLifecycle.epochOnce(indexDir, epoch) {
       // only names the index has never seen are appended — a name
       // recurring across batches neither grows the index nor (below)

@@ -23,6 +23,14 @@ class LinkIngestSpec extends AnyFunSuite {
     val b1 = Seq(1L -> "old anvil", 2L -> "blue bolt")
     val b2 = Seq(3L -> "cold anvil", 4L -> "red gear", 5L -> "reed gear")
 
+    // an EMPTY first micro-batch on the fresh index must be a no-op,
+    // not a crash: before the fix it appended a zero-file dir and the
+    // unconditional names read failed schema inference (ADVICE r13)
+    StreamOps.linkIngestBatch(spark,
+      b1.toDF("rec_id", "name").limit(0), 0L, idxDir, outDir)
+    assert(!LakeFs.exists(s"$idxDir/names"),
+      "empty first batch must not create the index")
+
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = StreamOps.linkIngest(spark, ms.toDF().toDF("rec_id", "name"),

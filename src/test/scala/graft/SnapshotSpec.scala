@@ -1160,6 +1160,38 @@ class SnapshotSpec extends AnyFunSuite {
     val cd = Snapshots.detail(spark, dst).collect()(0)
     assert(cd.getAs[Long]("n_clone_versions") == 1L)
     assert(cd.getAs[Long]("size_bytes") == d.getAs[Long]("size_bytes"))
+    // an EMPTY (never-published) table answers with a zero row, not
+    // a "no committed snapshot" failure (ADVICE r13)
+    val e = Snapshots.detail(spark, freshRoot("detail_empty")).collect()(0)
+    assert(e.getAs[Long]("latest_version") == 0L)
+    assert(e.getAs[Long]("n_committed") == 0L)
+    assert(e.getAs[Long]("size_bytes") == 0L)
+  }
+
+  test("dropClonePins releases exactly the abandoned clone's source pins") {
+    import spark.implicits._
+    val src = freshRoot("pin_src")
+    Snapshots.publish(Seq((1L, "a")).toDF("k", "v"), src)
+    Snapshots.publish(Seq((2L, "b")).toDF("k", "v"), src)
+    val dstA = freshRoot("pin_dst_a")
+    val dstB = freshRoot("pin_dst_b")
+    Snapshots.cloneTable(spark, src, dstA, asOf = Some(1L))
+    Snapshots.cloneTable(spark, src, dstB)
+    assert(Snapshots.tags(src).size == 2)
+    // abandon A: its pin goes, B's stays (prefix match is exact)
+    LakeFs.rmTree(dstA)
+    assert(Snapshots.dropClonePins(src, dstA) == 1)
+    val left = Snapshots.tags(src)
+    assert(left.size == 1 && left.values.toSeq == Seq(2L),
+      s"B's pin must survive: $left")
+    // idempotent; and with B's pin dropped too, vacuum can finally
+    // reap v=1 (the retention leak the pin release exists to close)
+    assert(Snapshots.dropClonePins(src, dstA) == 0)
+    LakeFs.rmTree(dstB)
+    assert(Snapshots.dropClonePins(src, dstB) == 1)
+    Snapshots.vacuum(src, keep = 1)
+    assert(Snapshots.versionAtTimestamp(src, Long.MaxValue) == 2L)
+    assert(!LakeFs.exists(s"$src/v=1"), "vacuum kept the unpinned v=1")
   }
 
 }
