@@ -662,6 +662,12 @@ object Snapshots {
       .map(d => SnapStats.scanPoint(s, d, c, value))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Data dirs of the resolved snapshot-flavor version (clone markers
+    * followed) — the SQL catalog's snapshot read window. */
+  private[graft] def readDirs(root: String,
+      asOf: Option[Long]): Seq[String] =
+    dataDirs(resolveDir(root, asOf))
+
   private def resolveDir(root: String, asOf: Option[Long]): String = {
     val live = committed(root)
     val pick = asOf match {

@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, CatalogV2Util, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{LakeFs, Snapshots}
+
+/** DSv2 `TableCatalog` over the versioned snapshot lake — the SQL
+  * front door the snapshot stack (operators.Snapshots) was missing:
+  *
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = s3a://bucket/lake   (or any LakeFs root)
+  *
+  *   CREATE TABLE graft.ns.t (k BIGINT, v STRING)
+  *   INSERT INTO graft.ns.t SELECT ...
+  *   INSERT OVERWRITE graft.ns.t SELECT ...
+  *   SELECT * FROM graft.ns.t
+  *   SELECT * FROM graft.ns.t VERSION AS OF 3
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF '2026-08-15 12:00:00'
+  *
+  * This is the surface every lakehouse format ships (Delta/Iceberg
+  * register exactly this interface); here each table IS a
+  * Snapshots root — `<root>/<ns...>/<name>` — so SQL and the
+  * programmatic API (publish/readLog/compactLog/vacuumLog/clone/
+  * branches) operate on the SAME directories interchangeably: an
+  * existing snapshot root dropped under the catalog root is queryable
+  * with zero migration, and a table created in SQL is a plain
+  * Snapshots root any engine job can publish to.
+  *
+  * Flavor (the one bit the on-disk layout cannot carry, since
+  * publishAppend IS publish): a `_GRAFT_TABLE` metadata file written
+  * by CREATE TABLE holds `log` (default — SELECT unions the reader
+  * window exactly like Snapshots.readLog; INSERT INTO appends one
+  * committed version) or `snapshot` (SELECT reads the latest version
+  * only; INSERT INTO publishes current∪new under a compare-and-swap
+  * so two concurrent INSERTs conflict loudly instead of silently
+  * losing one — Snapshots.publishIf). A root with no metadata file
+  * (created programmatically) defaults to `log`, matching
+  * publishAppend's semantics. CREATE TABLE ... TBLPROPERTIES
+  * ('flavor'='snapshot') selects the other flavor.
+  *
+  * READ PATH: scans delegate to Spark's own parquet DSv2 table over
+  * the RESOLVED file window — version/timestamp time travel, base
+  * subsumption, and shallow-clone redirection are folded into the
+  * file list driver-side (Snapshots' resolution), after which
+  * Catalyst sees a vanilla parquet scan: vectorized columnar decode,
+  * predicate pushdown, column pruning, partition-size splitting all
+  * come from the engine, not re-implemented here. Schema evolution
+  * across window versions null-fills through the declared read
+  * schema (standard parquet clipping). Tombstoned (merge-on-read)
+  * windows are refused like every raw-union reader in the stack —
+  * keyed MoR stays on readLogMerged until DELETE lands in SQL.
+  *
+  * Time-travel identity: `VERSION AS OF v` resolves through the same
+  * committed-window rule as `Snapshots.read(asOf = v)`; `TIMESTAMP AS
+  * OF ts` goes through Snapshots.versionAtTimestamp (micros → the
+  * newest version committed at or before ts), i.e. exactly
+  * readAsOfTimestamp's resolution.
+  *
+  * Reference anchor: the reference app re-opens its single in-memory
+  * store by name each session (conversadocs/bones.py:47 load_db);
+  * this catalog is that naming layer, distributed and versioned. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(sys.error(
+      s"spark.sql.catalog.$name.root must point at the lake root"))
+      .replaceAll("/+$", "")
+  }
+
+  override def name(): String = catalogName
+
+  /** One path segment of an identifier. Rejecting separators and
+    * dot-dot here is what keeps `graft.evil` from escaping the lake
+    * root — the identifier IS a filesystem path. */
+  private def seg(s: String): String = {
+    require(s.matches("[A-Za-z0-9_.-]+") && s != "." && s != "..",
+      s"graft catalog identifiers must be [A-Za-z0-9_.-]+ segments: '$s'")
+    s
+  }
+
+  private def nsPath(ns: Array[String]): String =
+    (root +: ns.toSeq.map(seg)).mkString("/")
+
+  private def tablePath(ident: Identifier): String =
+    (root +: ident.namespace.toSeq.map(seg) :+ seg(ident.name))
+      .mkString("/")
+
+  /** A directory is a TABLE when it carries the metadata file or any
+    * version dir; anything else under the root is a namespace. */
+  private def isTable(path: String): Boolean =
+    LakeFs.isFile(s"$path/${GraftCatalog.MetaFile}") ||
+      LakeFs.list(path).exists(st =>
+        st.isDirectory && st.getPath.getName.matches("v=\\d+"))
+
+  // ---- tables ------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (namespace.nonEmpty && !LakeFs.isDir(p))
+      throw new NoSuchNamespaceException(namespace)
+    LakeFs.list(p).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        isTable(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — v2 time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(sys.error(
+      s"graft catalog versions are numeric snapshot versions: '$version'"))))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    load(ident,
+      Some(Snapshots.versionAtTimestamp(path, timestampMicros / 1000L)))
+  }
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val meta = GraftCatalog.readMeta(path)
+    new GraftSqlTable(s"$catalogName.${ident.toString}", path,
+      meta.flavor, asOf, meta.schema)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables do not take PARTITIONED BY — snapshot " +
+        "layout is version-managed (use Snapshots.publishPartitioned " +
+        "programmatically for hive-partitioned versions)")
+    val path = tablePath(ident)
+    if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    val flavor = Option(properties.get("flavor")).getOrElse("log")
+    require(flavor == "log" || flavor == "snapshot",
+      s"flavor must be log|snapshot: '$flavor'")
+    LakeFs.mkdirs(path)
+    GraftCatalog.writeMeta(path, flavor, Some(schema))
+    new GraftSqlTable(s"$catalogName.${ident.toString}", path, flavor,
+      None, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: snapshot schema evolves through publishes " +
+        "(write the new shape; readers null-fill) — see SURVEY §2 " +
+        "snapshot schema evolution")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!isTable(path)) false
+    else { LakeFs.rmTree(path); true }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    require(LakeFs.rename(from, to),
+      s"rename $from -> $to failed (cross-store renames need a copy job)")
+  }
+
+  // ---- namespaces --------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    LakeFs.list(root).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !isTable(st.getPath.toString))
+      .map(st => Array(st.getPath.getName)).toArray
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace)
+    if (!LakeFs.isDir(p) || isTable(p))
+      throw new NoSuchNamespaceException(namespace)
+    LakeFs.list(p).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !isTable(st.getPath.toString))
+      .map(st => namespace :+ st.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (LakeFs.isDir(nsPath(namespace)) && !isTable(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    LakeFs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade)
+      require(LakeFs.list(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+    LakeFs.rmTree(p)
+    true
+  }
+}
+
+object GraftCatalog {
+  /** Table metadata: line 1 = flavor, line 2 (optional) = declared
+    * StructType JSON (the schema of a created-but-never-published
+    * table; once data exists the newest window's footers govern). */
+  private[sources] val MetaFile = "_GRAFT_TABLE"
+
+  private[sources] final case class Meta(flavor: String,
+      schema: Option[StructType])
+
+  private[sources] def readMeta(path: String): Meta =
+    LakeFs.readString(s"$path/$MetaFile") match {
+      case None => Meta("log", None)
+      case Some(c) =>
+        val lines = c.linesIterator.toSeq
+        Meta(lines.headOption.map(_.trim).filter(_.nonEmpty)
+            .getOrElse("log"),
+          lines.drop(1).headOption.filter(_.nonEmpty)
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+    }
+
+  private[sources] def writeMeta(path: String, flavor: String,
+      schema: Option[StructType]): Unit =
+    LakeFs.write(s"$path/$MetaFile",
+      flavor + schema.map("\n" + _.json).getOrElse(""))
+}
+
+/** One catalog table = one Snapshots root, resolved at load time
+  * (`asOf` pins time travel). Reads delegate to [[ParquetTable]] over
+  * the resolved window's files; writes go through the snapshot
+  * publish protocol (the V1 bridge — same shape as the graftsnap
+  * connector's batch write, SnapshotStreamSource.scala). */
+class GraftSqlTable(fullName: String, root: String, flavor: String,
+    asOf: Option[Long], declared: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  /** The resolved read window: snapshot flavor = the one picked
+    * version's data dirs (clone markers followed); log flavor = the
+    * full reader-window file list (base subsumption + clones,
+    * tombstones refused). Empty table → no paths (declared schema
+    * serves the scan an empty result). */
+  private lazy val resolvedPaths: Seq[String] =
+    if (Snapshots.latestVersion(root).isEmpty) Nil
+    else if (flavor == "snapshot")
+      Snapshots.readDirs(root, asOf)
+    else Snapshots.batchFiles(root, asOf,
+      Map.empty[String, (Option[BigDecimal], Option[BigDecimal])])
+
+  override lazy val schema: StructType =
+    if (Snapshots.latestVersion(root).isEmpty)
+      declared.getOrElse(sys.error(
+        s"$fullName: empty table with no declared schema"))
+    else if (flavor == "snapshot") Snapshots.read(spark, root, asOf).schema
+    else Snapshots.readLog(spark, root, asOf).schema
+
+  override def name(): String =
+    fullName + asOf.map(v => s"@v$v").getOrElse("")
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("flavor" -> flavor, "location" -> root).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val delegate = ParquetTable(name(), spark,
+      options, resolvedPaths, Some(schema),
+      classOf[ParquetFileFormat])
+    delegate.newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"$fullName: cannot write to a time-travel view")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (df: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            if (flavor == "snapshot") {
+              if (replace) Snapshots.publish(df, root)
+              else Snapshots.latestVersion(root) match {
+                case None => Snapshots.publish(df, root)
+                case Some(v) =>
+                  // append-to-snapshot is read-modify-write: CAS on
+                  // the version read, so racing INSERT INTOs conflict
+                  // loudly (SnapshotConflict) instead of losing rows
+                  Snapshots.publishIf(
+                    Snapshots.read(df.sparkSession, root)
+                      .unionByName(df, allowMissingColumns = true),
+                    root, expected = v)
+              }
+            } else {
+              if (replace) Snapshots.publishReplace(df, root)
+              else Snapshots.publishAppend(df, root)
+            }
+            ()
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LakeFs, Snapshots}
+
+/** The SQL catalog over the snapshot lake (sources.GraftCatalog):
+  * CREATE/INSERT/SELECT, VERSION AS OF / TIMESTAMP AS OF time travel,
+  * flavor semantics, programmatic interop, and the plan shape (the
+  * scan must be Spark's vectorized parquet scan with pushdown, not a
+  * row-decoding custom reader). */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.lake",
+      "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.lake.root", Root)
+    s
+  }
+
+  private val Root = "/tmp/graft_catalog_spec"
+
+  private def fresh(name: String): String = {
+    val p = s"$Root/$name"
+    LakeFs.rmTree(p)
+    p
+  }
+
+  test("CREATE / INSERT INTO / SELECT on a log table; window unions; OVERWRITE replaces") {
+    fresh("t1")
+    spark.sql("CREATE TABLE lake.t1 (k BIGINT, v STRING)")
+    // empty created table: SELECT answers 0 rows with the declared schema
+    val empty = spark.sql("SELECT * FROM lake.t1")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0L)
+    spark.sql("INSERT INTO lake.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake.t1 VALUES (3, 'c')")
+    def rows(sql: String): Set[(Long, String)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows("SELECT * FROM lake.t1")
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "log flavor SELECT = reader-window union")
+    // each INSERT INTO landed as one committed version; time travel
+    assert(Snapshots.latestVersion(s"$Root/t1").contains(2L))
+    assert(rows("SELECT * FROM lake.t1 VERSION AS OF 1")
+      == Set(1L -> "a", 2L -> "b"))
+    // TIMESTAMP AS OF through the commit-time resolution
+    val t1 = Snapshots.commitTimestamp(s"$Root/t1", 1L).get
+    assert(rows(s"SELECT * FROM lake.t1 TIMESTAMP AS OF " +
+      s"timestamp_millis(${t1})") == Set(1L -> "a", 2L -> "b"))
+    // INSERT OVERWRITE = publishReplace: window collapses, history stays
+    spark.sql("INSERT OVERWRITE lake.t1 VALUES (9, 'z')")
+    assert(rows("SELECT * FROM lake.t1") == Set(9L -> "z"))
+    assert(rows("SELECT * FROM lake.t1 VERSION AS OF 2")
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "overwrite must keep history travelable")
+    // the SQL table IS a Snapshots root — programmatic readers agree
+    assert(Snapshots.readLog(spark, s"$Root/t1").count() == 1L)
+  }
+
+  test("snapshot flavor: SELECT reads latest only; INSERT INTO is CAS append; programmatic interop") {
+    fresh("t2")
+    spark.sql("CREATE TABLE lake.t2 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    spark.sql("INSERT INTO lake.t2 VALUES (1, 'a')")
+    spark.sql("INSERT INTO lake.t2 VALUES (2, 'b')")
+    def rows(sql: String): Set[(Long, String)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows("SELECT * FROM lake.t2") == Set(1L -> "a", 2L -> "b"),
+      "snapshot INSERT INTO = current ∪ new, published whole")
+    assert(rows("SELECT * FROM lake.t2 VERSION AS OF 1") == Set(1L -> "a"))
+    // a programmatic publish is immediately visible through SQL
+    import spark.implicits._
+    Snapshots.publish(Seq((7L, "p")).toDF("k", "v"), s"$Root/t2")
+    assert(rows("SELECT * FROM lake.t2") == Set(7L -> "p"))
+    // and a bare programmatic root (no CREATE TABLE ever) is queryable
+    val raw = fresh("raw")
+    Snapshots.publishAppend(Seq((1L, "x")).toDF("k", "v"), raw)
+    Snapshots.publishAppend(Seq((2L, "y")).toDF("k", "v"), raw)
+    assert(rows("SELECT * FROM lake.raw") == Set(1L -> "x", 2L -> "y"),
+      "zero-migration: an existing snapshot root is a catalog table")
+  }
+
+  test("plan shape: catalog scans are vectorized parquet with pushdown; writes to time travel refuse; MoR refuses") {
+    fresh("t3")
+    spark.sql("CREATE TABLE lake.t3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.t3 VALUES (1, 'a'), (2, 'b')")
+    val df = spark.sql("SELECT k FROM lake.t3 WHERE k > 1")
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1)]"),
+      s"filters must reach the parquet scan:\n$s")
+    assert(plan.exists(_.supportsColumnar),
+      s"catalog scan must be columnar (vectorized parquet):\n$s")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // time-travel relations are read-only
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO lake.t3 VERSION AS OF 1 VALUES (9, 'z')"))
+    assert(e.getMessage != null)
+    // a tombstoned (merge-on-read) window refuses the raw SQL union
+    import spark.implicits._
+    val mor = fresh("mor")
+    Snapshots.publishAppend(Seq((1L, "a")).toDF("k", "v"), mor)
+    Snapshots.publishDeletes(Seq(1L).toDF("k"), mor)
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM lake.mor").collect())
+    assert(e2.getMessage.contains("readLogMerged"),
+      s"MoR window must refuse with the merge-read hint: ${e2.getMessage}")
+  }
+
+  test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
+    fresh("ns1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
+    spark.sql("CREATE TABLE lake.ns1.inner (k BIGINT)")
+    spark.sql("INSERT INTO lake.ns1.inner VALUES (5)")
+    assert(spark.sql("SELECT * FROM lake.ns1.inner")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val shown = spark.sql("SHOW TABLES IN lake.ns1")
+      .collect().map(_.getString(1)).toSet
+    assert(shown == Set("inner"))
+    assert(spark.sql("SHOW NAMESPACES IN lake").collect()
+      .map(_.getString(0)).contains("ns1"))
+    spark.sql("DROP TABLE lake.ns1.inner")
+    assert(!LakeFs.exists(s"$Root/ns1/inner"))
+    // path traversal cannot escape the root
+    intercept[Exception](spark.sql("SELECT * FROM lake.`..`.etc"))
+  }
+}
