@@ -447,7 +447,44 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Scan THROUGH the graftsnap DSv2 connector (the lake-table batch
+    * surface): publish lineitem as a two-batch append log, then read
+    * it back with `format("graftsnap")` — projection pruned into the
+    * page reads, the filter evaluated over VECTORIZED batches (the
+    * columnar decode path, default since r14; `columnar=false` is the
+    * row-path A/B knob the parity spec and bench delta use). The
+    * oracle aggregates the raw table, so window resolution
+    * (two-version union) + pruned columnar decode are both under the
+    * hash. Quantities are integer-valued doubles in this corpus —
+    * cast to BIGINT for exact sums (the graftsnap flat subset carries
+    * no decimals by design: ingest logs are primitive-typed). */
+  val graftsnapScan: Q = Q(
+    "sink_graftsnap_scan",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+      |FROM lineitem WHERE l_linenumber <= 4
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "lineitem_graftsnap")
+    graft.operators.LakeFs.rmTree(root)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty_c"))
+    graft.operators.Snapshots.publishAppend(
+      li.filter(col("l_orderkey") % 2 === 0), root)
+    graft.operators.Snapshots.publishAppend(
+      li.filter(col("l_orderkey") % 2 === 1), root)
+    s.read.format("graftsnap").load(root)
+      .filter(col("l_linenumber") <= 4)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty_c")).as("qty_sum"),
+        sum(col("l_orderkey")).as("key_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
-    snapshotMor, snapshotPrune, snapshotBloom, snapshotCdf, snapshotOptimize)
+    snapshotMor, snapshotPrune, snapshotBloom, snapshotCdf, snapshotOptimize,
+    graftsnapScan)
 }

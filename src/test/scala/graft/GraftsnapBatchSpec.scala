@@ -73,6 +73,56 @@ class GraftsnapBatchSpec extends AnyFunSuite {
     assert(ks(batch(root)) == Seq(1L, 2L))
   }
 
+  test("columnar decode: default scan is vectorized, row-path parity bit-for-bit, count-only stays row") {
+    import spark.implicits._
+    val root = freshRoot("columnar")
+    // all supported types incl. a timestamp and an evolved column
+    Snapshots.publishAppend(Seq(
+      (1L, 10, 1.5, 2.5f, true, "x", Array[Byte](1, 2),
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, 20, -1.5, 0f, false, "", Array[Byte](),
+        java.sql.Timestamp.valueOf("2026-06-15 13:14:15.123456")))
+      .toDF("k", "i", "d", "f", "b", "s", "bin", "ts"), root)
+    Snapshots.publishAppend(Seq(
+      (3L, 30, 0.0, 1f, true, "z", Array[Byte](9),
+        java.sql.Timestamp.valueOf("2026-08-15 00:00:00"), "added"))
+      .toDF("k", "i", "d", "f", "b", "s", "bin", "ts", "extra"), root)
+    val columnarDf = batch(root)
+    val rowDf = batch(root, "columnar" -> "false")
+    // the default plan IS columnar; the opted-out plan is not
+    def scanColumnar(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.datasources
+          .v2.BatchScanExec] && p.supportsColumnar)
+    assert(scanColumnar(columnarDf), "default graftsnap scan must be columnar")
+    assert(!scanColumnar(rowDf), "columnar=false must keep the row reader")
+    // bit-for-bit parity across every type + evolution null-fill
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "∅" else r.get(i) match {
+          case a: Array[Byte] => a.mkString("[", ",", "]")
+          case v => String.valueOf(v)
+        }).mkString("|")).sorted.toSeq
+    assert(canon(columnarDf) == canon(rowDf),
+      "columnar and row decode must agree bit-for-bit")
+    // projection parity (pruned vectorized read) and null-fill
+    assert(canon(columnarDf.select("s", "extra", "ts"))
+      == canon(rowDf.select("s", "extra", "ts")))
+    // count-only scans keep the row reader's no-page fast path
+    val countDf = batch(root).groupBy().count()
+    assert(countDf.collect().head.getLong(0) == 3L)
+    // and the streaming side delivers through the same columnar factory
+    val ckpt = freshRoot("columnar_ckpt")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graftsnap").load(root).select($"k")
+      .writeStream.option("checkpointLocation", s"$ckpt/c")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect().map(_.getLong(0)) }; ()
+      }.start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("pushed range filters prune files through the stats manifests") {
     import spark.implicits._
     val root = freshRoot("prune")
