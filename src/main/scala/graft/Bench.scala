@@ -203,6 +203,21 @@ object Bench {
     val tail = s""""prev":${r3(prev)},"prev2":${r3(prev2)},"errors":$errs,"q1":$q1,"q2":$q2,"q3":$q3,"sf":$sf"""
     println(s"""{"queries":$qs,"metric":"total","unit":"sec",$tail,"value2":${r3(total2)},"value":${r3(total)}}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value2":${r3(total2)},$tail}""")
+    // PERSISTED full per-query record (VERDICT r13 #4): the driver
+    // artifact keeps only ~2 KB of stdout tail, so the complete
+    // BOTH-PASS per-query map goes to a file the round commit carries
+    // — cross-round per-query regression checks parse this, never
+    // the truncated stdout. One line, stable path, overwritten per
+    // run; "pass1"/"pass2" reconcile with value/value2 by summation.
+    val qs2 = results2.filter(r => !erroredSet(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"value2":${r3(total2)},"unit":"sec",$tail,"pass1":$qs,"pass2":$qs2}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

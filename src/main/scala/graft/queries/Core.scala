@@ -1181,6 +1181,48 @@ object Core {
     }
   }
 
+  /** q_profile's 100 TB form, written down (VERDICT r13 #6): the SAME
+    * one-scan melted profile with the per-column distinct count as a
+    * mergeable HLL sketch (approx_count_distinct, 1% rsd) — the only
+    * change the scale-up needs, because an exact COUNT(DISTINCT) per
+    * column at 100 TB is a full shuffle of every column's values
+    * while the sketch folds map-side into a few KB. Gated the
+    * q_approx_distinct way: the hashed result carries the EXACT
+    * distincts (the oracle's replay) plus a deterministic approx_ok
+    * flag asserting the sketch landed within 5% (3σ at 1% rsd) —
+    * both the exact and sketch aggregates ride the one scan, so the
+    * plan stays the single-pass ANALYZE. */
+  val qProfileApprox: Q = {
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val allCols = numCols :+ "l_returnflag"
+    Q(
+      "q_profile_approx",
+      allCols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n,
+          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          |  TRUE AS approx_ok
+          |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")) {
+      (s, dir) =>
+        val aggs = allCols.flatMap { c =>
+          Seq(count(lit(1)).as(s"${c}__n"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            approx_count_distinct(col(c), 0.01).as(s"${c}__ad"))
+        }
+        Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(allCols.map(c => struct(
+            lit(c).as("column_name"), col(s"${c}__n").as("n"),
+            col(s"${c}__nd").as("n_distinct"),
+            (abs(col(s"${c}__ad") - col(s"${c}__nd"))
+              <= greatest(lit(1L),
+                (col(s"${c}__nd") * 0.05).cast("long")))
+              .as("approx_ok"))): _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy(col("column_name"))
+    }
+  }
+
   /** Sketch SET ALGEBRA: distinct-user overlap between event-type
     * pairs by inclusion-exclusion over mergeable HLL sketches —
     * |A∩B| ≈ |A| + |B| − |A∪B|, the audience-overlap query a 100 TB
@@ -1249,5 +1291,5 @@ object Core {
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
     qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
     qSampleAgg, qDpCounts, qCohortLtv, qMoments, qDecileLift, qProfile,
-    qSetSketch)
+    qProfileApprox, qSetSketch)
 }
