@@ -344,6 +344,15 @@ object Snapshots {
   def latestVersion(root: String): Option[Long] =
     committed(root).lastOption.map(_._1)
 
+  /** Latest committed version holding actual DATA rows — skips
+    * delete-metadata batches (key tombstones, position-delete
+    * vectors), whose footers must never be mistaken for the table
+    * schema. The graftsnap connector infers from this. */
+  private[graft] def latestDataVersion(root: String): Option[Long] =
+    committed(root).reverseIterator.collectFirst {
+      case (v, d) if !hasTombstone(d) && !hasPosDelete(d) => v
+    }
+
   /** Newest version committed at or before `tsMillis` — the shared
     * TIMESTAMP AS OF resolution (see [[readAsOfTimestamp]] for the
     * clock caveat). One listing + O(versions) marker stats. */
@@ -839,12 +848,13 @@ object Snapshots {
       // bases and tiered folds — never the raw version list, which
       // would double-deliver folded rows)
       logWindow(root, Some(until))
-        .filterNot { case (_, d) => hasTombstone(d) }
+        .filterNot { case (_, d) => hasTombstone(d) || hasPosDelete(d) }
     else
       committed(root)
         .filter { case (v, _) => v > after && v <= until }
         .filterNot { case (_, d) =>
-          hasTombstone(d) || hasBase(d) || baseFrom(d).isDefined
+          hasTombstone(d) || hasPosDelete(d) ||
+            hasBase(d) || baseFrom(d).isDefined
         }
   }
 
@@ -863,6 +873,102 @@ object Snapshots {
       s"snapshot v=$n already committed — concurrent writer?")
     n
   }
+
+  // ---- position deletes (deletion vectors) -----------------------
+  //
+  // The merge-on-read delete for KEYLESS tables — what Delta deletion
+  // vectors / Iceberg v2 position-delete files do: a delete batch
+  // names (data file, row position) pairs instead of key values, so a
+  // GDPR point delete on a raw event log needs no key column and no
+  // O(table) copy-on-write rewrite. Positions are stable because data
+  // files are immutable after their version's commit marker — the
+  // same invariant the streaming source's exactly-once replay rests
+  // on. The flow: [[readLogPos]] exposes each row's (_file, _pos)
+  // address, the caller filters to the rows to delete and publishes
+  // the address pairs ([[publishPositionDeletes]], O(batch)), and
+  // [[readLogDv]] resolves current state by anti-joining the window's
+  // delete set — AQE broadcasts it in the common deletes≪data case.
+  // [[compactLogDv]] folds the vectors away into a plain base.
+
+  private val PosDelete = "_SNAP_POSDELETE"
+
+  private def hasPosDelete(dir: String): Boolean =
+    LakeFs.isFile(s"$dir/$PosDelete")
+
+  /** The raw log union with each row's POSITION ADDRESS attached:
+    * `_file` (the data file's scan path) and `_pos` (row index within
+    * that file, parquet `_metadata.row_index`). Delete batches are
+    * built FROM this frame — filter to the doomed rows, select
+    * `_file`/`_pos`, publish — which guarantees the address
+    * representation matches what [[readLogDv]]'s scan produces.
+    * Tombstone and position-delete versions are excluded (they are
+    * delete metadata, not rows). */
+  def readLogPos(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val window = logWindow(root, asOf)
+      .filterNot { case (_, d) => hasTombstone(d) || hasPosDelete(d) }
+    require(window.nonEmpty, s"no data versions in $root")
+    def withPos(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val frames = window.map { case (_, d) =>
+      s.read.parquet(dataDirs(d): _*) }
+    if (frames.map(_.schema).distinct.sizeIs == 1)
+      withPos(s.read.parquet(
+        window.flatMap(w => dataDirs(w._2)): _*))
+    else frames.map(withPos)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Publish one position-delete batch: `deletes` must be exactly the
+    * (`_file`, `_pos`) address pairs of a [[readLogPos]] read.
+    * O(batch) like every append; acts only through [[readLogDv]]. */
+  def publishPositionDeletes(deletes: DataFrame, root: String): Long = {
+    require(deletes.columns.toSeq.sorted == Seq("_file", "_pos"),
+      "publishPositionDeletes takes exactly (_file, _pos) — select " +
+        "them from a readLogPos frame")
+    val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
+    writeVersion(deletes.select(col("_file"),
+      col("_pos").cast("long")), s"$root/v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$PosDelete"),
+      s"pos-delete marker v=$n")
+    require(LakeFs.createMarker(s"$root/v=$n/$Marker"),
+      s"snapshot v=$n already committed — concurrent writer?")
+    n
+  }
+
+  /** MERGE-ON-READ with deletion vectors: the raw union minus every
+    * position named by a delete batch in the window — ONE anti-join
+    * on the (file, pos) address, no key column required. Key
+    * tombstones don't mix with position deletes in one window (two
+    * delete disciplines over the same rows would need a defined
+    * precedence — refuse instead; pick one per table). Time travel to
+    * a version before a delete batch resurfaces the rows, exactly
+    * like every other as-of read. */
+  def readLogDv(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    require(!logWindow(root, asOf).exists { case (_, d) =>
+        hasTombstone(d) },
+      s"readLogDv($root): window holds KEY tombstones — one delete " +
+        "discipline per table; use readLogMerged")
+    val data = readLogPos(s, root, asOf)
+    val delDirs = logWindow(root, asOf)
+      .filter { case (_, d) => hasPosDelete(d) }
+      .flatMap { case (_, d) => dataDirs(d) }
+    val out =
+      if (delDirs.isEmpty) data
+      else data.join(
+        s.read.parquet(delDirs: _*).distinct(),
+        Seq("_file", "_pos"), "left_anti")
+    out.drop("_file", "_pos")
+  }
+
+  /** Fold the deletion vectors away: rewrite the resolved state as
+    * one compacted base (the periodic job that keeps read-side
+    * anti-join cost bounded, Delta's PURGE). */
+  def compactLogDv(s: SparkSession, root: String): Long =
+    commitCompacted(readLogDv(s, root), root)
 
   /** The window of committed versions a log reader unions: everything
     * up to `asOf` (or all), except that a COMPACTED version (base
@@ -935,6 +1041,9 @@ object Snapshots {
   def readLogMerged(s: SparkSession, root: String, key: String,
       asOf: Option[Long] = None): DataFrame = {
     val window = logWindow(root, asOf)
+    require(!window.exists { case (_, d) => hasPosDelete(d) },
+      s"readLogMerged($root): window holds POSITION deletes — one " +
+        "delete discipline per table; use readLogDv")
     val frames = window.map { case (v, d) =>
       s.read.parquet(dataDirs(d): _*)
         .withColumn("_graft_v", lit(v))
@@ -1027,11 +1136,16 @@ object Snapshots {
     * resurrect every deleted key. Refuse up front; the merged
     * variants fold tombstones away correctly. */
   private def requireNoTombstones(root: String, op: String,
-      mergedOp: String, asOf: Option[Long] = None): Unit =
+      mergedOp: String, asOf: Option[Long] = None): Unit = {
     require(!logWindow(root, asOf).exists { case (_, d) => hasTombstone(d) },
       s"$op($root): the reader window holds tombstone batches " +
         s"(merge-on-read log) — a raw fold would turn deletes into " +
         s"rows; use $mergedOp")
+    require(!logWindow(root, asOf).exists { case (_, d) => hasPosDelete(d) },
+      s"$op($root): the reader window holds position-delete batches " +
+        "(deletion-vector log) — a raw fold would turn delete vectors " +
+        "into rows; use readLogDv/compactLogDv")
+  }
 
   /** Merge-on-read compaction: fold the log through
     * [[readLogMerged]] — upserts applied, tombstones dropped — into

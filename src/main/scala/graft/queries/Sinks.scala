@@ -447,6 +447,44 @@ object Sinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** DELETION-VECTOR merge-on-read (Snapshots position deletes — the
+    * Delta-DV/Iceberg-v2 shape for KEYLESS tables): append orders as
+    * a two-batch raw log, address the doomed rows POSITIONALLY
+    * (readLogPos → `_file`/`_pos`, no key column involved — the GDPR
+    * point-delete on a keyless event log), publish the vector
+    * (O(batch), no copy-on-write rewrite), and aggregate what the DV
+    * reader resolves. The oracle replays the delete as a WHERE — the
+    * hash proves position addressing deleted exactly the intended
+    * rows and nothing else. The CoW-equality law, fold
+    * (compactLogDv), travel, and guard surface are spec-graded
+    * (SnapshotSpec). */
+  val snapshotDv: Q = Q(
+    "sink_snapshot_dv",
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 10 <> 6
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = scratch(s, dir, "orders_snap_dv")
+    graft.operators.LakeFs.rmTree(root)
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 2 === 0), root)
+    graft.operators.Snapshots.publishAppend(
+      base.filter(col("k") % 2 === 1), root)
+    val pos = graft.operators.Snapshots.readLogPos(s, root)
+    graft.operators.Snapshots.publishPositionDeletes(
+      pos.filter(col("k") % 10 === 6).select(col("_file"), col("_pos")),
+      root)
+    graft.operators.Snapshots.readLogDv(s, root)
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+        sum(col("p")).cast("double").as("total"))
+      .orderBy(col("st"))
+  }
+
   /** Scan THROUGH the graftsnap DSv2 connector (the lake-table batch
     * surface): publish lineitem as a two-batch append log, then read
     * it back with `format("graftsnap")` — projection pruned into the
@@ -486,5 +524,5 @@ object Sinks {
   val all: Seq[Q] = Seq(partitionedParquet, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, compaction, xmlRoundtrip, zorder, snapshot, snapshotMerge,
     snapshotMor, snapshotPrune, snapshotBloom, snapshotCdf, snapshotOptimize,
-    graftsnapScan)
+    graftsnapScan, snapshotDv)
 }

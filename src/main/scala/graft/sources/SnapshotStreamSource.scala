@@ -73,12 +73,17 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
 }
 
 object SnapshotStreamTable {
-  /** Schema = the newest committed version's parquet footer schema,
-    * mapped through the flat-primitive subset. One footer read. */
+  /** Schema = the newest committed DATA version's parquet footer
+    * schema, mapped through the flat-primitive subset. One footer
+    * read. Delete-metadata batches (key tombstones, position-delete
+    * vectors) are NOT data — their (key…)/(_file,_pos) footers must
+    * never become the table schema, so inference walks past them to
+    * the newest true data version (r14: surfaced the moment
+    * publishPositionDeletes landed as the newest version). */
   def inferSchema(root: String): StructType = {
     require(root != null, "graftsnap requires a path")
-    val v = Snapshots.latestVersion(root).getOrElse(sys.error(
-      s"graftsnap: no committed snapshot in $root — publish first"))
+    val v = Snapshots.latestDataVersion(root).getOrElse(sys.error(
+      s"graftsnap: no committed data version in $root — publish first"))
     val file = dataFiles(s"$root/v=$v").headOption.getOrElse(sys.error(
       s"graftsnap: committed v=$v in $root holds no parquet data files"))
     val reader = ParquetFileReader.open(

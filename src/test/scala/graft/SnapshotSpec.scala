@@ -1168,6 +1168,80 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getAs[Long]("size_bytes") == 0L)
   }
 
+  test("position deletes: keyless MoR point deletes equal the copy-on-write rewrite; fold, travel, guards") {
+    import spark.implicits._
+    val root = freshRoot("posdel")
+    // a KEYLESS raw log (no merge key — exactly where key tombstones
+    // cannot reach), two appended batches
+    Snapshots.publishAppend(
+      (1L to 5L).map(i => (i, s"r$i")).toDF("k", "v"), root)
+    Snapshots.publishAppend(
+      (6L to 10L).map(i => (i, s"r$i")).toDF("k", "v"), root)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+    // address the doomed rows positionally and publish the vector
+    val pos = Snapshots.readLogPos(spark, root)
+    assert(pos.columns.toSeq.takeRight(2) == Seq("_file", "_pos"))
+    val dv = Snapshots.publishPositionDeletes(
+      pos.filter(org.apache.spark.sql.functions.col("k").isin(2L, 7L, 9L))
+        .select(org.apache.spark.sql.functions.col("_file"), org.apache.spark.sql.functions.col("_pos")), root)
+    assert(dv == 3L)
+    assert(ks(Snapshots.readLogDv(spark, root))
+      == Seq(1L, 3L, 4L, 5L, 6L, 8L, 10L))
+    // schema out = data schema, no address columns
+    assert(Snapshots.readLogDv(spark, root).columns.toSeq == Seq("k", "v"))
+
+    // COPY-ON-WRITE EQUALITY: the DV read equals the full rewrite
+    val cow = freshRoot("posdel_cow")
+    Snapshots.publish(
+      (1L to 10L).filterNot(Set(2L, 7L, 9L))
+        .map(i => (i, s"r$i")).toDF("k", "v"), cow)
+    assert(Snapshots.readLogDv(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Snapshots.read(spark, cow)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      "deletion-vector read must equal the copy-on-write rewrite")
+
+    // time travel BEFORE the delete batch resurfaces the rows; a
+    // second vector composes; double-deleting a position is idempotent
+    assert(ks(Snapshots.readLogDv(spark, root, asOf = Some(2L)))
+      == (1L to 10L))
+    Snapshots.publishPositionDeletes(
+      pos.filter(org.apache.spark.sql.functions.col("k").isin(2L, 4L)) // k=2 again + k=4
+        .select(org.apache.spark.sql.functions.col("_file"), org.apache.spark.sql.functions.col("_pos")), root)
+    assert(ks(Snapshots.readLogDv(spark, root))
+      == Seq(1L, 3L, 5L, 6L, 8L, 10L))
+
+    // guards: raw folds, keyed merge, graftsnap batch, stream all
+    // refuse or skip the vector batches
+    intercept[IllegalArgumentException](Snapshots.compactLog(spark, root))
+    intercept[IllegalArgumentException](
+      Snapshots.readLogMerged(spark, root, "k"))
+    intercept[IllegalArgumentException](
+      spark.read.format("graftsnap").load(root).collect())
+    val ckpt = freshRoot("posdel_ckpt")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graftsnap").load(root).select($"k")
+      .writeStream.option("checkpointLocation", s"$ckpt/c")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect().map(_.getLong(0)) }; ()
+      }.start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(got.sorted.toSeq == (1L to 10L),
+      "the stream tails the RAW appends and must skip vector batches")
+
+    // compactLogDv folds the vectors into a plain base: raw readers
+    // and the DV reader agree afterwards, and the fold is travelable
+    val base = Snapshots.compactLogDv(spark, root)
+    assert(ks(Snapshots.readLog(spark, root))
+      == Seq(1L, 3L, 5L, 6L, 8L, 10L))
+    assert(ks(Snapshots.readLogDv(spark, root))
+      == Seq(1L, 3L, 5L, 6L, 8L, 10L))
+    assert(ks(Snapshots.readLogDv(spark, root, asOf = Some(base - 1)))
+      == Seq(1L, 3L, 5L, 6L, 8L, 10L))
+  }
+
   test("dropClonePins releases exactly the abandoned clone's source pins") {
     import spark.implicits._
     val src = freshRoot("pin_src")
