@@ -135,6 +135,93 @@ object Text {
     }
   }
 
+  /** Script-aware language ID beyond the Latin profiles (VERDICT r13
+    * #8): CJK/Cyrillic languages are script-separable before any
+    * tokenizer runs — count characters in the Unicode script ranges
+    * (Han, Kana, Hangul, Cyrillic; single-char-class regex counts, no
+    * tokenizer change needed) and decide by script precedence: Kana
+    * present → ja (Japanese text mixes Han + Kana, so Kana dominates
+    * Han), else Hangul → ko, else Han → zh, else Cyrillic → ru, else
+    * fall back to [[langProfiles]]' stopword vote. The corpus is
+    * Latin-only, so the CJK branches are exercised by a PLANTED
+    * multilingual extension — six literal BMP docs (ja/zh/ko/ru +
+    * mixed-script cases) unioned identically in the oracle, putting
+    * every branch of the decision under the hash. Scale shape:
+    * per-row regex counts, embarrassingly parallel, no shuffle
+    * beyond the final sort. */
+  val langidCjk: Q = {
+    // (doc_id, text) planted multilingual docs — all chars BMP, so
+    // UTF-16 (Spark) and UTF-8 (DuckDB) regex ranges agree exactly
+    val planted: Seq[(Long, String)] = Seq(
+      (9000000001L, "春は曙。やうやう白くなりゆく山際、少し明かりて。"),
+      (9000000002L, "子曰 學而時習之 不亦說乎 有朋自遠方來 不亦樂乎"),
+      (9000000003L, "나라의 말이 중국과 달라 문자와 서로 통하지 아니하다"),
+      (9000000004L, "Широкая электрификация южных губерний даст мощный толчок"),
+      (9000000005L, "日本語のテキストとカタカナ"),
+      (9000000006L, "漢字が多い文でも仮名があるので日本語と判定する"))
+    val ranges = Seq(
+      "n_han" -> ("\u4e00", "\u9fff"), "n_kana" -> ("\u3040", "\u30ff"),
+      "n_hangul" -> ("\uac00", "\ud7af"), "n_cyr" -> ("\u0400", "\u04ff"))
+    def hex(s: String) = f"${s.codePointAt(0)}%04x"
+    val plantedSql = planted.map { case (id, t) => s"($id, '$t')" }
+      .mkString(",\n      |    ")
+    val rangeSql = ranges.map { case (n, (lo, hi)) =>
+      s"CAST(len(regexp_extract_all(text, '[\\x{${hex(lo)}}-\\x{${hex(hi)}}]')) AS BIGINT) AS $n"
+    }.mkString(",\n      |    ")
+    val stopSql = langProfiles.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ($in))) AS c_$l"
+    }.mkString(",\n      |    ")
+    Q(
+      "text_langid_cjk",
+      s"""WITH planted(doc_id, text) AS (VALUES
+      |    $plantedSql),
+      |u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |t AS (
+      |  SELECT doc_id,
+      |    $rangeSql,
+      |    $stopSql
+      |  FROM u)
+      |SELECT doc_id, n_han, n_kana, n_hangul, n_cyr,
+      |  CASE WHEN n_kana > 0 THEN 'ja'
+      |       WHEN n_hangul > 0 THEN 'ko'
+      |       WHEN n_han > 0 THEN 'zh'
+      |       WHEN n_cyr > 0 THEN 'ru'
+      |       WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |       WHEN c_es >= c_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted.toDF("doc_id", "text"))
+      val scored = u.select(
+        (col("doc_id") +:
+          ranges.map { case (n, (lo, hi)) =>
+            regexp_count(col("text"), lit(s"[$lo-$hi]"))
+              .cast("long").as(n)
+          }) ++
+          langProfiles.map { case (l, ws) =>
+            countIn(toks(col("text")), ws).as(s"c_$l")
+          }: _*)
+      scored.select(col("doc_id"), col("n_han"), col("n_kana"),
+          col("n_hangul"), col("n_cyr"),
+          when(col("n_kana") > 0, "ja")
+            .when(col("n_hangul") > 0, "ko")
+            .when(col("n_han") > 0, "zh")
+            .when(col("n_cyr") > 0, "ru")
+            .when(col("c_de") >= col("c_en") && col("c_de") >= col("c_es")
+              && col("c_de") >= col("c_fr"), "de")
+            .when(col("c_en") >= col("c_es")
+              && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_es") >= col("c_fr"), "es")
+            .otherwise("fr").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Fixed-width chunking, chunk_size=200 overlap=30 (stride 170) —
     * the distributed equivalent of the reference's
     * CharacterTextSplitter (conversadocs/bones.py:67). One row per
@@ -1470,5 +1557,6 @@ object Text {
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
-    knTrigram, readability, tokensUnicode, entropy, oov, collocations)
+    knTrigram, readability, tokensUnicode, entropy, oov, collocations,
+    langidCjk)
 }
