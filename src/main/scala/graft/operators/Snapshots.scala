@@ -970,6 +970,28 @@ object Snapshots {
   def compactLogDv(s: SparkSession, root: String): Long =
     commitCompacted(readLogDv(s, root), root)
 
+  /** True when the reader window carries delete-metadata batches
+    * (key tombstones or position-delete vectors) — the windows a raw
+    * file scan cannot serve. The SQL catalog probes this to route
+    * between the parquet delegate and an execution-time refusal. */
+  private[graft] def hasDeleteMetadata(root: String,
+      asOf: Option[Long]): Boolean =
+    logWindow(root, asOf).exists { case (_, d) =>
+      hasTombstone(d) || hasPosDelete(d) }
+
+  /** Union schema of the window's DATA versions only — delete
+    * metadata ((key…) / (_file,_pos) footers) never contributes
+    * columns to the table shape a SQL reader sees. */
+  private[graft] def dataWindowSchema(s: SparkSession, root: String,
+      asOf: Option[Long]): org.apache.spark.sql.types.StructType = {
+    val w = logWindow(root, asOf)
+      .filterNot { case (_, d) => hasTombstone(d) || hasPosDelete(d) }
+    require(w.nonEmpty, s"no data versions in $root")
+    val frames = w.map { case (_, d) => s.read.parquet(dataDirs(d): _*) }
+    if (frames.map(_.schema).distinct.sizeIs == 1) frames.head.schema
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true)).schema
+  }
+
   /** The window of committed versions a log reader unions: everything
     * up to `asOf` (or all), except that a COMPACTED version (base
     * marker, see compactLog) subsumes everything at or before it. */

@@ -282,7 +282,8 @@ object GraftCatalog {
   * connector's batch write, SnapshotStreamSource.scala). */
 class GraftSqlTable(fullName: String, root: String, flavor: String,
     asOf: Option[Long], declared: Option[StructType])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark = SparkSession.active
 
@@ -298,12 +299,20 @@ class GraftSqlTable(fullName: String, root: String, flavor: String,
     else Snapshots.batchFiles(root, asOf,
       Map.empty[String, (Option[BigDecimal], Option[BigDecimal])])
 
+  /** The window holds delete-metadata batches (keyed tombstones or
+    * deletion vectors) — servable by the merge readers, not by a raw
+    * file scan; the scan defers its refusal to EXECUTION because
+    * DELETE planning builds (and discards) a scan first. */
+  private lazy val morWindow: Boolean =
+    flavor != "snapshot" && Snapshots.latestVersion(root).nonEmpty &&
+      Snapshots.hasDeleteMetadata(root, asOf)
+
   override lazy val schema: StructType =
     if (Snapshots.latestVersion(root).isEmpty)
       declared.getOrElse(sys.error(
         s"$fullName: empty table with no declared schema"))
     else if (flavor == "snapshot") Snapshots.read(spark, root, asOf).schema
-    else Snapshots.readLog(spark, root, asOf).schema
+    else Snapshots.dataWindowSchema(spark, root, asOf)
 
   override def name(): String =
     fullName + asOf.map(v => s"@v$v").getOrElse("")
@@ -317,10 +326,110 @@ class GraftSqlTable(fullName: String, root: String, flavor: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (morWindow) {
+      // schema resolves, planning succeeds (DELETE needs both), and
+      // only an actual EXECUTION of the raw scan refuses
+      val s = schema
+      val msg = s"$fullName: the window holds merge-on-read delete " +
+        "batches — a raw SQL scan cannot apply them; read through " +
+        "Snapshots.readLogMerged/readLogDv, or fold first " +
+        "(compactLogMerged/compactLogDv — a SQL DELETE also folds)"
+      return new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = s
+            override def toBatch
+                : org.apache.spark.sql.connector.read.Batch =
+              new org.apache.spark.sql.connector.read.Batch {
+                override def planInputPartitions(): Array[
+                  org.apache.spark.sql.connector.read.InputPartition] =
+                  sys.error(msg)
+                override def createReaderFactory(): org.apache.spark.sql
+                    .connector.read.PartitionReaderFactory = sys.error(msg)
+              }
+          }
+      }
+    }
     val delegate = ParquetTable(name(), spark,
       options, resolvedPaths, Some(schema),
       classOf[ParquetFileFormat])
     delegate.newScanBuilder(options)
+  }
+
+  /** The filter subset SQL DELETE translates losslessly to Columns —
+    * anything else makes [[canDeleteWhere]] false and Spark reports
+    * the condition as undeletable instead of silently deleting the
+    * wrong rows. */
+  private def toColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.{sources => sf}
+    f match {
+      case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sf.LessThan(a, v) => Some(col(a) < lit(v))
+      case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sf.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sf.IsNull(a) => Some(col(a).isNull)
+      case sf.IsNotNull(a) => Some(col(a).isNotNull)
+      case sf.And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sf.Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sf.Not(c) => toColumn(c).map(not)
+      case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sf.StringContains(a, v) => Some(col(a).contains(v))
+      case _: sf.AlwaysTrue => Some(lit(true))
+      case _: sf.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Current table state through the flavor's honest reader —
+    * deletion-vector windows resolve through readLogDv (a SQL DELETE
+    * composes with prior positional deletes by folding them), key
+    * tombstones refuse (the keyed MoR discipline owns those rows). */
+  private def currentState(s: SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    if (flavor == "snapshot") Snapshots.read(s, root)
+    else Snapshots.readLogDv(s, root)
+
+  /** `DELETE FROM graft.t WHERE …` — copy-on-write through the
+    * snapshot protocol: publish the kept rows as one new committed
+    * version (snapshot flavor: a plain version; log flavor: a base
+    * that subsumes the window), history below travelable as ever.
+    * SQL semantics: a row is deleted when the condition is TRUE;
+    * FALSE and NULL both keep it. Single-writer like every publish. */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val s = spark
+    val conds = filters.toSeq.map(f => toColumn(f).getOrElse(
+      sys.error(s"$fullName: untranslatable DELETE condition $f")))
+    val cond = conds.foldLeft(lit(true))(_ && _)
+    val kept = currentState(s).filter(not(coalesce(cond, lit(false))))
+    if (flavor == "snapshot") Snapshots.publish(kept, root)
+    else Snapshots.publishReplace(kept, root)
+    ()
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => toColumn(f).isDefined)
+
+  /** `TRUNCATE TABLE graft.t` — publish an empty version (log: a
+    * base), so the truncate is itself time-travelable history. */
+  override def truncateTable(): Boolean = {
+    val s = spark
+    val empty = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (flavor == "snapshot") Snapshots.publish(empty, root)
+    else Snapshots.publishReplace(empty, root)
+    true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

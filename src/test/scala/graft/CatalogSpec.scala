@@ -106,6 +106,44 @@ class CatalogSpec extends AnyFunSuite {
       s"MoR window must refuse with the merge-read hint: ${e2.getMessage}")
   }
 
+  test("SQL DELETE and TRUNCATE ride the snapshot protocol with travelable history") {
+    fresh("t4")
+    spark.sql("CREATE TABLE lake.t4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.t4 VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    // filter-based DSv2 delete: the condition must live in the v1
+    // Filter algebra (IN/ranges/string ops/bool combos — arithmetic
+    // like k % 2 = 0 is correctly refused at analysis, not mis-run)
+    spark.sql("DELETE FROM lake.t4 WHERE k IN (2, 4)")
+    def ks(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks("SELECT k FROM lake.t4") == Seq(1L, 3L))
+    // the delete is one committed version; pre-delete state travels
+    assert(ks("SELECT k FROM lake.t4 VERSION AS OF 1")
+      == Seq(1L, 2L, 3L, 4L))
+    // NULL conditions keep rows (SQL semantics): delete WHERE v='c'
+    // on a row set containing a null v
+    spark.sql("INSERT INTO lake.t4 VALUES (9, NULL)")
+    spark.sql("DELETE FROM lake.t4 WHERE v = 'c'")
+    assert(ks("SELECT k FROM lake.t4") == Seq(1L, 9L))
+    // a SQL DELETE composes with prior POSITIONAL deletes: it folds
+    // the vectors while applying the filter
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dvRoot = s"$Root/t4dv"; fresh("t4dv")
+    graft.operators.Snapshots.publishAppend(
+      (1L to 6L).map(i => (i, s"r$i")).toDF("k", "v"), dvRoot)
+    val pos = graft.operators.Snapshots.readLogPos(spark, dvRoot)
+    graft.operators.Snapshots.publishPositionDeletes(
+      pos.filter(col("k") === 2L).select(col("_file"), col("_pos")), dvRoot)
+    spark.sql("DELETE FROM lake.t4dv WHERE k >= 5")
+    assert(ks("SELECT k FROM lake.t4dv") == Seq(1L, 3L, 4L))
+    // TRUNCATE publishes an empty travelable version
+    spark.sql("TRUNCATE TABLE lake.t4")
+    assert(spark.sql("SELECT * FROM lake.t4").count() == 0L)
+    assert(ks("SELECT k FROM lake.t4 VERSION AS OF 1")
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
