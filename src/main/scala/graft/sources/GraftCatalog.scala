@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, CatalogV2Util, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -59,9 +59,14 @@ import graft.operators.{LakeFs, Snapshots}
   * predicate pushdown, column pruning, partition-size splitting all
   * come from the engine, not re-implemented here. Schema evolution
   * across window versions null-fills through the declared read
-  * schema (standard parquet clipping). Tombstoned (merge-on-read)
-  * windows are refused like every raw-union reader in the stack —
-  * keyed MoR stays on readLogMerged until DELETE lands in SQL.
+  * schema (standard parquet clipping). Merge-on-read windows (keyed
+  * tombstones or deletion vectors) refuse the raw SQL scan at
+  * execution — those rows are served by readLogMerged/readLogDv; a
+  * SQL DELETE (below) resolves through readLogDv and folds vectors.
+  *
+  * WRITES beyond INSERT: `DELETE FROM … WHERE` (filter-algebra
+  * conditions, copy-on-write publish) and `TRUNCATE TABLE` (an empty
+  * travelable version) — both one committed version, history intact.
   *
   * Time-travel identity: `VERSION AS OF v` resolves through the same
   * committed-window rule as `Snapshots.read(asOf = v)`; `TIMESTAMP AS
