@@ -144,6 +144,19 @@ class CatalogSpec extends AnyFunSuite {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("CTAS: CREATE TABLE AS SELECT lands as declared schema + one committed version") {
+    fresh("t5")
+    spark.sql("CREATE TABLE lake.t5 AS " +
+      "SELECT id AS k, CAST(id * 2 AS STRING) AS v FROM range(5)")
+    val rows = spark.sql("SELECT k, v FROM lake.t5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == (0L until 5L).map(i => (i, (i * 2).toString)).toSet)
+    assert(graft.operators.Snapshots.latestVersion(s"$Root/t5")
+      .contains(1L), "CTAS = create + one INSERT version")
+    // and the created metadata survives a catalog round-trip
+    assert(spark.sql("SELECT * FROM lake.t5 VERSION AS OF 1").count() == 5L)
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
