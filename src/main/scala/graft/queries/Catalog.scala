@@ -72,5 +72,48 @@ object Catalog {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(sqlCatalog)
+  /** The SQL write surface beyond INSERT, under the hash: CREATE +
+    * INSERT + `DELETE FROM … WHERE` (filter-algebra condition →
+    * copy-on-write publish) + TRUNCATE-able history — the final
+    * SELECT joins post-delete state against the pre-delete VERSION AS
+    * OF, so both the delete's row selection AND the preserved history
+    * are hash-checked. Oracle replays the delete as WHERE NOT. */
+  val sqlDelete: Q = Q(
+    "q_sql_delete",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |pre AS (
+      |  SELECT st, COUNT(*) AS n_pre FROM base GROUP BY 1),
+      |post AS (
+      |  SELECT st, COUNT(*) AS n_post, CAST(SUM(p) AS DOUBLE) AS total
+      |  FROM base
+      |  WHERE NOT (st = 'F' AND k < 75000) GROUP BY 1)
+      |SELECT post.st, post.n_post, pre.n_pre, post.total
+      |FROM post JOIN pre USING (st)
+      |ORDER BY st""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.del_$id"
+    LakeFs.rmTree(s"$LakeRoot/del_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, p DECIMAL(18,2))")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2))
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE st = 'F' AND k < 75000")
+    s.sql(
+      s"""SELECT post.st, post.n_post, pre.n_pre, post.total
+         |FROM (SELECT st, COUNT(*) AS n_post,
+         |        CAST(SUM(p) AS DOUBLE) AS total
+         |      FROM $t GROUP BY st) post
+         |JOIN (SELECT st, COUNT(*) AS n_pre
+         |      FROM $t VERSION AS OF 1 GROUP BY st) pre
+         |USING (st)
+         |ORDER BY st""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(sqlCatalog, sqlDelete)
 }
