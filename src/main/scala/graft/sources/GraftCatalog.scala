@@ -255,6 +255,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+  /** Declare the flavor of an EXISTING programmatic root so SQL reads
+    * it correctly. The flavor bit is genuinely unknowable from the
+    * layout (publishAppend IS publish on disk): an unregistered root
+    * defaults to `log` — right for append logs (readLog's semantics,
+    * the engine's raw default), but a root whose versions are FULL
+    * STATES (read-modify-publish snapshot tables) would double-count
+    * under the union. One marker write closes that: register such
+    * roots as `snapshot` before pointing SQL at them. */
+  def register(path: String, flavor: String): Unit = {
+    require(flavor == "log" || flavor == "snapshot",
+      s"flavor must be log|snapshot: '$flavor'")
+    writeMeta(path, flavor, None)
+  }
+
   /** Table metadata: line 1 = flavor, line 2 (optional) = declared
     * StructType JSON (the schema of a created-but-never-published
     * table; once data exists the newest window's footers govern). */

@@ -78,6 +78,14 @@ class CatalogSpec extends AnyFunSuite {
     Snapshots.publishAppend(Seq((2L, "y")).toDF("k", "v"), raw)
     assert(rows("SELECT * FROM lake.raw") == Set(1L -> "x", 2L -> "y"),
       "zero-migration: an existing snapshot root is a catalog table")
+    // a root of FULL-STATE versions must be registered as snapshot —
+    // the unregistered log default would union (double-count) it
+    val rawSnap = fresh("rawsnap")
+    Snapshots.publish(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), rawSnap)
+    Snapshots.publish(Seq((1L, "x2"), (2L, "y")).toDF("k", "v"), rawSnap)
+    graft.sources.GraftCatalog.register(rawSnap, "snapshot")
+    assert(rows("SELECT * FROM lake.rawsnap") == Set(1L -> "x2", 2L -> "y"),
+      "registered snapshot root must read latest state only")
   }
 
   test("plan shape: catalog scans are vectorized parquet with pushdown; writes to time travel refuse; MoR refuses") {
