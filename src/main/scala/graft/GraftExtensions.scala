@@ -78,5 +78,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size(graft_tokens(x)) → ascii_token_count(x): fused single-pass
     // token counting for every session query, SQL included
     ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
+    // SQL UPDATE / MERGE INTO over lake-catalog tables: the resolved
+    // UpdateTable/MergeIntoTable plans swap for snapshot-publish
+    // commands at the post-hoc seam (GraftSqlCommands.scala)
+    ext.injectPostHocResolutionRule(_ => graft.sources.GraftRowLevelSql)
+    // lake maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE
+    // HISTORY|DETAIL) — a delegating parser in front of Spark's,
+    // recognizing only the four shapes Spark's grammar lacks
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }

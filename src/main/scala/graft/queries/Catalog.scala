@@ -115,5 +115,116 @@ object Catalog {
          |ORDER BY st""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(sqlCatalog, sqlDelete)
+  /** SQL UPDATE under the hash: CREATE + INSERT + `UPDATE … SET …
+    * WHERE` (expression assignments — concat / arithmetic, beyond the
+    * DELETE Filter algebra) + the preserved pre-update version. The
+    * oracle replays the update as a CASE projection, so the row
+    * selection AND the assignment expressions are both hash-checked,
+    * with the VERSION AS OF join proving history stayed intact. */
+  val sqlUpdate: Q = Q(
+    "q_sql_update",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |upd AS (
+      |  SELECT k,
+      |    CASE WHEN st = 'O' AND k % 10 = 0 THEN st || '_rush' ELSE st
+      |      END AS st,
+      |    CASE WHEN st = 'O' AND k % 10 = 0
+      |      THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p
+      |  FROM base),
+      |pre AS (
+      |  SELECT st, COUNT(*) AS n_pre FROM base GROUP BY 1),
+      |post AS (
+      |  SELECT st, COUNT(*) AS n_post, CAST(SUM(p) AS DOUBLE) AS total
+      |  FROM upd GROUP BY 1)
+      |SELECT post.st, post.n_post, pre.n_pre, post.total
+      |FROM post LEFT JOIN pre USING (st)
+      |ORDER BY st""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.upd_$id"
+    LakeFs.rmTree(s"$LakeRoot/upd_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, p DECIMAL(18,2))")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2))
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"UPDATE $t SET st = st || '_rush', " +
+      s"p = CAST(p * 2 AS DECIMAL(18,2)) WHERE st = 'O' AND k % 10 = 0")
+    s.sql(
+      s"""SELECT post.st, post.n_post, pre.n_pre, post.total
+         |FROM (SELECT st, COUNT(*) AS n_post,
+         |        CAST(SUM(p) AS DOUBLE) AS total
+         |      FROM $t GROUP BY st) post
+         |LEFT JOIN (SELECT st, COUNT(*) AS n_pre
+         |           FROM $t VERSION AS OF 1 GROUP BY st) pre
+         |USING (st)
+         |ORDER BY st""".stripMargin)
+  }
+
+  /** SQL MERGE INTO under the hash: the full three-branch merge —
+    * matched-delete, matched-update, not-matched-insert, and
+    * not-matched-by-source-update — driven by a source built from the
+    * same raw table, then aggregated. The oracle decomposes the merge
+    * into the equivalent CASE/anti-join algebra over the raw rows, so
+    * every branch's row routing and value expressions sit under one
+    * hash. Source = customers 0..14999 shifted; target = customers
+    * (keyed by c_custkey). */
+  val sqlMerge: Q = Q(
+    "q_sql_merge",
+    """WITH tgt AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer),
+      |src AS (
+      |  SELECT c_custkey + 5 AS k, c_mktsegment AS seg,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.k,
+      |    CASE WHEN s.k IS NOT NULL THEN 'merged_' || s.seg
+      |         ELSE 'stale_' || t.seg END AS seg,
+      |    CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END AS bal
+      |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+      |  WHERE NOT (s.k IS NOT NULL AND s.bal < 0)
+      |  UNION ALL
+      |  SELECT s.k, 'new_' || s.seg AS seg, s.bal
+      |  FROM src s LEFT JOIN tgt t ON s.k = t.k
+      |  WHERE t.k IS NULL AND s.bal >= 0)
+      |SELECT SUBSTR(seg, 1, 6) AS tag, COUNT(*) AS n,
+      |  CAST(SUM(bal) AS DOUBLE) AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.mrg_$id"
+    LakeFs.rmTree(s"$LakeRoot/mrg_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal DECIMAL(18,2))")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2))
+         |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $t t
+         |USING (SELECT c_custkey + 5 AS k, c_mktsegment AS seg,
+         |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         |       FROM parquet.`$dir/customer.parquet`
+         |       WHERE c_custkey % 2 = 0) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.bal < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET seg = 'merged_' || s.seg,
+         |  bal = s.bal
+         |WHEN NOT MATCHED AND s.bal >= 0 THEN
+         |  INSERT (k, seg, bal) VALUES (s.k, 'new_' || s.seg, s.bal)
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+         |  seg = 'stale_' || seg""".stripMargin)
+    s.sql(
+      s"""SELECT SUBSTR(seg, 1, 6) AS tag, COUNT(*) AS n,
+         |  CAST(SUM(bal) AS DOUBLE) AS total
+         |FROM $t GROUP BY SUBSTR(seg, 1, 6) ORDER BY tag""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge)
 }

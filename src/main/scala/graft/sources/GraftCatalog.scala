@@ -299,8 +299,9 @@ object GraftCatalog {
   * the resolved window's files; writes go through the snapshot
   * publish protocol (the V1 bridge — same shape as the graftsnap
   * connector's batch write, SnapshotStreamSource.scala). */
-class GraftSqlTable(fullName: String, root: String, flavor: String,
-    asOf: Option[Long], declared: Option[StructType])
+class GraftSqlTable(fullName: String, private[sources] val root: String,
+    private[sources] val flavor: String,
+    private[sources] val asOf: Option[Long], declared: Option[StructType])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 

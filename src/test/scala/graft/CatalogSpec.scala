@@ -152,6 +152,104 @@ class CatalogSpec extends AnyFunSuite {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SQL UPDATE: expression assignments, pre-update RHS, NULL-keeps, travelable history, DV fold") {
+    fresh("t6")
+    spark.sql("CREATE TABLE lake.t6 (k BIGINT, v STRING, p DOUBLE)")
+    spark.sql(
+      "INSERT INTO lake.t6 VALUES (1,'a',1.0), (2,'b',2.0), (3,NULL,3.0)")
+    // arbitrary expressions (beyond the DELETE Filter algebra), RHS
+    // reads the PRE-update row, NULL condition keeps the row
+    spark.sql(
+      "UPDATE lake.t6 SET v = concat(v, '!'), p = p * 10 WHERE v < 'c'")
+    def all(sql: String): Set[(Long, String, Double)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+          r.getDouble(2))).toSet
+    assert(all("SELECT * FROM lake.t6")
+      == Set((1L, "a!", 10.0), (2L, "b!", 20.0), (3L, null, 3.0)),
+      "NULL v < 'c' is not TRUE — row 3 must stay unchanged")
+    // the update is ONE committed version; pre-update state travels
+    assert(all("SELECT * FROM lake.t6 VERSION AS OF 1")
+      == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, null, 3.0)))
+    // (UPDATE has no VERSION AS OF grammar — the prepare() travel
+    // guard is defensive; the write-path refusal is pinned by the
+    // INSERT INTO … VERSION AS OF case above)
+    // an UPDATE over a deletion-vector window folds the vectors first
+    // (the SQL DELETE rule) and then applies — one discipline per op
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dvRoot = s"$Root/t6dv"; fresh("t6dv")
+    Snapshots.publishAppend(
+      (1L to 4L).map(i => (i, s"r$i")).toDF("k", "v"), dvRoot)
+    val pos = Snapshots.readLogPos(spark, dvRoot)
+    Snapshots.publishPositionDeletes(
+      pos.filter(col("k") === 2L).select(col("_file"), col("_pos")), dvRoot)
+    spark.sql("UPDATE lake.t6dv SET v = upper(v) WHERE k >= 3")
+    assert(spark.sql("SELECT v FROM lake.t6dv").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("R3", "R4", "r1"),
+      "DV-deleted row 2 must not resurface through the update")
+  }
+
+  test("SQL MERGE INTO: matched update/delete, insert, not-matched-by-source, star forms, ambiguity errors") {
+    fresh("t7")
+    spark.sql("CREATE TABLE lake.t7 (k BIGINT, v STRING, p DOUBLE)")
+    spark.sql(
+      "INSERT INTO lake.t7 VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+    spark.sql(
+      """MERGE INTO lake.t7 t
+        |USING (SELECT * FROM VALUES (2,'m',9.0), (4,'n',4.0), (3,'x',0.0)
+        |       AS src(k, v, p)) src
+        |ON t.k = src.k
+        |WHEN MATCHED AND src.v = 'x' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = src.v, p = src.p
+        |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (src.k, src.v, src.p)
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphan'
+        |""".stripMargin)
+    def all(sql: String): Set[(Long, String, Double)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(all("SELECT * FROM lake.t7") == Set(
+      (1L, "orphan", 1.0), // not matched by source → update
+      (2L, "m", 9.0),      // matched → update
+      (4L, "n", 4.0)),     // not matched → insert; 3 matched 'x' → delete
+      "all four merge branches must apply")
+    // the merge is ONE committed version; pre-merge state travels
+    assert(all("SELECT * FROM lake.t7 VERSION AS OF 1")
+      == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // star forms (analyzer-expanded) ride the same path
+    spark.sql(
+      """MERGE INTO lake.t7 t
+        |USING (SELECT * FROM VALUES (4,'N',44.0), (9,'i',9.0)
+        |       AS src(k, v, p)) src
+        |ON t.k = src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(all("SELECT * FROM lake.t7") == Set(
+      (1L, "orphan", 1.0), (2L, "m", 9.0), (4L, "N", 44.0), (9L, "i", 9.0)))
+    // SQL-standard cardinality: >1 source matches per target row errors
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO lake.t7 t
+        |USING (SELECT * FROM VALUES (2,'y',0.0), (2,'z',0.0)
+        |       AS src(k, v, p)) src
+        |ON t.k = src.k
+        |WHEN MATCHED THEN UPDATE SET v = src.v
+        |""".stripMargin))
+    assert(e.getMessage.contains("MERGE ambiguity"),
+      s"duplicate source matches must error: ${e.getMessage}")
+    // MERGE into an EMPTY created table: pure insert bootstrap
+    fresh("t8")
+    spark.sql("CREATE TABLE lake.t8 (k BIGINT, v STRING)")
+    spark.sql(
+      """MERGE INTO lake.t8 t
+        |USING (SELECT * FROM VALUES (1,'a'), (2,'b') AS src(k, v)) src
+        |ON t.k = src.k
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(spark.sql("SELECT k FROM lake.t8").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("CTAS: CREATE TABLE AS SELECT lands as declared schema + one committed version") {
     fresh("t5")
     spark.sql("CREATE TABLE lake.t5 AS " +
@@ -163,6 +261,55 @@ class CatalogSpec extends AnyFunSuite {
       .contains(1L), "CTAS = create + one INSERT version")
     // and the created metadata survives a catalog round-trip
     assert(spark.sql("SELECT * FROM lake.t5 VERSION AS OF 1").count() == 5L)
+  }
+
+  test("maintenance SQL: OPTIMIZE, VACUUM, DESCRIBE HISTORY/DETAIL map 1:1 onto the programmatic API") {
+    fresh("m1")
+    spark.sql("CREATE TABLE lake.m1 (k BIGINT, x DOUBLE, y DOUBLE)")
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO lake.m1 SELECT id + ${i * 100}, CAST(id AS DOUBLE), " +
+        s"CAST(id * 2 AS DOUBLE) FROM range(10)"))
+    // DESCRIBE HISTORY: SQL output == Snapshots.history (schema pinned
+    // equal so drift fails loudly) — 3 committed versions
+    val hist = spark.sql("DESCRIBE HISTORY lake.m1")
+    assert(hist.schema == Snapshots.history(spark, s"$Root/m1").schema,
+      "SQL history schema must match the programmatic frame")
+    assert(hist.collect().length == 3)
+    // OPTIMIZE ZORDER BY: one committed base version with stats
+    val opt = spark.sql("OPTIMIZE lake.m1 ZORDER BY (x, y)").collect()
+    assert(opt.head.getLong(1) == 4L &&
+      opt.head.getString(2) == "zorder(x,y)")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.m1").head.getLong(0) == 30L,
+      "optimize must not change table content")
+    // DESCRIBE DETAIL: window collapsed to the base
+    val det = spark.sql("DESC DETAIL lake.m1")
+    assert(det.schema == Snapshots.detail(spark, s"$Root/m1").schema)
+    val d = det.collect().head
+    assert(d.getLong(0) == 4L && d.getLong(3) == 1L,
+      s"after OPTIMIZE the reader window must be 1 version: $d")
+    // VACUUM (log flavor): reaps below the window, content intact
+    spark.sql("VACUUM lake.m1")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.m1").head.getLong(0) == 30L)
+    assert(spark.sql("DESCRIBE HISTORY lake.m1").collect().length == 1,
+      "vacuum must reap the subsumed versions")
+    // RETAIN refuses on log flavor (the window IS the retention unit)
+    val e = intercept[Exception](
+      spark.sql("VACUUM lake.m1 RETAIN 2 VERSIONS"))
+    assert(e.getMessage.contains("reader window"))
+    // snapshot flavor: RETAIN keeps newest n
+    fresh("m2")
+    spark.sql("CREATE TABLE lake.m2 (k BIGINT) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT OVERWRITE lake.m2 VALUES ($i)"))
+    spark.sql("VACUUM lake.m2 RETAIN 2 VERSIONS")
+    assert(spark.sql("DESCRIBE HISTORY lake.m2").collect().length == 2)
+    assert(spark.sql("SELECT k FROM lake.m2").head.getLong(0) == 3L)
+    // OPTIMIZE refuses on snapshot flavor; plain DESCRIBE still parses
+    intercept[Exception](spark.sql("OPTIMIZE lake.m2"))
+    assert(spark.sql("DESCRIBE lake.m2").collect()
+      .map(_.getString(0)).contains("k"),
+      "standard DESCRIBE must still reach Spark's parser")
   }
 
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
