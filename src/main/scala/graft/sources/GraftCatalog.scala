@@ -339,7 +339,8 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
     Map("flavor" -> flavor, "location" -> root).asJava
@@ -354,7 +355,7 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
         "batches — a raw SQL scan cannot apply them; read through " +
         "Snapshots.readLogMerged/readLogDv, or fold first " +
         "(compactLogMerged/compactLogDv — a SQL DELETE also folds)"
-      return new ScanBuilder {
+      val refusing = new ScanBuilder {
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.Scan {
             override def readSchema(): StructType = s
@@ -369,11 +370,32 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
               }
           }
       }
+      // batch refuses, but a STREAMING read still serves: the
+      // graftsnap tail skips delete-metadata batches by contract
+      // (they are markers, not data rows)
+      return new org.apache.spark.sql.GraftDualScanBuilder(refusing,
+        () => new SnapshotStreamScanBuilder(root, s, options).build())
     }
     val delegate = ParquetTable(name(), spark,
       options, resolvedPaths, Some(schema),
       classOf[ParquetFileFormat])
-    delegate.newScanBuilder(options)
+    // batch scans delegate wholesale to the parquet builder (pushdown
+    // , pruning, DPP, stats all forwarded); `spark.readStream.table`
+    // routes to the graftsnap commit-log tail — version-by-version
+    // exactly-once delivery, the same MicroBatchStream as
+    // format("graftsnap"), sharing its vacuum fence and
+    // compaction-skip contract
+    new org.apache.spark.sql.GraftDualScanBuilder(
+      delegate.newScanBuilder(options),
+      () => {
+        require(asOf.isEmpty,
+          s"$fullName: cannot stream a time-travel view")
+        require(flavor != "snapshot",
+          s"$fullName: streaming reads tail a LOG's committed " +
+            "versions; a snapshot-flavor table rewrites its full " +
+            "state per version — tail the upstream log instead")
+        new SnapshotStreamScanBuilder(root, schema, options).build()
+      })
   }
 
   /** The filter subset SQL DELETE translates losslessly to Columns —
@@ -481,6 +503,29 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
             }
             ()
           }
+
+        /** `df.writeStream.toTable("graft.t")` — each epoch lands as
+          * one committed log version through the graftsnap staged
+          * write (exactly-once via the in-version epoch tag). Log
+          * flavor + append mode only, the graftsnap contract. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(flavor != "snapshot",
+            s"$fullName: streaming writes append committed log " +
+              "versions; a snapshot-flavor table is read-modify-write " +
+              "— use foreachBatch with Snapshots.publishIf")
+          if (replace) throw new UnsupportedOperationException(
+            s"$fullName: streaming write supports append mode only")
+          val scope = Option(info.options.get("streamid")) match {
+            case Some(sid) =>
+              require(sid.matches("[A-Za-z0-9_-]+"),
+                s"streamId must be [A-Za-z0-9_-]+: '$sid'")
+              sid
+            case None =>
+              info.queryId().replaceAll("[^A-Za-z0-9_-]", "-")
+          }
+          new GraftsnapStreamingWrite(root, info.schema(), scope)
+        }
       }
     }
   }

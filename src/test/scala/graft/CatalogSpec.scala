@@ -312,6 +312,66 @@ class CatalogSpec extends AnyFunSuite {
       "standard DESCRIBE must still reach Spark's parser")
   }
 
+  test("streaming through the catalog: readStream.table tails the log, writeStream.toTable appends versions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    fresh("s1"); fresh("s2")
+    spark.sql("CREATE TABLE lake.s1 (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE lake.s2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.s1 VALUES (1, 'a'), (2, 'b')")
+    // readStream.table → the graftsnap commit-log tail, feeding
+    // writeStream.toTable → staged-epoch committed versions: the
+    // whole lake-to-lake hop in table names, no paths
+    val ck = s"$Root/_ck_s1"; LakeFs.rmTree(ck)
+    val q = spark.readStream.table("lake.s1")
+      .filter(col("k") =!= 99L)
+      .writeStream.option("checkpointLocation", ck)
+      .toTable("lake.s2")
+    try {
+      q.processAllAvailable()
+      // a second upstream INSERT is one more committed version — the
+      // tail delivers exactly the delta
+      spark.sql("INSERT INTO lake.s1 VALUES (3, 'c'), (99, 'x')")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT k FROM lake.s2").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "both upstream versions must land, filtered, exactly once")
+    assert(Snapshots.latestVersion(s"$Root/s2").exists(_ >= 2L),
+      "each epoch publishes one committed version")
+    // snapshot flavor refuses both streaming directions with hints
+    fresh("s3")
+    spark.sql("CREATE TABLE lake.s3 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    spark.sql("INSERT INTO lake.s3 VALUES (1, 'a')")
+    val ck2 = s"$Root/_ck_s3"; LakeFs.rmTree(ck2)
+    val e = intercept[Exception] {
+      val bad = spark.readStream.table("lake.s3")
+        .writeStream.option("checkpointLocation", ck2)
+        .format("noop").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(e.getMessage.contains("tail the upstream log"),
+      s"snapshot-flavor streaming read must refuse: ${e.getMessage}")
+    // MemoryStream → toTable(catalog) for a second writer shape
+    fresh("s4")
+    spark.sql("CREATE TABLE lake.s4 (v BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val ck3 = s"$Root/_ck_s4"; LakeFs.rmTree(ck3)
+    val q2 = ms.toDF().withColumnRenamed("value", "v")
+      .writeStream.option("checkpointLocation", ck3)
+      .toTable("lake.s4")
+    try {
+      ms.addData(1L, 2L); q2.processAllAvailable()
+      ms.addData(3L); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.sql("SELECT v FROM lake.s4").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
