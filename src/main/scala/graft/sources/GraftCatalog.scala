@@ -179,12 +179,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       None, Some(schema))
   }
 
+  /** `ALTER TABLE … ADD COLUMN(S)` — METADATA-ONLY evolution (the
+    * Delta shape): the declared schema in `_GRAFT_TABLE` gains the
+    * column, no data file moves, existing versions null-fill through
+    * standard parquet clipping, and the next INSERT writes the new
+    * shape (which the window union already resolves). Only nullable
+    * top-level adds: a NOT NULL add would instantly falsify every
+    * existing row, and nested edits are outside the catalog's flat
+    * column convention. DROP/RENAME refuse — they would need
+    * reader-side projection state; publish the projected shape
+    * instead (CTAS or INSERT OVERWRITE). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: snapshot schema evolves through publishes " +
-        "(write the new shape; readers null-fill) — see SURVEY §2 " +
-        "snapshot schema evolution")
+      changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val meta = GraftCatalog.readMeta(path)
+    val current = loadTable(ident).schema()
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN: top-level columns only " +
+            s"(got ${add.fieldNames.mkString(".")})")
+        require(add.isNullable,
+          "ALTER TABLE ADD COLUMN: new columns must be nullable — " +
+            "existing rows have no value for them")
+        val name = add.fieldNames.head
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists")
+        StructField(name, add.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD " +
+          "COLUMN is metadata-safe here — drops/renames/retypes " +
+          "need a rewritten shape (CTAS or INSERT OVERWRITE)")
+    }
+    val next = StructType(current.fields ++ added)
+    GraftCatalog.writeMeta(path, meta.flavor, Some(next))
+    new GraftSqlTable(s"$catalogName.${ident.toString}", path,
+      meta.flavor, None, Some(next))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
@@ -327,12 +359,27 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
     flavor != "snapshot" && Snapshots.latestVersion(root).nonEmpty &&
       Snapshots.hasDeleteMetadata(root, asOf)
 
-  override lazy val schema: StructType =
+  override lazy val schema: StructType = {
     if (Snapshots.latestVersion(root).isEmpty)
       declared.getOrElse(sys.error(
         s"$fullName: empty table with no declared schema"))
-    else if (flavor == "snapshot") Snapshots.read(spark, root, asOf).schema
-    else Snapshots.dataWindowSchema(spark, root, asOf)
+    else {
+      val data =
+        if (flavor == "snapshot") Snapshots.read(spark, root, asOf).schema
+        else Snapshots.dataWindowSchema(spark, root, asOf)
+      // ALTER TABLE ADD COLUMN is metadata-only: declared-only
+      // columns append and null-fill through parquet clipping (the
+      // declared schema is table-level, so travel reads see it too —
+      // nullable adds are harmless backwards)
+      declared match {
+        case Some(d) =>
+          val extra = d.fields.filterNot(f =>
+            data.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          if (extra.isEmpty) data else StructType(data.fields ++ extra)
+        case None => data
+      }
+    }
+  }
 
   override def name(): String =
     fullName + asOf.map(v => s"@v$v").getOrElse("")

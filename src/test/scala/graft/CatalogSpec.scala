@@ -372,6 +372,40 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, null-fill, next INSERT carries the shape") {
+    fresh("a1")
+    spark.sql("CREATE TABLE lake.a1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.a1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE lake.a1 ADD COLUMN score DOUBLE")
+    // no data moved: still one committed version; old rows null-fill
+    assert(Snapshots.latestVersion(s"$Root/a1").contains(1L),
+      "ADD COLUMN must be metadata-only (no new version)")
+    val rows = spark.sql("SELECT k, v, score FROM lake.a1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None)))
+    // the next INSERT writes the evolved shape; the window union
+    // resolves the mixed-schema versions
+    spark.sql("INSERT INTO lake.a1 VALUES (3, 'c', 0.5)")
+    val r3 = spark.sql("SELECT score FROM lake.a1 WHERE k = 3").head
+    assert(r3.getDouble(0) == 0.5)
+    assert(spark.sql("SELECT * FROM lake.a1").count() == 3L)
+    // UPDATE can backfill the new column
+    spark.sql("UPDATE lake.a1 SET score = CAST(k AS DOUBLE) " +
+      "WHERE score IS NULL")
+    assert(spark.sql("SELECT SUM(score) FROM lake.a1").head.getDouble(0)
+      == 3.5)
+    // guards: NOT NULL adds, drops, renames all refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.a1 ADD COLUMN bad BIGINT NOT NULL"))
+    intercept[Exception](spark.sql("ALTER TABLE lake.a1 DROP COLUMN v"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.a1 RENAME COLUMN v TO w"))
+    // duplicate add refuses
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.a1 ADD COLUMN score DOUBLE"))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
