@@ -104,13 +104,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPath(ns: Array[String]): String =
     (root +: ns.toSeq.map(seg)).mkString("/")
 
-  private def tablePath(ident: Identifier): String =
+  private[sources] def tablePath(ident: Identifier): String =
     (root +: ident.namespace.toSeq.map(seg) :+ seg(ident.name))
       .mkString("/")
 
   /** A directory is a TABLE when it carries the metadata file or any
     * version dir; anything else under the root is a namespace. */
-  private def isTable(path: String): Boolean =
+  private[sources] def isTable(path: String): Boolean =
     LakeFs.isFile(s"$path/${GraftCatalog.MetaFile}") ||
       LakeFs.list(path).exists(st =>
         st.isDirectory && st.getPath.getName.matches("v=\\d+"))

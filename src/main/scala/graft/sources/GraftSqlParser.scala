@@ -47,6 +47,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(retain).map(_.trim.toInt))
     case HistoryRe(table) => GraftHistoryCommand(multipart(table))
     case DetailRe(table) => GraftDetailCommand(multipart(table))
+    case RestoreVerRe(table, v) =>
+      GraftRestoreCommand(multipart(table), Left(v.trim.toLong))
+    case RestoreTsRe(table, ts) =>
+      GraftRestoreCommand(multipart(table), Right(ts))
+    case CloneRe(dst, src, v) =>
+      GraftCloneCommand(multipart(dst), multipart(src),
+        Option(v).map(_.trim.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -93,11 +100,21 @@ object GraftSqlParser {
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Tbl + """\s*;?\s*$""").r
   private val DetailRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Tbl + """\s*;?\s*$""").r
+  private val RestoreVerRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Tbl +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Tbl +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Tbl + """\s+SHALLOW\s+CLONE\s+""" +
+      Tbl + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   /** Resolve a (possibly catalog-qualified) multipart name to its
-    * graft catalog table, honoring the session's current catalog. */
-  private[sources] def resolve(spark: SparkSession,
-      parts: Seq[String]): GraftSqlTable = {
+    * graft catalog + identifier, honoring the session's current
+    * catalog. */
+  private[sources] def resolveCatalog(spark: SparkSession,
+      parts: Seq[String]): (GraftCatalog, Identifier) = {
     val cm = spark.sessionState.catalogManager
     val (cat, ident) =
       if (parts.length >= 2 && cm.isCatalogRegistered(parts.head))
@@ -105,14 +122,21 @@ object GraftSqlParser {
       else (cm.currentCatalog, parts)
     cat match {
       case g: GraftCatalog =>
-        g.loadTable(Identifier.of(ident.init.toArray, ident.last)) match {
-          case t: GraftSqlTable => t
-          case other => sys.error(s"not a graft table: $other")
-        }
+        (g, Identifier.of(ident.init.toArray, ident.last))
       case other => sys.error(
         s"'${parts.mkString(".")}': ${other.name()} is not a graft " +
-          "lake catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY/DETAIL " +
-          "apply to graft.sources.GraftCatalog tables")
+          "lake catalog — the lake maintenance statements apply to " +
+          "graft.sources.GraftCatalog tables")
+    }
+  }
+
+  /** Resolve to the loaded graft table. */
+  private[sources] def resolve(spark: SparkSession,
+      parts: Seq[String]): GraftSqlTable = {
+    val (g, ident) = resolveCatalog(spark, parts)
+    g.loadTable(ident) match {
+      case t: GraftSqlTable => t
+      case other => sys.error(s"not a graft table: $other")
     }
   }
 }
@@ -176,6 +200,69 @@ case class GraftVacuumCommand(parts: Seq[String], retain: Option[Int])
         "reaped below the reader window"
       }
     Seq(Row(t.name(), action))
+  }
+}
+
+/** `RESTORE TABLE <t> TO VERSION AS OF <v>` (or `TO TIMESTAMP AS OF
+  * '<ts>'` through the commit-time resolution) — republish the state
+  * at `v` as the NEW latest: snapshot flavor rewrites one snapshot,
+  * log flavor folds the as-of window into a compacted base that
+  * subsumes the bad tail. History stays immutable and travelable
+  * below — exactly Delta's RESTORE. Keyed-MoR logs refuse inside
+  * restoreLog with the restoreLogMerged hint. */
+case class GraftRestoreCommand(parts: Seq[String],
+    to: Either[Long, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("restored_to", LongType)(),
+    AttributeReference("new_version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, parts)
+    val v = to match {
+      case Left(ver) => ver
+      case Right(ts) =>
+        // commit times are epoch millis (marker mtime); the literal
+        // parses in the session's UTC discipline
+        val millis = java.sql.Timestamp.valueOf(
+          ts.trim.replace("T", " ")).getTime
+        Snapshots.versionAtTimestamp(t.root, millis)
+    }
+    val nv =
+      if (t.flavor == "snapshot") Snapshots.restore(spark, t.root, v)
+      else Snapshots.restoreLog(spark, t.root, v)
+    Seq(Row(t.name(), v, nv))
+  }
+}
+
+/** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF v]` —
+  * zero-copy: the clone's one version is a pointer at the source's
+  * (as-of) state, reads resolve through the source's files, writes
+  * diverge copy-on-write, and the source version is pinned by an
+  * immutable tag so retention never dangles the clone
+  * (Snapshots.cloneTable/cloneLog). The clone inherits the source's
+  * flavor. */
+case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
+    asOf: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = GraftSqlParser.resolve(spark, src)
+    val (dstCat, dstIdent) = GraftSqlParser.resolveCatalog(spark, dst)
+    val dstPath = dstCat.tablePath(dstIdent)
+    require(!dstCat.isTable(dstPath),
+      s"${dst.mkString(".")}: clone target already exists")
+    graft.operators.LakeFs.mkdirs(dstPath)
+    val v =
+      if (s.flavor == "snapshot")
+        Snapshots.cloneTable(spark, s.root, dstPath, asOf)
+      else Snapshots.cloneLog(spark, s.root, dstPath, asOf)
+    GraftCatalog.register(dstPath, s.flavor)
+    Seq(Row(dst.mkString("."), v))
   }
 }
 

@@ -406,6 +406,43 @@ class CatalogSpec extends AnyFunSuite {
       "ALTER TABLE lake.a1 ADD COLUMN score DOUBLE"))
   }
 
+  test("RESTORE TABLE and SHALLOW CLONE through SQL") {
+    fresh("r1"); fresh("r2")
+    spark.sql("CREATE TABLE lake.r1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.r1 VALUES (1, 'good')")
+    spark.sql("INSERT INTO lake.r1 VALUES (2, 'bad')")
+    // RESTORE folds the as-of window into a new base — the bad tail
+    // is subsumed, history below stays travelable
+    val res = spark.sql("RESTORE TABLE lake.r1 TO VERSION AS OF 1")
+      .collect().head
+    assert(res.getLong(1) == 1L && res.getLong(2) == 3L)
+    assert(spark.sql("SELECT v FROM lake.r1").collect()
+      .map(_.getString(0)).toSeq == Seq("good"))
+    assert(spark.sql("SELECT COUNT(*) FROM lake.r1 VERSION AS OF 2")
+      .head.getLong(0) == 2L, "pre-restore history must stay travelable")
+    // TIMESTAMP form resolves through commit times
+    val t1 = Snapshots.commitTimestamp(s"$Root/r1", 1L).get
+    val ts = new java.sql.Timestamp(t1).toString
+    val res2 = spark.sql(
+      s"RESTORE TABLE lake.r1 TO TIMESTAMP AS OF '$ts'").collect().head
+    assert(res2.getLong(1) == 1L)
+    // SHALLOW CLONE: zero-copy pointer version, divergent writes
+    spark.sql("CREATE TABLE lake.r2 SHALLOW CLONE lake.r1")
+    assert(spark.sql("SELECT v FROM lake.r2").collect()
+      .map(_.getString(0)).toSeq == Seq("good"))
+    spark.sql("INSERT INTO lake.r2 VALUES (9, 'clone-only')")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.r2").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM lake.r1").head.getLong(0) == 1L,
+      "clone writes must never reach the source")
+    // clone onto an existing table refuses
+    intercept[Exception](
+      spark.sql("CREATE TABLE lake.r2 SHALLOW CLONE lake.r1"))
+    // as-of clone pins the picked version
+    fresh("r3")
+    spark.sql("CREATE TABLE lake.r3 SHALLOW CLONE lake.r1 VERSION AS OF 2")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.r3").head.getLong(0) == 2L)
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
