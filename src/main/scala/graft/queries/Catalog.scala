@@ -226,5 +226,66 @@ object Catalog {
          |FROM $t GROUP BY SUBSTR(seg, 1, 6) ORDER BY tag""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge)
+  /** SQL RESTORE + SHALLOW CLONE under the hash: CREATE + 2×INSERT,
+    * `RESTORE TABLE … TO VERSION AS OF 1` (the bad second batch is
+    * subsumed by a NEW version — history below stays travelable),
+    * then `CREATE TABLE … SHALLOW CLONE` off the restored state and a
+    * divergent INSERT into the clone. The final SELECT joins the
+    * restored current state, the PRE-restore history (VERSION AS OF
+    * 2), and the clone — so restore's republication, history
+    * preservation, zero-copy clone resolution, AND clone-write
+    * isolation all sit under one hash. Oracle replays each as a
+    * WHERE-subset of the raw table (cur = %3=0, hist = %3∈{0,1},
+    * clone = %3∈{0,2}). */
+  val sqlRestore: Q = Q(
+    "q_sql_restore",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |cur AS (
+      |  SELECT st, COUNT(*) AS n_cur FROM base
+      |  WHERE k % 3 = 0 GROUP BY 1),
+      |hist AS (
+      |  SELECT st, COUNT(*) AS n_hist FROM base
+      |  WHERE k % 3 IN (0, 1) GROUP BY 1),
+      |cl AS (
+      |  SELECT st, COUNT(*) AS n_clone, CAST(SUM(p) AS DOUBLE) AS total
+      |  FROM base WHERE k % 3 IN (0, 2) GROUP BY 1)
+      |SELECT cur.st, cur.n_cur, hist.n_hist, cl.n_clone, cl.total
+      |FROM cur JOIN hist USING (st) JOIN cl USING (st)
+      |ORDER BY st""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.rst_$id"
+    val c = s"graftlake.rstc_$id"
+    LakeFs.rmTree(s"$LakeRoot/rst_$id")
+    LakeFs.rmTree(s"$LakeRoot/rstc_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, p DECIMAL(18,2))")
+    def insert(tbl: String, residue: Int): Unit = s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2))
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 3 = $residue""".stripMargin)
+    insert(t, 0) // -> committed version 1 (the good batch)
+    insert(t, 1) // -> committed version 2 (the "bad" batch)
+    s.sql(s"RESTORE TABLE $t TO VERSION AS OF 1")
+    s.sql(s"CREATE TABLE $c SHALLOW CLONE $t")
+    insert(c, 2) // diverges the clone; must never reach the source
+    s.sql(
+      s"""SELECT cur.st, cur.n_cur, hist.n_hist, cl.n_clone, cl.total
+         |FROM (SELECT st, COUNT(*) AS n_cur FROM $t GROUP BY st) cur
+         |JOIN (SELECT st, COUNT(*) AS n_hist
+         |      FROM $t VERSION AS OF 2 GROUP BY st) hist
+         |USING (st)
+         |JOIN (SELECT st, COUNT(*) AS n_clone,
+         |        CAST(SUM(p) AS DOUBLE) AS total
+         |      FROM $c GROUP BY st) cl
+         |USING (st)
+         |ORDER BY st""".stripMargin)
+  }
+
+  val all: Seq[Q] =
+    Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge, sqlRestore)
 }
