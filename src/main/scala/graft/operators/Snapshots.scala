@@ -598,10 +598,11 @@ object Snapshots {
     * into a new compacted base — readers after it see exactly the
     * state at `v`, later (bad) appends are subsumed, and history
     * below stays time-travelable until vacuumLog. */
-  def restoreLog(s: SparkSession, root: String, v: Long): Long = {
+  def restoreLog(s: SparkSession, root: String, v: Long,
+      partCols: Seq[String] = Nil): Long = {
     requireNoTombstones(root, "restoreLog", "restoreLogMerged",
       asOf = Some(v))
-    commitCompacted(readLog(s, root, asOf = Some(v)), root)
+    commitCompacted(readLog(s, root, asOf = Some(v)), root, partCols)
   }
 
   /** RESTORE for the merge-on-read log: resolve latest-wins state as
@@ -914,7 +915,8 @@ object Snapshots {
         col("_metadata.row_index").as("_pos"))
     val frames = window.map { case (_, d) =>
       s.read.parquet(dataDirs(d): _*) }
-    if (frames.map(_.schema).distinct.sizeIs == 1)
+    if (!anyPartitionedDir(window.flatMap(w => dataDirs(w._2))) &&
+        frames.map(_.schema).distinct.sizeIs == 1)
       withPos(s.read.parquet(
         window.flatMap(w => dataDirs(w._2)): _*))
     else frames.map(withPos)
@@ -992,6 +994,15 @@ object Snapshots {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true)).schema
   }
 
+  /** The reader window's data DIRECTORIES (clone markers resolved) —
+    * the scan roots a hive-partitioned catalog table hands Spark's
+    * file index: partition discovery needs the version DIRS as base
+    * paths (a flat file list loses the `col=val` dir components that
+    * carry the partition values). */
+  private[graft] def logDataDirs(root: String,
+      asOf: Option[Long]): Seq[String] =
+    logWindow(root, asOf).flatMap { case (_, d) => dataDirs(d) }
+
   /** The window of committed versions a log reader unions: everything
     * up to `asOf` (or all), except that a COMPACTED version (base
     * marker, see compactLog) subsumes everything at or before it. */
@@ -1031,12 +1042,22 @@ object Snapshots {
     * version's columns followed by each later addition in version
     * order (deterministic). Footer reads are O(versions) and
     * compactLog folds the count back down. */
+  /** Hive-partitioned version dirs (publishPartitioned) must read
+    * per-dir: Spark's partition discovery refuses multiple roots
+    * (CONFLICTING_DIRECTORY_STRUCTURES), while a per-root read
+    * discovers each dir's own `col=val` layout cleanly. */
+  private def anyPartitionedDir(dirs: Seq[String]): Boolean =
+    dirs.exists(d => LakeFs.list(d).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("=")))
+
   private def unionWindow(s: SparkSession,
       window: Seq[(Long, String)]): DataFrame = {
+    val dirs = window.flatMap(w => dataDirs(w._2))
     val frames = window.map { case (_, d) =>
       s.read.parquet(dataDirs(d): _*) }
-    if (frames.map(_.schema).distinct.sizeIs == 1)
-      s.read.parquet(window.flatMap(w => dataDirs(w._2)): _*)
+    if (!anyPartitionedDir(dirs) &&
+        frames.map(_.schema).distinct.sizeIs == 1)
+      s.read.parquet(dirs: _*)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1147,9 +1168,10 @@ object Snapshots {
     * stay on disk (readers mid-flight may hold them; time travel to
     * pre-compaction boundaries keeps working) until vacuumLog reaps
     * them. Returns the compacted version. */
-  def compactLog(s: SparkSession, root: String): Long = {
+  def compactLog(s: SparkSession, root: String,
+      partCols: Seq[String] = Nil): Long = {
     requireNoTombstones(root, "compactLog", "compactLogMerged")
-    commitCompacted(readLog(s, root), root)
+    commitCompacted(readLog(s, root), root, partCols)
   }
 
   /** Folding a raw union over tombstone batches would re-write the
@@ -1264,12 +1286,14 @@ object Snapshots {
     * write maps SaveMode.Overwrite here; it is also the manual
     * "rebuild the table" primitive next to restoreLog's
     * as-of-flavored one. */
-  def publishReplace(df: DataFrame, root: String): Long =
-    commitCompacted(df, root)
+  def publishReplace(df: DataFrame, root: String,
+      partCols: Seq[String] = Nil): Long =
+    commitCompacted(df, root, partCols)
 
-  private def commitCompacted(folded: DataFrame, root: String): Long = {
+  private def commitCompacted(folded: DataFrame, root: String,
+      partCols: Seq[String] = Nil): Long = {
     val n = versions(root).lastOption.map(_._1).getOrElse(0L) + 1
-    writeVersion(folded, s"$root/v=$n")
+    writeVersion(folded, s"$root/v=$n", partCols)
     require(LakeFs.createMarker(s"$root/v=$n/$Base"), s"base marker v=$n")
     require(LakeFs.createMarker(s"$root/v=$n/$Marker"), s"commit marker v=$n")
     n

@@ -286,6 +286,56 @@ object Catalog {
          |ORDER BY st""".stripMargin)
   }
 
-  val all: Seq[Q] =
-    Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge, sqlRestore)
+  /** PARTITIONED BY under the hash: CREATE … PARTITIONED BY (st) —
+    * the hive layout every date/source-partitioned 100 TB table ships
+    * with — + 2×INSERT (each version lays its own `st=…` dirs), then
+    * a SELECT whose WHERE is on the PARTITION column (pruned to the
+    * matching dirs before any footer opens — CatalogSpec pins the
+    * file set) joined against a VERSION AS OF 1 aggregate, so
+    * partition-value restoration, the window union, pruning
+    * correctness, AND time travel over partitioned versions all sit
+    * under one hash. The oracle replays both as WHERE-subsets. */
+  val sqlPartitioned: Q = Q(
+    "q_sql_partitioned",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |cur AS (
+      |  SELECT st, COUNT(*) AS n_cur, CAST(SUM(p) AS DOUBLE) AS total
+      |  FROM base WHERE st IN ('F', 'O') GROUP BY 1),
+      |v1 AS (
+      |  SELECT st, COUNT(*) AS n_v1 FROM base
+      |  WHERE st IN ('F', 'O') AND k % 2 = 0 GROUP BY 1)
+      |SELECT cur.st, cur.n_cur, v1.n_v1, cur.total
+      |FROM cur JOIN v1 USING (st)
+      |ORDER BY st""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.prt_$id"
+    LakeFs.rmTree(s"$LakeRoot/prt_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, p DECIMAL(18,2)) " +
+      "PARTITIONED BY (st)")
+    def insert(residue: Int): Unit = s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+         |  o_orderstatus
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 2 = $residue""".stripMargin)
+    insert(0) // -> version 1, its own st=… layout
+    insert(1) // -> version 2
+    s.sql(
+      s"""SELECT cur.st, cur.n_cur, v1.n_v1, cur.total
+         |FROM (SELECT st, COUNT(*) AS n_cur,
+         |        CAST(SUM(p) AS DOUBLE) AS total
+         |      FROM $t WHERE st IN ('F', 'O') GROUP BY st) cur
+         |JOIN (SELECT st, COUNT(*) AS n_v1
+         |      FROM $t VERSION AS OF 1
+         |      WHERE st IN ('F', 'O') GROUP BY st) v1
+         |USING (st)
+         |ORDER BY st""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge,
+    sqlRestore, sqlPartitioned)
 }

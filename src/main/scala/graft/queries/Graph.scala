@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over the co-purchase graph — parts are nodes, an
+  * edge joins two parts that appear in the SAME order (the classic
+  * market-basket projection, lineitem self-joined on the order key).
+  *
+  * The scale discipline is DEGREE-ORDERED edge orientation (the
+  * standard distributed triangle-count trick, Cohen '09 / every
+  * GraphX/Giraph implementation since): orient every undirected edge
+  * from its lower-(degree, id) endpoint to the higher one. Then each
+  * triangle {u,v,w} materializes EXACTLY once (as the wedge at its
+  * smallest vertex closed by one edge probe), no per-triangle dedup
+  * pass — and, the 100 TB point, the out-degree of every vertex is
+  * bounded by ~sqrt(2·|E|) regardless of raw degree skew: the
+  * celebrity part that co-occurs with everything gets rank-high
+  * orientation and contributes NO wedges, so the wedge join cannot
+  * blow up on skewed keys. Wedge generation is one self-join
+  * shuffled on the low vertex; closure is one equi-join on the
+  * (v, w) pair. Never all-pairs, no windows. */
+object Graph {
+
+  /** Top parts by triangle membership in the co-purchase graph, plus
+    * the global triangle count. Everything is exact integers. */
+  val triangles: Q = Q(
+    "q_triangles",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS x, b.p AS y
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT x AS n FROM edges
+      |    UNION ALL SELECT y AS n FROM edges) ends
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y
+      |           END AS u,
+      |         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x
+      |           END AS v,
+      |         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d
+      |           END AS dv
+      |  FROM edges e
+      |  JOIN deg dx ON e.x = dx.n
+      |  JOIN deg dy ON e.y = dy.n),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM oriented e1
+      |  JOIN oriented e2
+      |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+      |  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |members AS (
+      |  SELECT n, COUNT(*) AS n_tri FROM (
+      |    SELECT a AS n FROM tri
+      |    UNION ALL SELECT b AS n FROM tri
+      |    UNION ALL SELECT c AS n FROM tri) m
+      |  GROUP BY n)
+      |SELECT n AS part, n_tri, (SELECT COUNT(*) FROM tri) AS total_tri
+      |FROM members
+      |ORDER BY n_tri DESC, part
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .distinct()
+      .cache()
+    val deg = edges.select(col("x").as("n"))
+      .unionAll(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-(deg, id) -> high; carry the head's (deg, id) so the
+    // wedge join can order out-neighbors without re-joining degrees
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
+        "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
+        "y")
+      .select(
+        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .cache()
+    // wedges at the LOW vertex, closed by one oriented-edge probe
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+    val tri = e1.join(e2,
+        e1("u") === e2("u") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(e1("u").as("a"), col("b"), col("c"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+      .cache()
+    val total = tri.agg(count(lit(1)).as("total_tri"))
+    tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      .crossJoin(broadcast(total))
+      .select(col("n").as("part"), col("n_tri"), col("total_tri"))
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(triangles)
+}

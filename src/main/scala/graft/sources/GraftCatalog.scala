@@ -150,7 +150,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val meta = GraftCatalog.readMeta(path)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path,
-      meta.flavor, asOf, meta.schema)
+      meta.flavor, asOf, meta.schema, meta.partCols)
   }
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
@@ -164,19 +164,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables do not take PARTITIONED BY — snapshot " +
-        "layout is version-managed (use Snapshots.publishPartitioned " +
-        "programmatically for hive-partitioned versions)")
+    // PARTITIONED BY (c1, c2) — identity transforms over declared
+    // top-level columns only (bucket/days/etc. would need reader-side
+    // evaluation state the hive dir layout cannot carry)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"PARTITIONED BY supports plain columns only, got: $t")
+      val c = t.references.head.fieldNames.head
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' is not in the table schema")
+      c
+    }
+    require(partCols.size < schema.fields.length,
+      "PARTITIONED BY cannot cover every column — no data columns left")
     val path = tablePath(ident)
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
     val flavor = Option(properties.get("flavor")).getOrElse("log")
     require(flavor == "log" || flavor == "snapshot",
       s"flavor must be log|snapshot: '$flavor'")
+    require(partCols.isEmpty || flavor == "log",
+      "PARTITIONED BY applies to log-flavor tables (the append-log " +
+        "shape hive partitioning serves); a snapshot-flavor table " +
+        "re-lays its full state per version — partition the log, or " +
+        "publish clustered state programmatically")
+    // the hive rule: partition columns move to the END of the table
+    // schema (a parquet scan emits data columns then partition
+    // columns; a mid-schema partition column would force a repair
+    // Project that breaks row-level plan matching)
+    val ordered =
+      if (partCols.isEmpty) schema
+      else StructType(
+        schema.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name))) ++
+        partCols.map(c => schema(schema.fieldNames
+          .indexWhere(_.equalsIgnoreCase(c)))))
     LakeFs.mkdirs(path)
-    GraftCatalog.writeMeta(path, flavor, Some(schema))
+    GraftCatalog.writeMeta(path, flavor, Some(ordered), partCols)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path, flavor,
-      None, Some(schema))
+      None, Some(ordered), partCols)
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — METADATA-ONLY evolution (the
@@ -213,9 +239,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "need a rewritten shape (CTAS or INSERT OVERWRITE)")
     }
     val next = StructType(current.fields ++ added)
-    GraftCatalog.writeMeta(path, meta.flavor, Some(next))
+    GraftCatalog.writeMeta(path, meta.flavor, Some(next), meta.partCols)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path,
-      meta.flavor, None, Some(next))
+      meta.flavor, None, Some(next), meta.partCols)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -295,35 +321,51 @@ object GraftCatalog {
     * STATES (read-modify-publish snapshot tables) would double-count
     * under the union. One marker write closes that: register such
     * roots as `snapshot` before pointing SQL at them. */
-  def register(path: String, flavor: String): Unit = {
+  def register(path: String, flavor: String,
+      partCols: Seq[String] = Nil): Unit = {
     require(flavor == "log" || flavor == "snapshot",
       s"flavor must be log|snapshot: '$flavor'")
-    writeMeta(path, flavor, None)
+    writeMeta(path, flavor, None, partCols)
   }
 
-  /** Table metadata: line 1 = flavor, line 2 (optional) = declared
-    * StructType JSON (the schema of a created-but-never-published
-    * table; once data exists the newest window's footers govern). */
+  /** Table metadata: line 1 = flavor, optionally followed by
+    * ` parts=c1,c2` (the hive partition columns of a PARTITIONED BY
+    * table); line 2 (optional) = declared StructType JSON (the schema
+    * of a created-but-never-published table; once data exists the
+    * newest window's footers govern — except partitioned tables,
+    * whose declared schema always governs, since partition values
+    * live in dir names, not footers). */
   private[sources] val MetaFile = "_GRAFT_TABLE"
 
   private[sources] final case class Meta(flavor: String,
-      schema: Option[StructType])
+      schema: Option[StructType], partCols: Seq[String])
 
   private[sources] def readMeta(path: String): Meta =
     LakeFs.readString(s"$path/$MetaFile") match {
-      case None => Meta("log", None)
+      case None => Meta("log", None, Nil)
       case Some(c) =>
         val lines = c.linesIterator.toSeq
-        Meta(lines.headOption.map(_.trim).filter(_.nonEmpty)
-            .getOrElse("log"),
+        val head = lines.headOption.map(_.trim).filter(_.nonEmpty)
+          .getOrElse("log")
+        val toks = head.split("\\s+").toSeq
+        val parts = toks.collectFirst {
+          case t if t.startsWith("parts=") =>
+            t.stripPrefix("parts=").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+        }.getOrElse(Nil)
+        Meta(toks.headOption.getOrElse("log"),
           lines.drop(1).headOption.filter(_.nonEmpty)
-            .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType]),
+          parts)
     }
 
   private[sources] def writeMeta(path: String, flavor: String,
-      schema: Option[StructType]): Unit =
+      schema: Option[StructType], partCols: Seq[String] = Nil): Unit =
     LakeFs.write(s"$path/$MetaFile",
-      flavor + schema.map("\n" + _.json).getOrElse(""))
+      flavor +
+        (if (partCols.nonEmpty) " parts=" + partCols.mkString(",")
+         else "") +
+        schema.map("\n" + _.json).getOrElse(""))
 }
 
 /** One catalog table = one Snapshots root, resolved at load time
@@ -333,7 +375,8 @@ object GraftCatalog {
   * connector's batch write, SnapshotStreamSource.scala). */
 class GraftSqlTable(fullName: String, private[sources] val root: String,
     private[sources] val flavor: String,
-    private[sources] val asOf: Option[Long], declared: Option[StructType])
+    private[sources] val asOf: Option[Long], declared: Option[StructType],
+    private[sources] val partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -342,12 +385,17 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
   /** The resolved read window: snapshot flavor = the one picked
     * version's data dirs (clone markers followed); log flavor = the
     * full reader-window file list (base subsumption + clones,
-    * tombstones refused). Empty table → no paths (declared schema
-    * serves the scan an empty result). */
+    * tombstones refused). PARTITIONED tables hand over the window's
+    * version DIRS instead — each is a base path for Spark's hive
+    * partition discovery, which restores the `col=val` columns and
+    * lets Catalyst prune whole partition directories before a single
+    * footer opens. Empty table → no paths (declared schema serves the
+    * scan an empty result). */
   private lazy val resolvedPaths: Seq[String] =
     if (Snapshots.latestVersion(root).isEmpty) Nil
     else if (flavor == "snapshot")
       Snapshots.readDirs(root, asOf)
+    else if (partCols.nonEmpty) Snapshots.logDataDirs(root, asOf)
     else Snapshots.batchFiles(root, asOf,
       Map.empty[String, (Option[BigDecimal], Option[BigDecimal])])
 
@@ -360,7 +408,12 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
       Snapshots.hasDeleteMetadata(root, asOf)
 
   override lazy val schema: StructType = {
-    if (Snapshots.latestVersion(root).isEmpty)
+    if (partCols.nonEmpty)
+      // partition values live in dir names, not footers — the
+      // declared schema (which CREATE always writes) governs
+      declared.getOrElse(sys.error(
+        s"$fullName: partitioned table with no declared schema"))
+    else if (Snapshots.latestVersion(root).isEmpty)
       declared.getOrElse(sys.error(
         s"$fullName: empty table with no declared schema"))
     else {
@@ -423,6 +476,25 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
       return new org.apache.spark.sql.GraftDualScanBuilder(refusing,
         () => new SnapshotStreamScanBuilder(root, s, options).build())
     }
+    if (partCols.nonEmpty) {
+      // partitioned window: per-root partition parse merged into one
+      // spec (GraftPartIndex — Spark's discovery refuses multiple
+      // roots), then Spark's own parquet scan builder over it, so
+      // pushdown + partition PRUNING + vectorized decode all come
+      // from the engine
+      val idx = org.apache.spark.sql.execution.datasources
+        .GraftPartIndex(spark, resolvedPaths, schema, partCols)
+      val dataSchema = StructType(schema.fields.filterNot(f =>
+        partCols.exists(_.equalsIgnoreCase(f.name))))
+      val batch = org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScanBuilder(spark, idx, schema, dataSchema, options)
+      return new org.apache.spark.sql.GraftDualScanBuilder(batch,
+        () => sys.error(
+          s"$fullName: streaming reads of a PARTITIONED table are " +
+            "not supported — the version tail reads files, and the " +
+            "partition values live in dir names; tail an " +
+            "unpartitioned log instead"))
+    }
     val delegate = ParquetTable(name(), spark,
       options, resolvedPaths, Some(schema),
       classOf[ParquetFileFormat])
@@ -441,6 +513,11 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
           s"$fullName: streaming reads tail a LOG's committed " +
             "versions; a snapshot-flavor table rewrites its full " +
             "state per version — tail the upstream log instead")
+        require(partCols.isEmpty,
+          s"$fullName: streaming reads of a PARTITIONED table are " +
+            "not supported — the version tail reads files, and the " +
+            "partition values live in dir names; tail an " +
+            "unpartitioned log instead")
         new SnapshotStreamScanBuilder(root, schema, options).build()
       })
   }
@@ -502,7 +579,7 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
     val cond = conds.foldLeft(lit(true))(_ && _)
     val kept = currentState(s).filter(not(coalesce(cond, lit(false))))
     if (flavor == "snapshot") Snapshots.publish(kept, root)
-    else Snapshots.publishReplace(kept, root)
+    else Snapshots.publishReplace(kept, root, partCols)
     ()
   }
 
@@ -517,7 +594,7 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
     val empty = s.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     if (flavor == "snapshot") Snapshots.publish(empty, root)
-    else Snapshots.publishReplace(empty, root)
+    else Snapshots.publishReplace(empty, root, partCols)
     true
   }
 
@@ -545,7 +622,9 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
                     root, expected = v)
               }
             } else {
-              if (replace) Snapshots.publishReplace(df, root)
+              if (replace) Snapshots.publishReplace(df, root, partCols)
+              else if (partCols.nonEmpty)
+                Snapshots.publishPartitioned(df, root, partCols)
               else Snapshots.publishAppend(df, root)
             }
             ()
@@ -561,6 +640,10 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
             s"$fullName: streaming writes append committed log " +
               "versions; a snapshot-flavor table is read-modify-write " +
               "— use foreachBatch with Snapshots.publishIf")
+          require(partCols.isEmpty,
+            s"$fullName: streaming writes to a PARTITIONED table are " +
+              "not supported — the epoch-staged writer lays files " +
+              "flat; use foreachBatch with Snapshots.publishPartitioned")
           if (replace) throw new UnsupportedOperationException(
             s"$fullName: streaming write supports append mode only")
           val scope = Option(info.options.get("streamid")) match {

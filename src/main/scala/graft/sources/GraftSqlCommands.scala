@@ -108,7 +108,7 @@ private[sources] object RowLevelExec {
 
   def publishState(t: GraftSqlTable, df: DataFrame): Unit = {
     if (t.flavor == "snapshot") Snapshots.publish(df, t.root)
-    else Snapshots.publishReplace(df, t.root)
+    else Snapshots.publishReplace(df, t.root, t.partCols)
     ()
   }
 

@@ -163,8 +163,13 @@ case class GraftOptimizeCommand(parts: Seq[String],
         "state instead)")
     val (v, action) = zorder match {
       case Some(Seq(cx, cy)) =>
+        require(t.partCols.isEmpty,
+          s"${t.name()}: ZORDER on a PARTITIONED table is not " +
+            "supported — the z-curve re-lay would flatten the hive " +
+            "layout; compact (plain OPTIMIZE) preserves partitions")
         (Snapshots.optimize(spark, t.root, cx, cy), s"zorder($cx,$cy)")
-      case _ => (Snapshots.compactLog(spark, t.root), "compact")
+      case _ =>
+        (Snapshots.compactLog(spark, t.root, t.partCols), "compact")
     }
     Seq(Row(t.name(), v, action))
   }
@@ -231,7 +236,7 @@ case class GraftRestoreCommand(parts: Seq[String],
     }
     val nv =
       if (t.flavor == "snapshot") Snapshots.restore(spark, t.root, v)
-      else Snapshots.restoreLog(spark, t.root, v)
+      else Snapshots.restoreLog(spark, t.root, v, t.partCols)
     Seq(Row(t.name(), v, nv))
   }
 }
@@ -261,7 +266,9 @@ case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
       if (s.flavor == "snapshot")
         Snapshots.cloneTable(spark, s.root, dstPath, asOf)
       else Snapshots.cloneLog(spark, s.root, dstPath, asOf)
-    GraftCatalog.register(dstPath, s.flavor)
+    // carry the source's declared shape: a partitioned clone needs
+    // the declared schema (partition values are not in footers)
+    GraftCatalog.writeMeta(dstPath, s.flavor, Some(s.schema), s.partCols)
     Seq(Row(dst.mkString("."), v))
   }
 }

@@ -443,6 +443,80 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM lake.r3").head.getLong(0) == 2L)
   }
 
+  test("PARTITIONED BY: hive layout per version, partition pruning, row-level ops preserve layout") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    fresh("p1"); fresh("p2")
+    spark.sql("CREATE TABLE lake.p1 (k BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    // the hive rule: partition columns move LAST in the table schema
+    assert(spark.table("lake.p1").columns.toSeq == Seq("k", "v", "day"))
+    spark.sql("INSERT INTO lake.p1 VALUES " +
+      "(1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'a')")
+    spark.sql("INSERT INTO lake.p1 VALUES (4, 4.0, 'b'), (5, 5.0, 'c')")
+    // on-disk: hive dirs inside each version dir
+    assert(LakeFs.list(s"$Root/p1/v=1").exists(st =>
+      st.isDirectory && st.getPath.getName == "day=a"),
+      "INSERT must lay hive partition dirs inside the version dir")
+    def rows(sql: String): Set[(Long, String)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows("SELECT k, day FROM lake.p1") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b", 5L -> "c"),
+      "partition columns must restore through discovery, window unioned")
+    assert(rows("SELECT k, day FROM lake.p1 VERSION AS OF 1") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a"))
+    // partition PRUNING: a filter on the partition column must shrink
+    // the scanned file set to that partition's dirs before any footer
+    // opens — the whole point of the layout at 100 TB
+    val pruned = spark.sql("SELECT k FROM lake.p1 WHERE day = 'a'")
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b }.get
+    val files = scan.inputPartitions.collect {
+      case f: FilePartition => f.files.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("day=a")),
+      s"partition filter must prune to day=a dirs only:\n$files")
+    // DELETE (CoW) preserves the hive layout in the replacement base
+    spark.sql("DELETE FROM lake.p1 WHERE day = 'c'")
+    assert(rows("SELECT k, day FROM lake.p1") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b"))
+    assert(LakeFs.list(s"$Root/p1/v=3").exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("day=")),
+      "row-level CoW publish must keep the partition layout")
+    // OPTIMIZE compacts keeping layout; ZORDER refuses on partitioned
+    spark.sql("OPTIMIZE lake.p1")
+    assert(LakeFs.list(s"$Root/p1/v=4").exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("day=")))
+    assert(rows("SELECT k, day FROM lake.p1") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b"))
+    intercept[Exception](
+      spark.sql("OPTIMIZE lake.p1 ZORDER BY (k, v)"))
+    // RESTORE re-lays the as-of state partitioned; CLONE carries the
+    // partition meta so the clone reads (and prunes) identically
+    spark.sql("RESTORE TABLE lake.p1 TO VERSION AS OF 1")
+    assert(rows("SELECT k, day FROM lake.p1") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a"))
+    spark.sql("CREATE TABLE lake.p2 SHALLOW CLONE lake.p1")
+    assert(rows("SELECT k, day FROM lake.p2") ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a"),
+      "a clone of a partitioned table must restore partition values")
+    // refusals: snapshot flavor, unknown column, all-columns, streaming
+    intercept[Exception](spark.sql(
+      "CREATE TABLE lake.pbad (k BIGINT, d STRING) PARTITIONED BY (d) " +
+        "TBLPROPERTIES ('flavor'='snapshot')"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE lake.pbad (k BIGINT, d STRING) PARTITIONED BY (nope)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE lake.pbad (d STRING) PARTITIONED BY (d)"))
+    // streaming refusal surfaces on the stream thread
+    val q = spark.readStream.table("lake.p1").writeStream
+      .format("noop").start()
+    val se = intercept[Exception] { q.processAllAvailable() }
+    assert(se.getMessage.contains("PARTITIONED"))
+    q.stop()
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
