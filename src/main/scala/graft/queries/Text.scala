@@ -1553,10 +1553,90 @@ object Text {
       .limit(20)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): PageRank
+    * over the word co-occurrence graph — adjacent-token pairs are
+    * undirected weighted edges, 3 unrolled damped iterations (the
+    * events_pagerank discipline), top-20 words by final score.
+    * Content filter = length ≥ 4 (the deterministic stand-in for the
+    * paper's POS filter — no tagger in scope).
+    *
+    * Float discipline: there are NO floats. Scores live in integer
+    * MICRO-units (score₀ = 1e6) and the damped neighbor sum is pure
+    * int64 arithmetic — d = 0.85 = 17/20, so one contribution is
+    * (17·score(u)·w(u,v)) DIV (20·S(u)) with S(u) the integer
+    * incident weight; per-node sums are exact integer sums,
+    * order-independent under partial aggregation, hash-identical in
+    * DuckDB (the quality_nb micro-nat rule applied to graph
+    * iteration). Scale: ONE corpus pass builds the weighted edge
+    * list; every iteration runs on the vocabulary-bounded edge frame
+    * (iteration cost independent of corpus size). */
+  val keywords: Q = Q(
+    "text_keywords",
+    """WITH tokv AS (
+      |  SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |    x -> len(x) >= 4) AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT w1, w2, COUNT(*) AS c FROM (
+      |    SELECT ts[i+1] AS w1, ts[i+2] AS w2
+      |    FROM (SELECT ts, unnest(range(0, greatest(len(ts) - 1, 0))) AS i
+      |      FROM tokv)) WHERE w1 <> w2 GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT u, v, SUM(c)::BIGINT AS w FROM (
+      |    SELECT w1 AS u, w2 AS v, c FROM bg
+      |    UNION ALL SELECT w2 AS u, w1 AS v, c FROM bg)
+      |  GROUP BY 1, 2),
+      |su AS (SELECT u, SUM(w)::BIGINT AS s FROM edges GROUP BY 1),
+      |it1 AS (
+      |  SELECT e.v AS n, 150000 + SUM(
+      |    (17 * 1000000 * e.w) // (20 * su.s))::BIGINT AS sc
+      |  FROM edges e JOIN su ON e.u = su.u GROUP BY 1),
+      |it2 AS (
+      |  SELECT e.v AS n, 150000 + SUM(
+      |    (17 * it1.sc * e.w) // (20 * su.s))::BIGINT AS sc
+      |  FROM edges e JOIN su ON e.u = su.u
+      |  JOIN it1 ON e.u = it1.n GROUP BY 1),
+      |it3 AS (
+      |  SELECT e.v AS n, 150000 + SUM(
+      |    (17 * it2.sc * e.w) // (20 * su.s))::BIGINT AS sc
+      |  FROM edges e JOIN su ON e.u = su.u
+      |  JOIN it2 ON e.u = it2.n GROUP BY 1)
+      |SELECT n AS word, sc AS score_micro
+      |FROM it3 ORDER BY sc DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(filter(toks(col("text")), w => length(w) >= 4).as("ts"))
+    val bg = t.select(explode(
+        graft.functions.TextExprs.gramsN(col("ts"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val edges = bg.select(col("w1").as("u"), col("w2").as("v"), col("c"))
+      .unionAll(bg.select(col("w2").as("u"), col("w1").as("v"), col("c")))
+      .groupBy("u", "v").agg(sum(col("c")).as("w"))
+      .cache()
+    val su = edges.groupBy("u").agg(sum(col("w")).as("s"))
+    val es = edges.join(su, "u").cache()
+    def step(prev: DataFrame): DataFrame =
+      es.join(prev.withColumnRenamed("n", "u"), "u")
+        .groupBy(col("v"))
+        .agg((lit(150000L) +
+          sum(expr("(17 * sc * w) div (20 * s)"))).as("sc"))
+        .withColumnRenamed("v", "n")
+    val it1 = es.groupBy(col("v"))
+      .agg((lit(150000L) +
+        sum(expr("(17 * 1000000 * w) div (20 * s)"))).as("sc"))
+      .withColumnRenamed("v", "n")
+    val it3 = step(step(it1))
+    it3.select(col("n").as("word"), col("sc").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("word"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk)
+    langidCjk, keywords)
 }
