@@ -488,12 +488,22 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
         partCols.exists(_.equalsIgnoreCase(f.name))))
       val batch = org.apache.spark.sql.execution.datasources.v2.parquet
         .ParquetScanBuilder(spark, idx, schema, dataSchema, options)
+      val partSchema = StructType(schema.fields.filter(f =>
+        partCols.exists(_.equalsIgnoreCase(f.name))))
       return new org.apache.spark.sql.GraftDualScanBuilder(batch,
         () => sys.error(
           s"$fullName: streaming reads of a PARTITIONED table are " +
             "not supported — the version tail reads files, and the " +
             "partition values live in dir names; tail an " +
-            "unpartitioned log instead"))
+            "unpartitioned log instead"),
+        // DPP: a dim join on the partition column runtime-prunes the
+        // listed files (GraftRuntimePartScan — the Iceberg seam)
+        wrap = {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet
+              .ParquetScan =>
+            new org.apache.spark.sql.GraftRuntimePartScan(p, partSchema)
+          case other => other
+        })
     }
     val delegate = ParquetTable(name(), spark,
       options, resolvedPaths, Some(schema),

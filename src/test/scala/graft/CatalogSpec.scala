@@ -517,6 +517,49 @@ class CatalogSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("partitioned scan: dynamic partition pruning through a dimension join") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    fresh("dpp1")
+    spark.sql("CREATE TABLE lake.dpp1 (k BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dpp1 VALUES " +
+      "(1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'c'), (4, 4.0, 'a')")
+    // dim carries the day selection only at RUNTIME (no static filter
+    // on the fact's partition column anywhere in the query); it must
+    // be a FILE relation with a selective predicate — the shape the
+    // PartitionPruning rule requires (a local relation constant-folds
+    // its filter away before the rule sees it)
+    import spark.implicits._
+    Seq(("a", "keep"), ("b", "drop"), ("c", "drop")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(s"$Root/dpp1_dim")
+    spark.read.parquet(s"$Root/dpp1_dim").createOrReplaceTempView("dim")
+    val df = spark.sql("SELECT f.k FROM lake.dpp1 f JOIN dim d " +
+      "ON f.day = d.day WHERE d.tag = 'keep'")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    val factScan = scans.find(_.schema.fieldNames.contains("k")).get
+    val desc = factScan.toString
+    // the planner injected the DPP subquery (RuntimeFilters) AND the
+    // wrapper folded the dim side's values into the partition filters
+    // (IN (a)) — the file listing then keeps day=a dirs only
+    // (inputPartitions above is the PRE-runtime plan; the folded
+    // filter is the witness the runtime listing prunes on)
+    assert(desc.contains("dynamicpruningexpression"),
+      s"no DPP runtime filter on the fact scan:\n$desc")
+    assert(desc.contains("IN (a)"),
+      s"runtime values must fold into PartitionFilters:\n$desc")
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
