@@ -757,6 +757,28 @@ object Snapshots {
     * protocol markers decoded — the operational surface a table
     * format ships for inspection and debugging. Driver-side listing
     * only (O(versions) marker stats, no data reads). */
+  /** The file inventory a read of this table would scan — one row
+    * per data file of the current reader window (snapshot flavor:
+    * the latest version; log flavor: the whole window), clone
+    * versions resolving to their SOURCE files and partitioned
+    * versions walking their hive leaves. Driver-side listings only
+    * (the same listings every scan pays) — the queryable/joinable
+    * `t.files` metadata table Iceberg/Delta ship. */
+  def filesFrame(s: SparkSession, root: String,
+      snapshotFlavor: Boolean): DataFrame = {
+    import s.implicits._
+    val live = committed(root)
+    val window =
+      if (live.isEmpty) Nil
+      else if (snapshotFlavor) Seq(live.last)
+      else logWindow(root, None)
+    window.flatMap { case (v, d) =>
+      dataDirs(d).flatMap(dd => LakeFs.leaves(dd)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (v, st.getPath.toString, st.getLen)))
+    }.toDF("version", "file_path", "size_bytes")
+  }
+
   def history(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
     val byV = tags(root).toSeq.groupBy(_._2)

@@ -147,7 +147,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val path = tablePath(ident)
-    if (!isTable(path)) throw new NoSuchTableException(ident)
+    if (!isTable(path)) {
+      // `graft.t.history` / `.files` / `.detail` — the Iceberg-style
+      // metadata-table namespace trick: the leaf name selects the
+      // metadata frame of the PARENT identifier when that parent is a
+      // real table (a real table named e.g. `files` wins above)
+      if (ident.namespace.nonEmpty &&
+          GraftMetaTable.Names.contains(ident.name.toLowerCase)) {
+        val parent = Identifier.of(ident.namespace.init,
+          ident.namespace.last)
+        val ppath = tablePath(parent)
+        if (isTable(ppath)) {
+          require(asOf.isEmpty,
+            s"$catalogName.${ident.toString}: metadata tables carry " +
+              "the FULL version history — time travel does not apply")
+          val m = GraftCatalog.readMeta(ppath)
+          return GraftMetaTable(s"$catalogName.${parent.toString}",
+            ppath, m.flavor, ident.name.toLowerCase)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val meta = GraftCatalog.readMeta(path)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path,
       meta.flavor, asOf, meta.schema, meta.partCols)

@@ -560,6 +560,48 @@ class CatalogSpec extends AnyFunSuite {
       s"runtime values must fold into PartitionFilters:\n$desc")
   }
 
+  test("metadata tables: t.history / t.files / t.detail are queryable, joinable relations") {
+    fresh("m1")
+    spark.sql("CREATE TABLE lake.m1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.m1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake.m1 VALUES (3, 'c')")
+    // history: one row per version dir, committed bit, joinable
+    val h = spark.sql(
+      "SELECT version, committed FROM lake.m1.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(h == Seq(1L -> true, 2L -> true))
+    // files: the reader window's inventory; sizes positive; JOIN
+    // against history through a real relational plan
+    val f = spark.sql(
+      """SELECT h.version, COUNT(*) AS n, SUM(f.size_bytes) AS b
+        |FROM lake.m1.files f JOIN lake.m1.history h USING (version)
+        |GROUP BY h.version ORDER BY h.version""".stripMargin).collect()
+    assert(f.length == 2 && f.forall(_.getLong(2) > 0L))
+    // detail: the one-row summary, same frame as DESCRIBE DETAIL
+    val d = spark.sql(
+      "SELECT latest_version, n_committed FROM lake.m1.detail").collect()
+    assert(d.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((2L, 2L)))
+    // snapshot-flavor files = the LATEST version only
+    fresh("m2")
+    spark.sql("CREATE TABLE lake.m2 (k BIGINT) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    spark.sql("INSERT INTO lake.m2 VALUES (1)")
+    spark.sql("INSERT INTO lake.m2 VALUES (2)")
+    val vs = spark.sql("SELECT DISTINCT version FROM lake.m2.files")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(2L), "snapshot files = latest version's inventory")
+    // time travel does not apply to metadata tables
+    intercept[Exception](spark.sql(
+      "SELECT * FROM lake.m1.history VERSION AS OF 1").collect())
+    // a REAL table named like a metadata leaf wins over the trick
+    fresh("m3"); LakeFs.rmTree(s"$Root/m3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.m3")
+    spark.sql("CREATE TABLE lake.m3.files (k BIGINT)")
+    spark.sql("INSERT INTO lake.m3.files VALUES (7)")
+    assert(spark.sql("SELECT k FROM lake.m3.files").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
