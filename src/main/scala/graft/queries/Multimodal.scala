@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Binary
@@ -90,6 +90,71 @@ object Multimodal {
           aggregate(col("chars"), lit(0L), (acc, c) => acc + ascii(c)))
           .otherwise(0L).as("energy"))
       .orderBy(col("doc_id"), col("window_id"))
+  }
+
+  /** Spectrogram feature extraction over the PCM stand-in (the
+    * mm_audio_window sample model: one byte = one sample): per
+    * 320-sample window (hop 160), DFT energy at 4 fixed frequency
+    * bins — energy_k = re² + im², re = Σ x_i·cosq(k,i), im = Σ
+    * x_i·sinq(k,i) — the feature row an audio dedup/classification
+    * pipeline consumes.
+    *
+    * Float discipline: the trig table is QUANTIZED to integer
+    * milli-units (round(cos(2πki/320)·1000)), so every product and
+    * sum is pure int64 — order-independent, hash-identical. The
+    * quantization itself is safe BY CONSTRUCTION: the angles are
+    * rational multiples of 2π, whose only rational cosines are
+    * 0, ±1/2, ±1 (Niven), so no table entry sits on a .5 rounding
+    * boundary — verified numerically, the nearest entry is 1.4e-3
+    * away, 10 orders above any libm ulp disagreement. Overflow headroom:
+    * |Σ| ≤ 127·1000·320 ≈ 4.1e7, energy ≤ 3.4e15 ≪ int64. One
+    * corpus pass, per-row arrays, shuffle-free. */
+  val audioSpectrogram: Q = Q(
+    "mm_audio_spectrogram",
+    """WITH w AS (
+      |  SELECT doc_id, w AS window_id, substr(text, w * 160 + 1, 320) AS win
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(0, ((greatest(len(text) - 320, 0) + 159) // 160) + 1))
+      |      AS w
+      |    FROM documents)),
+      |comp AS (
+      |  SELECT doc_id, window_id, k AS bin,
+      |    CAST(COALESCE(list_sum(list_transform(range(1, len(win) + 1),
+      |      i -> ascii(win[i]) * CAST(round(
+      |        cos(2 * pi() * k * (i - 1) / 320.0) * 1000) AS BIGINT))),
+      |      0) AS BIGINT) AS re,
+      |    CAST(COALESCE(list_sum(list_transform(range(1, len(win) + 1),
+      |      i -> ascii(win[i]) * CAST(round(
+      |        sin(2 * pi() * k * (i - 1) / 320.0) * 1000) AS BIGINT))),
+      |      0) AS BIGINT) AS im
+      |  FROM w CROSS JOIN (SELECT unnest([1, 3, 7, 13]) AS k))
+      |SELECT doc_id, window_id, bin, re * re + im * im AS energy
+      |FROM comp ORDER BY doc_id, window_id, bin""".stripMargin) { (s, dir) =>
+    val nWin = (greatest(length(col("text")) - 320, lit(0)) + 159)
+      .divide(160).cast("long") + 1
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nWin - 1)).as("window_id"))
+      .select(col("doc_id"), col("window_id"),
+        col("text").substr((col("window_id") * 160 + 1).cast("int"),
+          lit(320)).as("win"))
+      .withColumn("chars", split(col("win"), ""))
+    def fold(k: Int, f: Column => Column): Column =
+      aggregate(
+        transform(col("chars"), (c, i) =>
+          ascii(c).cast("long") *
+            round(f(lit(2 * math.Pi * k / 320.0) * i.cast("double"))
+              * 1000, 0).cast("long")),
+        lit(0L), (a, x) => a + x)
+    val bins = array(Seq(1, 3, 7, 13).map(k =>
+      struct(lit(k).as("bin"), fold(k, cos).as("re"),
+        fold(k, sin).as("im"))): _*)
+    w.select(col("doc_id"), col("window_id"),
+        explode(bins).as("c"))
+      .select(col("doc_id"), col("window_id"), col("c.bin").as("bin"),
+        (col("c.re") * col("c.re") + col("c.im") * col("c.im"))
+          .as("energy"))
+      .orderBy(col("doc_id"), col("window_id"), col("bin"))
   }
 
   /** Resize/downsample plumbing (the image-resize analogue over 1-D
@@ -392,5 +457,5 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
     patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
-    audioDedup, videoDedup, imageDedupPhash)
+    audioDedup, videoDedup, imageDedupPhash, audioSpectrogram)
 }
