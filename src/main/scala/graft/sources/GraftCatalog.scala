@@ -145,6 +145,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Some(Snapshots.versionAtTimestamp(path, timestampMicros / 1000L)))
   }
 
+  /** ANSI CHECK constraints route through ALTER TABLE (the Delta
+    * surface); the capability flag is what lets Spark's resolver hand
+    * them to [[alterTable]]. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) {
@@ -170,7 +178,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val meta = GraftCatalog.readMeta(path)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path,
-      meta.flavor, asOf, meta.schema, meta.partCols)
+      meta.flavor, asOf, meta.schema, meta.partCols, meta.checks)
   }
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
@@ -241,6 +249,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val meta = GraftCatalog.readMeta(path)
     val current = loadTable(ident).schema()
+    // ANSI constraint surface: ADD CONSTRAINT … CHECK validates the
+    // EXISTING rows first (the Delta semantics — an invalid
+    // constraint must never land), DROP CONSTRAINT removes by name.
+    // Unique/PK/FK refuse: they'd be informational-only here, and a
+    // constraint the engine can't enforce is a lie in the metadata.
+    changes.collect {
+      case a: TableChange.AddConstraint => Left(a)
+      case d: TableChange.DropConstraint => Right(d)
+    } match {
+      case Nil => // fall through to column changes
+      case cs =>
+        require(cs.size == changes.size,
+          "mix of constraint and column changes in one ALTER")
+        var checks = meta.checks
+        cs.foreach {
+          case Left(a) => a.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints
+                .Check =>
+              require(c.name.matches("[A-Za-z0-9_]+"),
+                s"constraint name must be an identifier: '${c.name}'")
+              require(!checks.exists(_._1.equalsIgnoreCase(c.name)),
+                s"constraint '${c.name}' already exists")
+              val sql = c.predicateSql()
+              require(sql != null && !sql.contains("\n"),
+                "CHECK predicate must be single-line SQL")
+              // validate existing rows: CHECK passes on TRUE and
+              // NULL (SQL semantics), fails on FALSE
+              val s = SparkSession.active
+              if (Snapshots.latestVersion(path).nonEmpty) {
+                import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+                val state =
+                  if (meta.flavor == "snapshot") Snapshots.read(s, path)
+                  else Snapshots.readLogDv(s, path)
+                val bad = state
+                  .filter(not(coalesce(expr(sql), lit(true)))).count()
+                require(bad == 0L,
+                  s"cannot ADD CONSTRAINT ${c.name}: $bad existing " +
+                    s"row(s) violate CHECK ($sql)")
+              }
+              checks = checks :+ (c.name -> sql)
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported (got $other) — " +
+                "unique/primary-key/foreign-key would be " +
+                "informational-only on a lake table")
+          }
+          case Right(d) =>
+            val exists = checks.exists(_._1.equalsIgnoreCase(d.name))
+            require(exists || d.ifExists,
+              s"constraint '${d.name}' does not exist")
+            checks = checks.filterNot(_._1.equalsIgnoreCase(d.name))
+        }
+        GraftCatalog.writeMeta(path, meta.flavor, Some(current),
+          meta.partCols, checks)
+        return new GraftSqlTable(s"$catalogName.${ident.toString}",
+          path, meta.flavor, None, Some(current), meta.partCols, checks)
+    }
     val added = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -259,9 +323,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "need a rewritten shape (CTAS or INSERT OVERWRITE)")
     }
     val next = StructType(current.fields ++ added)
-    GraftCatalog.writeMeta(path, meta.flavor, Some(next), meta.partCols)
+    GraftCatalog.writeMeta(path, meta.flavor, Some(next), meta.partCols,
+      meta.checks)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path,
-      meta.flavor, None, Some(next), meta.partCols)
+      meta.flavor, None, Some(next), meta.partCols, meta.checks)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -358,7 +423,8 @@ object GraftCatalog {
   private[sources] val MetaFile = "_GRAFT_TABLE"
 
   private[sources] final case class Meta(flavor: String,
-      schema: Option[StructType], partCols: Seq[String])
+      schema: Option[StructType], partCols: Seq[String],
+      checks: Seq[(String, String)] = Nil)
 
   private[sources] def readMeta(path: String): Meta =
     LakeFs.readString(s"$path/$MetaFile") match {
@@ -373,19 +439,34 @@ object GraftCatalog {
             t.stripPrefix("parts=").split(",").toSeq
               .map(_.trim).filter(_.nonEmpty)
         }.getOrElse(Nil)
+        // lines 3+: `check <name> <predicate sql>` — one CHECK
+        // constraint per line (names are identifiers, the SQL is the
+        // single-line predicateSql Spark hands the catalog)
+        val checks = lines.drop(2)
+          .filter(_.startsWith("check "))
+          .map { l =>
+            val rest = l.stripPrefix("check ")
+            val sp = rest.indexOf(' ')
+            (rest.take(sp), rest.drop(sp + 1))
+          }
         Meta(toks.headOption.getOrElse("log"),
           lines.drop(1).headOption.filter(_.nonEmpty)
             .map(j => DataType.fromJson(j).asInstanceOf[StructType]),
-          parts)
+          parts, checks)
     }
 
   private[sources] def writeMeta(path: String, flavor: String,
-      schema: Option[StructType], partCols: Seq[String] = Nil): Unit =
+      schema: Option[StructType], partCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Unit = {
+    require(checks.isEmpty || schema.nonEmpty,
+      "constraints need a declared schema line to sit behind")
     LakeFs.write(s"$path/$MetaFile",
       flavor +
         (if (partCols.nonEmpty) " parts=" + partCols.mkString(",")
          else "") +
-        schema.map("\n" + _.json).getOrElse(""))
+        schema.map("\n" + _.json).getOrElse("") +
+        checks.map { case (n, sql) => s"\ncheck $n $sql" }.mkString)
+  }
 }
 
 /** One catalog table = one Snapshots root, resolved at load time
@@ -396,9 +477,26 @@ object GraftCatalog {
 class GraftSqlTable(fullName: String, private[sources] val root: String,
     private[sources] val flavor: String,
     private[sources] val asOf: Option[Long], declared: Option[StructType],
-    private[sources] val partCols: Seq[String] = Nil)
+    private[sources] val partCols: Seq[String] = Nil,
+    private[sources] val checks: Seq[(String, String)] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The table's CHECK constraints (ANSI constraint surface, the
+    * Delta `ALTER TABLE … ADD CONSTRAINT … CHECK` shape) — reported
+    * enforced+validated: ADD scans existing rows before it lands,
+    * and every write revalidates (Spark's constraint framework plans
+    * the validation into the write). */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints
+          .Constraint
+    }.toArray
 
   private def spark = SparkSession.active
 
@@ -674,6 +772,10 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
             s"$fullName: streaming writes to a PARTITIONED table are " +
               "not supported — the epoch-staged writer lays files " +
               "flat; use foreachBatch with Snapshots.publishPartitioned")
+          require(checks.isEmpty,
+            s"$fullName: streaming writes bypass the batch planner's " +
+              "CHECK enforcement — validate in foreachBatch (filter + " +
+              "publishAppend), or drop the constraint")
           if (replace) throw new UnsupportedOperationException(
             s"$fullName: streaming write supports append mode only")
           val scope = Option(info.options.get("streamid")) match {

@@ -107,8 +107,20 @@ private[sources] object RowLevelExec {
   }
 
   def publishState(t: GraftSqlTable, df: DataFrame): Unit = {
-    if (t.flavor == "snapshot") Snapshots.publish(df, t.root)
-    else Snapshots.publishReplace(df, t.root, t.partCols)
+    // CHECK constraints: UPDATE/MERGE compute the next state OUTSIDE
+    // Spark's write planning (which enforces them on INSERT), so the
+    // published frame carries its own executor-side validation — an
+    // inline raise_error filter, no extra pass: the write job itself
+    // fails on the first violating row (CHECK passes on TRUE/NULL)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, raise_error, when}
+    val checked = t.checks.foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(when(coalesce(expr(sql), lit(true)), lit(true))
+        .otherwise(raise_error(org.apache.spark.sql.functions.concat(
+          lit(s"[CHECK_CONSTRAINT_VIOLATION] CHECK constraint $n " +
+            s"($sql) violated by an updated/merged row"))).cast("boolean")))
+    }
+    if (t.flavor == "snapshot") Snapshots.publish(checked, t.root)
+    else Snapshots.publishReplace(checked, t.root, t.partCols)
     ()
   }
 

@@ -267,8 +267,10 @@ case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
         Snapshots.cloneTable(spark, s.root, dstPath, asOf)
       else Snapshots.cloneLog(spark, s.root, dstPath, asOf)
     // carry the source's declared shape: a partitioned clone needs
-    // the declared schema (partition values are not in footers)
-    GraftCatalog.writeMeta(dstPath, s.flavor, Some(s.schema), s.partCols)
+    // the declared schema (partition values are not in footers), and
+    // the clone inherits the source's CHECK constraints
+    GraftCatalog.writeMeta(dstPath, s.flavor, Some(s.schema), s.partCols,
+      s.checks)
     Seq(Row(dst.mkString("."), v))
   }
 }

@@ -602,6 +602,63 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("CHECK constraints: ADD validates existing rows, INSERT/UPDATE/MERGE enforce, DROP releases") {
+    fresh("c1"); fresh("c2")
+    spark.sql("CREATE TABLE lake.c1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.c1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE lake.c1 ADD CONSTRAINT pos CHECK (k > 0)")
+    // INSERT enforcement comes from Spark's own constraint planning
+    // (the table reports enforced CHECKs): per-row, executor-side
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO lake.c1 VALUES (-5, 'bad')"))
+    assert(e1.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"))
+    spark.sql("INSERT INTO lake.c1 VALUES (7, 'ok')")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.c1").head.getLong(0) == 3L)
+    // NULL passes (SQL CHECK semantics)
+    spark.sql("INSERT INTO lake.c1 VALUES (NULL, 'null-ok')")
+    // adding a constraint existing rows violate refuses
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE lake.c1 ADD CONSTRAINT neg CHECK (k < 0)"))
+    assert(e2.getMessage.contains("CONSTRAINT"))
+    // UPDATE/MERGE run through the graft row-level commands (outside
+    // Spark's write planning) — publishState's inline raise_error
+    // filter enforces there
+    val e3 = intercept[Exception](
+      spark.sql("UPDATE lake.c1 SET k = -k WHERE v = 'ok'"))
+    assert(e3.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"))
+    assert(spark.sql("SELECT COUNT(*) FROM lake.c1 WHERE k = 7")
+      .head.getLong(0) == 1L, "a refused UPDATE must not publish")
+    spark.sql("UPDATE lake.c1 SET k = k + 10 WHERE v = 'ok'")
+    val e4 = intercept[Exception](spark.sql(
+      s"""MERGE INTO lake.c1 t USING (SELECT 17 AS k) s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET k = -1""".stripMargin))
+    assert(e4.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"))
+    // a clone inherits the constraint
+    spark.sql("CREATE TABLE lake.c2 SHALLOW CLONE lake.c1")
+    val e5 = intercept[Exception](
+      spark.sql("INSERT INTO lake.c2 VALUES (-3, 'bad')"))
+    assert(e5.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"))
+    // streaming writes refuse while a constraint exists
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[(Long, String)]
+      LakeFs.rmTree(s"$Root/_ck_c1")
+      val q = ms.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", s"$Root/_ck_c1")
+        .toTable("lake.c1")
+      ms.addData((5L, "x"))
+      val e6 = intercept[Exception] { q.processAllAvailable() }
+      assert(e6.getMessage.contains("CHECK"))
+      q.stop()
+    }
+    // DROP releases enforcement
+    spark.sql("ALTER TABLE lake.c1 DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO lake.c1 VALUES (-9, 'now ok')")
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
