@@ -157,6 +157,75 @@ object Multimodal {
       .orderBy(col("doc_id"), col("window_id"), col("bin"))
   }
 
+  /** 2-D convolution over the byte-grid image stand-in (the
+    * mm_patchify pixel model: text = a 16-wide grid, one byte = one
+    * pixel): Sobel-x edge energy Σ|gx| and a 3×3 box-blur checksum
+    * over the interior — the feature pass an image-quality/dedup
+    * pipeline runs before training. Pure integer arithmetic end to
+    * end (pixel values are code points, kernels are integer), so
+    * sums are exact and order-independent. The pixel grid is
+    * materialized ONCE per row as a split array and accessed by
+    * O(1) element_at — never a positional substr per tap (the
+    * O(n²) re-seek trap); one corpus pass, per-row arrays,
+    * shuffle-free. */
+  val imageConv: Q = Q(
+    "mm_image_conv",
+    """WITH g AS (
+      |  SELECT doc_id, string_split(text, '') AS px,
+      |    len(text) // 16 AS h
+      |  FROM documents),
+      |conv AS (
+      |  SELECT doc_id, h,
+      |    list_sum(list_transform(range(0, (h - 2) * 14), m ->
+      |      abs(-ascii(px[(m // 14) * 16 + (m % 14) + 1])
+      |          + ascii(px[(m // 14) * 16 + (m % 14) + 3])
+      |          - 2 * ascii(px[(m // 14 + 1) * 16 + (m % 14) + 1])
+      |          + 2 * ascii(px[(m // 14 + 1) * 16 + (m % 14) + 3])
+      |          - ascii(px[(m // 14 + 2) * 16 + (m % 14) + 1])
+      |          + ascii(px[(m // 14 + 2) * 16 + (m % 14) + 3]))))
+      |      AS edge_energy,
+      |    list_sum(list_transform(range(0, (h - 2) * 14), m ->
+      |      ascii(px[(m // 14) * 16 + (m % 14) + 1])
+      |      + ascii(px[(m // 14) * 16 + (m % 14) + 2])
+      |      + ascii(px[(m // 14) * 16 + (m % 14) + 3])
+      |      + ascii(px[(m // 14 + 1) * 16 + (m % 14) + 1])
+      |      + ascii(px[(m // 14 + 1) * 16 + (m % 14) + 2])
+      |      + ascii(px[(m // 14 + 1) * 16 + (m % 14) + 3])
+      |      + ascii(px[(m // 14 + 2) * 16 + (m % 14) + 1])
+      |      + ascii(px[(m // 14 + 2) * 16 + (m % 14) + 2])
+      |      + ascii(px[(m // 14 + 2) * 16 + (m % 14) + 3])))
+      |      AS blur_sum
+      |  FROM g WHERE h >= 3)
+      |SELECT doc_id, h, CAST(edge_energy AS BIGINT) AS edge_energy,
+      |  CAST(blur_sum AS BIGINT) AS blur_sum
+      |FROM conv ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "").as("px"),
+        floor(length(col("text")) / 16).cast("long").as("h"))
+      .filter(col("h") >= 3)
+    // tap(r, c): pixel at grid row (m/14 + r), col (m%14 + c), both
+    // 0-based over the interior's top-left anchor; +1 for SQL's
+    // 1-based element_at
+    def tap(m: Column, r: Int, c: Int): Column =
+      // floor-div, NOT `/` — Column./ is double division
+      ascii(element_at(col("px"),
+        ((floor(m / 14).cast("long") + r) * 16
+          + pmod(m, lit(14)) + c + 1).cast("int")))
+        .cast("long")
+    def fold(body: Column => Column): Column =
+      aggregate(
+        transform(sequence(lit(0L), (col("h") - 2) * 14 - 1), body),
+        lit(0L), (a, x) => a + x)
+    g.select(col("doc_id"), col("h"),
+        fold(m => abs(-tap(m, 0, 0) + tap(m, 0, 2)
+          - lit(2L) * tap(m, 1, 0) + lit(2L) * tap(m, 1, 2)
+          - tap(m, 2, 0) + tap(m, 2, 2))).as("edge_energy"),
+        fold(m => tap(m, 0, 0) + tap(m, 0, 1) + tap(m, 0, 2)
+          + tap(m, 1, 0) + tap(m, 1, 1) + tap(m, 1, 2)
+          + tap(m, 2, 0) + tap(m, 2, 1) + tap(m, 2, 2)).as("blur_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Resize/downsample plumbing (the image-resize analogue over 1-D
     * payloads): nearest-neighbor 4x decimation — keep every 4th
     * byte — expressed as ONE codegen'd regexp_replace pass
@@ -457,5 +526,5 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
     patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
-    audioDedup, videoDedup, imageDedupPhash, audioSpectrogram)
+    audioDedup, videoDedup, imageDedupPhash, audioSpectrogram, imageConv)
 }
