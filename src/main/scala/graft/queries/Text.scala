@@ -1633,10 +1633,99 @@ object Text {
       .limit(20)
   }
 
+  /** SymSpell-style spelling correction (Garbe's deletion-neighborhood
+    * discipline) — the corpus-cleaning pass that folds rare typos onto
+    * vocabulary words: vocab = tokens with tf ≥ 5, OOV = the rest, and
+    * a candidate pair exists when an OOV token and a vocab word SHARE
+    * a form reachable by ≤1 character deletion from each side (the
+    * SymSpell edit-1 candidate rule, stated as the semantics). Pick =
+    * highest-tf candidate, ties to the lexicographically smallest.
+    *
+    * The scale story is the dedup story on the edit-distance metric:
+    * candidates come from an EQUI-join on deletion forms — each word
+    * expands to len+1 forms (len ≤ 16 cap, disclosed), so the join is
+    * O(corpus · len), never the all-pairs O(vocab · oov) edit-distance
+    * matrix. Everything is strings + exact integer tf.
+    *
+    * The synthetic corpus has zero OOV tokens (31 words, tf ≥ 26), so
+    * the gate PLANTS typos derived from the corpus itself (the
+    * text_langid_cjk planted-extension rule): each distinct token of
+    * length ≥ 6 contributes one singleton typo — its 3rd character
+    * deleted — unioned identically in both engines, so every decision
+    * branch (OOV split, form join, tf-argmax, lexicographic tie) runs
+    * under the hash. */
+  val spellCorrect: Q = Q(
+    "text_spell_correct",
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |planted AS (
+      |  SELECT DISTINCT substr(w, 1, 2) || substr(w, 4, len(w)) AS w
+      |  FROM toks WHERE len(w) >= 6),
+      |tf AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT w FROM toks UNION ALL SELECT w FROM planted) u
+      |  GROUP BY 1),
+      |vocab AS (SELECT w, n FROM tf WHERE n >= 5),
+      |oov AS (SELECT w FROM tf WHERE n < 5 AND len(w) <= 16),
+      |vf AS (
+      |  SELECT w, n, unnest(list_distinct(list_transform(
+      |    range(0, len(w) + 1),
+      |    i -> CASE WHEN i = 0 THEN w
+      |         ELSE substr(w, 1, i - 1) || substr(w, i + 1, len(w)) END)))
+      |    AS form
+      |  FROM vocab WHERE len(w) <= 16),
+      |of AS (
+      |  SELECT w, unnest(list_distinct(list_transform(
+      |    range(0, len(w) + 1),
+      |    i -> CASE WHEN i = 0 THEN w
+      |         ELSE substr(w, 1, i - 1) || substr(w, i + 1, len(w)) END)))
+      |    AS form
+      |  FROM oov),
+      |cand AS (
+      |  SELECT DISTINCT of.w AS oov_w, vf.w AS fix, vf.n
+      |  FROM of JOIN vf USING (form)),
+      |best_n AS (
+      |  SELECT oov_w, MAX(n) AS n FROM cand GROUP BY 1)
+      |SELECT c.oov_w AS token, MIN(c.fix) AS correction, b.n AS tf
+      |FROM cand c JOIN best_n b ON c.oov_w = b.oov_w AND c.n = b.n
+      |GROUP BY c.oov_w, b.n
+      |ORDER BY token""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("w"))
+    val planted = base.filter(length(col("w")) >= 6)
+      .select(concat(col("w").substr(1, 2),
+        col("w").substr(lit(4), length(col("w")))).as("w"))
+      .distinct()
+    val tf = base.unionAll(planted)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .cache()
+    def forms(df: DataFrame): DataFrame =
+      df.withColumn("form", explode(array_distinct(transform(
+          sequence(lit(0), length(col("w"))),
+          i => when(i === 0, col("w")).otherwise(
+            concat(col("w").substr(lit(1), (i - 1).cast("int")),
+              col("w").substr((i + 1).cast("int"), length(col("w")))))))))
+    val vf = forms(tf.filter(col("n") >= 5 && length(col("w")) <= 16))
+      .select(col("w").as("fix"), col("n"), col("form"))
+    val of = forms(tf.filter(col("n") < 5 && length(col("w")) <= 16)
+        .select(col("w")))
+      .select(col("w").as("oov_w"), col("form"))
+    val cand = of.join(vf, "form")
+      .select(col("oov_w"), col("fix"), col("n")).distinct().cache()
+    val bestN = cand.groupBy("oov_w").agg(max(col("n")).as("n"))
+    cand.join(bestN, Seq("oov_w", "n"))
+      .groupBy(col("oov_w"), col("n"))
+      .agg(min(col("fix")).as("correction"))
+      .select(col("oov_w").as("token"), col("correction"),
+        col("n").as("tf"))
+      .orderBy(col("token"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk, keywords)
+    langidCjk, keywords, spellCorrect)
 }
