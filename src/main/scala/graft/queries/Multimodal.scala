@@ -157,6 +157,67 @@ object Multimodal {
       .orderBy(col("doc_id"), col("window_id"), col("bin"))
   }
 
+  /** Scene-cut detection over the byte-stride video model (the
+    * mm_frame_sample frame layout: disjoint 64-byte frames): a scene
+    * boundary is a consecutive-frame pair whose per-byte absolute
+    * delta sum exceeds the threshold (64·16 — mean delta 16/byte),
+    * the classic content-based shot detector every video-curation
+    * pipeline runs before frame sampling. Per-doc outputs: frame
+    * count, scene count (boundaries + 1), total inter-frame delta.
+    * Exact integers end to end; the frame pairing is one LAG window
+    * per doc (frames-per-doc bounded by payload size — the bounded-
+    * bands rule), delta folds are per-row array ops over O(1)
+    * element taps. */
+  val sceneDetect: Q = Q(
+    "mm_scene_detect",
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_id, substr(text, i * 64 + 1, 64) AS fr
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(0, (len(text) + 63) // 64)) AS i FROM documents)),
+      |d AS (
+      |  SELECT doc_id, frame_id, fr,
+      |    LAG(fr) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev
+      |  FROM f),
+      |delta AS (
+      |  SELECT doc_id, frame_id,
+      |    CASE WHEN prev IS NULL THEN NULL
+      |      ELSE CAST(COALESCE(list_sum(list_transform(
+      |        range(1, least(len(fr), len(prev)) + 1),
+      |        i -> abs(ascii(fr[i]) - ascii(prev[i])))), 0) AS BIGINT)
+      |      END AS d
+      |  FROM d)
+      |SELECT doc_id, COUNT(*) AS n_frames,
+      |  1 + COUNT(*) FILTER (WHERE d > 1024) AS n_scenes,
+      |  CAST(COALESCE(SUM(d), 0) AS BIGINT) AS total_delta
+      |FROM delta GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 64).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("frame_id"),
+        col("text").substr(col("i") * 64 + 1, lit(64)).as("fr"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    val paired = f
+      .withColumn("prev", lag(col("fr"), 1).over(w))
+      .withColumn("a", split(col("fr"), ""))
+      .withColumn("b", split(col("prev"), ""))
+    val d = paired.withColumn("d",
+      when(col("prev").isNull, lit(null).cast("long")).otherwise(
+        aggregate(
+          transform(
+            sequence(lit(1), least(size(col("a")), size(col("b")))
+              .cast("int")),
+            i => abs(ascii(element_at(col("a"), i))
+              - ascii(element_at(col("b"), i))).cast("long")),
+          lit(0L), (acc, x) => acc + x)))
+    d.groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"),
+        (lit(1L) + count(when(col("d") > 1024, 1))).as("n_scenes"),
+        coalesce(sum(col("d")), lit(0L)).as("total_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 2-D convolution over the byte-grid image stand-in (the
     * mm_patchify pixel model: text = a 16-wide grid, one byte = one
     * pixel): Sobel-x edge energy Σ|gx| and a 3×3 box-blur checksum
@@ -526,5 +587,5 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryFeatures, frameSample, audioWindow, resizeNn,
     patchify, imageDecode, imageResize, audioDecode, videoFrames, imageDedup,
-    audioDedup, videoDedup, imageDedupPhash, audioSpectrogram, imageConv)
+    audioDedup, videoDedup, imageDedupPhash, audioSpectrogram, imageConv, sceneDetect)
 }
