@@ -110,5 +110,52 @@ object Graph {
       .limit(10)
   }
 
+  /** Triangles GAINED by adding `newEdges` to a graph currently
+    * holding `oldEdges` (both canonical u<v, distinct, disjoint) —
+    * the incremental-counting identity every streaming graph engine
+    * uses: T(O∪N) − T(O) = #triangles with ≥1 new edge, decomposed
+    * by how many new edges the triangle has so each is counted
+    * EXACTLY once:
+    *   (N,O,O): per new edge, common O-neighbors of its endpoints;
+    *   (N,N,O): per pair of new edges sharing a vertex (the shared
+    *            vertex is unique), closed by one O edge;
+    *   (N,N,N): the batch's own triangles (ordered wedge + close).
+    * Cost: O(|N|·deg) joins — the batch drives every join, the old
+    * graph is only probed, nothing is ever recounted. */
+  private[graft] def triangleDelta(oldEdges: DataFrame,
+      newEdges: DataFrame): Long = {
+    val o = oldEdges.select(col("u"), col("v"))
+    val n = newEdges.select(col("u"), col("v")).cache()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val oSym = sym(o)
+    val nSym = sym(n)
+    // (N,O,O): new edge (u,v) + common O-neighbor c of u and v
+    val noo = n
+      .join(oSym.select(col("a").as("u"), col("b").as("c")), "u")
+      .join(oSym.select(col("a").as("v"), col("b").as("c")),
+        Seq("v", "c"))
+      .count()
+    // (N,N,O): two new edges at shared vertex a reach (b, c), b<c —
+    // already canonical — closed by an O edge (inner join against
+    // the DISTINCT O edge set keeps per-wedge multiplicity)
+    val nno = nSym.as("e1")
+      .join(nSym.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("u"), col("e2.b").as("v"))
+      .join(o, Seq("u", "v"))
+      .count()
+    // (N,N,N): triangles wholly inside the batch (a<b<c ordering
+    // counts each once; canonical edges make the ordered probes free)
+    val nnn = n.as("e1")
+      .join(n.select(col("u"), col("v").as("w")).as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.w"))
+      .select(col("e1.v").as("u"), col("e2.w").as("v"))
+      .join(n, Seq("u", "v"))
+      .count()
+    noo + nno + nnn
+  }
+
   val all: Seq[Q] = Seq(triangles)
 }

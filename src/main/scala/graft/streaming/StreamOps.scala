@@ -1366,6 +1366,74 @@ object StreamOps {
     ()
   }
 
+  /** Streaming triangle maintenance over an EDGE stream — the
+    * incremental twin of q_triangles: a stream of (x, y) co-purchase
+    * pairs drives a foreachBatch sink that (1) canonicalizes and
+    * dedups the batch against the maintained edge index (anti-join —
+    * an edge seen twice is a no-op), (2) counts ONLY the triangles
+    * the new edges create (Graph.triangleDelta's ≥1-new-edge
+    * decomposition: batch-drives-index joins, O(batch·degree), the
+    * old graph is probed and never recounted), and (3) appends the
+    * new edges + a per-epoch delta row to the lake.
+    *
+    * Exactly-once without recount: the delta is a deterministic
+    * function of (index state, batch); the stats append runs under
+    * epochOnce FIRST, the edge append last — a replay after the
+    * stats marker skips the stats and re-derives the edge append
+    * from the anti-join (edges already in → empty batch → no-op),
+    * so every crash point lands on the same totals. */
+  def triangleIngest(s: SparkSession, edges: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", indexDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        triangleIngestBatch(s, batch.toDF(), epoch, indexDir)
+      }
+      .start()
+
+  /** One triangle-ingest micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def triangleIngestBatch(s: SparkSession,
+      batch: DataFrame, epoch: Long, indexDir: String): Unit = {
+    import s.implicits._
+    val edgesRoot = s"$indexDir/edges"
+    val statsRoot = s"$indexDir/stats"
+    val e = batch.select(
+        least(col("x"), col("y")).cast("long").as("u"),
+        greatest(col("x"), col("y")).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val hasOld =
+      graft.operators.Snapshots.latestVersion(edgesRoot).nonEmpty
+    val old =
+      if (hasOld) graft.operators.Snapshots.readLog(s, edgesRoot)
+      else Seq.empty[(Long, Long)].toDF("u", "v")
+    val nw =
+      (if (hasOld) e.join(old, Seq("u", "v"), "left_anti") else e)
+        .cache()
+    if (nw.isEmpty) { nw.unpersist(); return }
+    val delta = graft.queries.Graph.triangleDelta(old, nw)
+    graft.operators.IndexLifecycle.epochOnce(statsRoot, epoch) {
+      graft.operators.Snapshots.publishAppend(
+        Seq((epoch, delta)).toDF("epoch", "delta"), statsRoot)
+    }
+    graft.operators.Snapshots.publishAppend(nw, edgesRoot)
+    nw.unpersist()
+    ()
+  }
+
+  /** The maintained global triangle count — the sum of the per-epoch
+    * deltas (exact: every triangle was counted once, at the epoch
+    * whose edges completed it). */
+  def triangleTotal(s: SparkSession, indexDir: String): Long = {
+    val statsRoot = s"$indexDir/stats"
+    if (graft.operators.Snapshots.latestVersion(statsRoot).isEmpty) 0L
+    else graft.operators.Snapshots.readLog(s, statsRoot)
+      .agg(sum(col("delta"))).head.getLong(0)
+  }
+
   /** The remap forest collected and resolved to DIRECT (label →
     * final root) entries — remap rows exist only per cluster-merge
     * event, so this is bounded driver state exactly like the batch
