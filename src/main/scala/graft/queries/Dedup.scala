@@ -1207,8 +1207,111 @@ object Dedup {
       docsT, w, wk)
   }
 
+  /** Dedup-quality evaluation (ann_eval's shape for the dedup
+    * family): how good is the banded SimHash CANDIDATE stage before
+    * verification pays for it? Precision = hamming≤3 candidates over
+    * all band-collision candidates (computable from candidates alone
+    * — no all-pairs anywhere in the measured path); recall is scored
+    * against an all-pairs ground truth over a SAMPLED doc subset
+    * (doc_id % 20 — the standard sampled-eval discipline: ground
+    * truth needs all-pairs, so you pay it on a sliver). The 4×15-bit
+    * banding's pigeonhole makes hamming≤3 recall exactly 1 — this
+    * query PROVES it on data (recall_micro = 1e6 under the hash).
+    * All counts exact integers; rates integer micro-divisions. */
+  val dedupEval: Q = Q(
+    "dedup_eval",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, t, COUNT(*) AS cnt,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      |  FROM tok GROUP BY doc_id, t),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sm
+      |  FROM tc CROSS JOIN generate_series(0, 59) g(j) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN sm > 0 THEN 1::BIGINT << j ELSE 0 END)
+      |      AS BIGINT) AS sh
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, sh, k AS band,
+      |    (sh >> (15 * k)) & 32767 AS bh
+      |  FROM sig CROSS JOIN generate_series(0, 3) g(k)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |samp AS (SELECT doc_id, sh FROM sig WHERE doc_id % 20 = 0),
+      |struth AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |shit AS (
+      |  SELECT COUNT(*) AS n FROM struth
+      |  JOIN cand USING (da, db))
+      |SELECT
+      |  (SELECT COUNT(*) FROM cand) AS n_cand,
+      |  (SELECT COUNT(*) FROM cand WHERE hamming <= 3) AS n_cand_true,
+      |  (SELECT COUNT(*) FROM cand WHERE hamming <= 3) * 1000000
+      |    // NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision_micro,
+      |  (SELECT COUNT(*) FROM samp) AS n_sample_docs,
+      |  (SELECT COUNT(*) FROM struth) AS n_sample_true,
+      |  CASE WHEN (SELECT COUNT(*) FROM struth) = 0 THEN 1000000
+      |    ELSE (SELECT n FROM shit) * 1000000
+      |      // (SELECT COUNT(*) FROM struth) END AS recall_micro
+      |""".stripMargin) { (s, dir) =>
+    val tc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("x",
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val sig = tc.repartition(col("doc_id")).groupBy(col("doc_id"))
+      .agg(graft.functions.Sketches.simhash(col("x"), col("cnt")).as("sh"))
+      .cache()
+    val bandArr = array((0 until 4).map(k =>
+      shiftright(col("sh"), 15 * k).bitwiseAND(0x7FFFL)): _*)
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(bandArr).as(Seq("band", "bh"))).cache()
+    val cand = bands
+      .select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .cache()
+    val samp = sig.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), col("sh")).cache()
+    val struth = samp.as("a")
+      .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .cache()
+    val hit = struth.join(cand, Seq("da", "db")).agg(
+      count(lit(1)).as("n"))
+    val candStats = cand.agg(
+      count(lit(1)).as("n_cand"),
+      count(when(col("hamming") <= 3, 1)).as("n_cand_true"))
+    val sampStats = samp.agg(count(lit(1)).as("n_sample_docs"))
+      .crossJoin(struth.agg(count(lit(1)).as("n_sample_true")))
+    candStats.crossJoin(sampStats).crossJoin(broadcast(hit))
+      .select(col("n_cand"), col("n_cand_true"),
+        expr("n_cand_true * 1000000 div nullif(n_cand, 0)")
+          .as("precision_micro"),
+        col("n_sample_docs"), col("n_sample_true"),
+        when(col("n_sample_true") === 0, lit(1000000L))
+          .otherwise(expr("n * 1000000 div n_sample_true"))
+          .as("recall_micro"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
     clustersIncremental, decontaminate, decontaminateSubstring,
     sampleStratified, sampleExactK, incremental, substringDedup,
-    substringIncremental)
+    substringIncremental, dedupEval)
 }
