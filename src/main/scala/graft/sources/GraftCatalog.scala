@@ -563,6 +563,13 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
   override def properties(): util.Map[String, String] =
     Map("flavor" -> flavor, "location" -> root).asJava
 
+  /** Report the hive partitioning so Spark-native surfaces (SHOW
+    * CREATE TABLE, DESCRIBE, catalog introspection) render it. */
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c)).toArray
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     if (morWindow) {

@@ -659,6 +659,20 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO lake.c1 VALUES (-9, 'now ok')")
   }
 
+  test("SHOW CREATE TABLE renders schema, flavor, partitioning, constraints") {
+    fresh("sc1")
+    spark.sql("CREATE TABLE lake.sc1 (k BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    spark.sql("ALTER TABLE lake.sc1 ADD CONSTRAINT vpos CHECK (v >= 0)")
+    val ddl = spark.sql("SHOW CREATE TABLE lake.sc1")
+      .collect().head.getString(0)
+    assert(ddl.contains("CREATE TABLE lake.sc1"), ddl)
+    assert(ddl.contains("PARTITIONED BY (day)"), ddl)
+    assert(ddl.contains("'flavor' = 'log'"), ddl)
+    assert(ddl.toLowerCase.contains("check (v >= 0)") ||
+      ddl.contains("vpos"), s"constraint must render:\n$ddl")
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
