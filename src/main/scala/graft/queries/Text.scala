@@ -1722,6 +1722,62 @@ object Text {
       .orderBy(col("token"))
   }
 
+  /** The ≤1-deletion form set of the `w` column (the SymSpell
+    * neighborhood) — shared by the registered query, the index fit,
+    * and the streaming server so the three can never drift. */
+  private[graft] def spellFormsOf(df: DataFrame): DataFrame =
+    df.withColumn("form", explode(array_distinct(transform(
+      sequence(lit(0), length(col("w"))),
+      i => when(i === 0, col("w")).otherwise(
+        concat(col("w").substr(lit(1), (i - 1).cast("int")),
+          col("w").substr((i + 1).cast("int"), length(col("w")))))))))
+
+  /** Persisted spell index (the nbModelOf discipline: fit is a
+    * nightly batch job, serving never refits): vocab (tf ≥ 5, len ≤
+    * 16) and its deletion-form table. */
+  private[graft] def spellIndexOf(s: SparkSession, dir: String): String = {
+    val idx = graft.queries.Vectors.sidecarDir("spell", dir)
+    graft.operators.IndexLifecycle.buildOnce(idx,
+      graft.operators.IndexLifecycle.sourceKey(
+        s"$dir/documents.parquet", "spell-tf5-len16-del1")) { tmp =>
+      val tf = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val vocab = tf.filter(col("n") >= 5 && length(col("w")) <= 16)
+        .cache()
+      vocab.coalesce(1).write.parquet(s"$tmp/vocab")
+      spellFormsOf(vocab)
+        .select(col("w").as("fix"), col("n"), col("form"))
+        .coalesce(1).write.parquet(s"$tmp/forms")
+      vocab.unpersist()
+      ()
+    }
+    idx
+  }
+
+  /** Corrections for a token frame against the PERSISTED index — the
+    * serving dataflow (batch OOV split, form equi-join, tf-argmax,
+    * lexicographic tie): O(batch·len) against broadcastable vocab
+    * state, shared verbatim by the streaming per-micro-batch
+    * corrector. */
+  private[graft] def spellCorrectionsFrom(s: SparkSession, idx: String,
+      tokens: DataFrame): DataFrame = {
+    val vocab = s.read.parquet(s"$idx/vocab")
+    val vf = s.read.parquet(s"$idx/forms")
+    val oov = tokens.select(col("w")).distinct()
+      .join(vocab.select("w"), Seq("w"), "left_anti")
+      .filter(length(col("w")) <= 16)
+    val cand = spellFormsOf(oov).select(col("w").as("oov_w"), col("form"))
+      .join(vf, "form")
+      .select(col("oov_w"), col("fix"), col("n")).distinct().cache()
+    val bestN = cand.groupBy("oov_w").agg(max(col("n")).as("n"))
+    cand.join(bestN, Seq("oov_w", "n"))
+      .groupBy(col("oov_w"), col("n"))
+      .agg(min(col("fix")).as("correction"))
+      .select(col("oov_w").as("token"), col("correction"),
+        col("n").as("tf"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,

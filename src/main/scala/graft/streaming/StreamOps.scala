@@ -1424,6 +1424,34 @@ object StreamOps {
     ()
   }
 
+  /** Streaming spelling correction against the FROZEN spell index —
+    * the nbScoreIngest discipline for the SymSpell family: vocab +
+    * deletion forms fit once batch-side (Text.spellIndexOf), every
+    * micro-batch of (doc_id, text) documents runs its tokens through
+    * EXACTLY the batch serving dataflow (Text.spellCorrectionsFrom —
+    * OOV split against the frozen vocab, form equi-join, tf-argmax),
+    * so stream-time corrections can never drift from the batch
+    * answers. Stateless given the model; exactly-once via the
+    * epoch-partitioned dynamic overwrite emit. */
+  def spellIngest(s: SparkSession, docs: DataFrame, modelIdx: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        spellBatch(s, batch.toDF(), epoch, modelIdx, outDir)
+      }
+      .start()
+
+  /** One spell-correction micro-batch — factored out so the retry
+    * spec can replay an epoch directly. */
+  private[graft] def spellBatch(s: SparkSession, batch: DataFrame,
+      epoch: Long, modelIdx: String, outDir: String): Unit =
+    emitEpoch(graft.queries.Text.spellCorrectionsFrom(s, modelIdx,
+        batch.select(explode(
+          graft.functions.TextExprs.tokens(col("text"))).as("w"))),
+      epoch, outDir)
+
   /** The maintained global triangle count — the sum of the per-epoch
     * deltas (exact: every triangle was counted once, at the epoch
     * whose edges completed it). */
