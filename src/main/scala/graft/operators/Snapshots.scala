@@ -806,7 +806,9 @@ object Snapshots {
     // read — answer with a zero row instead of logWindow's
     // "no committed snapshot" failure (ADVICE r13)
     val window = if (live.isEmpty) Nil else logWindow(root, None)
-    def pq(dirs: Seq[String]) = dirs.flatMap(d => LakeFs.list(d))
+    // recursive: hive-partitioned versions keep their files one
+    // `col=val` level down (flat dirs are their own leaves)
+    def pq(dirs: Seq[String]) = dirs.flatMap(d => LakeFs.leaves(d))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     // two read costs, because the flavor decides which one a reader
     // pays: window_* = the log union readLog resolves; latest_* = the

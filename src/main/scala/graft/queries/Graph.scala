@@ -154,6 +154,7 @@ object Graph {
       .select(col("e1.v").as("u"), col("e2.w").as("v"))
       .join(n, Seq("u", "v"))
       .count()
+    n.unpersist()
     noo + nno + nnn
   }
 

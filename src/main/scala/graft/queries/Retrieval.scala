@@ -51,7 +51,8 @@ object Retrieval {
       |  GROUP BY 1, 2),
       |ranked AS (
       |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
-      |    PARTITION BY query_id ORDER BY score DESC, doc_id) rn
+      |    PARTITION BY query_id
+      |    ORDER BY ROUND(score, 4) DESC, doc_id) rn
       |  FROM scored)""".stripMargin
 
   private val bm25Cte: String =
@@ -105,9 +106,17 @@ object Retrieval {
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(termScore).as("score"))
+    // rank on the 4dp grid the scores are PRINTED at (the
+    // q_decile_lift rule): a BM25 score is a float sum whose
+    // term order differs between engines, so two docs with
+    // mathematically equal scores (exact replicas at scale) land
+    // ulps apart in engine-dependent order — raw-score ordering
+    // flips their ranks (caught by the sf1 gate); on the quantized
+    // grid the tie is exact and doc_id breaks it identically
+    // everywhere
     scored.withColumn("rn", row_number().over(Window
       .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))))
+      .orderBy(round(col("score"), 4).desc, col("doc_id"))))
   }
 
   /** avgdl parity note: Spark computes avgdl as total_tokens /
@@ -526,7 +535,8 @@ object Retrieval {
       |$embedFromTok,
       |n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1),
       |cand AS (
-      |  SELECT query_id, doc_id AS hit_id, score FROM ranked WHERE rn <= 10),
+      |  SELECT query_id, doc_id AS hit_id, ROUND(score, 4) AS score
+      |  FROM ranked WHERE rn <= 10),
       |dt AS (
       |  SELECT c.query_id, c.hit_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dt
       |  FROM cand c JOIN wts a ON a.doc_id = c.query_id
@@ -547,8 +557,13 @@ object Retrieval {
       |SELECT query_id, rn AS rank, hit_id,
       |  FLOOR(hybrid * 10000 + 0.5) / 10000 AS hybrid_score
       |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    // the BM25 half enters the mix on its 4dp grid (the bm25 rank
+    // rule): with quantized lexical scores and exact-integer cosines,
+    // the hybrid value is the same double expression tree on both
+    // engines — no sum-order freedom left for near-ties to exploit
     val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
-      .select(col("query_id"), col("doc_id").as("hit_id"), col("score"))
+      .select(col("query_id"), col("doc_id").as("hit_id"),
+        round(col("score"), 4).as("score"))
       .cache() // consumed by the dot join, the max, the doc-id set, and the mix
     cand.count() // materialize NOW: the embedder subtree depends on cand
     // (via the candidate-doc semi join), so without an eager fill the
@@ -663,7 +678,9 @@ object Retrieval {
     "retrieval_mmr",
     s"""WITH $bm25Cte,
       |$embedFromTok,
-      |cand AS (SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10),
+      |cand AS (
+      |  SELECT query_id, doc_id, ROUND(score, 4) AS score
+      |  FROM ranked WHERE rn <= 10),
       |mx AS (
       |  SELECT query_id, GREATEST(MAX(score), 1e-12) AS mrel
       |  FROM cand GROUP BY 1),
@@ -733,8 +750,13 @@ object Retrieval {
     import s.implicits._
     val lambda = 0.7
     val k = 3
+    // relevance enters the greedy objective on the 4dp grid (the
+    // bm25 rank rule): raw float sums would put mathematically-tied
+    // replica candidates ulps apart in engine-dependent order and
+    // flip the argmax
     val cand = bm25Ranked(s, dir).filter(col("rn") <= 10)
-      .select(col("query_id"), col("doc_id"), col("score")).cache()
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score")).cache()
     cand.count() // eager: the embed subtree below depends on cand
     val candDocs = cand.select(col("doc_id")).distinct()
     val emb = embeddedDocsRaw(Tables.documents(s, dir)
@@ -853,7 +875,7 @@ object Retrieval {
       |  FROM cosm GROUP BY 1, 2),
       |r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |    ORDER BY maxsim DESC, hit_id) rn FROM sc)
+      |    ORDER BY ROUND(maxsim, 4) DESC, hit_id) rn FROM sc)
       |SELECT query_id, rn AS rank, hit_id,
       |  FLOOR(maxsim * 10000 + 0.5) / 10000 AS maxsim_score
       |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
@@ -883,7 +905,7 @@ object Retrieval {
           .cast("long").as("n2"))
     val dot = graft.functions.VectorExprs.dot(col("qv"), col("dv"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("maxsim").desc, col("hit_id"))
+      .orderBy(round(col("maxsim"), 4).desc, col("hit_id"))
     cand.join(terms.select(col("doc_id").as("query_id"),
         col("t").as("qt"), col("ctf")), "query_id")
       .join(terms.select(col("doc_id").as("hit_id"),

@@ -1767,9 +1767,13 @@ object Text {
     val oov = tokens.select(col("w")).distinct()
       .join(vocab.select("w"), Seq("w"), "left_anti")
       .filter(length(col("w")) <= 16)
+    // NO .cache() here: this dataflow runs once per micro-batch in a
+    // long-lived stream, where per-epoch caches accumulate without an
+    // owner to unpersist them — the double compute of a batch-sized
+    // candidate frame is the cheaper side of that trade
     val cand = spellFormsOf(oov).select(col("w").as("oov_w"), col("form"))
       .join(vf, "form")
-      .select(col("oov_w"), col("fix"), col("n")).distinct().cache()
+      .select(col("oov_w"), col("fix"), col("n")).distinct()
     val bestN = cand.groupBy("oov_w").agg(max(col("n")).as("n"))
     cand.join(bestN, Seq("oov_w", "n"))
       .groupBy(col("oov_w"), col("n"))
