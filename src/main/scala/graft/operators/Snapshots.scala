@@ -47,6 +47,11 @@ object Snapshots {
       }
     }.sortBy(_._1)
 
+  /** The commit bit of a version dir — exposed for the VACUUM
+    * dry-run's per-row report. */
+  private[graft] def isCommittedDir(dir: String): Boolean =
+    isCommitted(dir)
+
   private def isCommitted(dir: String): Boolean =
     LakeFs.isFile(s"$dir/$Marker")
 
@@ -1333,23 +1338,34 @@ object Snapshots {
     * long-lived stream). Time travel below the compaction boundary is
     * given up — the same trade every log-structured table's retention
     * makes. */
-  def vacuumLog(root: String, keepEpochs: Int = 8): Unit = {
+  /** The versions a log-flavor VACUUM would reap RIGHT NOW — the
+    * DRY RUN view, and vacuumLog's own reap set (one computation, so
+    * the plan and the action can never drift): keep exactly the
+    * current reader window (which chains through tiered BASE_FROM
+    * folds — a fold's own inputs are subsumed but the older segments
+    * it chains ONTO are still read), PLUS every tagged/branch-pinned
+    * version's whole as-of window (a pinned log read unions its own
+    * window — keeping just the tagged dir would read a truncated
+    * table); everything committed outside is subsumed, torn dirs
+    * below the latest commit are invisible already. */
+  def vacuumLogPlan(root: String): Seq[(Long, String)] = {
     val live = committed(root)
-    if (live.nonEmpty) {
-      // keep exactly the current reader window (which chains through
-      // tiered BASE_FROM folds — a fold's own inputs are subsumed but
-      // the older segments it chains ONTO are still read), PLUS every
-      // tagged version's whole as-of window (a pinned log read unions
-      // its own window — keeping just the tagged dir would read a
-      // truncated table); everything committed outside is subsumed,
-      // torn dirs below the latest commit are invisible already
+    if (live.isEmpty) Nil
+    else {
       val keep = logWindow(root, None).map(_._1).toSet ++
         (tags(root).values.toSet ++ branches(root).values)
           .flatMap((tv: Long) => logWindow(root, Some(tv)).map(_._1))
       val latest = live.last._1
-      val toReap = versions(root).filter { case (v, d) =>
+      versions(root).filter { case (v, d) =>
         (isCommitted(d) && !keep(v)) || (!isCommitted(d) && v < latest)
       }
+    }
+  }
+
+  def vacuumLog(root: String, keepEpochs: Int = 8): Unit = {
+    val live = committed(root)
+    if (live.nonEmpty) {
+      val toReap = vacuumLogPlan(root)
       // fence FIRST: a crash between fence and delete over-fences
       // (streams refused while the data still exists — safe); the
       // other order would leave a window where a lagging stream
@@ -1693,22 +1709,32 @@ object Snapshots {
     * version carrying a base marker): log readers union a window, so
     * snapshot-retention semantics here would silently delete versions
     * `readLog` still reads — use [[vacuumLog]] for log roots. */
-  def vacuum(root: String, keep: Int): Unit = {
+  /** The snapshot-flavor reap set — the DRY RUN view and vacuum's
+    * own plan (shared, so they cannot drift). Same guards as the
+    * action: compacted append-log roots refuse. */
+  def vacuumPlan(root: String, keep: Int): Seq[(Long, String)] = {
     require(keep > 0, s"vacuum(keep=$keep): retention must keep >= 1 snapshot")
     val live = committed(root)
     require(!live.exists { case (_, d) =>
       hasBase(d) || baseFrom(d).isDefined },
       s"$root is an append-log root (compacted versions present); " +
         "vacuum would delete versions readLog still unions — use vacuumLog")
-    if (live.nonEmpty) {
+    if (live.isEmpty) Nil
+    else {
       val keepFrom = live.takeRight(keep).head._1
       val latest = live.last._1
       // tagged/branch-pinned versions never reap
       val pinned = tags(root).values.toSet ++ branches(root).values
-      val toReap = versions(root).filter { case (v, d) =>
+      versions(root).filter { case (v, d) =>
         (isCommitted(d) && v < keepFrom && !pinned(v)) ||
           (!isCommitted(d) && v < latest)
       }
+    }
+  }
+
+  def vacuum(root: String, keep: Int): Unit = {
+    val toReap = vacuumPlan(root, keep)
+    if (committed(root).nonEmpty) {
       raiseStreamHorizon(root, // fence before delete, as in vacuumLog
         toReap.collect { case (v, d) if isCommitted(d) => v })
       toReap.foreach { case (_, d) => LakeFs.rmTree(d) }

@@ -89,12 +89,17 @@ object Graph {
         when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
       .cache()
     // wedges at the LOW vertex, closed by one oriented-edge probe
+    // (alias-qualified join keys: positional df("col") references on
+    // two projections of one cached frame trip Spark's ambiguous-
+    // self-join heuristic)
     val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .as("e1")
     val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+      .as("e2")
     val tri = e1.join(e2,
-        e1("u") === e2("u") &&
+        col("e1.u") === col("e2.u") &&
           struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(e1("u").as("a"), col("b"), col("c"))
+      .select(col("e1.u").as("a"), col("b"), col("c"))
       .join(oriented.select(col("u").as("b"), col("v").as("c")),
         Seq("b", "c"))
       .select("a", "b", "c")

@@ -42,8 +42,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"OPTIMIZE … ZORDER BY takes exactly 2 columns (the 2-D " +
           s"z-curve), got ${cs.size}"))
       GraftOptimizeCommand(multipart(table), z)
-    case VacuumRe(table, retain) =>
-      GraftVacuumCommand(multipart(table),
+    case VacuumRe(table, retain, dry) =>
+      if (dry != null)
+        GraftVacuumDryRunCommand(multipart(table),
+          Option(retain).map(_.trim.toInt))
+      else GraftVacuumCommand(multipart(table),
         Option(retain).map(_.trim.toInt))
     case HistoryRe(table) => GraftHistoryCommand(multipart(table))
     case DetailRe(table) => GraftDetailCommand(multipart(table))
@@ -95,7 +98,7 @@ object GraftSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Tbl +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Tbl + """\s*;?\s*$""").r
   private val DetailRe =
@@ -205,6 +208,44 @@ case class GraftVacuumCommand(parts: Seq[String], retain: Option[Int])
         "reaped below the reader window"
       }
     Seq(Row(t.name(), action))
+  }
+}
+
+/** `VACUUM <t> [RETAIN n VERSIONS] DRY RUN` — what retention WOULD
+  * reap right now, one row per candidate version, nothing deleted
+  * (Delta's dry run): the plan comes from the SAME computation the
+  * real vacuum executes (vacuumLogPlan / vacuumPlan), so the preview
+  * cannot drift from the action; flavor routing and the RETAIN
+  * guards surface identically. */
+case class GraftVacuumDryRunCommand(parts: Seq[String],
+    retain: Option[Int]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed", BooleanType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, parts)
+    val plan =
+      if (t.flavor == "snapshot") {
+        val keep = retain.getOrElse(sys.error(
+          s"${t.name()}: snapshot-flavor VACUUM needs RETAIN <n> " +
+            "VERSIONS (how many newest snapshots to keep)"))
+        Snapshots.vacuumPlan(t.root, keep)
+      } else {
+        require(retain.isEmpty,
+          s"${t.name()}: log-flavor retention is the reader window — " +
+            "RETAIN does not apply; OPTIMIZE (compact) first to " +
+            "shrink the window, then VACUUM")
+        Snapshots.vacuumLogPlan(t.root)
+      }
+    plan.map { case (v, d) =>
+      val files = graft.operators.LakeFs.leaves(d).filter(_.isFile)
+      Row(v, Snapshots.isCommittedDir(d),
+        files.size.toLong, files.map(_.getLen).sum)
+    }
   }
 }
 

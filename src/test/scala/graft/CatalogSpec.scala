@@ -673,6 +673,41 @@ class CatalogSpec extends AnyFunSuite {
       ddl.contains("vpos"), s"constraint must render:\n$ddl")
   }
 
+  test("VACUUM DRY RUN previews the reap set without deleting; plan equals the action") {
+    fresh("v1")
+    spark.sql("CREATE TABLE lake.v1 (k BIGINT)")
+    spark.sql("INSERT INTO lake.v1 VALUES (1)")
+    spark.sql("INSERT INTO lake.v1 VALUES (2)")
+    spark.sql("OPTIMIZE lake.v1") // window collapses to v3
+    val dry = spark.sql("VACUUM lake.v1 DRY RUN").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(dry.map(_._1).toSeq == Seq(1L, 2L),
+      s"versions below the compacted base are the reap set: ${dry.toSeq}")
+    assert(dry.forall(r => r._2 && r._3 > 0),
+      "committed dirs with real files")
+    // nothing deleted: both versions still travelable
+    assert(spark.sql("SELECT COUNT(*) FROM lake.v1 VERSION AS OF 1")
+      .head.getLong(0) == 1L)
+    // the action reaps EXACTLY the previewed set
+    spark.sql("VACUUM lake.v1")
+    assert(spark.sql("SELECT COUNT(*) FROM lake.v1").head.getLong(0) == 2L)
+    intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM lake.v1 VERSION AS OF 1").collect())
+    assert(spark.sql("VACUUM lake.v1 DRY RUN").collect().isEmpty,
+      "post-vacuum dry run is empty")
+    // snapshot flavor routes through RETAIN with the same guards
+    fresh("v2")
+    spark.sql("CREATE TABLE lake.v2 (k BIGINT) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    spark.sql("INSERT INTO lake.v2 VALUES (1)")
+    spark.sql("INSERT INTO lake.v2 VALUES (2)")
+    spark.sql("INSERT INTO lake.v2 VALUES (3)")
+    val d2 = spark.sql("VACUUM lake.v2 RETAIN 2 VERSIONS DRY RUN")
+      .collect().map(_.getLong(0)).toSeq
+    assert(d2 == Seq(1L), s"keep newest 2 → reap v1 only: $d2")
+    intercept[Exception](spark.sql("VACUUM lake.v2 DRY RUN").collect())
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
