@@ -708,6 +708,45 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("VACUUM lake.v2 DRY RUN").collect())
   }
 
+  test("multi-column PARTITIONED BY, INSERT OVERWRITE, and partitioned CTAS") {
+    fresh("p3"); fresh("p4")
+    spark.sql("CREATE TABLE lake.p3 (k BIGINT, day STRING, src STRING, " +
+      "v DOUBLE) PARTITIONED BY (day, src)")
+    assert(spark.table("lake.p3").columns.toSeq ==
+      Seq("k", "v", "day", "src"))
+    spark.sql("INSERT INTO lake.p3 VALUES " +
+      "(1, 1.0, 'a', 'x'), (2, 2.0, 'a', 'y'), (3, 3.0, 'b', 'x')")
+    // nested hive layout: day=…/src=… inside the version dir
+    assert(LakeFs.list(s"$Root/p3/v=1/day=a").exists(st =>
+      st.isDirectory && st.getPath.getName == "src=y"),
+      "multi-column layouts nest in declaration order")
+    def rows(sql: String): Set[(Long, String, String)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows("SELECT k, day, src FROM lake.p3") ==
+      Set((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x")))
+    // pruning composes across both columns
+    assert(spark.sql(
+      "SELECT k FROM lake.p3 WHERE day = 'a' AND src = 'y'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // INSERT OVERWRITE re-lays the full state partitioned, travelable
+    spark.sql("INSERT OVERWRITE lake.p3 VALUES (9, 9.0, 'c', 'z')")
+    assert(rows("SELECT k, day, src FROM lake.p3") ==
+      Set((9L, "c", "z")))
+    assert(LakeFs.list(s"$Root/p3/v=2").exists(st =>
+      st.isDirectory && st.getPath.getName == "day=c"))
+    assert(spark.sql("SELECT COUNT(*) FROM lake.p3 VERSION AS OF 1")
+      .head.getLong(0) == 3L)
+    // CTAS with PARTITIONED BY: create + first write in one statement
+    spark.sql("CREATE TABLE lake.p4 PARTITIONED BY (day) AS " +
+      "SELECT k, v, day FROM lake.p3 VERSION AS OF 1")
+    assert(spark.sql("SELECT k FROM lake.p4 WHERE day = 'a'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(LakeFs.list(s"$Root/p4/v=1").exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("day=")),
+      "CTAS must lay the declared partitioning")
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
