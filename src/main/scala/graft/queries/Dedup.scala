@@ -1207,6 +1207,65 @@ object Dedup {
       docsT, w, wk)
   }
 
+  /** LEAKAGE-SAFE train/val/test split — corpus_split's
+    * content-addressed buckets lifted to the DEDUP-CLUSTER level: a
+    * near-dup pair straddling train and test is eval contamination
+    * (the model "generalizes" to its own training data), so the
+    * split decision hashes the CLUSTER label (the keeper's doc_id,
+    * dedup_clusters' exact-Jaccard ≥0.8 components), not the doc —
+    * every member of a cluster lands in the same bucket by
+    * construction, singletons hash their own id, and the assignment
+    * stays content-addressed (reproducible on any engine at any
+    * parallelism, the corpus_split property). One cluster pass (the
+    * banded-candidate machinery, never all-pairs) + one per-row map;
+    * the corpus itself never shuffles for the split decision. */
+  val splitSafe: Q = Q(
+    "corpus_split_safe",
+    s"""WITH RECURSIVE ${cappedPairsCtesFrom("documents")},
+      |e AS (
+      |  SELECT da, db FROM c
+      |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |  WHERE i / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (
+      |  SELECT da AS x, db AS y FROM e UNION SELECT db, da FROM e),
+      |reach AS (
+      |  SELECT x, x AS y FROM (SELECT DISTINCT x FROM edges)
+      |  UNION
+      |  SELECT r.x, ed.y FROM reach r JOIN edges ed ON r.y = ed.x),
+      |lab AS (
+      |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x),
+      |d AS (
+      |  SELECT doc.doc_id, COALESCE(lab.cluster_id, doc.doc_id) AS lbl
+      |  FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.doc_id),
+      |sl AS (
+      |  SELECT doc_id, lbl,
+      |    ('0x' || substr(md5('21:' || CAST(lbl AS VARCHAR)), 1, 8))::BIGINT
+      |      AS slot
+      |  FROM d)
+      |SELECT doc_id, lbl AS cluster_id,
+      |  CASE WHEN slot * 20 // 4294967296 < 18 THEN 'train'
+      |       WHEN slot * 20 // 4294967296 = 18 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM sl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = hashedShingles(s, dir).cache()
+    val sz = docSizes(sh).cache()
+    val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val lab = minLabelClusters(pairs)
+    val bucket = expr("(slot * 20) div 4294967296")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
+      .withColumn("slot",
+        conv(substring(md5(concat(lit("21:"), col("lbl").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        when(bucket < 18, "train").when(bucket === 18, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dedup-quality evaluation (ann_eval's shape for the dedup
     * family): how good is the banded SimHash CANDIDATE stage before
     * verification pays for it? Precision = hamming≤3 candidates over
@@ -1313,5 +1372,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
     clustersIncremental, decontaminate, decontaminateSubstring,
     sampleStratified, sampleExactK, incremental, substringDedup,
-    substringIncremental, dedupEval)
+    substringIncremental, dedupEval, splitSafe)
 }
