@@ -1284,6 +1284,120 @@ object Core {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Benford leading-digit profile over order totals — the classic
+    * data-forensics screen (fraudulent/synthetic numeric columns
+    * betray themselves by a non-logarithmic first-digit law). Prices
+    * are 2dp, so the digit comes from EXACT integer cents
+    * (floor(x·100+0.5) — never from a float's string rendering,
+    * which engines format differently); observed shares are integer
+    * ppm divisions and the Benford expectation is a LITERAL 9-row
+    * table baked identically into both engines (computing
+    * log10(1+1/d) live would put a library-ulp under a floor()).
+    * Scale: one scan, one 9-key agg — map-side partials do all the
+    * work. */
+  val qBenford: Q = {
+    val exp = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+      8 -> 51152L, 9 -> 45757L)
+    val expSql = exp.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    Q(
+      "q_benford",
+      s"""WITH bexp(digit, exp_ppm) AS (VALUES $expSql),
+        |c AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |obs AS (
+        |  SELECT digit, COUNT(*) AS n,
+        |    1000000 * COUNT(*) // (SELECT COUNT(*) FROM c) AS obs_ppm
+        |  FROM c GROUP BY digit)
+        |SELECT digit, n, obs_ppm, exp_ppm,
+        |  ABS(obs_ppm - exp_ppm) AS dev_ppm
+        |FROM obs JOIN bexp USING (digit)
+        |ORDER BY digit""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val expDf = exp.map { case (d, p) => (d.toLong, p) }
+        .toDF("digit", "exp_ppm")
+      val c = Tables.orders(s, dir).select(
+        substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      val total = c.agg(count(lit(1)).as("total"))
+      c.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .join(broadcast(expDf), "digit")
+        .select(col("digit"), col("n"),
+          // integer DIV, not float divide: at 1e12 rows a double
+          // quotient's 1e-10 absolute error can cross the floor
+          expr("1000000 * n DIV total").as("obs_ppm"), col("exp_ppm"))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+        .orderBy("digit")
+    }
+  }
+
+  /** Robust per-group outlier detection: median absolute deviation
+    * (MAD) with the 1.4826 normal-consistency factor — the screen
+    * that survives the heavy tails that break mean±3σ. EVERYTHING is
+    * exact integer arithmetic: values quantize to micro units; the
+    * interpolated median of integers is a .5-dyadic, so carrying it
+    * DOUBLED (med2 = 2·median(m), mad4 = 2·median(dev2)) keeps every
+    * intermediate an exactly-representable integer, and the outlier
+    * test 20000·dev2 > 44478·mad4 (= |v−med|·10⁴ > 3·1.4826·MAD·10⁴)
+    * is a pure BIGINT compare — no float enters after the initial
+    * quantization, so the oracle cannot diverge on boundary ties at
+    * any scale. Scale shape: two grouped percentile aggs + two
+    * broadcast joins of a #-event-types-row frame; the fact table
+    * shuffles ONCE per agg on its group key. */
+  val qOutlierMad: Q = Q(
+    "q_outlier_mad",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS m
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY m)
+      |      AS BIGINT) AS med2
+      |  FROM m GROUP BY event_type),
+      |dev AS (
+      |  SELECT m.event_type, ABS(2 * m.m - med.med2) AS dev2, med.med2
+      |  FROM m JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |    CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY dev2)
+      |      AS BIGINT) AS mad4
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  MAX(d.med2) AS med2_micro, MAX(mad.mad4) AS mad4_micro,
+      |  CAST(SUM(CASE WHEN 20000 * d.dev2 > 44478 * mad.mad4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  1000000 * CAST(SUM(CASE WHEN 20000 * d.dev2 > 44478 * mad.mad4
+      |    THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS out_ppm
+      |FROM dev d JOIN mad USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val m = Tables.events(s, dir).select(col("event_type"),
+      floor(col("value") * 1000000 + 0.5).cast("long").as("m"))
+    val med = m.groupBy("event_type").agg(
+      (percentile(col("m"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = m.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(lit(2) * col("m") - col("med2")).as("dev2"), col("med2"))
+    val mad = dev.groupBy("event_type").agg(
+      (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2_micro"),
+        max(col("mad4")).as("mad4_micro"),
+        sum(when(lit(20000) * col("dev2") > lit(44478) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med2_micro"),
+        col("mad4_micro"), col("n_outliers"),
+        expr("1000000 * n_outliers DIV n").as("out_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilterProject, q3JoinTopk, q5MultiJoin, qWindowRank, qSemiJoin,
     qAntiJoin, qRollup, qCube, qPercentiles, qTopkGlobal, qPivot, qDistinct,
@@ -1291,5 +1405,5 @@ object Core {
     qSetOps, qCorrelated, qGroupingSets, qUnpivot, qBloomJoin, qIncrementalAgg,
     qMergeUpsert, qAvgFilter, qBasketLift, qRfmSegments, qSkyline,
     qSampleAgg, qDpCounts, qCohortLtv, qMoments, qDecileLift, qProfile,
-    qProfileApprox, qSetSketch)
+    qProfileApprox, qSetSketch, qBenford, qOutlierMad)
 }
