@@ -163,5 +163,173 @@ object Graph {
     noo + nno + nnn
   }
 
-  val all: Seq[Q] = Seq(triangles)
+  /** The co-purchase graph q_triangles defines, shared by the other
+    * graph queries: canonical x<y edges + per-node degrees. */
+  private def edgesAndDeg(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .distinct()
+      .cache()
+    val deg = edges.select(col("x").as("n"))
+      .unionAll(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    (edges, deg)
+  }
+
+  /** SQL fragment for the same edge/degree build (oracle side). */
+  private val edgesDegSql =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS x, b.p AS y
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT x AS n FROM edges
+      |    UNION ALL SELECT y AS n FROM edges) ends
+      |  GROUP BY n)"""
+
+  /** Local clustering coefficient — per-node triangle density
+    * 2·T(n)/(d·(d−1)), the standard cohesion metric next to
+    * q_triangles' global count. Reuses the degree-ordered triangle
+    * enumeration (each triangle found once, out-degree bounded
+    * √(2·|E|) whatever the skew), then re-attributes counts to all
+    * three corners; the coefficient is an integer-ppm DIV — float
+    * never enters. Top-20 by (coeff, id): the ordering key is a pure
+    * integer pair, so cross-engine rank ties are impossible by
+    * construction. */
+  val clustering: Q = Q(
+    "graph_clustering",
+    s"""WITH $edgesDegSql,
+      |oriented AS (
+      |  SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y
+      |           END AS u,
+      |         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x
+      |           END AS v,
+      |         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d
+      |           END AS dv
+      |  FROM edges e
+      |  JOIN deg dx ON e.x = dx.n
+      |  JOIN deg dy ON e.y = dy.n),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM oriented e1
+      |  JOIN oriented e2
+      |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+      |  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |members AS (
+      |  SELECT n, COUNT(*) AS n_tri FROM (
+      |    SELECT a AS n FROM tri
+      |    UNION ALL SELECT b AS n FROM tri
+      |    UNION ALL SELECT c AS n FROM tri) m
+      |  GROUP BY n)
+      |SELECT deg.n AS part, deg.d,
+      |  COALESCE(members.n_tri, 0) AS n_tri,
+      |  1000000 * 2 * COALESCE(members.n_tri, 0)
+      |    // (deg.d * (deg.d - 1)) AS coeff_ppm
+      |FROM deg LEFT JOIN members ON deg.n = members.n
+      |WHERE deg.d >= 2
+      |ORDER BY coeff_ppm DESC, part
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val (edges, deg) = edgesAndDeg(s, dir)
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
+        "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
+        "y")
+      .select(
+        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .cache()
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .as("e1")
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+      .as("e2")
+    val tri = e1.join(e2,
+        col("e1.u") === col("e2.u") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("e1.u").as("a"), col("b"), col("c"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+    val members = tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(members, Seq("n"), "left")
+      .select(col("n").as("part"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("part"), col("d"), col("n_tri"),
+        expr("1000000 * 2 * n_tri DIV (d * (d - 1))").as("coeff_ppm"))
+      .orderBy(col("coeff_ppm").desc, col("part"))
+      .limit(20)
+  }
+
+  /** Common-neighbor link prediction — the classic "people who bought
+    * X and Y also bought" candidate generator: score every
+    * NON-adjacent pair by shared neighbors, plus the integer-ppm
+    * Jaccard of (capped) neighbor sets. Scale discipline: wedges are
+    * enumerated only at centers with degree ≤ 64 — the published
+    * practice for common-neighbor scoring at scale (a hub's wedge set
+    * is quadratic in its degree and carries the least signal; the cap
+    * bounds per-center work at 64² whatever the skew, so the wedge
+    * join is O(|E|·64), never hub-quadratic). The cap is part of the
+    * operator's semantics (scores are "common low-degree neighbors")
+    * and applied identically in both engines. */
+  val linkPredict: Q = Q(
+    "graph_link_predict",
+    s"""WITH $edgesDegSql,
+      |adj AS (
+      |  SELECT x AS c, y AS m FROM edges
+      |  UNION ALL SELECT y AS c, x AS m FROM edges),
+      |small AS (
+      |  SELECT adj.c, adj.m FROM adj
+      |  JOIN deg ON adj.c = deg.n WHERE deg.d <= 64),
+      |wedge AS (
+      |  SELECT w1.m AS a, w2.m AS b, COUNT(*) AS cn
+      |  FROM small w1 JOIN small w2
+      |    ON w1.c = w2.c AND w1.m < w2.m
+      |  GROUP BY w1.m, w2.m),
+      |cand AS (
+      |  SELECT a, b, cn FROM wedge
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM edges WHERE edges.x = wedge.a
+      |      AND edges.y = wedge.b))
+      |SELECT c.a, c.b, c.cn,
+      |  1000000 * c.cn // (da.d + db.d - c.cn) AS jaccard_ppm
+      |FROM cand c
+      |JOIN deg da ON c.a = da.n
+      |JOIN deg db ON c.b = db.n
+      |ORDER BY c.cn DESC, c.a, c.b
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val (edges, deg) = edgesAndDeg(s, dir)
+    val adj = edges.select(col("x").as("c"), col("y").as("m"))
+      .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
+    val small = adj.join(
+      deg.filter(col("d") <= 64).select(col("n").as("c")), "c")
+    val wedge = small.select(col("c"), col("m").as("a")).as("w1")
+      .join(small.select(col("c"), col("m").as("b")).as("w2"),
+        col("w1.c") === col("w2.c") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val cand = wedge.join(
+      edges.select(col("x").as("a"), col("y").as("b")),
+      Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("1000000 * cn DIV (da + db - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(triangles, clustering, linkPredict)
 }
