@@ -1152,9 +1152,68 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Holt's linear-trend smoothing (α=1/4, β=1/8) as a BATCH query —
+    * the registered one-step forecaster whose fold is shared VERBATIM
+    * with the streaming twin (StreamOps.holtFold, used by holtState):
+    * batch and stream literally cannot drift. Per-user series are
+    * calendar/data bounded (≤~100 events/user in this corpus — the
+    * bounded-bands rule), so the per-group fold buffer is bounded;
+    * the work distributes across users. The DuckDB oracle replays the
+    * recurrence as a recursive CTE with the arithmetic WRITTEN
+    * IDENTICALLY (IEEE double ops are exactly specified, so the same
+    * expression order yields the same bits in both engines); the
+    * printed boundary floor-quantizes to 6dp (the text_quality rule,
+    * not round(): dyadic α/β land the fold on exact .5e-6 halves
+    * where engine HALF_UP conventions differ on negatives). */
+  val holt: Q = Q(
+    "events_holt",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |f(user_id, rn, event_id, n, l, b) AS (
+      |  SELECT user_id, rn, event_id, 1, value, CAST(0.0 AS DOUBLE)
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id, f.n + 1,
+      |    CASE WHEN f.n = 1 THEN e.value
+      |         ELSE 0.25 * e.value + 0.75 * (f.l + f.b) END,
+      |    CASE WHEN f.n = 1 THEN e.value - f.l
+      |         ELSE 0.125 * ((0.25 * e.value + 0.75 * (f.l + f.b)) - f.l)
+      |              + 0.875 * f.b END
+      |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.n + 1)
+      |SELECT event_id, user_id,
+      |  FLOOR(l * 1000000 + 0.5) / 1000000 + 0 AS level,
+      |  FLOOR(b * 1000000 + 0.5) / 1000000 + 0 AS trend,
+      |  FLOOR((l + b) * 1000000 + 0.5) / 1000000 + 0 AS forecast_next
+      |FROM f WHERE n >= 2 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val msgs = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[graft.streaming.StreamOps.EwmaMsg]
+    msgs.groupByKey(_.user_id)
+      .flatMapGroups { (u: Long,
+          it: Iterator[graft.streaming.StreamOps.EwmaMsg]) =>
+        graft.streaming.StreamOps.holtFold(u, it.toSeq, (0, 0.0, 0.0))
+          ._2.iterator
+      }
+      .toDF()
+      .select(col("event_id"), col("user_id"),
+        // floor-quantize, not round(): the dyadic α/β coefficients
+        // land the fold on EXACT .5e-6 boundaries where the engines'
+        // HALF_UP conventions differ on negatives (2 rows at sf0.01)
+        (floor(col("level") * 1000000 + 0.5) / 1000000 + 0).as("level"),
+        (floor(col("trend") * 1000000 + 0.5) / 1000000 + 0).as("trend"),
+        (floor(col("forecast_next") * 1000000 + 0.5) / 1000000 + 0)
+          .as("forecast_next"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
     attribution, autocorr, ewma, cusum, trend, chisq, concurrency,
-    seasonalProfile, userGrowth)
+    seasonalProfile, userGrowth, holt)
 }

@@ -1006,7 +1006,95 @@ object Retrieval {
         .orderBy(col("query_id"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio/RM shape) — the classic
+    * recall lever a lexical retriever ships next to hybrid/RRF: run
+    * BM25 once, assume the top-3 are relevant, harvest the 5
+    * strongest expansion terms from them (Σ_fb tf·idf, ranked on the
+    * printed 4dp grid with the term string as tiebreak — the
+    * retrieval-family tie rule), union them into the query term set,
+    * and score ONCE more with the identical BM25 machinery
+    * (bm25RankedFor — pass 2 cannot drift from pass 1's semantics).
+    * Expansion terms enter as plain query terms (uniform Rocchio β),
+    * declared semantics in both engines. Scale shape: both passes are
+    * the proven bm25 dataflow (query set broadcast, ONE corpus-wide
+    * tf shuffle per pass); the feedback/expansion frames are
+    * (queries×terms)-bounded and broadcast. */
+  val prf: Q = Q(
+    "retrieval_prf",
+    s"""WITH $bm25Cte,
+      |fb AS (SELECT query_id, doc_id FROM ranked WHERE rn <= 3),
+      |w AS (
+      |  SELECT fb.query_id, tf.t,
+      |    SUM(tf.tf * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1))
+      |      AS w
+      |  FROM fb JOIN tf ON fb.doc_id = tf.doc_id
+      |  JOIN df ON tf.t = df.t
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT query_id, t FROM (
+      |    SELECT w.query_id, w.t, ROW_NUMBER() OVER (
+      |      PARTITION BY w.query_id
+      |      ORDER BY ROUND(w.w, 4) DESC, w.t) ern
+      |    FROM w
+      |    WHERE NOT EXISTS (SELECT 1 FROM qt
+      |      WHERE qt.query_id = w.query_id AND qt.t = w.t)) r
+      |  WHERE ern <= 5),
+      |qt2 AS (
+      |  SELECT query_id, t FROM qt
+      |  UNION SELECT query_id, t FROM ex),
+      |scored2 AS (
+      |  SELECT qt2.query_id, tf.doc_id,
+      |    SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+      |      AS score
+      |  FROM qt2 JOIN tf ON qt2.t = tf.t
+      |  JOIN df ON tf.t = df.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  WHERE tf.doc_id <> qt2.query_id
+      |  GROUP BY 1, 2),
+      |ranked2 AS (
+      |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id
+      |    ORDER BY ROUND(score, 4) DESC, doc_id) rn
+      |  FROM scored2)
+      |SELECT query_id, rn AS rank, doc_id, ROUND(score, 4) AS score
+      |FROM ranked2 WHERE rn <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tok.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val stats = tok.agg(
+      countDistinct(col("doc_id")).cast("double").as("n"))
+    val qt1 = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val fb = bm25Ranked(s, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("doc_id"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val w = broadcast(fb).join(tf, "doc_id")
+      .join(broadcast(df), "t")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("t"))
+      .agg(sum(col("tf") * idf).as("w"))
+    val ex = w.join(qt1, Seq("query_id", "t"), "left_anti")
+      .withColumn("ern", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(round(col("w"), 4).desc, col("t"))))
+      .filter(col("ern") <= 5)
+      .select(col("query_id"), col("t"))
+    val qt2 = qt1.unionByName(ex)
+    bm25RankedFor(s, dir, qt2)
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
     embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr,
-    maxsim, eval)
+    maxsim, eval, prf)
 }

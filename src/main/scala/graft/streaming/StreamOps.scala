@@ -261,22 +261,34 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, ms: Iterator[EwmaMsg],
             state: GroupState[(Int, Double, Double)]) =>
-          var (n, l, b) = state.getOption.getOrElse((0, 0.0, 0.0))
-          val out = Seq.newBuilder[HoltOut]
-          ms.toSeq.sortBy(m => (m.tsMicros, m.event_id)).foreach { m =>
-            if (n == 0) { l = m.value; b = 0.0 }
-            else if (n == 1) { b = m.value - l; l = m.value }
-            else {
-              val lp = l
-              l = 0.25 * m.value + 0.75 * (l + b)
-              b = 0.125 * (l - lp) + 0.875 * b
-            }
-            n += 1
-            if (n >= 2) out += HoltOut(user, m.event_id, l, b, l + b)
-          }
-          state.update((n, l, b))
-          out.result().iterator
+          val (next, out) = holtFold(user, ms.toSeq,
+            state.getOption.getOrElse((0, 0.0, 0.0)))
+          state.update(next)
+          out.iterator
       }
+  }
+
+  /** The Holt fold itself, shared VERBATIM by the streaming state
+    * handler above and the registered batch query (Events.holt) so
+    * the two can never drift — the nbScore/spellIngest discipline
+    * applied to a recurrence. */
+  private[graft] def holtFold(user: Long, pts: Seq[EwmaMsg],
+      init: (Int, Double, Double))
+      : ((Int, Double, Double), Seq[HoltOut]) = {
+    var (n, l, b) = init
+    val out = Seq.newBuilder[HoltOut]
+    pts.sortBy(m => (m.tsMicros, m.event_id)).foreach { m =>
+      if (n == 0) { l = m.value; b = 0.0 }
+      else if (n == 1) { b = m.value - l; l = m.value }
+      else {
+        val lp = l
+        l = 0.25 * m.value + 0.75 * (l + b)
+        b = 0.125 * (l - lp) + 0.875 * b
+      }
+      n += 1
+      if (n >= 2) out += HoltOut(user, m.event_id, l, b, l + b)
+    }
+    ((n, l, b), out.result())
   }
 
   /** One observation for the keyed CUSUM fold. */
