@@ -336,6 +336,51 @@ object Catalog {
          |ORDER BY st""".stripMargin)
   }
 
+  /** Column surgery under the hash: CREATE + INSERT, then RENAME
+    * COLUMN (copy-on-write rewrite), DROP COLUMN (another rewrite),
+    * ADD COLUMN (metadata-only), a post-surgery INSERT in the new
+    * 3-column shape, and a final aggregate over the evolved table
+    * joined with a VERSION AS OF 1 count proving the pre-surgery
+    * history stayed travelable in its ORIGINAL physical shape. The
+    * oracle replays the surgery as projections over the raw table —
+    * a hash match pins rename/drop/add semantics plus history. */
+  val sqlAlter: Q = Q(
+    "q_sql_alter",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders),
+      |cur AS (
+      |  SELECT k, st AS status, CAST(NULL AS VARCHAR) AS src FROM base
+      |  UNION ALL SELECT -1, 'X', 'manual'),
+      |agg AS (
+      |  SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |    CAST(SUM(CASE WHEN src IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_src
+      |  FROM cur GROUP BY status)
+      |SELECT status, n, sum_k, n_src,
+      |  (SELECT COUNT(*) FROM base) AS n_v1
+      |FROM agg ORDER BY status""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val id = graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.alt_$id"
+    LakeFs.rmTree(s"$LakeRoot/alt_$id")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, p DECIMAL(18,2))")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2))
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"ALTER TABLE $t RENAME COLUMN st TO status")
+    s.sql(s"ALTER TABLE $t DROP COLUMN p")
+    s.sql(s"ALTER TABLE $t ADD COLUMN src STRING")
+    s.sql(s"INSERT INTO $t VALUES (-1, 'X', 'manual')")
+    s.sql(
+      s"""SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+         |  CAST(SUM(CASE WHEN src IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_src,
+         |  (SELECT COUNT(*) FROM $t VERSION AS OF 1) AS n_v1
+         |FROM $t GROUP BY status ORDER BY status""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge,
-    sqlRestore, sqlPartitioned)
+    sqlRestore, sqlPartitioned, sqlAlter)
 }

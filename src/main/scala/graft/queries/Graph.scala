@@ -331,5 +331,64 @@ object Graph {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(triangles, clustering, linkPredict)
+  /** Bounded-hop BFS — single-source shortest paths within 8 hops
+    * from the smallest node id, reported as a per-depth profile
+    * (count + id range). The hop bound is the operator's DECLARED
+    * semantics, and the honest distributed form: an unbounded BFS
+    * iterates diameter-many rounds (data-dependent driver control
+    * flow), while k-hop is a FIXED 8-round unrolled plan whose cost
+    * is ≤ 8 frontier-adjacency equi-joins whatever the graph — the
+    * pagerank rule (driver counts iterations, never rows). Every
+    * frontier localCheckpoints (the dedup_clusters iterative rule:
+    * eager materialization both stops per-level recomputation doubling
+    * AND truncates lineage — a cached-only 8-level self-referencing
+    * DAG grows a plan tree big enough to OOM the PLANNER), dedup is
+    * one anti-join against the visited set, and all outputs are
+    * exact integers. The oracle replays the walk as a recursive
+    * CTE whose UNION dedups (node, depth) pairs, min-depth folded at
+    * the end. */
+  val khop: Q = Q(
+    "graph_khop",
+    s"""WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS x, b.p AS y
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |adj AS (
+      |  SELECT x AS c, y AS m FROM edges
+      |  UNION ALL SELECT y AS c, x AS m FROM edges),
+      |walk(node, depth) AS (
+      |  SELECT MIN(x), 0 FROM edges
+      |  UNION
+      |  SELECT adj.m, walk.depth + 1
+      |  FROM walk JOIN adj ON walk.node = adj.c
+      |  WHERE walk.depth < 8),
+      |d AS (SELECT node, MIN(depth) AS depth FROM walk GROUP BY node)
+      |SELECT depth, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+      |  MAX(node) AS max_node
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+    val (edges, _) = edgesAndDeg(s, dir)
+    val adj = edges.select(col("x").as("c"), col("y").as("m"))
+      .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
+      .localCheckpoint()
+    val src = edges.agg(min(col("x")).as("node"))
+      .select(col("node"), lit(0).as("depth")).localCheckpoint()
+    var visited = src
+    var frontier = src.select(col("node"))
+    for (d <- 1 to 8) {
+      val next = frontier.join(adj, col("node") === col("c"))
+        .select(col("m").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(
+        next.select(col("node"), lit(d).as("depth"))).localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("depth"))
+  }
+
+  val all: Seq[Q] = Seq(triangles, clustering, linkPredict, khop)
 }

@@ -134,6 +134,15 @@ object Quality {
       import s.implicits._
       val u = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .unionByName(gopherPlanted.toDF("doc_id", "text"))
+      gopherFrom(u).orderBy(col("doc_id"))
+    }
+  }
+
+  /** The Gopher rule dataflow over an arbitrary doc frame — shared by
+    * the registered query and the streaming twin (StreamOps
+    * .gopherIngest) so the two cannot drift (the qualityFrom rule). */
+  private[graft] def gopherFrom(u: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val rawWords = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
       val lines = regexp_extract_all(col("text"), lit("[^\\n]+"), lit(0))
       val t = u.select(
@@ -169,8 +178,6 @@ object Quality {
         (Seq(col("doc_id"), col("n_words"), col("n_lines")) ++
           flags.map { case (n, c) => c.as(n) } :+
           flags.map(_._2).reduce(_ && _).as("keep")): _*)
-        .orderBy(col("doc_id"))
-    }
   }
 
   // ---------------------------------------------------------------

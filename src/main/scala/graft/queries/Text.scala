@@ -1782,10 +1782,81 @@ object Text {
         col("n").as("tf"))
   }
 
+  /** Per-source domain-shift screen: Jensen–Shannon divergence of
+    * each source's unigram distribution against the whole corpus —
+    * the standard "did this slice drift from the mix" signal a
+    * multi-source training pipeline monitors (symmetric, bounded
+    * [0, ln 2], defined when a term is absent from the slice: the
+    * p·ln(p/m) term vanishes by the x·ln x → 0 convention, kept
+    * explicitly as a CASE). Scale shape: one token scan → (source,
+    * term) counts; the term grid is (sources × vocab)-bounded — this
+    * corpus' vocab is tiny and a real one is ≤ the tokenizer vocab —
+    * so the divergence fold is a bounded agg after one corpus-sized
+    * shuffle. Float ln sums print on the 4dp floor grid (the bm25
+    * family's accepted class). */
+  val jsd: Q = Q(
+    "text_jsd",
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text),
+      |    '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ns AS (
+      |  SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM cnt GROUP BY 1),
+      |tot AS (SELECT t, CAST(SUM(c) AS DOUBLE) AS ct FROM cnt GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM cnt),
+      |grid AS (
+      |  SELECT ns.source, tot.t, ns.n, tot.ct, nt.nt,
+      |    CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS cs
+      |  FROM ns CROSS JOIN tot CROSS JOIN nt
+      |  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.t = tot.t),
+      |term AS (
+      |  SELECT source,
+      |    CASE WHEN cs = 0
+      |      THEN 0.5 * (ct / nt)
+      |        * ln((ct / nt) / ((cs / n + ct / nt) / 2))
+      |      ELSE 0.5 * (cs / n)
+      |        * ln((cs / n) / ((cs / n + ct / nt) / 2))
+      |        + 0.5 * (ct / nt)
+      |        * ln((ct / nt) / ((cs / n + ct / nt) / 2)) END AS contrib,
+      |    CASE WHEN cs > 0 THEN 1 ELSE 0 END AS present
+      |  FROM grid)
+      |SELECT source,
+      |  CAST(SUM(present) AS BIGINT) AS n_terms,
+      |  FLOOR(SUM(contrib) * 10000 + 0.5) / 10000 AS jsd
+      |FROM term GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("t"))
+    val cnt = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val ns = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).cast("double").as("n"))
+    val tot = cnt.groupBy(col("t"))
+      .agg(sum(col("c")).cast("double").as("ct"))
+    val nt = cnt.agg(sum(col("c")).cast("double").as("nt"))
+    val grid = broadcast(ns).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nt))
+      .join(cnt, Seq("source", "t"), "left")
+      .select(col("source"), col("n"), col("ct"), col("nt"),
+        coalesce(col("c"), lit(0L)).cast("double").as("cs"))
+    val p = col("cs") / col("n")
+    val q = col("ct") / col("nt")
+    val m = (p + q) / 2
+    val contrib = when(col("cs") === 0, lit(0.5) * q * log(q / m))
+      .otherwise(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))
+    grid.select(col("source"), contrib.as("contrib"),
+        when(col("cs") > 0, 1L).otherwise(0L).as("present"))
+      .groupBy(col("source"))
+      .agg(sum(col("present")).as("n_terms"),
+        (floor(sum(col("contrib")) * 10000 + 0.5) / 10000).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk, keywords, spellCorrect)
+    langidCjk, keywords, spellCorrect, jsd)
 }

@@ -240,15 +240,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * shape (which the window union already resolves). Only nullable
     * top-level adds: a NOT NULL add would instantly falsify every
     * existing row, and nested edits are outside the catalog's flat
-    * column convention. DROP/RENAME refuse — they would need
-    * reader-side projection state; publish the projected shape
-    * instead (CTAS or INSERT OVERWRITE). */
+    * column convention.
+    *
+    * RENAME COLUMN / DROP COLUMN are COPY-ON-WRITE: the current state
+    * rewrites once through the flavor's publish path, then the
+    * declared schema updates — the Delta default without
+    * column-mapping mode (a metadata-only rename needs parquet field
+    * ids these files don't carry). History below the rewrite keeps
+    * the old shape honestly: time travel reads what each version
+    * physically was. A column that exists only in the declared schema
+    * (an ADD COLUMN never materialized) renames/drops metadata-only
+    * at any table size. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val meta = GraftCatalog.readMeta(path)
     val current = loadTable(ident).schema()
+    def refreshed(schema: StructType, parts: Seq[String]) = {
+      GraftCatalog.writeMeta(path, meta.flavor, Some(schema), parts,
+        meta.checks)
+      new GraftSqlTable(s"$catalogName.${ident.toString}", path,
+        meta.flavor, None, Some(schema), parts, meta.checks)
+    }
+    // a CHECK that mentions the column would silently go stale (or
+    // fail analysis) after the surgery — refuse; drop + re-add states
+    // the intent explicitly
+    def requireNoCheckRef(column: String): Unit =
+      meta.checks.find(_._2.toLowerCase(java.util.Locale.ROOT)
+          .matches(".*\\b" + java.util.regex.Pattern.quote(
+            column.toLowerCase(java.util.Locale.ROOT)) + "\\b.*"))
+        .foreach { case (n, sql) => sys.error(
+          s"cannot alter column '$column': CHECK constraint '$n' " +
+            s"references it ($sql) — DROP CONSTRAINT first") }
+    // rewrite the table state once (skipped when the table is empty
+    // or the column never reached a data file — metadata-only then)
+    def rewriteState(column: String, nextParts: Seq[String])(
+        f: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame): Unit = {
+      val s = SparkSession.active
+      if (Snapshots.latestVersion(path).isEmpty) return
+      val dataSchema =
+        if (meta.flavor == "snapshot") Snapshots.read(s, path).schema
+        else Snapshots.dataWindowSchema(s, path, None)
+      if (!dataSchema.fieldNames.exists(_.equalsIgnoreCase(column)))
+        return
+      val state =
+        if (meta.flavor == "snapshot") Snapshots.read(s, path)
+        else Snapshots.readLogDv(s, path)
+      if (meta.flavor == "snapshot") Snapshots.publish(f(state), path)
+      else Snapshots.publishReplace(f(state), path, nextParts)
+    }
+    changes.toSeq match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN: top-level columns only " +
+            s"(got ${r.fieldNames.mkString(".")})")
+        val from = r.fieldNames.head
+        val to = r.newName
+        val idx = current.fields.indexWhere(_.name.equalsIgnoreCase(from))
+        require(idx >= 0, s"column '$from' does not exist")
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists")
+        requireNoCheckRef(from)
+        val nextParts = meta.partCols.map(c =>
+          if (c.equalsIgnoreCase(from)) to else c)
+        rewriteState(from, nextParts)(_.withColumnRenamed(from, to))
+        return refreshed(StructType(current.fields.updated(idx,
+          current.fields(idx).copy(name = to))), nextParts)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN: top-level columns only " +
+            s"(got ${d.fieldNames.mkString(".")})")
+        val column = d.fieldNames.head
+        val exists = current.fieldNames.exists(_.equalsIgnoreCase(column))
+        if (!exists && d.ifExists)
+          return loadTable(ident)
+        require(exists, s"column '$column' does not exist")
+        require(!meta.partCols.exists(_.equalsIgnoreCase(column)),
+          s"cannot drop partition column '$column' — the layout is " +
+            "keyed on it; INSERT OVERWRITE an unpartitioned shape first")
+        require(current.fields.length > 1,
+          "cannot drop the only column")
+        requireNoCheckRef(column)
+        rewriteState(column, meta.partCols)(_.drop(column))
+        return refreshed(StructType(current.fields.filterNot(
+          _.name.equalsIgnoreCase(column))), meta.partCols)
+      case _ =>
+    }
     // ANSI constraint surface: ADD CONSTRAINT … CHECK validates the
     // EXISTING rows first (the Delta semantics — an invalid
     // constraint must never land), DROP CONSTRAINT removes by name.
@@ -318,9 +397,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"column '$name' already exists")
         StructField(name, add.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD " +
-          "COLUMN is metadata-safe here — drops/renames/retypes " +
-          "need a rewritten shape (CTAS or INSERT OVERWRITE)")
+        s"ALTER TABLE ${other.getClass.getSimpleName}: supported " +
+          "changes are ADD COLUMN (metadata-only), RENAME/DROP " +
+          "COLUMN (copy-on-write, one per statement), and CHECK " +
+          "constraints — retypes need a rewritten shape (CTAS)")
     }
     val next = StructType(current.fields ++ added)
     GraftCatalog.writeMeta(path, meta.flavor, Some(next), meta.partCols,

@@ -642,6 +642,24 @@ object StreamOps {
     emitEpoch(graft.queries.Pipeline.nbScoredFrom(s, modelIdx, batch),
       epoch, outDir)
 
+  /** Streaming Gopher screening — the nbScoreIngest discipline for
+    * the rule filter: every micro-batch runs EXACTLY the registered
+    * batch query's rule dataflow (Quality.gopherFrom — integer-ratio
+    * compares, so stream flags can never drift from batch flags by
+    * even an ulp), emitting the per-doc rule flags + keep verdict.
+    * Stateless (the rules read only the doc); exactly-once is the
+    * epoch-partitioned dynamic-overwrite emit. */
+  def gopherIngest(s: SparkSession, docs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        emitEpoch(graft.queries.Quality.gopherFrom(batch.toDF()),
+          epoch, outDir)
+      }
+      .start()
+
   /** Streaming tokenization against the FROZEN tokenizer model — the
     * nbScoreIngest discipline applied to the tokenizer family: the
     * persisted TokenizerIndex merge table (fit once, kept for the

@@ -395,15 +395,95 @@ class CatalogSpec extends AnyFunSuite {
       "WHERE score IS NULL")
     assert(spark.sql("SELECT SUM(score) FROM lake.a1").head.getDouble(0)
       == 3.5)
-    // guards: NOT NULL adds, drops, renames all refuse
+    // guards: NOT NULL adds and retypes refuse
     intercept[Exception](spark.sql(
       "ALTER TABLE lake.a1 ADD COLUMN bad BIGINT NOT NULL"))
-    intercept[Exception](spark.sql("ALTER TABLE lake.a1 DROP COLUMN v"))
     intercept[Exception](spark.sql(
-      "ALTER TABLE lake.a1 RENAME COLUMN v TO w"))
+      "ALTER TABLE lake.a1 ALTER COLUMN k TYPE INT"))
     // duplicate add refuses
     intercept[Exception](spark.sql(
       "ALTER TABLE lake.a1 ADD COLUMN score DOUBLE"))
+  }
+
+  test("RENAME/DROP COLUMN: copy-on-write rewrite, metadata-only when never materialized, guards") {
+    fresh("a2")
+    spark.sql("CREATE TABLE lake.a2 (k BIGINT, v STRING, x DOUBLE)")
+    spark.sql("INSERT INTO lake.a2 VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    // rename = ONE copy-on-write version; data follows the new name
+    spark.sql("ALTER TABLE lake.a2 RENAME COLUMN v TO label")
+    assert(Snapshots.latestVersion(s"$Root/a2").contains(2L),
+      "rename must publish exactly one rewrite version")
+    assert(spark.sql("SELECT label FROM lake.a2 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // history below the rewrite keeps the old physical shape
+    assert(spark.sql("SELECT * FROM lake.a2 VERSION AS OF 1")
+      .columns.contains("v"),
+      "time travel must read what the old version physically was")
+    // drop = one more rewrite version
+    spark.sql("ALTER TABLE lake.a2 DROP COLUMN x")
+    assert(spark.sql("SELECT * FROM lake.a2").columns.toSeq
+      == Seq("k", "label"))
+    assert(Snapshots.latestVersion(s"$Root/a2").contains(3L))
+    // the next INSERT carries the new shape; the window composes
+    spark.sql("INSERT INTO lake.a2 VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM lake.a2").count() == 3L)
+    // a declared-only column (ADD COLUMN never materialized) does
+    // column surgery METADATA-ONLY — no rewrite at any table size
+    spark.sql("ALTER TABLE lake.a2 ADD COLUMN tmp DOUBLE")
+    val vBefore = Snapshots.latestVersion(s"$Root/a2").get
+    spark.sql("ALTER TABLE lake.a2 RENAME COLUMN tmp TO tmp2")
+    assert(spark.sql("SELECT * FROM lake.a2").columns.contains("tmp2"))
+    spark.sql("ALTER TABLE lake.a2 DROP COLUMN tmp2")
+    assert(Snapshots.latestVersion(s"$Root/a2").contains(vBefore),
+      "declared-only surgery must not publish versions")
+    // guards: name collision, missing column, IF EXISTS no-op
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.a2 RENAME COLUMN label TO k"))
+    intercept[Exception](spark.sql("ALTER TABLE lake.a2 DROP COLUMN nope"))
+    spark.sql("ALTER TABLE lake.a2 DROP COLUMN IF EXISTS nope")
+    // a CHECK referencing the column blocks surgery until dropped
+    spark.sql("ALTER TABLE lake.a2 ADD CONSTRAINT pos CHECK (k > 0)")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.a2 RENAME COLUMN k TO kk"))
+    intercept[Exception](spark.sql("ALTER TABLE lake.a2 DROP COLUMN k"))
+    spark.sql("ALTER TABLE lake.a2 DROP CONSTRAINT pos")
+    spark.sql("ALTER TABLE lake.a2 RENAME COLUMN k TO kk")
+    assert(spark.sql("SELECT SUM(kk) FROM lake.a2").head.getLong(0) == 6L)
+  }
+
+  test("column surgery on partitioned and snapshot-flavor tables") {
+    // partitioned: renaming the partition column re-lays the hive
+    // layout under the new name; dropping it refuses
+    fresh("a3")
+    spark.sql("CREATE TABLE lake.a3 (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.a3 VALUES (1, 'd1'), (2, 'd2')")
+    spark.sql("ALTER TABLE lake.a3 RENAME COLUMN day TO dt")
+    assert(spark.sql("SELECT k FROM lake.a3 WHERE dt = 'd2'")
+      .head.getLong(0) == 2L)
+    intercept[Exception](spark.sql("ALTER TABLE lake.a3 DROP COLUMN dt"))
+    // non-partition column surgery keeps the layout + pruning intact
+    spark.sql("ALTER TABLE lake.a3 RENAME COLUMN k TO id")
+    assert(spark.sql("SELECT id FROM lake.a3 WHERE dt = 'd1'")
+      .head.getLong(0) == 1L)
+    // snapshot flavor: rewrite goes through the plain publish path
+    fresh("a4")
+    spark.sql("CREATE TABLE lake.a4 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('flavor'='snapshot')")
+    spark.sql("INSERT INTO lake.a4 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE lake.a4 RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT w FROM lake.a4 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    spark.sql("ALTER TABLE lake.a4 DROP COLUMN w")
+    assert(spark.sql("SELECT * FROM lake.a4").columns.toSeq == Seq("k"))
+    // empty table: surgery is metadata-only (no version exists yet)
+    fresh("a5")
+    spark.sql("CREATE TABLE lake.a5 (k BIGINT, v STRING)")
+    spark.sql("ALTER TABLE lake.a5 RENAME COLUMN v TO w")
+    spark.sql("ALTER TABLE lake.a5 DROP COLUMN w")
+    assert(Snapshots.latestVersion(s"$Root/a5").isEmpty)
+    spark.sql("INSERT INTO lake.a5 VALUES (7)")
+    assert(spark.sql("SELECT * FROM lake.a5").columns.toSeq == Seq("k"))
   }
 
   test("RESTORE TABLE and SHALLOW CLONE through SQL") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Core, Events, Text, Vectors}
+import graft.queries.{Core, Events, Graph, Retrieval, Text, Vectors}
 
 /** Physical-plan audit: the properties that matter at 100 TB —
   * pushdown to the scan, broadcast of small sides, no full sort for
@@ -618,6 +618,21 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(singles(p2).size <= 1,
       s"${singles(p2).size} single-partition exchanges:\n${p2.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("round-14b additions join on keys, never nested loops") {
+    // graph family: wedge/closure joins are equi-joins; link
+    // prediction's degree cap must not fall back to a nested loop
+    for (q <- Seq(Graph.clustering, Graph.linkPredict,
+        Retrieval.prf, Core.qOutlierMad, Events.holt)) {
+      val p = plan(q.run(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n${p.take(2000)}")
+      spark.catalog.clearCache()
+    }
+    // the MAD screen broadcasts its #-event-type-row stat frames
+    val pm = plan(Core.qOutlierMad.run(spark, sf))
+    assert(pm.contains("BroadcastHashJoin"), pm.take(2000))
     spark.catalog.clearCache()
   }
 }

@@ -696,4 +696,40 @@ class StreamingSpec extends AnyFunSuite {
         col("score_micro")).collect().map(key).toMap
     assert(replayed == want, "epoch replay changed the scored output")
   }
+
+  test("streaming Gopher screening: two micro-batches == the batch rule dataflow") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = "/tmp/graft_gopher_stream_out"
+    Seq(outDir, outDir + "_ckpt").foreach(graft.operators.LakeFs.rmTree)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+      (999999L, "- bullet\n- lines\n- only")
+    val (b1, b2) = docs.splitAt(20)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamOps.gopherIngest(spark,
+      ms.toDF().toDF("doc_id", "text"), outDir)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(3), r.getBoolean(6),
+        r.getBoolean(10))
+    val cols = Seq("doc_id", "n_words", "n_lines", "words_ok", "mwl_ok",
+      "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stops_ok",
+      "keep")
+    val got = spark.read.parquet(outDir)
+      .select(cols.map(col): _*).collect().map(key).toMap
+    val want = graft.queries.Quality.gopherFrom(
+        docs.toDF("doc_id", "text"))
+      .select(cols.map(col): _*).collect().map(key).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    assert(got.contains(999999L) && !got(999999L)._3,
+      "the planted bullet doc must fail bullet_ok through the stream")
+  }
 }
