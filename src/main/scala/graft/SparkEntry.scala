@@ -10,7 +10,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     Core.all ++ Events.all ++ Text.all ++ Dedup.all ++ Vectors.all ++
       Retrieval.all ++ Multimodal.all ++ Sinks.all ++ Pipeline.all ++
-      Linkage.all ++ Geo.all ++ Catalog.all ++ Graph.all ++ Quality.all
+      Linkage.all ++ Geo.all ++ Catalog.all ++ Graph.all ++ Quality.all ++
+      Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1094,7 +1094,89 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the probabilistic LM twin of BM25, scored in
+    * the standard rank-equivalent decomposition that never touches
+    * unmatched terms:
+    *
+    *   log p(q|d) = Σ_{t∈q∩d} qtf·ln(1 + tf·|C|/(μ·ctf)) + |q|·ln(μ/(dl+μ))
+    *
+    * with μ=10 (sized to this corpus's short docs; the conventional
+    * 2000 assumes web-page lengths), collection model p(t|C) =
+    * ctf/|C|. Docs sharing no query term are not candidates
+    * (join semantics — same contract as the BM25 family). Unlike
+    * bm25's DISTINCT term set, qtf carries query-term MULTIPLICITY —
+    * the LM weights repeated terms.
+    *
+    * Scale shape: identical to bm25RankedFor — broadcast query
+    * terms, one corpus tf shuffle, vocab-level ctf broadcast,
+    * doc-level dl join; ranking on the printed 4dp grid + doc_id
+    * (the sf1 tied-replica lesson). The matched-term float sum is
+    * same-sign (every summand positive), the bm25 family's accepted
+    * rounding class. */
+  val lmDirichlet: Q = Q(
+    "retrieval_lm_dirichlet",
+    s"""WITH $bm25Base,
+      |ctf AS (SELECT t, COUNT(*)::DOUBLE ctf FROM tok GROUP BY 1),
+      |tot AS (SELECT COUNT(*)::DOUBLE tot FROM tok),
+      |qt AS (
+      |  SELECT doc_id AS query_id, t, COUNT(*)::DOUBLE qtf
+      |  FROM tok WHERE doc_id < 5 GROUP BY 1, 2),
+      |ql AS (SELECT query_id, SUM(qtf) AS qlen FROM qt GROUP BY 1),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    SUM(qt.qtf * ln(1 + tf.tf * tot.tot / (10 * ctf.ctf)))
+      |      + MIN(ql.qlen) * ln(10 / (MIN(dl.dl) + 10)) AS score
+      |  FROM qt JOIN tf ON qt.t = tf.t
+      |  JOIN ctf ON qt.t = ctf.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN ql ON qt.query_id = ql.query_id
+      |  CROSS JOIN tot
+      |  WHERE tf.doc_id <> qt.query_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id
+      |    ORDER BY ROUND(score, 4) DESC, doc_id) rn
+      |  FROM scored)
+      |SELECT query_id, rn AS rank, doc_id,
+      |  ROUND(score, 4) + 0 AS score
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val ctf = tok.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("ctf"))
+    val tot = tok.agg(count(lit(1)).cast("double").as("tot"))
+    val qt = tok.filter(col("doc_id") < 5)
+      .groupBy(col("doc_id").as("query_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("qtf"))
+    val ql = qt.groupBy(col("query_id")).agg(sum(col("qtf")).as("qlen"))
+    val scored = broadcast(qt).join(tf, "t")
+      .join(broadcast(ctf), "t")
+      .join(dl, "doc_id")
+      .join(broadcast(ql), "query_id")
+      .crossJoin(broadcast(tot))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("qtf") * log(lit(1.0)
+          + col("tf") * col("tot") / (lit(10.0) * col("ctf"))))
+        + min(col("qlen")) * log(lit(10.0) / (min(col("dl")) + 10.0)))
+        .as("score"))
+    scored.withColumn("rn", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(round(col("score"), 4).desc, col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").as("rank"), col("doc_id"),
+        (round(col("score"), 4) + 0).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(bm25, context, summarize, conversationReplay,
     embedHashing, retrievalVector, docLoadFiles, qaPipeline, hybrid, rrf, mmr,
-    maxsim, eval, prf)
+    maxsim, eval, prf, lmDirichlet)
 }
