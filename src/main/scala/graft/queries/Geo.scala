@@ -135,5 +135,92 @@ object Geo {
       .orderBy(col("cx"), col("cy"))
   }
 
-  val all: Seq[Q] = Seq(radiusJoin, gridAgg)
+  /** The fence polygon for q_geo_polygon: a CONCAVE simple pentagon
+    * in the coordinate box (the notch at (45,0) forces real
+    * ray-crossing parity — a convex fence would never exercise the
+    * >1-crossing branch), vertices as (lat, lon) MICRO-DEGREE
+    * integers. One row per directed edge. */
+  private val fenceEdges: Seq[(Long, Long, Long, Long)] = {
+    val v = Seq((41000000L, -3000000L), (49000000L, -3000000L),
+      (49000000L, 3000000L), (45000000L, 0L), (41000000L, 3000000L))
+    v.zip(v.tail :+ v.head).map { case ((y1, x1), (y2, x2)) =>
+      (x1, y1, x2, y2)
+    }
+  }
+
+  /** Geofence containment: which events fall inside a polygon fence?
+    * Ray casting (even-odd rule, +lon ray) in PURE INTEGER
+    * arithmetic: coordinates quantize to micro-degrees (floor of the
+    * same IEEE double on both engines), and each edge's crossing
+    * test is the exact cross product
+    * t = (Xp−X1)(Y2−Y1) − (X2−X1)(Yp−Y1) with the sign of (Y2−Y1)
+    * choosing the inequality — no float enters the decision, so the
+    * in/out verdict cannot diverge at any scale (products ≤ 1e16 ≪
+    * 2^63). The polygon is deliberately CONCAVE (see fenceEdges).
+    *
+    * Scale shape: polygon edges are a CONSTANT-size literal frame —
+    * the "join" is a broadcast cross join with fixed fan-out
+    * |edges|, then a map-side parity aggregation per event and a
+    * per-type rollup: one scan, one shuffle of per-event parities
+    * (groupBy event_id pre-aggregates map-side). At 100 TB with
+    * MANY polygons the same plan keys the broadcast by polygon id;
+    * a polygon too large to broadcast would go through the grid
+    * cells like q_geo_radius. */
+  val polygonJoin: Q = {
+    val edgeValues = fenceEdges
+      .map { case (x1, y1, x2, y2) => s"($x1, $y1, $x2, $y2)" }
+      .mkString(", ")
+    Q(
+      "q_geo_polygon",
+      s"""WITH pt AS (
+        |  SELECT event_id, event_type,
+        |    CAST(FLOOR((-5.0 + ${Slots.uniformSql("geolon", "event_id")}
+        |      * 10) * 1000000) AS BIGINT) AS xp,
+        |    CAST(FLOOR((40.0 + ${Slots.uniformSql("geolat", "event_id")}
+        |      * 10) * 1000000) AS BIGINT) AS yp
+        |  FROM events),
+        |edges(x1, y1, x2, y2) AS (VALUES $edgeValues),
+        |cross_t AS (
+        |  SELECT pt.event_id, pt.event_type,
+        |    CASE WHEN (e.y1 > pt.yp) <> (e.y2 > pt.yp) THEN
+        |      CASE WHEN e.y2 > e.y1
+        |        THEN CASE WHEN (pt.xp - e.x1) * (e.y2 - e.y1)
+        |          - (e.x2 - e.x1) * (pt.yp - e.y1) < 0 THEN 1 ELSE 0 END
+        |        ELSE CASE WHEN (pt.xp - e.x1) * (e.y2 - e.y1)
+        |          - (e.x2 - e.x1) * (pt.yp - e.y1) > 0 THEN 1 ELSE 0 END
+        |      END ELSE 0 END AS c
+        |  FROM pt CROSS JOIN edges e),
+        |par AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN SUM(c) % 2 = 1 THEN 1 ELSE 0 END AS inside
+        |  FROM cross_t GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  SUM(inside)::BIGINT AS n_inside,
+        |  (1000000 * SUM(inside)::BIGINT) // COUNT(*) AS inside_ppm
+        |FROM par GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val pt = coords(Tables.events(s, dir)
+          .select(col("event_id"), col("event_type")), "event_id")
+        .select(col("event_id"), col("event_type"),
+          floor(col("lon") * 1000000).cast("long").as("xp"),
+          floor(col("lat") * 1000000).cast("long").as("yp"))
+      val edges = s.createDataFrame(fenceEdges).toDF("x1", "y1", "x2", "y2")
+      val t = (col("xp") - col("x1")) * (col("y2") - col("y1")) -
+        (col("x2") - col("x1")) * (col("yp") - col("y1"))
+      val crossFlag = when((col("y1") > col("yp")) =!= (col("y2") > col("yp")),
+        when(col("y2") > col("y1"),
+          when(t < 0, 1L).otherwise(0L))
+          .otherwise(when(t > 0, 1L).otherwise(0L)))
+        .otherwise(0L)
+      pt.crossJoin(broadcast(edges))
+        .select(col("event_id"), col("event_type"), crossFlag.as("c"))
+        .groupBy(col("event_id"), col("event_type"))
+        .agg(when(sum(col("c")) % 2 === 1, 1L).otherwise(0L).as("inside"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("inside")).as("n_inside"),
+          expr("(1000000 * sum(inside)) div count(1)").as("inside_ppm"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(radiusJoin, gridAgg, polygonJoin)
 }
