@@ -1211,9 +1211,89 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Holt-Winters additive seasonal smoothing (period 24, α=1/4,
+    * β=1/8, γ=1/16) over each type's hourly count series — the
+    * smoother that separates real growth from time-of-day rhythm
+    * (events_holt has no seasonal term; events_seasonal_profile has
+    * no dynamics). The fold is shared VERBATIM with the streaming
+    * twin (StreamOps.hwFold ← hwState): warm-up buffers the first
+    * season, the init is purely sequential (l₀ = season-1 mean,
+    * b₀ = 0, sᵢ = cᵢ − l₀ — no look-ahead, the property that lets
+    * ONE fold serve both engines of execution), then the standard
+    * three-term recurrence with the season queue popping s_{t−24} each step.
+    *
+    * Oracle parity: the recursive CTE carries the season queue as a
+    * LIST column with the IDENTICAL IEEE operation order (dyadic
+    * coefficients — exact doubles), and the warm-up mean is
+    * SUM(BIGINT)/24.0 ≡ the fold's exact integral-double sum;
+    * printed on the floor-quantized 6dp grid (the events_holt
+    * negative-halves lesson). Scale: series are CALENDAR-bounded —
+    * the per-key fold buffer is ≤ hours in the window, work
+    * distributes across keys, and the corpus-sized pass is only the
+    * hourly count aggregation. */
+  val holtWinters: Q = {
+    val lNew = "(0.25 * (e.c - r.season[1]) + 0.75 * (r.l + r.b))"
+    val bNew = s"(0.125 * ($lNew - r.l) + 0.875 * r.b)"
+    val sNew = s"(0.0625 * (e.c - $lNew) + 0.9375 * r.season[1])"
+    Q(
+      "events_holt_winters",
+      s"""WITH RECURSIVE $seriesSql,
+        |e AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM series),
+        |l0 AS (
+        |  SELECT event_type, CAST(SUM(c) AS DOUBLE) / 24.0 AS l0
+        |  FROM e WHERE rn <= 24 GROUP BY 1),
+        |r(event_type, rn, l, b, season) AS (
+        |  SELECT e.event_type, 24, l0.l0, CAST(0.0 AS DOUBLE),
+        |    list(e.c - l0.l0 ORDER BY e.rn)
+        |  FROM e JOIN l0 ON e.event_type = l0.event_type
+        |  WHERE e.rn <= 24
+        |  GROUP BY e.event_type, l0.l0
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, $lNew, $bNew,
+        |    r.season[2:24] || [$sNew]
+        |  FROM r JOIN e
+        |    ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+        |SELECT event_type, rn,
+        |  FLOOR(l * 1000000 + 0.5) / 1000000 + 0 AS level,
+        |  FLOOR(b * 1000000 + 0.5) / 1000000 + 0 AS trend,
+        |  FLOOR(season[24] * 1000000 + 0.5) / 1000000 + 0 AS seasonal,
+        |  FLOOR((l + b + season[1]) * 1000000 + 0.5) / 1000000 + 0
+        |    AS forecast_next
+        |FROM r WHERE rn >= 25 ORDER BY event_type, rn""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val msgs = hourlySeries(s, dir)
+          .select(col("event_type").as("key"),
+            row_number().over(wT).cast("long").as("seq_id"),
+            col("c").cast("double").as("value"))
+          .as[graft.streaming.StreamOps.HwMsg]
+        msgs.groupByKey(_.key)
+          .flatMapGroups { (k: String,
+              it: Iterator[graft.streaming.StreamOps.HwMsg]) =>
+            graft.streaming.StreamOps
+              .hwFold(k, it.toSeq, (0, 0.0, 0.0, Vector.empty))._2.iterator
+          }
+          .toDF()
+          .select(col("key").as("event_type"), col("seq_id").as("rn"),
+            (floor(col("level") * 1000000 + 0.5) / 1000000 + 0)
+              .as("level"),
+            (floor(col("trend") * 1000000 + 0.5) / 1000000 + 0)
+              .as("trend"),
+            (floor(col("seasonal") * 1000000 + 0.5) / 1000000 + 0)
+              .as("seasonal"),
+            (floor(col("forecast_next") * 1000000 + 0.5) / 1000000 + 0)
+              .as("forecast_next"))
+          .orderBy(col("event_type"), col("rn"))
+    }
+  }
+
   val all: Seq[Q] = Seq(windowAgg, sessionize, asofJoin, jsonExtract,
     variantExtract, argmaxJoin, asofNative, funnel, retention, rangeJoin,
     anomaly, topPaths, scd2, histogram, gapFill, rolling, markov, pagerank,
     attribution, autocorr, ewma, cusum, trend, chisq, concurrency,
-    seasonalProfile, userGrowth, holt)
+    seasonalProfile, userGrowth, holt, holtWinters)
 }

@@ -291,6 +291,80 @@ object StreamOps {
     ((n, l, b), out.result())
   }
 
+  /** One observation for the keyed Holt-Winters fold: seq_id is the
+    * dense series position (hour index batch-side). */
+  final case class HwMsg(key: String, seq_id: Long, value: Double)
+  /** One smoothed point: state after this observation plus the
+    * one-step-ahead seasonal forecast. */
+  final case class HwOut(key: String, seq_id: Long, level: Double,
+      trend: Double, seasonal: Double, forecast_next: Double)
+
+  /** Streaming Holt-Winters (additive, period 24, α=1/4 β=1/8
+    * γ=1/16): [[holtState]] plus a seasonal component — the smoother
+    * that separates "traffic is growing" from "it's 9am". State per
+    * key is (n, level, trend, season queue): during warm-up (n<24)
+    * the queue buffers raw values; at n=24 it flips to l₀ = mean of
+    * the first season, b₀ = 0, sᵢ = cᵢ − l₀ (a purely SEQUENTIAL
+    * init — no look-ahead, so the same fold serves stream and batch);
+    * from then on the queue's head is always s_{t−24}:
+    *   l ← α(x − s_head) + (1−α)(l + b)
+    *   b ← β(l − l_prev) + (1−β)b
+    *   s ← γ(x − l) + (1−γ)s_head,  queue pops head, appends s
+    *   forecast_next = l + b + new head
+    * All coefficients dyadic (exact doubles), every op in a fixed
+    * order — the batch query's recursive-CTE oracle writes the
+    * identical IEEE sequence. Same ordered-arrival parity contract
+    * as the EWMA/Holt twins. */
+  def hwState(s: SparkSession, msgs: Dataset[HwMsg]): Dataset[HwOut] = {
+    import s.implicits._
+    msgs.groupByKey(_.key)
+      .flatMapGroupsWithState[(Int, Double, Double, Seq[Double]), HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, ms: Iterator[HwMsg],
+            state: GroupState[(Int, Double, Double, Seq[Double])]) =>
+          val (next, out) = hwFold(key, ms.toSeq,
+            state.getOption.getOrElse((0, 0.0, 0.0, Vector.empty)))
+          state.update(next)
+          out.iterator
+      }
+  }
+
+  /** The Holt-Winters fold, shared VERBATIM by the streaming state
+    * handler above and the registered batch query
+    * (Events.holtWinters) — the holtFold discipline with a seasonal
+    * ring. The warm-up season sum is over INTEGRAL values (hourly
+    * counts), so the running double sum is exact and order-free —
+    * the oracle's SUM(BIGINT)/24.0 lands on the same bits. */
+  private[graft] def hwFold(key: String, pts: Seq[HwMsg],
+      init: (Int, Double, Double, Seq[Double]))
+      : ((Int, Double, Double, Seq[Double]), Seq[HwOut]) = {
+    var (n, l, b, season) = init
+    val out = Seq.newBuilder[HwOut]
+    pts.sortBy(_.seq_id).foreach { m =>
+      if (n < 24) {
+        season = season :+ m.value
+        n += 1
+        if (n == 24) {
+          var s0 = 0.0
+          season.foreach(s0 += _)
+          l = s0 / 24.0
+          b = 0.0
+          season = season.map(_ - l)
+        }
+      } else {
+        val lp = l
+        val sh = season.head
+        l = 0.25 * (m.value - sh) + 0.75 * (lp + b)
+        b = 0.125 * (l - lp) + 0.875 * b
+        val sNew = 0.0625 * (m.value - l) + 0.9375 * sh
+        season = season.tail :+ sNew
+        n += 1
+        out += HwOut(key, m.seq_id, l, b, sNew, l + b + season.head)
+      }
+    }
+    ((n, l, b, season), out.result())
+  }
+
   /** One observation for the keyed CUSUM fold. */
   final case class CusumMsg(key: String, seq_id: Long, tsMicros: Long,
       value: Double)

@@ -335,6 +335,43 @@ class StreamingSpec extends AnyFunSuite {
       s"truncation bound violated: $worst")
   }
 
+  test("stateful Holt-Winters: season queue carries across micro-batches, including mid-warm-up") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val msgs = graft.queries.Events.hourlySeries(spark, sf)
+      .select(col("event_type").as("key"),
+        row_number().over(wT).cast("long").as("seq_id"),
+        col("c").cast("double").as("value"))
+      .as[StreamOps.HwMsg].collect().sortBy(m => (m.key, m.seq_id))
+    // split INSIDE the 24-point warm-up: the buffered season state
+    // itself must survive the micro-batch boundary
+    val (b1, b2) = msgs.partition(_.seq_id <= 15)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.HwMsg]
+    val q = StreamOps.hwState(spark, ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("hw_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hw_twin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // single-shot fold over the full series → EXACT equality
+    val want = msgs.groupBy(_.key).flatMap { case (k, pts) =>
+      StreamOps.hwFold(k, pts.toSeq, (0, 0.0, 0.0, Vector.empty))._2
+        .map(o => (o.key, o.seq_id) ->
+          ((o.level, o.trend, o.seasonal, o.forecast_next)))
+    }
+    assert(got.size == want.size && got == want,
+      s"hw fold diverged: ${got.size} vs ${want.size} rows")
+  }
+
   test("stateful Holt forecast: level+trend recursion carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
