@@ -87,5 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // recognizing only the four shapes Spark's grammar lacks
     ext.injectParser((_, delegate) =>
       new graft.sources.GraftSqlParser(delegate))
+    // change-data-feed TVF over lake-catalog tables (Delta's
+    // table_changes shape, key-parametrized):
+    //   SELECT * FROM table_changes('graftlake.t', 'k', 1, 3)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sources.GraftTvf.getClass.getName,
+        "table_changes"),
+      (args: Seq[Expression]) => graft.sources.GraftTvf.tableChanges(args)))
   }
 }

@@ -381,6 +381,54 @@ object Catalog {
          |FROM $t GROUP BY status ORDER BY status""".stripMargin)
   }
 
+  /** The change-data-feed TVF under the oracle hash: CREATE + two
+    * INSERTs build a keyed MoR history (the second re-inserts every
+    * sixth key with a bumped value — latest-wins updates — and adds
+    * a disjoint key slice — inserts), then the final statement is
+    * pure SQL through the injected `table_changes` table function.
+    * The oracle replays the expected net diff from the raw table:
+    * update_preimage/update_postimage pairs for the re-inserted
+    * keys, insert rows for the new slice, NOTHING for untouched keys
+    * — so a hash match proves the TVF's catalog resolution AND
+    * readChanges' full-outer diff semantics end to end. */
+  val sqlChanges: Q = Q(
+    "q_sql_changes",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'insert' AS change_type, k, v FROM base WHERE k % 3 = 1
+      |  UNION ALL
+      |  SELECT 'update_preimage', k, v FROM base WHERE k % 6 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', k, v + 1 FROM base WHERE k % 6 = 0)
+      |ORDER BY k, change_type""".stripMargin) { (s, dir) =>
+    ensureCatalog(s)
+    val short = "chg_" + graft.queries.Vectors.sanitizeDir(dir)
+    val t = s"graftlake.$short"
+    LakeFs.rmTree(s"$LakeRoot/$short")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey,
+         |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 3 = 0""".stripMargin) // -> version 1
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey,
+         |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+         |    + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 6 = 0 OR o_orderkey % 3 = 1""".stripMargin)
+    // -> version 2: %6=0 re-keyed with bumped value, %3=1 fresh
+    s.sql(
+      s"""SELECT change_type, k, v
+         |FROM table_changes('$t', 'k', 1, 2)
+         |ORDER BY k, change_type""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge,
-    sqlRestore, sqlPartitioned, sqlAlter)
+    sqlRestore, sqlPartitioned, sqlAlter, sqlChanges)
 }

@@ -827,6 +827,51 @@ class CatalogSpec extends AnyFunSuite {
       "CTAS must lay the declared partitioning")
   }
 
+  test("table_changes TVF: inserts/updates/deletes between versions; literal-arg and catalog guards") {
+    val root = fresh("tvf1")
+    spark.sql("CREATE TABLE lake.tvf1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.tvf1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO lake.tvf1 VALUES (2, 'B'), (4, 'd')")
+    // version 3: tombstone key 3 through the programmatic MoR path —
+    // the TVF must see the SAME directories the catalog name means
+    import spark.implicits._
+    Snapshots.publishDeletes(
+      Seq(3L).toDF("k"), root)
+    def changes(from: Long, to: Long): Set[(String, Long, String)] =
+      spark.sql(s"SELECT change_type, k, v FROM " +
+          s"table_changes('lake.tvf1', 'k', $from, $to)")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse(""))).toSet
+    assert(changes(1, 2) == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B"),
+      ("insert", 4L, "d")))
+    assert(changes(2, 3) == Set(("delete", 3L, "c")))
+    assert(changes(1, 3) == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B"),
+      ("insert", 4L, "d"), ("delete", 3L, "c")))
+    assert(changes(1, 1) == Set.empty)
+    // TVF output ≡ the programmatic readChanges it fronts
+    val prog = Snapshots.readChanges(spark, root, "k", 1, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse(""))).toSet
+    assert(prog == changes(1, 3))
+    // guards: non-literal args, unqualified name, non-graft catalog
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('lake.tvf1', 'k', 1, k)")
+        .collect())
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('tvf1', 'k', 1, 2)")
+        .collect())
+    assert(e2.getMessage.contains("catalog-qualified"))
+    val e3 = intercept[Exception](
+      spark.sql(
+        "SELECT * FROM table_changes('spark_catalog.x', 'k', 1, 2)")
+        .collect())
+    assert(e3.getMessage.contains("not a graft lake catalog"))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
