@@ -619,6 +619,200 @@ object Stats {
         6) + 0).as("h"))
   }
 
+  // ---------------------------------------------------------------
+  // Burst detection (Kleinberg 2-state automaton, exact integers)
+  // ---------------------------------------------------------------
+
+  /** One hourly point of a type's count series, with the burst-state
+    * emission cost difference attached. */
+  final case class BurstPt(event_type: String, rn: Long, c: Long, d: Long)
+  /** One detected burst interval. */
+  final case class BurstOut(event_type: String, start_rn: Long,
+      end_rn: Long, hours: Long, events: Long)
+
+  /** Micro-nats per count unit for the burst state's rate ratio:
+    * ln 2 · 1e6, embedded as a LITERAL integer — a live ln(2) would
+    * put a library ulp under the DP (the q_benford literal-table
+    * rule). The burst state models rate 2·λ₀, so the per-hour
+    * emission cost difference collapses to λ₀ − c·ln2 (the Poisson
+    * cost algebra: (2λ₀−λ₀) − c·(ln 2λ₀ − ln λ₀)). */
+  private val Ln2Micro = 693147L
+  /** Cost of ENTERING the burst state, micro-nats (Kleinberg's γ). */
+  private val BurstGamma = 1000000L
+
+  /** Kleinberg-style burst detection over each type's hourly series:
+    * a 2-state automaton (baseline rate λ₀ = the type's mean hourly
+    * count, burst rate 2λ₀) decoded by min-cost dynamic programming,
+    * burst runs reported as intervals. EVERYTHING is exact integer
+    * micro-nats: λ₀ as (1e6·Σc) div hours, the per-hour emission
+    * difference d = λ₀_micro − c·LN2_MICRO, the PREFIX cost pair
+    * c0 ← min(c0,c1), c1 ← min(c1, c0+γ) + d, the SUFFIX cost pair
+    * g0 ← min(g0', γ+d'+g1'), g1 ← min(g0', d'+g1') (primes = next
+    * step), and the label s_t = [c1+g1 < c0+g0] (strict <, ties to
+    * baseline). Two INDEPENDENT linear recursions + one join — the
+    * standard forward-backward decoding; a backtracking pass would
+    * chain a recursion onto the forward recursion's OUTPUT, which
+    * re-evaluates quadratically in a recursive CTE (measured: the
+    * sf0.01 oracle never finished) — the suffix form recurses only
+    * over the base series on both sides. No float exists anywhere in
+    * the operator, so the decoded labels cannot diverge between
+    * engines at any scale. (Per-type event totals are bounded by
+    * 2^63/1e6 ≈ 9.2e12 for the λ₀ product — disclosed; DuckDB's
+    * 128-bit SUM never wraps first.)
+    *
+    * The synthetic corpus is rate-uniform, so a PLANTED literal
+    * burst type (90 events packed into hours 101-106 of the window)
+    * puts the enter/stay/exit branches under the oracle hash at
+    * every scale, while real types exercise the no-burst and
+    * marginal-burst paths.
+    *
+    * Scale shape: the corpus-sized work is ONE hourly count
+    * aggregation; the Viterbi is a calendar-bounded per-key fold
+    * (the events_holt_winters rule) and islands run on the bounded
+    * label frame. */
+  val bursts: Q = Q(
+    "events_bursts",
+    s"""WITH RECURSIVE h0 AS (
+      |  SELECT MIN(date_trunc('hour', ts)) AS h0 FROM events),
+      |ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+      |  UNION ALL
+      |  SELECT 'planted_burst',
+      |    (SELECT h0 FROM h0) + (101 + i // 15) * INTERVAL 1 HOUR
+      |  FROM (SELECT unnest(generate_series(0, 89)) AS i)),
+      |spine AS (
+      |  SELECT t.event_type, s.h
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (
+      |    SELECT unnest(generate_series(
+      |      (SELECT MIN(h) FROM ev), (SELECT MAX(h) FROM ev),
+      |      INTERVAL 1 HOUR)) AS h) s),
+      |cnt AS (SELECT event_type, h, COUNT(*)::BIGINT AS c
+      |  FROM ev GROUP BY 1, 2),
+      |series AS (
+      |  SELECT sp.event_type, sp.h, COALESCE(cnt.c, 0)::BIGINT AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY sp.event_type ORDER BY sp.h)
+      |      AS rn
+      |  FROM spine sp LEFT JOIN cnt
+      |    ON sp.event_type = cnt.event_type AND sp.h = cnt.h),
+      |lam AS (
+      |  SELECT event_type, (1000000 * SUM(c)::BIGINT) // COUNT(*) AS lam,
+      |    COUNT(*)::BIGINT AS t
+      |  FROM series GROUP BY 1),
+      |e AS (
+      |  SELECT s.event_type, s.rn, s.c,
+      |    l.lam - s.c * $Ln2Micro AS d, l.t
+      |  FROM series s JOIN lam l USING (event_type)),
+      |fwd(event_type, rn, c0, c1) AS (
+      |  SELECT event_type, rn, 0::BIGINT, d + $BurstGamma
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.event_type, e.rn,
+      |    LEAST(f.c0, f.c1),
+      |    LEAST(f.c1, f.c0 + $BurstGamma) + e.d
+      |  FROM fwd f JOIN e
+      |    ON e.event_type = f.event_type AND e.rn = f.rn + 1),
+      |sfx(event_type, rn, g0, g1) AS (
+      |  SELECT event_type, t, 0::BIGINT, 0::BIGINT FROM lam
+      |  UNION ALL
+      |  SELECT e.event_type, e.rn - 1,
+      |    LEAST(g.g0, $BurstGamma + e.d + g.g1),
+      |    LEAST(g.g0, e.d + g.g1)
+      |  FROM sfx g JOIN e
+      |    ON e.event_type = g.event_type AND e.rn = g.rn
+      |  WHERE g.rn > 1),
+      |lab AS (
+      |  SELECT f.event_type, f.rn, e.c,
+      |    f.rn - ROW_NUMBER() OVER (PARTITION BY f.event_type
+      |      ORDER BY f.rn) AS grp
+      |  FROM fwd f
+      |  JOIN sfx g ON g.event_type = f.event_type AND g.rn = f.rn
+      |  JOIN e ON e.event_type = f.event_type AND e.rn = f.rn
+      |  WHERE f.c1 + g.g1 < f.c0 + g.g0)
+      |SELECT event_type, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+      |  COUNT(*)::BIGINT AS hours, SUM(c)::BIGINT AS events
+      |FROM lab GROUP BY event_type, grp
+      |ORDER BY event_type, start_rn""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .cache()
+    val h0 = ev.agg(min(col("h")).as("h0"))
+    val planted = h0
+      .select(explode(sequence(lit(0), lit(89))).as("i"), col("h0"))
+      .select(lit("planted_burst").as("event_type"),
+        expr("h0 + make_interval(0, 0, 0, 0, 101 + (i div 15), 0, 0)")
+          .as("h"))
+    val all0 = ev.unionByName(planted)
+    val cnt = all0.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val range = all0.agg(min(col("h")).as("ha"), max(col("h")).as("hb"))
+    val spine = all0.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("ha"), col("hb"),
+          expr("interval 1 hour"))).as("h"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val series = spine.join(cnt, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        row_number().over(wT).cast("long").as("rn"))
+    val lam = series.groupBy(col("event_type"))
+      .agg(expr("(1000000 * sum(c)) div count(1)").as("lam"))
+    val pts = series.join(broadcast(lam), Seq("event_type"))
+      .select(col("event_type"), col("rn"), col("c"),
+        (col("lam") - col("c") * Ln2Micro).as("d"))
+      .as[BurstPt]
+    pts.groupByKey(_.event_type)
+      .flatMapGroups { (k: String, it: Iterator[BurstPt]) =>
+        // calendar-bounded per-key forward-backward: prefix and
+        // suffix cost pairs, per-step argmin labels, islands fold
+        val p = it.toArray.sortBy(_.rn)
+        val n = p.length
+        val c0 = new Array[Long](n)
+        val c1 = new Array[Long](n)
+        c0(0) = 0L
+        c1(0) = p(0).d + BurstGamma
+        var i = 1
+        while (i < n) {
+          c0(i) = math.min(c0(i - 1), c1(i - 1))
+          c1(i) = math.min(c1(i - 1), c0(i - 1) + BurstGamma) + p(i).d
+          i += 1
+        }
+        val g0 = new Array[Long](n)
+        val g1 = new Array[Long](n)
+        g0(n - 1) = 0L
+        g1(n - 1) = 0L
+        i = n - 2
+        while (i >= 0) {
+          g0(i) = math.min(g0(i + 1), BurstGamma + p(i + 1).d + g1(i + 1))
+          g1(i) = math.min(g0(i + 1), p(i + 1).d + g1(i + 1))
+          i -= 1
+        }
+        val st = new Array[Int](n)
+        i = 0
+        while (i < n) {
+          st(i) = if (c1(i) + g1(i) < c0(i) + g0(i)) 1 else 0
+          i += 1
+        }
+        val out = Seq.newBuilder[BurstOut]
+        var j = 0
+        while (j < n) {
+          if (st(j) == 1) {
+            var end = j
+            var evs = 0L
+            while (end < n && st(end) == 1) { evs += p(end).c; end += 1 }
+            out += BurstOut(k, p(j).rn, p(end - 1).rn,
+              (end - j).toLong, evs)
+            j = end
+          } else j += 1
+        }
+        out.result().iterator
+      }
+      .toDF()
+      .orderBy(col("event_type"), col("start_rn"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
-    anova, kruskal)
+    anova, kruskal, bursts)
 }
