@@ -572,6 +572,76 @@ object StreamOps {
     * its own partition and every other epoch's output is untouched.
     * Each pair surfaces in exactly one epoch (the one its later side
     * arrived in), so the union over partitions is duplicate-free. */
+  /** Fit the frozen baseline for [[ksDriftIngest]]: the reference
+    * distribution's counts over a FIXED bucket grid (bucket =
+    * value div width — binned-KS is the drift-monitoring standard:
+    * the index is bounded by the VALUE DOMAIN, not the corpus, so it
+    * broadcasts at any scale), published as one committed snapshot
+    * version (fit once, frozen for the monitor's life — the
+    * nbScoreIngest model discipline). */
+  def ksBaselineFit(s: SparkSession, values: DataFrame, width: Long,
+      root: String): Unit = {
+    require(width > 0, s"ksBaselineFit: width must be > 0, got $width")
+    graft.operators.Snapshots.publish(
+      values.select(expr(s"v div $width").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c0")),
+      root)
+  }
+
+  /** Streaming two-sample KS drift scoring against the frozen
+    * baseline: each micro-batch's value distribution is compared to
+    * the fitted reference on the SHARED bucket grid — cumulative
+    * counts full-outer-joined per bucket, D = max |cb·n₀ − c₀·n_b|
+    * in EXACT integers (the q_ks_test arithmetic), the printed ks
+    * one double division ROUND(6) — and one score row
+    * (n_batch, n_base, d_num, ks) lands per epoch through the
+    * epoch-partitioned dynamic-overwrite emit (replayed epoch ⇒
+    * identical row — exactly-once). Empty batches advance the epoch
+    * without emitting. Stateless given the model: the baseline grid
+    * loads ONCE at stream start and is value-domain-bounded, the
+    * per-batch work is one grouped count + a bounded-grid window. */
+  def ksDriftIngest(s: SparkSession, values: DataFrame, baselineRoot: String,
+      width: Long, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(width > 0, s"ksDriftIngest: width must be > 0, got $width")
+    val base = graft.operators.Snapshots.read(s, baselineRoot).cache()
+    values.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val bc = batch.toDF()
+          .select(expr(s"v div $width").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cb"))
+        if (!bc.isEmpty) {
+          val g = base.join(bc, Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              coalesce(col("c0"), lit(0L)).as("c0"),
+              coalesce(col("cb"), lit(0L)).as("cb"))
+          // bounded band: the bucket grid is value-domain-sized
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding, 0)
+          val tot = g.agg(sum(col("c0")).as("n_base"),
+            sum(col("cb")).as("n_batch"))
+          val row = g
+            .select(col("bucket"), sum(col("c0")).over(w).as("a0"),
+              sum(col("cb")).over(w).as("ab"))
+            .crossJoin(broadcast(tot))
+            .agg(max(col("n_batch")).as("n_batch"),
+              max(col("n_base")).as("n_base"),
+              max(abs(col("ab") * col("n_base")
+                - col("a0") * col("n_batch"))).as("d_num"))
+            .select(col("n_batch"), col("n_base"), col("d_num"),
+              (round(col("d_num").cast("double")
+                / (col("n_batch").cast("double") * col("n_base")), 6) + 0)
+                .as("ks"))
+          emitEpoch(row, epoch, outDir)
+        }
+      }
+      .start()
+  }
+
   private def emitEpoch(pairs: DataFrame, epoch: Long, outDir: String): Unit =
     pairs.withColumn("epoch", lit(epoch))
       .write.mode("overwrite")

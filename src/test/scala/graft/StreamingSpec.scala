@@ -335,6 +335,60 @@ class StreamingSpec extends AnyFunSuite {
       s"truncation bound violated: $worst")
   }
 
+  test("streaming KS drift scoring: per-epoch score equals the exact grid reference") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val width = 250000L
+    val all = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baseVals = all.filter(_._1 % 3 == 0).map(_._2)
+    val b1 = all.filter(_._1 % 3 == 1).map(_._2)
+    val b2 = all.filter(_._1 % 3 == 2).map(_._2)
+    val baseRoot = "/tmp/graft_ks_spec_base"
+    val outDir = "/tmp/graft_ks_spec_out"
+    graft.operators.LakeFs.rmTree(baseRoot)
+    graft.operators.LakeFs.rmTree(outDir)
+    graft.operators.LakeFs.rmTree(outDir + "_ckpt")
+    StreamOps.ksBaselineFit(spark, baseVals.toSeq.toDF("v"), width,
+      baseRoot)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = StreamOps.ksDriftIngest(spark, ms.toDS().toDF("v"),
+      baseRoot, width, outDir)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("epoch") ->
+        ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L))
+    // exact grid reference: cumulative integer counts over the
+    // shared bucket grid, D as the integer cross-product max
+    def ref(batch: Array[Long]): (Long, Long, Long, Double) = {
+      val c0 = baseVals.groupBy(_ / width).view.mapValues(_.length.toLong)
+      val cb = batch.groupBy(_ / width).view.mapValues(_.length.toLong)
+      val grid = (c0.keySet ++ cb.keySet).toSeq.sorted
+      val n0 = baseVals.length.toLong
+      val nb = batch.length.toLong
+      var a0 = 0L; var ab = 0L; var d = 0L
+      grid.foreach { g =>
+        a0 += c0.getOrElse(g, 0L); ab += cb.getOrElse(g, 0L)
+        d = math.max(d, math.abs(ab * n0 - a0 * nb))
+      }
+      (nb, n0, d, d.toDouble / (nb.toDouble * n0))
+    }
+    Seq(0L -> b1, 1L -> b2).foreach { case (ep, batch) =>
+      val (nb, n0, d, ks) = ref(batch)
+      val (gnb, gn0, gd, gks) = got(ep)
+      assert((gnb, gn0, gd) == ((nb, n0, d)), s"epoch $ep ints diverged")
+      assert(math.abs(gks - ks) < 1e-9, s"epoch $ep ks diverged")
+    }
+  }
+
   test("stateful Holt-Winters: season queue carries across micro-batches, including mid-warm-up") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
