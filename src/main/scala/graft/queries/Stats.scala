@@ -813,6 +813,126 @@ object Stats {
       .orderBy(col("event_type"), col("start_rn"))
   }
 
+  // ---------------------------------------------------------------
+  // CUSUM changepoint localization
+  // ---------------------------------------------------------------
+
+  /** Single changepoint localization per event type — WHERE the level
+    * shifted, the question events_cusum's alarm leaves open. The
+    * statistic is the classic max-CUSUM deviation on the hourly count
+    * series: at each split k, D_k = |n·S_k − k·S_n| (the cumulative
+    * sum's deviation from the proportional ray, cross-multiplied into
+    * EXACT int64 — n·S_k ≤ hours·events stays far below 2^63), the
+    * changepoint is the argmax with smallest-k tie-break, and the
+    * printed magnitude normalizes once: mag = D/(n·√(k(n−k))) … kept
+    * instead as the EXACT pair (d_num, plus the two means around the
+    * split as 6dp divisions of exact sums) so nothing engine-ordered
+    * exists. A planted level-shift type (3/hour → 12/hour at the
+    * window's midpoint) pins the localization exactly.
+    *
+    * Scale shape: one count aggregation (corpus-sized), then
+    * calendar-bounded windows — the q_ks_test shape on the time
+    * axis. */
+  val changepoint: Q = Q(
+    "events_changepoint",
+    """WITH h0 AS (
+      |  SELECT MIN(date_trunc('hour', ts)) AS h0 FROM events),
+      |ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+      |  UNION ALL
+      |  SELECT 'planted_shift',
+      |    (SELECT h0 FROM h0) + (CASE WHEN i < 1080 THEN i // 3
+      |      ELSE 360 + (i - 1080) // 12 END) * INTERVAL 1 HOUR
+      |  FROM (SELECT unnest(generate_series(0, 5399))
+      |    AS i)),
+      |spine AS (
+      |  SELECT t.event_type, s.h
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (
+      |    SELECT unnest(generate_series(
+      |      (SELECT MIN(h) FROM ev), (SELECT MAX(h) FROM ev),
+      |      INTERVAL 1 HOUR)) AS h) s),
+      |cnt AS (SELECT event_type, h, COUNT(*)::BIGINT AS c
+      |  FROM ev GROUP BY 1, 2),
+      |series AS (
+      |  SELECT sp.event_type, COALESCE(cnt.c, 0)::BIGINT AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY sp.event_type ORDER BY sp.h)
+      |      AS k
+      |  FROM spine sp LEFT JOIN cnt
+      |    ON sp.event_type = cnt.event_type AND sp.h = cnt.h),
+      |cum AS (
+      |  SELECT event_type, k, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS sk,
+      |    COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+      |    SUM(c) OVER (PARTITION BY event_type)::BIGINT AS sn
+      |  FROM series),
+      |dev AS (
+      |  SELECT event_type, k, n, sn, sk,
+      |    ABS(n * sk - k * sn) AS d
+      |  FROM cum WHERE k < n),
+      |best AS (
+      |  SELECT event_type, k, n, sn, sk, d,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY d DESC, k) AS rnk
+      |  FROM dev)
+      |SELECT event_type, k AS split_k, n, d AS d_num,
+      |  ROUND(CAST(sk AS DOUBLE) / k, 6) + 0 AS mean_before,
+      |  ROUND(CAST(sn - sk AS DOUBLE) / (n - k), 6) + 0 AS mean_after
+      |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .cache()
+      val h0 = ev.agg(min(col("h")).as("h0"))
+      // planted level shift: 3/hour for hours 0..359, 12/hour for
+      // 360..719 — the midpoint split is the designed answer
+      val planted = h0
+        .select(explode(sequence(lit(0), lit(5399)))
+          .as("i"), col("h0"))
+        .select(lit("planted_shift").as("event_type"),
+          expr("h0 + make_interval(0, 0, 0, 0, CASE WHEN i < 1080 " +
+            "THEN i div 3 ELSE 360 + (i - 1080) div 12 END, 0, 0)")
+            .as("h"))
+      val all0 = ev.unionByName(planted)
+      val cnt = all0.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val range = all0.agg(min(col("h")).as("ha"), max(col("h")).as("hb"))
+      val spine = all0.select(col("event_type")).distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"),
+          explode(sequence(col("ha"), col("hb"),
+            expr("interval 1 hour"))).as("h"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val series = spine.join(cnt, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          row_number().over(wT).cast("long").as("k"))
+      val cum = series.select(col("event_type"), col("k"), col("c"),
+        sum(col("c")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("sk"),
+        count(lit(1)).over(wAll).as("n"),
+        sum(col("c")).over(wAll).as("sn"))
+      val dev = cum.filter(col("k") < col("n"))
+        .select(col("event_type"), col("k"), col("n"), col("sn"),
+          col("sk"),
+          abs(col("n") * col("sk") - col("k") * col("sn")).as("d"))
+      dev
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("d").desc, col("k"))))
+        .filter(col("rnk") === 1)
+        .select(col("event_type"), col("k").as("split_k"), col("n"),
+          col("d").as("d_num"),
+          (round(col("sk").cast("double") / col("k"), 6) + 0)
+            .as("mean_before"),
+          (round((col("sn") - col("sk")).cast("double")
+            / (col("n") - col("k")), 6) + 0).as("mean_after"))
+        .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
-    anova, kruskal, bursts)
+    anova, kruskal, bursts, changepoint)
 }
