@@ -933,6 +933,64 @@ object Stats {
         .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------
+  // Weight of evidence / information value
+  // ---------------------------------------------------------------
+
+  /** Weight-of-evidence profile + information value — the
+    * credit-scoring feature screen: how strongly does line-item
+    * quantity separate returned ('R' = "bad") from kept line items?
+    * Per quantity bucket: WoE = ln(((g+0.5)·B)/((b+0.5)·G)) (the
+    * +0.5 continuity correction applied UNIFORMLY — declared
+    * semantics, no zero-cell branch to diverge on), one fixed
+    * double expression over exact integer counts, ROUND(6).
+    * IV = Σ (g/G − b/B)·WoE is a mixed-sign float sum over the
+    * bucket domain in engine aggregation order → printed on the 4dp
+    * FLOOR grid (the text_jsd accepted class); per-bucket columns
+    * stay exact/single-op. Grouped counts over the 50-value bucket
+    * domain — map-side partials do all data-sized work. */
+  val woeIv: Q = Q(
+    "q_woe_iv",
+    """WITH g AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+      |      AS good,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+      |      AS bad
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(good)::BIGINT AS gt, SUM(bad)::BIGINT AS bt
+      |  FROM g),
+      |w AS (
+      |  SELECT q, good, bad,
+      |    ln(((good + 0.5) * (SELECT bt FROM t))
+      |      / ((bad + 0.5) * (SELECT gt FROM t))) AS woe,
+      |    (CAST(good AS DOUBLE) / (SELECT gt FROM t)
+      |      - CAST(bad AS DOUBLE) / (SELECT bt FROM t)) AS dp
+      |  FROM g)
+      |SELECT q, good, bad, ROUND(woe, 6) + 0 AS woe,
+      |  FLOOR(SUM(dp * woe) OVER () * 10000 + 0.5) / 10000 + 0 AS iv
+      |FROM w ORDER BY q""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val g = li.groupBy(col("l_quantity").cast("long").as("q")).agg(
+      sum(when(col("l_returnflag") === "R", 0L).otherwise(1L)).as("good"),
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("bad"))
+    val t = g.agg(sum(col("good")).as("gt"), sum(col("bad")).as("bt"))
+    val w = g.crossJoin(broadcast(t))
+      .select(col("q"), col("good"), col("bad"),
+        log(((col("good") + 0.5) * col("bt"))
+          / ((col("bad") + 0.5) * col("gt"))).as("woe"),
+        (col("good").cast("double") / col("gt")
+          - col("bad").cast("double") / col("bt")).as("dp"))
+    // bounded band: the 50-value bucket domain
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w.select(col("q"), col("good"), col("bad"),
+        (round(col("woe"), 6) + 0).as("woe"),
+        (floor(sum(col("dp") * col("woe")).over(wAll) * 10000 + 0.5)
+          / 10000 + 0).as("iv"))
+      .orderBy(col("q"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
-    anova, kruskal, bursts, changepoint)
+    anova, kruskal, bursts, changepoint, woeIv)
 }
