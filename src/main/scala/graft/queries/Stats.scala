@@ -991,6 +991,143 @@ object Stats {
       .orderBy(col("q"))
   }
 
+  // ---------------------------------------------------------------
+  // Forecast backtest: Holt-Winters vs naive baselines
+  // ---------------------------------------------------------------
+
+  /** One-step-ahead forecast backtest over each type's hourly series
+    * — the model-selection pass a forecasting pipeline runs before
+    * trusting a smoother: Holt-Winters (the events_holt_winters fold,
+    * shared VERBATIM) against the two standard baselines, seasonal
+    * naive (ŷ_{t+1} = y_{t+1−24}) and persistence (ŷ_{t+1} = y_t),
+    * scored by MAE in EXACT micro-units. The HW forecast is
+    * floor-quantized to the SAME 6dp grid the registered query
+    * prints (micro = FLOOR(fc·1e6 + 0.5) — identical bits both
+    * engines), actuals are integer counts, so every error and both
+    * baseline errors are exact int64 and mae_micro = (Σ|e|) div n
+    * never touches a float; the winner column is a strict-< CASE in
+    * declared preference order (hw, snaive, persist). Evaluation
+    * window = steps where all three forecasts exist (rn ≥ 25, target
+    * ≤ T). Scale shape: identical to events_holt_winters. */
+  val forecastEval: Q = Q(
+    "events_forecast_eval",
+    {
+      val lNew = "(0.25 * (e.c - r.season[1]) + 0.75 * (r.l + r.b))"
+      val bNew = s"(0.125 * ($lNew - r.l) + 0.875 * r.b)"
+      val sNew = s"(0.0625 * (e.c - $lNew) + 0.9375 * r.season[1])"
+      s"""WITH RECURSIVE series0 AS (
+        |  SELECT t.event_type, s.h, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (
+        |    SELECT unnest(generate_series(
+        |      (SELECT MIN(date_trunc('hour', ts)) FROM events),
+        |      (SELECT MAX(date_trunc('hour', ts)) FROM events),
+        |      INTERVAL 1 HOUR)) AS h) s
+        |  LEFT JOIN (
+        |    SELECT event_type, date_trunc('hour', ts) AS h,
+        |      COUNT(*) AS c
+        |    FROM events GROUP BY 1, 2) c
+        |  ON t.event_type = c.event_type AND s.h = c.h),
+        |e AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM series0),
+        |l0 AS (
+        |  SELECT event_type, CAST(SUM(c) AS DOUBLE) / 24.0 AS l0
+        |  FROM e WHERE rn <= 24 GROUP BY 1),
+        |r(event_type, rn, l, b, season) AS (
+        |  SELECT e.event_type, 24, l0.l0, CAST(0.0 AS DOUBLE),
+        |    list(e.c - l0.l0 ORDER BY e.rn)
+        |  FROM e JOIN l0 ON e.event_type = l0.event_type
+        |  WHERE e.rn <= 24
+        |  GROUP BY e.event_type, l0.l0
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, $lNew, $bNew,
+        |    r.season[2:24] || [$sNew]
+        |  FROM r JOIN e
+        |    ON e.event_type = r.event_type AND e.rn = r.rn + 1),
+        |fc AS (
+        |  SELECT event_type, rn,
+        |    CAST(FLOOR((l + b + season[1]) * 1000000 + 0.5) AS BIGINT)
+        |      AS hw_micro
+        |  FROM r WHERE rn >= 25),
+        |ev AS (
+        |  SELECT a.event_type,
+        |    ABS(t.c * 1000000 - a.hw_micro) AS e_hw,
+        |    ABS(t.c - sn.c) * 1000000 AS e_sn,
+        |    ABS(t.c - p.c) * 1000000 AS e_p
+        |  FROM fc a
+        |  JOIN e t ON t.event_type = a.event_type AND t.rn = a.rn + 1
+        |  JOIN e sn ON sn.event_type = a.event_type
+        |    AND sn.rn = a.rn + 1 - 24
+        |  JOIN e p ON p.event_type = a.event_type AND p.rn = a.rn),
+        |m AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_evals,
+        |    (SUM(e_hw)::BIGINT) // COUNT(*) AS mae_hw_micro,
+        |    (SUM(e_sn)::BIGINT) // COUNT(*) AS mae_snaive_micro,
+        |    (SUM(e_p)::BIGINT) // COUNT(*) AS mae_persist_micro
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n_evals, mae_hw_micro, mae_snaive_micro,
+        |  mae_persist_micro,
+        |  CASE WHEN mae_hw_micro <= mae_snaive_micro
+        |      AND mae_hw_micro <= mae_persist_micro THEN 'holt_winters'
+        |    WHEN mae_snaive_micro <= mae_persist_micro
+        |      THEN 'seasonal_naive'
+        |    ELSE 'persistence' END AS best
+        |FROM m ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val series = Events.hourlySeries(s, dir)
+      .select(col("event_type"), col("c"),
+        row_number().over(wT).cast("long").as("rn"))
+      .cache()
+    val msgs = series
+      .select(col("event_type").as("key"), col("rn").as("seq_id"),
+        col("c").cast("double").as("value"))
+      .as[graft.streaming.StreamOps.HwMsg]
+    val fc = msgs.groupByKey(_.key)
+      .flatMapGroups { (k: String,
+          it: Iterator[graft.streaming.StreamOps.HwMsg]) =>
+        graft.streaming.StreamOps
+          .hwFold(k, it.toSeq, (0, 0.0, 0.0, Vector.empty))._2.iterator
+      }
+      .toDF()
+      .select(col("key").as("event_type"), col("seq_id").as("rn"),
+        floor(col("forecast_next") * 1000000 + 0.5).cast("long")
+          .as("hw_micro"))
+    val t = series.select(col("event_type").as("t_et"),
+      col("rn").as("trn"), col("c").as("tc"))
+    val sn = series.select(col("event_type").as("sn_et"),
+      col("rn").as("snrn"), col("c").as("snc"))
+    val p = series.select(col("event_type").as("p_et"),
+      col("rn").as("prn"), col("c").as("pc"))
+    val ev = fc
+      .join(t, col("event_type") === col("t_et")
+        && col("trn") === col("rn") + 1)
+      .join(sn, col("event_type") === col("sn_et")
+        && col("snrn") === col("rn") + 1 - 24)
+      .join(p, col("event_type") === col("p_et")
+        && col("prn") === col("rn"))
+      .select(col("event_type"),
+        abs(col("tc") * 1000000 - col("hw_micro")).as("e_hw"),
+        (abs(col("tc") - col("snc")) * 1000000).as("e_sn"),
+        (abs(col("tc") - col("pc")) * 1000000).as("e_p"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_evals"),
+        expr("sum(e_hw) div count(1)").as("mae_hw_micro"),
+        expr("sum(e_sn) div count(1)").as("mae_snaive_micro"),
+        expr("sum(e_p) div count(1)").as("mae_persist_micro"))
+      .withColumn("best",
+        when(col("mae_hw_micro") <= col("mae_snaive_micro")
+          && col("mae_hw_micro") <= col("mae_persist_micro"),
+          "holt_winters")
+          .when(col("mae_snaive_micro") <= col("mae_persist_micro"),
+            "seasonal_naive")
+          .otherwise("persistence"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
-    anova, kruskal, bursts, changepoint, woeIv)
+    anova, kruskal, bursts, changepoint, woeIv, forecastEval)
 }
