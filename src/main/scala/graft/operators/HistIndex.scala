@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable grid-histogram index — the lake-maintained quantile
+  * sketch: counts over a FIXED bucket grid (bucket = value div
+  * width), appended one committed version per ingest batch and
+  * merged by SUM at read. Exactness contract: quantiles computed
+  * from the merged histogram are EXACT on the declared grid (the
+  * smallest bucket whose cumulative count covers the rank, decided
+  * by the integer cross-compare 100·cum ≥ p·n — no interpolation,
+  * no float), and the structure is trivially mergeable/commutative
+  * (bucket counts sum), which is what makes it maintainable as an
+  * append log: O(batch) per ingest, never a rebuild — the
+  * ShingleIndex lifecycle discipline applied to a sketch. The index
+  * size is VALUE-DOMAIN-bounded (buckets, not rows), so reads
+  * broadcast at any corpus size. */
+object HistIndex {
+
+  /** Bucket counts of `values` (a single `v: BIGINT` column). */
+  def bucketCounts(values: DataFrame, width: Long): DataFrame = {
+    require(width > 0, s"HistIndex: width must be > 0, got $width")
+    values.select(expr(s"v div $width").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Append one batch's counts as a committed version. */
+  def append(s: SparkSession, values: DataFrame, width: Long,
+      root: String): Unit =
+    Snapshots.publishAppend(bucketCounts(values, width), root)
+
+  /** The merged histogram: SUM of every committed version's counts. */
+  def merged(s: SparkSession, root: String): DataFrame =
+    Snapshots.readLog(s, root)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** Exact grid quantiles from the merged histogram: for each p in
+    * `ps` (percent, 1..100), the smallest bucket whose cumulative
+    * count reaches rank ⌈p·n/100⌉ — the integer compare 100·cum ≥
+    * p·n (cum·100 ≤ 100·2^53-ish; n ≤ 9.2e16 before the cross
+    * product wraps — disclosed). Returns (p, bucket, lo, n) with
+    * lo = bucket·width, the bucket's inclusive lower value bound. */
+  def quantiles(s: SparkSession, root: String, width: Long,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"HistIndex.quantiles: percents must be in 1..100, got $ps")
+    val m = merged(s, root)
+    // bounded band: the bucket grid is value-domain-sized
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = m.select(col("bucket"), sum(col("c")).over(w).as("cum"))
+    val tot = m.agg(sum(col("c")).as("n"))
+    val grid = cum.crossJoin(broadcast(tot))
+    ps.map { p =>
+      grid.filter(col("cum") * 100 >= col("n") * p)
+        .agg(lit(p).as("p"), min(col("bucket")).as("bucket"),
+          (min(col("bucket")) * width).as("lo"), max(col("n")).as("n"))
+    }.reduce(_.unionByName(_)).orderBy(col("p"))
+  }
+}

@@ -1128,6 +1128,69 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------
+  // Exact grid-histogram quantiles (the HistIndex computation)
+  // ---------------------------------------------------------------
+
+  /** Per-segment order-value quantiles from a FIXED-GRID histogram —
+    * the batch face of operators.HistIndex's mergeable sketch: p50/
+    * p90/p99 as the smallest bucket whose cumulative count covers
+    * the rank, decided by the integer cross-compare 100·cum ≥ p·n
+    * (no interpolation, no float anywhere — unlike
+    * q_approx_quantiles this is EXACT on the declared 2500.00-unit
+    * grid, and unlike q_percentiles the state is value-domain-
+    * bounded and mergeable, which is what a 100 TB maintained
+    * quantile index needs). One join + grouped counts per (segment,
+    * bucket), bounded cumulative windows, conditional-min rank
+    * lookups. */
+  val quantileHist: Q = Q(
+    "q_quantile_hist",
+    """WITH j AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 250000
+      |      AS b
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT seg, b, COUNT(*)::BIGINT AS c FROM j GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT seg, b,
+      |    SUM(c) OVER (PARTITION BY seg ORDER BY b
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    SUM(c) OVER (PARTITION BY seg)::BIGINT AS n
+      |  FROM g)
+      |SELECT seg, MAX(n) AS n,
+      |  MIN(CASE WHEN 100 * cum >= 50 * n THEN b END) * 250000
+      |    AS q50_lo,
+      |  MIN(CASE WHEN 100 * cum >= 90 * n THEN b END) * 250000
+      |    AS q90_lo,
+      |  MIN(CASE WHEN 100 * cum >= 99 * n THEN b END) * 250000
+      |    AS q99_lo
+      |FROM cum GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
+          "div 250000").as("b"))
+    val g = j.groupBy(col("seg"), col("b")).agg(count(lit(1)).as("c"))
+    // bounded band: the per-segment bucket grid is value-domain-sized
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSeg = Window.partitionBy(col("seg"))
+    val cum = g.select(col("seg"), col("b"),
+      sum(col("c")).over(wCum).as("cum"),
+      sum(col("c")).over(wSeg).as("n"))
+    cum.groupBy(col("seg"))
+      .agg(max(col("n")).as("n"),
+        (min(when(col("cum") * 100 >= col("n") * 50, col("b")))
+          * 250000).as("q50_lo"),
+        (min(when(col("cum") * 100 >= col("n") * 90, col("b")))
+          * 250000).as("q90_lo"),
+        (min(when(col("cum") * 100 >= col("n") * 99, col("b")))
+          * 250000).as("q99_lo"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
-    anova, kruskal, bursts, changepoint, woeIv, forecastEval)
+    anova, kruskal, bursts, changepoint, woeIv, forecastEval,
+    quantileHist)
 }

@@ -572,6 +572,30 @@ object StreamOps {
     * its own partition and every other epoch's output is untouched.
     * Each pair surfaces in exactly one epoch (the one its later side
     * arrived in), so the union over partitions is duplicate-free. */
+  /** Streaming ingest into the mergeable grid-histogram index
+    * (operators.HistIndex): each micro-batch's bucket counts append
+    * as ONE committed version under IndexLifecycle.epochOnce (a
+    * replayed epoch skips the publish — exactly-once), and
+    * HistIndex.quantiles over the merged log answers exact grid
+    * quantiles at any moment — the maintained-sketch member of the
+    * ingest-twin family (shingle/substring/vector/NB-score/KS).
+    * O(batch) per ingest: bucket counts are value-domain-bounded, so
+    * a version is at most |grid| rows whatever the batch size. */
+  def histIngest(s: SparkSession, values: DataFrame, width: Long,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val counts = graft.operators.HistIndex
+          .bucketCounts(batch.toDF(), width)
+        if (!counts.isEmpty)
+          graft.operators.IndexLifecycle.epochOnce(root, epoch) {
+            graft.operators.Snapshots.publishAppend(counts, root)
+          }
+      }
+      .start()
+
   /** Fit the frozen baseline for [[ksDriftIngest]]: the reference
     * distribution's counts over a FIXED bucket grid (bucket =
     * value div width — binned-KS is the drift-monitoring standard:

@@ -335,6 +335,55 @@ class StreamingSpec extends AnyFunSuite {
       s"truncation bound violated: $worst")
   }
 
+  test("histogram index ingest: merged quantiles equal the single-shot reference; replay appends nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val width = 250000L
+    val all = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b1 = all.filter(_._1 % 2 == 0).map(_._2)
+    val b2 = all.filter(_._1 % 2 == 1).map(_._2)
+    val root = "/tmp/graft_hist_spec_idx"
+    graft.operators.LakeFs.rmTree(root)
+    graft.operators.LakeFs.rmTree(root + "_ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = StreamOps.histIngest(spark, ms.toDS().toDF("v"), width, root)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // two committed versions, merged counts = single-shot histogram
+    assert(graft.operators.Snapshots.latestVersion(root).contains(2L))
+    val merged = graft.operators.HistIndex.merged(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = all.map(_._2).groupBy(_ / width).view
+      .mapValues(_.length.toLong).toMap
+    assert(merged == want, "merged histogram diverged")
+    // exact grid quantiles: smallest bucket with 100·cum ≥ p·n
+    val qs = graft.operators.HistIndex
+      .quantiles(spark, root, width, Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val sorted = all.map(_._2).sorted
+    def refQ(p: Int): Long = {
+      val n = sorted.length.toLong
+      val grid = want.toSeq.sortBy(_._1)
+      var cum = 0L
+      grid.collectFirst {
+        case (b, c) if { cum += c; cum * 100 >= n * p } => b * width
+      }.get
+    }
+    Seq(50, 90, 99).foreach(p =>
+      assert(qs(p) == refQ(p), s"p$p diverged: ${qs(p)} vs ${refQ(p)}"))
+    // a torn replay of epoch 1 is a no-op (epochOnce marker)
+    graft.operators.IndexLifecycle.epochOnce(root, 1L) {
+      sys.error("replayed epoch must not re-append")
+    }
+    assert(graft.operators.Snapshots.latestVersion(root).contains(2L))
+  }
+
   test("streaming KS drift scoring: per-epoch score equals the exact grid reference") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
