@@ -53,10 +53,14 @@ object HistIndex {
     val cum = m.select(col("bucket"), sum(col("c")).over(w).as("cum"))
     val tot = m.agg(sum(col("c")).as("n"))
     val grid = cum.crossJoin(broadcast(tot))
-    ps.map { p =>
-      grid.filter(col("cum") * 100 >= col("n") * p)
-        .agg(lit(p).as("p"), min(col("bucket")).as("bucket"),
-          (min(col("bucket")) * width).as("lo"), max(col("n")).as("n"))
-    }.reduce(_.unionByName(_)).orderBy(col("p"))
+    // ONE pass for every requested rank (conditional mins), melted
+    // to rows afterwards on the 1-row aggregate
+    val aggs = ps.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("bucket")))
+        .as(s"b_$p")) :+ max(col("n")).as("n")
+    val row = grid.agg(aggs.head, aggs.tail: _*)
+    ps.map(p => row.select(lit(p).as("p"), col(s"b_$p").as("bucket"),
+        (col(s"b_$p") * width).as("lo"), col("n")))
+      .reduce(_.unionByName(_)).orderBy(col("p"))
   }
 }

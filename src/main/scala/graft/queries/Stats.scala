@@ -32,7 +32,7 @@ object Stats {
     floor(c * 100 + 0.5).cast("long")
 
   // ---------------------------------------------------------------
-  // Kaplan-Meier / Nelson-Aalen survival over user lifetimes
+  // Kaplan-Meier / Nelson-Aalen survival over session lifetimes
   // ---------------------------------------------------------------
 
   /** Session-lifetime survival curve (Kaplan-Meier + Nelson-Aalen).
@@ -224,6 +224,10 @@ object Stats {
     * 2R₁, doubled U statistic 2U₁ = 2R₁ − n₁(n₁+1), the tie
     * correction Σ(c³−c) (what the normal approximation needs), and
     * the effect size AUC = U₁/(n₁n₂) as one double division ROUND(6).
+    * The tie term Σ(c³−c) accumulates as DECIMAL(38,0) — a single
+    * quantity bucket holding ~2e9 rows would wrap c³ in int64, the
+    * wide-decimal rule again; the doubled rank sums stay int64 up to
+    * ~2.1e9 rows per side (2n² < 2^63 — disclosed).
     *
     * Scale shape: grouped counts per distinct quantity (50 values —
     * value-bounded domain), then a bounded cumulative window; the
@@ -246,7 +250,7 @@ object Stats {
       |s AS (
       |  SELECT SUM(cr)::BIGINT AS n1, SUM(cn)::BIGINT AS n2,
       |    SUM(cr * (2 * cb + c + 1))::BIGINT AS two_r1,
-      |    SUM(c * c * c - c)::BIGINT AS tie_term
+      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie_term
       |  FROM r)
       |SELECT n1, n2, two_r1, two_r1 - n1 * (n1 + 1) AS two_u1,
       |  tie_term,
@@ -266,7 +270,8 @@ object Stats {
       coalesce(sum(col("cr") + col("cn")).over(w), lit(0L)).as("cb"))
     r.agg(sum(col("cr")).as("n1"), sum(col("cn")).as("n2"),
       sum(col("cr") * (col("cb") * 2 + col("c") + 1)).as("two_r1"),
-      sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+      sum(col("c").cast("decimal(19,0)") * col("c") * col("c")
+        - col("c")).cast("decimal(38,0)").as("tie_term"))
       .select(col("n1"), col("n2"), col("two_r1"),
         (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"),
         col("tie_term"),
@@ -572,7 +577,7 @@ object Stats {
       |    SUM(c1 * (2 * cb + c + 1))::BIGINT AS r1,
       |    SUM(c2 * (2 * cb + c + 1))::BIGINT AS r2,
       |    SUM(c3 * (2 * cb + c + 1))::BIGINT AS r3,
-      |    SUM(c * c * c - c)::BIGINT AS tie
+      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie
       |  FROM r),
       |h AS (
       |  SELECT n1 + n2 + n3 AS n, n1, n2, n3, tie,
@@ -603,7 +608,8 @@ object Stats {
       sum(col("c3")).as("n3"),
       sum(col("c1") * twoAvg).as("r1"), sum(col("c2") * twoAvg).as("r2"),
       sum(col("c3") * twoAvg).as("r3"),
-      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      sum(col("c").cast("decimal(19,0)") * col("c") * col("c")
+        - col("c")).cast("decimal(38,0)").as("tie"))
     def rr(i: Int): Column =
       col(s"r$i").cast("double") * col(s"r$i") / col(s"n$i")
     val h = st.select(
@@ -1006,7 +1012,9 @@ object Stats {
     * engines), actuals are integer counts, so every error and both
     * baseline errors are exact int64 and mae_micro = (Σ|e|) div n
     * never touches a float; the winner column is a strict-< CASE in
-    * declared preference order (hw, snaive, persist). Evaluation
+    * declared preference order (hw, snaive, persist). Summed
+    * micro-errors stay inside int64 while hourly counts ≤ ~3.6e9 per
+    * type over a 30-day window (3.6e9·1e6·720 < 2^63 — disclosed). Evaluation
     * window = steps where all three forecasts exist (rn ≥ 25, target
     * ≤ T). Scale shape: identical to events_holt_winters. */
   val forecastEval: Q = Q(
