@@ -259,6 +259,11 @@ object Graph {
       .join(oriented.select(col("u").as("b"), col("v").as("c")),
         Seq("b", "c"))
       .select("a", "b", "c")
+      // q_triangles' rule, learned the hard way here: the members
+      // union fans tri out THREE times — uncached, each branch
+      // re-ran the whole wedge enumeration (bench read 150-470 s vs
+      // q_triangles' 17 s for the identical join)
+      .cache()
     val members = tri.select(col("a").as("n"))
       .unionAll(tri.select(col("b").as("n")))
       .unionAll(tri.select(col("c").as("n")))
