@@ -1198,7 +1198,153 @@ object Stats {
       .orderBy(col("seg"))
   }
 
+  // ---------------------------------------------------------------
+  // Population stability index (batch drift)
+  // ---------------------------------------------------------------
+
+  /** Population Stability Index between the first and second halves
+    * of the order window — the scorecard-monitoring standard the
+    * streaming KS scorer complements: over the SAME fixed bucket
+    * grid as HistIndex/q_quantile_hist, PSI = Σ (p₂−p₁)·ln(p₂/p₁)
+    * with +0.5 count smoothing applied UNIFORMLY (p = (c+0.5)/
+    * (n+0.5·B) — no zero-cell branch; c+0.5 is an exact double).
+    * Per-bucket contributions are single fixed-order expressions
+    * ROUND(6); the mixed-sign PSI total sums in engine aggregation
+    * order → printed on the 4dp FLOOR grid (the text_jsd accepted
+    * class). The half split is day-exact: orderdate < min +
+    * (span div 2) days. One scan, grouped counts per bucket. */
+  val psi: Q = Q(
+    "q_psi",
+    """WITH b AS (
+      |  SELECT MIN(o_orderdate::DATE) AS d0,
+      |    date_diff('day', MIN(o_orderdate::DATE),
+      |      MAX(o_orderdate::DATE)) // 2 AS half
+      |  FROM orders),
+      |j AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      // 250000 AS bucket,
+      |    o_orderdate::DATE <
+      |      (SELECT d0 FROM b) + (SELECT half FROM b)
+      |        * INTERVAL 1 DAY AS first_half
+      |  FROM orders),
+      |g AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN first_half THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |    SUM(CASE WHEN first_half THEN 0 ELSE 1 END)::BIGINT AS c2
+      |  FROM j GROUP BY 1),
+      |t AS (
+      |  SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2,
+      |    COUNT(*)::BIGINT AS nb
+      |  FROM g),
+      |w AS (
+      |  SELECT bucket, c1, c2,
+      |    ((c2 + 0.5) / ((SELECT n2 FROM t) + 0.5 * (SELECT nb FROM t))
+      |      - (c1 + 0.5)
+      |        / ((SELECT n1 FROM t) + 0.5 * (SELECT nb FROM t)))
+      |    * ln(((c2 + 0.5) * ((SELECT n1 FROM t)
+      |        + 0.5 * (SELECT nb FROM t)))
+      |      / ((c1 + 0.5) * ((SELECT n2 FROM t)
+      |        + 0.5 * (SELECT nb FROM t)))) AS contrib
+      |  FROM g)
+      |SELECT bucket, c1, c2, ROUND(contrib, 6) + 0 AS contrib,
+      |  FLOOR(SUM(contrib) OVER () * 10000 + 0.5) / 10000 + 0 AS psi
+      |FROM w ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
+          "div 250000").as("bucket"))
+    val b = o.agg(min(col("d")).as("d0"),
+      expr("datediff(max(d), min(d)) div 2").as("half"))
+    val j = o.crossJoin(broadcast(b))
+      .select(col("bucket"),
+        (col("d") < expr("date_add(d0, cast(half as int))"))
+          .as("first_half"))
+    val g = j.groupBy(col("bucket")).agg(
+      sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("first_half"), 0L).otherwise(1L)).as("c2"))
+    val t = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("nb"))
+    val w = g.crossJoin(broadcast(t))
+      .select(col("bucket"), col("c1"), col("c2"),
+        (((col("c2") + 0.5) / (col("n2") + lit(0.5) * col("nb"))
+          - (col("c1") + 0.5) / (col("n1") + lit(0.5) * col("nb")))
+          * log(((col("c2") + 0.5)
+              * (col("n1") + lit(0.5) * col("nb")))
+            / ((col("c1") + 0.5)
+              * (col("n2") + lit(0.5) * col("nb"))))).as("contrib"))
+    // bounded band: the value-domain bucket grid
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w.select(col("bucket"), col("c1"), col("c2"),
+        (round(col("contrib"), 6) + 0).as("contrib"),
+        (floor(sum(col("contrib")).over(wAll) * 10000 + 0.5) / 10000
+          + 0).as("psi"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------
+  // Lorenz curve of user activity
+  // ---------------------------------------------------------------
+
+  /** Activity-concentration (Lorenz) deciles: users ranked by event
+    * count ascending (ties by user_id), chopped into ten exact rank
+    * deciles (decile = ((rn−1)·10) div n + 1 — no ntile tie
+    * ambiguity), each reporting its user count, event count, and the
+    * CUMULATIVE share of all events in exact ppm ((1e6·cum) div
+    * total) — the "bottom 50% of users produce X% of events" curve
+    * next to q_gini's scalar. Pure integers end to end. Scale: one
+    * grouped count (corpus-sized), one rank window over users (the
+    * q_gini GlobalPrefix swap-in note applies), 10-row output. */
+  val lorenz: Q = Q(
+    "events_lorenz",
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS c
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rn,
+      |    COUNT(*) OVER ()::BIGINT AS n
+      |  FROM u),
+      |d AS (
+      |  SELECT ((rn - 1) * 10) // n + 1 AS decile, c
+      |  FROM r),
+      |g AS (
+      |  SELECT decile, COUNT(*)::BIGINT AS users,
+      |    SUM(c)::BIGINT AS events
+      |  FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, users, events,
+      |    SUM(events) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    SUM(events) OVER ()::BIGINT AS tot
+      |  FROM g)
+      |SELECT decile, users, events,
+      |  (1000000 * cum) // tot AS cum_ppm
+      |FROM cum ORDER BY decile""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    // user-rank window: the q_gini scale note (GlobalPrefix at 100 TB)
+    val r = u.select(col("c"),
+      row_number().over(Window.orderBy(col("c"), col("user_id")))
+        .cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val g = r.select(expr("((rn - 1) * 10) div n + 1").as("decile"),
+        col("c"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("users"), sum(col("c")).as("events"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("decile"), col("users"), col("events"),
+        expr("1000000").cast("long").as("m"),
+        sum(col("events")).over(wCum).as("cum"),
+        sum(col("events")).over(wAll).as("tot"))
+      .select(col("decile"), col("users"), col("events"),
+        expr("(1000000 * cum) div tot").as("cum_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
-    quantileHist)
+    quantileHist, psi, lorenz)
 }
