@@ -77,7 +77,8 @@ import graft.operators.{LakeFs, Snapshots}
   * Reference anchor: the reference app re-opens its single in-memory
   * store by name each session (conversadocs/bones.py:47 load_db);
   * this catalog is that naming layer, distributed and versioned. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -189,9 +190,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         StructField(c.name, c.dataType, c.nullable))),
       partitions, properties)
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+  /** Shared CREATE/REPLACE validation: partition-transform checks,
+    * flavor resolution, and the hive column reorder. `existingFlavor`
+    * (REPLACE on a live table) wins over the default when the
+    * statement doesn't name one — and conflicts loudly when it does. */
+  private def validateCreate(schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      existingFlavor: Option[String])
+      : (String, StructType, Seq[String]) = {
     // PARTITIONED BY (c1, c2) — identity transforms over declared
     // top-level columns only (bucket/days/etc. would need reader-side
     // evaluation state the hive dir layout cannot carry)
@@ -206,11 +212,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     require(partCols.size < schema.fields.length,
       "PARTITIONED BY cannot cover every column — no data columns left")
-    val path = tablePath(ident)
-    if (isTable(path)) throw new TableAlreadyExistsException(ident)
-    val flavor = Option(properties.get("flavor")).getOrElse("log")
-    require(flavor == "log" || flavor == "snapshot",
-      s"flavor must be log|snapshot: '$flavor'")
+    val requested = Option(properties.get("flavor"))
+    requested.foreach(f => require(f == "log" || f == "snapshot",
+      s"flavor must be log|snapshot: '$f'"))
+    existingFlavor.foreach(ex => requested.foreach(f => require(f == ex,
+      s"REPLACE cannot change a table's flavor ($ex -> $f): a flavor " +
+        "governs how EXISTING versions read — DROP and recreate")))
+    val flavor = requested.orElse(existingFlavor).getOrElse("log")
     require(partCols.isEmpty || flavor == "log",
       "PARTITIONED BY applies to log-flavor tables (the append-log " +
         "shape hive partitioning serves); a snapshot-flavor table " +
@@ -227,10 +235,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           partCols.exists(_.equalsIgnoreCase(f.name))) ++
         partCols.map(c => schema(schema.fieldNames
           .indexWhere(_.equalsIgnoreCase(c)))))
+    (flavor, ordered, partCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    val (flavor, ordered, partCols) =
+      validateCreate(schema, partitions, properties, None)
     LakeFs.mkdirs(path)
     GraftCatalog.writeMeta(path, flavor, Some(ordered), partCols)
     new GraftSqlTable(s"$catalogName.${ident.toString}", path, flavor,
       None, Some(ordered), partCols)
+  }
+
+  // -----------------------------------------------------------------
+  // StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR REPLACE
+  // -----------------------------------------------------------------
+
+  /** ATOMIC `CREATE TABLE AS SELECT` / `REPLACE TABLE [AS SELECT]` /
+    * `CREATE OR REPLACE TABLE` — the Delta/Iceberg staging contract.
+    * Without this interface Spark falls back to DROP + CREATE, which
+    * (a) destroys the table's HISTORY (time travel gone) and (b)
+    * leaves the table dropped if the SELECT fails mid-write. Staged:
+    * the CTAS rows land in a SIBLING staging directory (never inside
+    * the table root — snapshot listing must not see them), and
+    * commitStagedChanges publishes them as ONE committed version
+    * over the PRESERVED root — pre-replace versions stay travelable
+    * exactly like TRUNCATE's empty version; abort removes only the
+    * staging dir, the live table never observed anything. REPLACE
+    * resets declared CHECK constraints (the Delta property-reset
+    * shape) and keeps the table's flavor (changing one re-interprets
+    * existing versions — refused loudly). A data-less REPLACE
+    * commits an empty travelable version of the new schema. */
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val path = tablePath(ident)
+    if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    staged(ident, columns, partitions, properties, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    staged(ident, columns, partitions, properties, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[V2Column], partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, columns, partitions, properties,
+      replaceExisting = isTable(tablePath(ident)))
+
+  private def staged(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replaceExisting: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val schema = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    val path = tablePath(ident)
+    val existingFlavor =
+      if (replaceExisting) Some(GraftCatalog.readMeta(path).flavor)
+      else None
+    val (flavor, ordered, partCols) =
+      validateCreate(schema, partitions, properties, existingFlavor)
+    val stageDir = path + ".__stage__" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    new GraftStagedTable(s"$catalogName.${ident.toString}", path, flavor,
+      ordered, partCols, stageDir, replaceExisting)
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — METADATA-ONLY evolution (the
@@ -878,4 +956,59 @@ class GraftSqlTable(fullName: String, private[sources] val root: String,
       }
     }
   }
+}
+
+/** The staged table behind GraftCatalog's atomic CTAS/REPLACE: CTAS
+  * rows write as plain parquet into `stageDir` (a SIBLING of the
+  * table root — never inside it, so snapshot listing cannot observe
+  * half-written state), and the commit publishes them as ONE
+  * committed version over the preserved root. Abort deletes only the
+  * staging directory. */
+class GraftStagedTable(fullName: String, root: String, flavor: String,
+    ordered: StructType, partCols: Seq[String], stageDir: String,
+    replaceExisting: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  override def name(): String = fullName
+  override def schema(): StructType = ordered
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // CTAS/RTAS sends truncate-before-write; the staging dir IS the
+      // truncation — nothing to do
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (df: org.apache.spark.sql.DataFrame, _: Boolean) =>
+            df.write.mode("overwrite").parquet(stageDir)
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val staged =
+      if (LakeFs.exists(stageDir))
+        try s.read.schema(ordered).parquet(stageDir)
+        catch { case _: Throwable => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered) }
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
+    if (!replaceExisting) LakeFs.mkdirs(root)
+    // REPLACE resets declared schema/partitioning and drops CHECK
+    // constraints (the Delta property-reset shape); history below the
+    // new version stays travelable in its original shape
+    GraftCatalog.writeMeta(root, flavor, Some(ordered), partCols)
+    if (flavor == "snapshot") Snapshots.publish(staged, root)
+    else if (partCols.nonEmpty)
+      Snapshots.publishPartitioned(staged, root, partCols)
+    else Snapshots.publishReplace(staged, root, Seq.empty)
+    LakeFs.rmTree(stageDir)
+  }
+
+  override def abortStagedChanges(): Unit = LakeFs.rmTree(stageDir)
 }

@@ -872,6 +872,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("not a graft lake catalog"))
   }
 
+  test("atomic REPLACE/CTAS: history preserved, abort leaves the table untouched, flavor pinned") {
+    val root = fresh("rt1")
+    spark.sql("CREATE TABLE lake.rt1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.rt1 VALUES (1, 'a'), (2, 'b')")
+    def rows(sql: String): Set[(Long, String)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // REPLACE AS SELECT = ONE committed version over the same root
+    spark.sql("REPLACE TABLE lake.rt1 AS SELECT 9L AS k, 'z' AS v")
+    assert(rows("SELECT * FROM lake.rt1") == Set(9L -> "z"))
+    // pre-replace state stays travelable (the whole point vs drop+create)
+    assert(rows("SELECT * FROM lake.rt1 VERSION AS OF 1")
+      == Set(1L -> "a", 2L -> "b"))
+    // data-less CREATE OR REPLACE: empty travelable version, new shape
+    spark.sql("CREATE OR REPLACE TABLE lake.rt1 (k BIGINT, v STRING, w BIGINT)")
+    val post = spark.sql("SELECT * FROM lake.rt1")
+    assert(post.columns.toSeq == Seq("k", "v", "w") && post.count() == 0L)
+    assert(rows("SELECT k, v FROM lake.rt1 VERSION AS OF 2")
+      == Set(9L -> "z"))
+    // fresh-table CTAS rides the same staged path
+    fresh("rt2")
+    spark.sql("CREATE TABLE lake.rt2 AS SELECT 1L AS k, 'x' AS v")
+    assert(rows("SELECT * FROM lake.rt2") == Set(1L -> "x"))
+    // REPLACE on a missing table refuses
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE lake.rt_missing AS SELECT 1L AS k"))
+    // flavor is pinned under REPLACE
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE lake.rt1 (k BIGINT) " +
+        "TBLPROPERTIES ('flavor'='snapshot')"))
+    assert(e.getMessage.contains("cannot change"))
+    // mid-write failure aborts: live state untouched, staging reaped
+    val before = rows("SELECT * FROM lake.rt2")
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE lake.rt2 AS SELECT k, v FROM lake.rt2 " +
+        "WHERE raise_error('boom') IS NULL"))
+    assert(rows("SELECT * FROM lake.rt2") == before)
+    assert(!graft.operators.LakeFs.list(Root)
+      .exists(_.getPath.getName.contains("__stage__")),
+      "staging directory survived an abort")
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")
