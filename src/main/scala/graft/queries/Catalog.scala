@@ -429,6 +429,52 @@ object Catalog {
          |ORDER BY k, change_type""".stripMargin)
   }
 
+  /** Atomic REPLACE under the oracle hash: CREATE + INSERT build
+    * version 1, `REPLACE TABLE … AS SELECT` (the staged path — one
+    * committed version over the preserved root) rewrites the table
+    * to a filtered aggregate, and the final statement joins the
+    * post-replace state against the pre-replace VERSION AS OF 1
+    * aggregate — hash-checking both the replace's content AND that
+    * history survived it (the drop+create fallback would have
+    * destroyed version 1). Oracle replays both states as subsets of
+    * the raw table. */
+  val sqlReplace: Q = Q(
+    "q_sql_replace",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |agg AS (
+      |  SELECT st, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS total
+      |  FROM base WHERE cents >= 10000000 GROUP BY 1),
+      |v1 AS (SELECT st, COUNT(*)::BIGINT AS n_v1 FROM base GROUP BY 1)
+      |SELECT agg.st, agg.n, agg.total, v1.n_v1
+      |FROM agg JOIN v1 USING (st) ORDER BY st""".stripMargin) {
+    (s, dir) =>
+      ensureCatalog(s)
+      val short = "rep_" + graft.queries.Vectors.sanitizeDir(dir)
+      val t = s"graftlake.$short"
+      LakeFs.rmTree(s"$LakeRoot/$short")
+      s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, cents BIGINT)")
+      s.sql(
+        s"""INSERT INTO $t
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE o_orderkey % 4 = 0""".stripMargin) // -> version 1
+      s.sql(
+        s"""REPLACE TABLE $t AS
+           |SELECT st, COUNT(*) AS n, SUM(cents) AS total
+           |FROM $t WHERE cents >= 10000000 GROUP BY st""".stripMargin)
+      s.sql(
+        s"""SELECT cur.st, cur.n, cur.total, v1.n_v1
+           |FROM $t cur
+           |JOIN (SELECT st, COUNT(*) AS n_v1
+           |      FROM $t VERSION AS OF 1 GROUP BY st) v1
+           |USING (st)
+           |ORDER BY cur.st""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(sqlCatalog, sqlDelete, sqlUpdate, sqlMerge,
-    sqlRestore, sqlPartitioned, sqlAlter, sqlChanges)
+    sqlRestore, sqlPartitioned, sqlAlter, sqlChanges, sqlReplace)
 }
