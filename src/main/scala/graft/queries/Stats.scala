@@ -1344,7 +1344,125 @@ object Stats {
       .orderBy(col("decile"))
   }
 
+  // ---------------------------------------------------------------
+  // Cohort-partitioned Kaplan-Meier
+  // ---------------------------------------------------------------
+
+  /** events_survival's curve PARTITIONED BY ACQUISITION COHORT —
+    * "do users whose first touch was a purchase hold longer sessions
+    * than users who arrived through an error page?", the comparative
+    * form every retention analysis actually asks. A user's cohort is
+    * the TYPE of their first event (deterministic first: ROW_NUMBER
+    * over (ts, event_id) — the synthetic user base is fully active
+    * from day one, so calendar cohorts would be degenerate; first
+    * touch partitions users for real); every session inherits it; then the SAME integer KM/Nelson-Aalen recursion runs per
+    * cohort (the bounded array fold becomes one fold per group —
+    * groups×steps rows, still value-bounded; the oracle's recursive
+    * CTE keys on (cohort, i) so each cohort's recursion stays
+    * linear, the events_bursts rule). Censoring identical to
+    * events_survival (administrative 30-minute cutoff). */
+  val cohortKm: Q = Q(
+    "events_cohort_km",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+      |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+      |uc AS (
+      |  SELECT user_id, event_type AS cohort FROM (
+      |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM events) WHERE rn = 1),
+      |u AS (
+      |  SELECT uc.cohort,
+      |    LEAST((epoch_us(MAX(y.ts)) - epoch_us(MIN(y.ts)))
+      |      // 60000000, 30) AS dur,
+      |    (epoch_us(MAX(y.ts)) - epoch_us(MIN(y.ts))) // 60000000 >= 30
+      |      AS cens
+      |  FROM y JOIN uc ON y.user_id = uc.user_id
+      |  GROUP BY y.user_id, y.sid, uc.cohort),
+      |bd AS (
+      |  SELECT cohort, dur, COUNT(*) AS ca,
+      |    SUM(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS cd
+      |  FROM u GROUP BY 1, 2),
+      |st AS (
+      |  SELECT cohort, dur AS t,
+      |    SUM(ca) OVER (PARTITION BY cohort ORDER BY dur DESC
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n,
+      |    cd AS d
+      |  FROM bd),
+      |steps AS (
+      |  SELECT cohort, t, n, d,
+      |    ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t) AS i
+      |  FROM st WHERE d > 0),
+      |km(cohort, i, s, h) AS (
+      |  SELECT cohort, 0, 1000000::BIGINT, 0::BIGINT
+      |  FROM (SELECT DISTINCT cohort FROM steps)
+      |  UNION ALL
+      |  SELECT p.cohort, p.i, (km.s * (p.n - p.d)) // p.n,
+      |    km.h + ((1000000 * p.d) // p.n)
+      |  FROM km JOIN steps p
+      |    ON p.cohort = km.cohort AND p.i = km.i + 1)
+      |SELECT p.cohort, p.t, p.n AS at_risk, p.d AS deaths,
+      |  km.s AS km_micro, km.h AS cumhaz_micro
+      |FROM km JOIN steps p USING (cohort, i)
+      |ORDER BY cohort, t""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val sess = Events.sessionizeDf(ev
+      .select(col("user_id"), col("ts"), col("value")))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val uc = ev
+      .select(col("user_id"), col("event_type").as("cohort"),
+        row_number().over(wU).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cohort"))
+    val rawDur = (unix_micros(col("session_end"))
+      - unix_micros(col("session_start"))).cast("long")
+    val u = sess.join(uc, Seq("user_id"))
+      .select(col("cohort"),
+        least(expr("(unix_micros(session_end) " +
+          "- unix_micros(session_start)) div 60000000"), lit(30L))
+          .as("dur"),
+        (rawDur >= 30L * 60000000L).as("cens"))
+    val byDur = u.groupBy(col("cohort"), col("dur")).agg(
+      count(lit(1)).as("ca"),
+      sum(when(col("cens"), 0L).otherwise(1L)).as("cd"))
+    val wDesc = Window.partitionBy(col("cohort"))
+      .orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val steps = byDur
+      .withColumn("n", sum(col("ca")).over(wDesc))
+      .filter(col("cd") > 0)
+      .select(col("cohort"), col("dur").as("t"), col("n"),
+        col("cd").as("d"))
+    // one bounded array fold PER COHORT — the events_survival
+    // recursion, grouped
+    steps
+      .groupBy(col("cohort"))
+      .agg(array_sort(collect_list(struct(col("t"), col("n"),
+        col("d")))).as("xs"))
+      .select(col("cohort"), col("xs"),
+        expr("aggregate(xs, array(1000000L), (acc, x) -> " +
+          "acc || array((element_at(acc, -1) * (x.n - x.d)) div x.n))")
+          .as("ks"),
+        expr("aggregate(xs, array(0L), (acc, x) -> " +
+          "acc || array(element_at(acc, -1) + ((1000000 * x.d) div x.n)))")
+          .as("hs"))
+      .select(col("cohort"), posexplode(col("xs")).as(Seq("i", "x")),
+        col("ks"), col("hs"))
+      .select(col("cohort"), col("x.t").as("t"),
+        col("x.n").as("at_risk"), col("x.d").as("deaths"),
+        element_at(col("ks"), col("i").cast("int") + 2).as("km_micro"),
+        element_at(col("hs"), col("i").cast("int") + 2)
+          .as("cumhaz_micro"))
+      .orderBy(col("cohort"), col("t"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
-    quantileHist, psi, lorenz)
+    quantileHist, psi, lorenz, cohortKm)
 }
