@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.GlobalPrefix
 import graft.sources.Tables
 
 /** Classical-statistics operators over the star schema — the
@@ -224,10 +225,14 @@ object Stats {
     * 2R₁, doubled U statistic 2U₁ = 2R₁ − n₁(n₁+1), the tie
     * correction Σ(c³−c) (what the normal approximation needs), and
     * the effect size AUC = U₁/(n₁n₂) as one double division ROUND(6).
-    * The tie term Σ(c³−c) accumulates as DECIMAL(38,0) — a single
-    * quantity bucket holding ~2e9 rows would wrap c³ in int64, the
-    * wide-decimal rule again; the doubled rank sums stay int64 up to
-    * ~2.1e9 rows per side (2n² < 2^63 — disclosed).
+    * The tie term Σ(c³−c) ACCUMULATES as DECIMAL(38,0) — a single
+    * quantity bucket holding ~2e9 rows would wrap c³ in int64 — but
+    * is REPORTED as BIGINT: int128-backed result columns (HUGEINT /
+    * DECIMAL(p>18)) break the driver's hash canonicalization (the
+    * round-5 lesson), and the final value fits int64 until ~10⁶×
+    * this corpus; the ANSI cast raises loudly past that instead of
+    * wrapping. Doubled rank sums stay int64 up to ~2.1e9 rows per
+    * side (2n² < 2^63 — disclosed).
     *
     * Scale shape: grouped counts per distinct quantity (50 values —
     * value-bounded domain), then a bounded cumulative window; the
@@ -250,10 +255,10 @@ object Stats {
       |s AS (
       |  SELECT SUM(cr)::BIGINT AS n1, SUM(cn)::BIGINT AS n2,
       |    SUM(cr * (2 * cb + c + 1))::BIGINT AS two_r1,
-      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie_term
+      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie_w
       |  FROM r)
       |SELECT n1, n2, two_r1, two_r1 - n1 * (n1 + 1) AS two_u1,
-      |  tie_term,
+      |  CAST(tie_w AS BIGINT) AS tie_term,
       |  ROUND(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
       |    / (2.0 * CAST(n1 AS DOUBLE) * n2), 6) + 0 AS auc
       |FROM s""".stripMargin) { (s, dir) =>
@@ -271,10 +276,10 @@ object Stats {
     r.agg(sum(col("cr")).as("n1"), sum(col("cn")).as("n2"),
       sum(col("cr") * (col("cb") * 2 + col("c") + 1)).as("two_r1"),
       sum(col("c").cast("decimal(19,0)") * col("c") * col("c")
-        - col("c")).cast("decimal(38,0)").as("tie_term"))
+        - col("c")).cast("decimal(38,0)").as("tie_w"))
       .select(col("n1"), col("n2"), col("two_r1"),
         (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"),
-        col("tie_term"),
+        col("tie_w").cast("long").as("tie_term"),
         (round((col("two_r1") - col("n1") * (col("n1") + 1))
           .cast("double")
           / (col("n1").cast("double") * col("n2") * 2.0), 6) + 0)
@@ -297,11 +302,13 @@ object Stats {
     * solved with exact wide decimals rather than a disclosure); the
     * final G is one double division over exact values, ROUND(6).
     *
-    * Scale shape: grouped spend (map-side), one rank window PER
-    * SEGMENT (each segment's customer list is the sorted domain —
-    * the heaviest window here; at true 100 TB this is where a
-    * GlobalPrefix range-exchange rank would swap in, as corpus_shuffle
-    * does), tiny per-segment aggregates out. */
+    * Scale shape: grouped spend (map-side), then the per-segment rank
+    * rides ONE GlobalPrefix pass over (seg, x, custkey) order — the
+    * segment count is tiny (5) but each segment's customer list grows
+    * with the data, so a PARTITION BY seg window would funnel N/5
+    * customers into one task; the per-segment rank is the global
+    * prefix rank minus the segment's first rank (a 5-row broadcast),
+    * tiny per-segment aggregates out. */
   val gini: Q = Q(
     "q_gini",
     """WITH spend AS (
@@ -330,9 +337,16 @@ object Stats {
     val spend = c.join(o, col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
       .agg(coalesce(sum(col("v")), lit(0L)).as("x"))
-    val rk = spend.select(col("seg"), col("x"),
-      row_number().over(Window.partitionBy(col("seg"))
-        .orderBy(col("x"), col("c_custkey"))).cast("long").as("i"))
+    // one global range-partitioned rank in (seg, x, custkey) order;
+    // per-segment i = global rank − segment's first global rank + 1
+    // (a 5-row broadcast) — no per-segment window sort anywhere
+    val (ranked, _) = GlobalPrefix.withCumSum(spend,
+      Seq(col("seg"), col("x"), col("c_custkey")), lit(1L))
+    val segFirst = ranked.groupBy(col("seg"))
+      .agg(min(col("cum")).as("first"))
+    val rk = ranked.join(broadcast(segFirst), "seg")
+      .select(col("seg"), col("x"),
+        (col("cum") - col("first") + 1).as("i"))
     rk.groupBy(col("seg"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
         sum(col("i").cast("decimal(19,0)")
@@ -545,7 +559,11 @@ object Stats {
     * tie-group average ranks stay exact integers as 2·avgrank =
     * 2·cb+c+1, per-group doubled rank sums 2R_g accumulate exactly,
     * and H = (3/(N(N+1)))·Σ(2R_g)²/n_g − 3(N+1) with the tie
-    * correction C = 1 − Σ(c³−c)/(N³−N) — the Σ over groups is an
+    * correction C = 1 − Σ(c³−c)/(N³−N). Like q_mann_whitney, Σ(c³−c)
+    * accumulates wide (DECIMAL(38,0)) but is REPORTED as BIGINT —
+    * int128-backed result columns break driver canonicalization (the
+    * round-5 HUGEINT lesson); ANSI raises past ~9.2e18 instead of
+    * wrapping. The Σ over groups is an
     * explicit three-term chain over the FIXED flag domain (A/N/R),
     * so every float op runs in the same order on both engines.
     * (2R_g)² needs doubles near ~1e9 rows; the division-first form
@@ -577,10 +595,11 @@ object Stats {
       |    SUM(c1 * (2 * cb + c + 1))::BIGINT AS r1,
       |    SUM(c2 * (2 * cb + c + 1))::BIGINT AS r2,
       |    SUM(c3 * (2 * cb + c + 1))::BIGINT AS r3,
-      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie
+      |    SUM(c::DECIMAL(19,0) * c * c - c)::DECIMAL(38,0) AS tie_w
       |  FROM r),
       |h AS (
-      |  SELECT n1 + n2 + n3 AS n, n1, n2, n3, tie,
+      |  SELECT n1 + n2 + n3 AS n, n1, n2, n3,
+      |    CAST(tie_w AS BIGINT) AS tie,
       |    CAST(r1 AS DOUBLE) * r1 / n1 + CAST(r2 AS DOUBLE) * r2 / n2
       |      + CAST(r3 AS DOUBLE) * r3 / n3 AS rr
       |  FROM s)
@@ -609,12 +628,13 @@ object Stats {
       sum(col("c1") * twoAvg).as("r1"), sum(col("c2") * twoAvg).as("r2"),
       sum(col("c3") * twoAvg).as("r3"),
       sum(col("c").cast("decimal(19,0)") * col("c") * col("c")
-        - col("c")).cast("decimal(38,0)").as("tie"))
+        - col("c")).cast("decimal(38,0)").as("tie_w"))
     def rr(i: Int): Column =
       col(s"r$i").cast("double") * col(s"r$i") / col(s"n$i")
     val h = st.select(
       (col("n1") + col("n2") + col("n3")).as("n"),
-      col("n1"), col("n2"), col("n3"), col("tie"),
+      col("n1"), col("n2"), col("n3"),
+      col("tie_w").cast("long").as("tie"),
       (rr(1) + rr(2) + rr(3)).as("rr"))
     h.select(col("n"), col("n1"), col("n2"), col("n3"), col("tie"),
       (round((lit(3.0) * col("rr")
@@ -1293,8 +1313,11 @@ object Stats {
     * CUMULATIVE share of all events in exact ppm ((1e6·cum) div
     * total) — the "bottom 50% of users produce X% of events" curve
     * next to q_gini's scalar. Pure integers end to end. Scale: one
-    * grouped count (corpus-sized), one rank window over users (the
-    * q_gini GlobalPrefix swap-in note applies), 10-row output. */
+    * grouped count (corpus-sized); the user rank rides GlobalPrefix
+    * (range exchange + per-partition window + O(partitions) offsets)
+    * — users grow with the data, so a bare ROW_NUMBER() OVER
+    * (ORDER BY …) would funnel the whole user base into one task;
+    * 10-row output. */
   val lorenz: Q = Q(
     "events_lorenz",
     """WITH u AS (
@@ -1322,21 +1345,21 @@ object Stats {
       |FROM cum ORDER BY decile""".stripMargin) { (s, dir) =>
     val u = Tables.events(s, dir).groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    // user-rank window: the q_gini scale note (GlobalPrefix at 100 TB)
-    val r = u.select(col("c"),
-      row_number().over(Window.orderBy(col("c"), col("user_id")))
-        .cast("long").as("rn"),
-      count(lit(1)).over(Window.partitionBy()).as("n"))
-    val g = r.select(expr("((rn - 1) * 10) div n + 1").as("decile"),
+    // global user rank via GlobalPrefix(value=1): cum IS the 1-based
+    // inclusive rank in (c, user_id) order, n comes back as the total
+    val (ranked, n) =
+      GlobalPrefix.withCumSum(u, Seq(col("c"), col("user_id")), lit(1L))
+    val g = ranked
+      .select((expr(s"((cum - 1) * 10) div ${n}L") + 1).as("decile"),
         col("c"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("users"), sum(col("c")).as("events"))
+    // the decile windows run over a 10-row frame — bounded by design
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     g.select(col("decile"), col("users"), col("events"),
-        expr("1000000").cast("long").as("m"),
         sum(col("events")).over(wCum).as("cum"),
         sum(col("events")).over(wAll).as("tot"))
       .select(col("decile"), col("users"), col("events"),

@@ -991,11 +991,16 @@ class GraftStagedTable(fullName: String, root: String, flavor: String,
 
   override def commitStagedChanges(): Unit = {
     val s = org.apache.spark.sql.SparkSession.active
+    // The data-less CTAS (CREATE TABLE t AS SELECT ... WHERE false can
+    // leave a stage dir with no part files, or no dir at all) is the
+    // ONLY case that commits empty; a genuine read failure (corrupt
+    // staging write, transient FS error) must PROPAGATE so Spark calls
+    // abortStagedChanges — a catch-all here would silently commit an
+    // empty version over real data.
+    val hasParts = LakeFs.exists(stageDir) && LakeFs.leaves(stageDir)
+      .exists(_.getPath.getName.endsWith(".parquet"))
     val staged =
-      if (LakeFs.exists(stageDir))
-        try s.read.schema(ordered).parquet(stageDir)
-        catch { case _: Throwable => s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered) }
+      if (hasParts) s.read.schema(ordered).parquet(stageDir)
       else s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
     if (!replaceExisting) LakeFs.mkdirs(root)
@@ -1003,10 +1008,14 @@ class GraftStagedTable(fullName: String, root: String, flavor: String,
     // constraints (the Delta property-reset shape); history below the
     // new version stays travelable in its original shape
     GraftCatalog.writeMeta(root, flavor, Some(ordered), partCols)
+    // publishReplace for BOTH log branches: it writes the base marker
+    // that makes logWindow subsume pre-replace versions. The previous
+    // partitioned branch used publishPartitioned (a plain append, no
+    // base marker), so REPLACE ... PARTITIONED BY ... AS SELECT on an
+    // existing table kept the old rows visible — silently not a
+    // replace.
     if (flavor == "snapshot") Snapshots.publish(staged, root)
-    else if (partCols.nonEmpty)
-      Snapshots.publishPartitioned(staged, root, partCols)
-    else Snapshots.publishReplace(staged, root, Seq.empty)
+    else Snapshots.publishReplace(staged, root, partCols)
     LakeFs.rmTree(stageDir)
   }
 

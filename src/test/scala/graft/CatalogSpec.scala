@@ -913,6 +913,32 @@ class CatalogSpec extends AnyFunSuite {
       "staging directory survived an abort")
   }
 
+  test("REPLACE of a PARTITIONED log table actually replaces (base marker)") {
+    // r14 defect: the partitioned branch of commitStagedChanges used
+    // publishPartitioned (plain append, no base marker), so logWindow
+    // kept unioning the pre-replace rows — REPLACE silently did not
+    // replace. The fix routes through publishReplace(partCols).
+    fresh("rp1")
+    spark.sql("CREATE TABLE lake.rp1 (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO lake.rp1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(
+      "REPLACE TABLE lake.rp1 PARTITIONED BY (p) " +
+        "AS SELECT 9L AS k, 'c' AS p")
+    val live = spark.sql("SELECT k, p FROM lake.rp1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live == Set(9L -> "c"),
+      s"pre-replace rows survived a partitioned REPLACE: $live")
+    // pre-replace history stays travelable below the base marker
+    val old = spark.sql("SELECT k, p FROM lake.rp1 VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(old == Set(1L -> "a", 2L -> "b"))
+    // subsequent appends union onto the replaced base only
+    spark.sql("INSERT INTO lake.rp1 VALUES (10, 'd')")
+    val after = spark.sql("SELECT k FROM lake.rp1")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(9L, 10L))
+  }
+
   test("namespaces, SHOW TABLES, DROP, and identifier hygiene") {
     fresh("ns1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns1")

@@ -315,6 +315,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q_gini ranks without per-segment or single-partition windows") {
+    val p = plan(graft.queries.Stats.gini.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    // the rank must NOT ride a window PARTITION BY seg (N/5 customers
+    // per task's sort); GlobalPrefix's __pid window is the only window
+    // in the plan — the hash exchange on seg that remains feeds the
+    // 5-row aggregate (map-side combined), not a sort
+    assert(!p.contains("windowspecdefinition(seg"), p.take(2000))
+  }
+
+  test("events_lorenz user rank avoids a single-partition window") {
+    val p = plan(graft.queries.Stats.lorenz.run(spark, sf))
+    // one Exchange SinglePartition is EXPECTED — the cumulative-share
+    // window over the ≤10-row DECILE frame (bounded by construction);
+    // more would mean the corpus-sized USER rank itself funneled into
+    // one task (the r14 finding this test pins down)
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n <= 1, s"$n single-partition exchanges:\n${p.take(3000)}")
+  }
+
   test("q1 aggregation is partial (map-side combine) + final") {
     val p = plan(Core.q1Agg.run(spark, sf))
     // two HashAggregate layers around one exchange = partial agg works
