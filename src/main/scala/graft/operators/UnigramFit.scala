@@ -291,16 +291,31 @@ object UnigramFit {
     out.result()
   }
 
+  /** Tie-break radix for [[viterbi]]'s combined DP value: each DP
+    * cell holds score·TieK − pieces, so maximizing the single integer
+    * maximizes score first and minimizes piece count among score
+    * ties. Cross-engine contract: the ORACLE replays the identical
+    * combined DP (tokenizer_unigram_apply's recursive CTE), so the
+    * reported count is mod(−v, TieK) on BOTH sides — tie-invariant,
+    * unlike a backtrack-order count. Words ≥ TieK chars would wrap
+    * the mod identically on both engines (parity preserved); real
+    * words are orders of magnitude shorter. */
+  val TieK: Long = 1024L
+
   /** Viterbi segmentation of one word against the fitted piece table
     * (micro-nat log-probs; unknown single chars score [[UnkMicro]]).
-    * Deterministic tie-break: candidates scanned at each position in
-    * DECREASING piece length with strict improvement required — equal
-    * scores resolve to the longest-piece parse, fixed on any engine.
+    * Deterministic tie-break in TWO layers: the combined DP value
+    * score·[[TieK]]−pieces makes the PIECE COUNT unique (max score,
+    * then fewest pieces — the engine-replayable invariant the oracle
+    * checks); among parses equal on both, boundaries resolve to the
+    * longest-final-piece parse (candidates scanned in decreasing
+    * length with strict improvement), fixed on any engine.
     * Exposed for the distributed apply's mapPartitions and the spec. */
   def viterbi(w: String, lp: collection.Map[String, Long],
       maxLen: Int = MaxPieceLen): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
+    // best(i) = max over parses of prefix i of score·TieK − pieces
     val best = Array.fill(n + 1)(Long.MinValue)
     val back = new Array[Int](n + 1)
     best(0) = 0L
@@ -315,8 +330,8 @@ object UnigramFit {
             case None => if (l == 1) Some(UnkMicro) else None
           }
           sc.foreach { m =>
-            if (best(i - l) + m > best(i)) {
-              best(i) = best(i - l) + m
+            if (best(i - l) + m * TieK - 1 > best(i)) {
+              best(i) = best(i - l) + m * TieK - 1
               back(i) = l
             }
           }

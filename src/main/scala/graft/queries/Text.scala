@@ -954,39 +954,112 @@ object Text {
 
   /** APPLY the fitted unigram tokenizer to the WHOLE corpus — the
     * distributed half, same shape as tokenizer_bpe_apply: the model
-    * is a bounded broadcast table (≤ vocab + alphabet rows),
-    * segmentation is computed once per DISTINCT word (the
-    * dictionary-encode trick) via Viterbi in a mapPartitions (a DP
-    * with no Catalyst expression form — the Chunker rule), and
-    * corpus occurrences join the small word→n_sub table. Output per
-    * doc mirrors bpe_apply: word count, piece count, ratio (4dp).
-    * Rows-only like the fit; UnigramSpec pins Viterbi against
-    * hand-computed parses and the reassembly law. */
-  val unigramApply: Q = Q.rowsOnly("tokenizer_unigram_apply") { (s, dir) =>
-    import s.implicits._
-    val model = graft.operators.UnigramFit
-      .fit(s, bpeCappedWords(s, dir), unigramVocab)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bc = s.sparkContext.broadcast(model)
-    val tokd = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-    val wn = tokd.select(col("word")).distinct().as[String]
-      .mapPartitions { it =>
-        val m = bc.value
-        it.map(w => (w, graft.operators.UnigramFit.viterbi(w, m).length.toLong))
-      }.toDF("word", "n_sub")
-    val agg = tokd.join(wn, "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
-    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        when(col("n_words") > 0, r4(col("n_pieces") / col("n_words")))
-          .as("unigram_ratio"))
-      .orderBy(col("doc_id"))
+    * is a bounded broadcast table (≤ vocab + alphabet rows, persisted
+    * once per source version under the unigram sidecar — the pq/ivf
+    * frozen-model lifecycle, read back from the lake so build-run and
+    * warm-run plans are identical), segmentation is computed once per
+    * DISTINCT word (the dictionary-encode trick) via Viterbi in a
+    * mapPartitions (a DP with no Catalyst expression form — the
+    * Chunker rule), and corpus occurrences join the small word→n_sub
+    * table. Output per doc mirrors bpe_apply: word count, piece
+    * count, ratio (4dp).
+    *
+    * ORACLE-CHECKED (upgraded from rows-only): the fit's EM stays
+    * rows-only (UnigramSpec pins it), but the APPLY replays the
+    * Viterbi in DuckDB over the frozen sidecar model as a LINEAR
+    * recursive CTE — one row per (word, position), each carrying the
+    * last MaxPieceLen(=4) combined DP values as four columns (the
+    * carried-window trick; the recursion joins only BASE CTEs, the
+    * chunk_recursive lesson). The combined value score·TieK−pieces
+    * makes the piece count tie-invariant: n_sub = mod(−v_n, TieK) on
+    * both engines, no backtrack required. */
+  val unigramApply: Q = {
+    val k = graft.operators.UnigramFit.TieK
+    val unk = graft.operators.UnigramFit.UnkMicro
+    Q(
+      "tokenizer_unigram_apply",
+      s"""WITH RECURSIVE tokd AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |model AS (
+        |  SELECT piece, logp_micro FROM read_parquet(
+        |    '/tmp/graft_unigram/${Vectors.SfToken}/model/*.parquet')),
+        |uw AS (SELECT DISTINCT word FROM tokd),
+        |pl AS (
+        |  SELECT word, e, l FROM (
+        |    SELECT word, unnest(range(1, len(word) + 1)) AS e FROM uw),
+        |    (SELECT unnest([1, 2, 3, 4]) AS l)
+        |  WHERE l <= e),
+        |edge AS (
+        |  SELECT p.word, p.e, p.l,
+        |    COALESCE(m.logp_micro,
+        |      CASE WHEN p.l = 1 THEN ${unk} END) * ${k} - 1 AS c
+        |  FROM pl p LEFT JOIN model m
+        |    ON m.piece = substr(p.word, p.e - p.l + 1, p.l)
+        |  WHERE m.piece IS NOT NULL OR p.l = 1),
+        |dp(word, n, i, b1, b2, b3, b4) AS (
+        |  SELECT word, len(word), 0, 0::BIGINT,
+        |    NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT d.word, d.n, d.i + 1,
+        |    GREATEST(d.b1 + e1.c, d.b2 + e2.c, d.b3 + e3.c, d.b4 + e4.c),
+        |    d.b1, d.b2, d.b3
+        |  FROM dp d
+        |  LEFT JOIN edge e1 ON e1.word = d.word AND e1.e = d.i + 1 AND e1.l = 1
+        |  LEFT JOIN edge e2 ON e2.word = d.word AND e2.e = d.i + 1 AND e2.l = 2
+        |  LEFT JOIN edge e3 ON e3.word = d.word AND e3.e = d.i + 1 AND e3.l = 3
+        |  LEFT JOIN edge e4 ON e4.word = d.word AND e4.e = d.i + 1 AND e4.l = 4
+        |  WHERE d.i < d.n),
+        |wn AS (
+        |  SELECT word, ((-b1) % ${k})::BIGINT AS n_sub
+        |  FROM dp WHERE i = n),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT n_words,
+        |    SUM(n_sub)::BIGINT n_pieces
+        |  FROM tokd JOIN wn USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_pieces, 0) AS n_pieces,
+        |  CASE WHEN n_words > 0
+        |    THEN FLOOR(n_pieces / n_words * 10000 + 0.5) / 10000
+        |  END AS unigram_ratio
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idx = Vectors.sidecarDir("unigram", dir)
+      graft.operators.IndexLifecycle.buildOnce(idx,
+        graft.operators.IndexLifecycle.sourceKey(
+          s"$dir/documents.parquet", s"unigram-v$unigramVocab")) { tmp =>
+        graft.operators.UnigramFit
+          .fit(s, bpeCappedWords(s, dir), unigramVocab)
+          .coalesce(1).write.parquet(s"$tmp/model")
+        ()
+      }
+      val model = s.read.parquet(s"$idx/model")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = s.sparkContext.broadcast(model)
+      val tokd = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      val wn = tokd.select(col("word")).distinct().as[String]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.map(w =>
+            (w, graft.operators.UnigramFit.viterbi(w, m).length.toLong))
+        }.toDF("word", "n_sub")
+      val agg = tokd.join(wn, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
+      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          when(col("n_words") > 0, r4(col("n_pieces") / col("n_words")))
+            .as("unigram_ratio"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** SAMPLE a segmentation per word under subword regularization
