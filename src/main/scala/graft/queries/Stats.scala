@@ -377,7 +377,13 @@ object Stats {
     * Scale shape: the series is CALENDAR-BOUNDED (one point per day
     * per type), so the pairwise self-join is days²/2 per type —
     * bounded whatever the event volume; the only full-data pass is
-    * the daily count aggregation. */
+    * the daily count aggregation. Contract (the dedup_embedding
+    * disclosure discipline): pairs = T(T−1)/2 for a T-point series —
+    * fine through T≈1e5 (≈5e9 pairs/type, a plain shuffle join's
+    * bread and butter); for finer-grain series (minute buckets,
+    * T≈5e5/year) swap in the banded repeated median (slopes within a
+    * ±W-point band, O(T·W)) — the bound keys on CALENDAR GRAIN, not
+    * data volume, so 100 TB of events changes nothing here. */
   val theilSen: Q = Q(
     "events_theil_sen",
     """WITH mn AS (SELECT MIN(ts::DATE) AS mn FROM events),
@@ -1485,7 +1491,406 @@ object Stats {
       .orderBy(col("cohort"), col("t"))
   }
 
+  // ---------------------------------------------------------------
+  // Mann-Kendall trend test per event type
+  // ---------------------------------------------------------------
+
+  /** Mann-Kendall trend test over each type's daily count series —
+    * the nonparametric "is there a monotone trend at all?" companion
+    * to events_theil_sen's "how steep?" (the two are the standard
+    * pairing: MK decides, Theil-Sen estimates). S = Σ_{i<j}
+    * sign(c_j − c_i) over day pairs (EXACT integer — the sign is an
+    * explicit CASE, never a float), Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18 with the tie-group correction over equal
+    * counts, and Z = (S∓1)/√Var with continuity correction — the
+    * only float is the final fixed expression, ROUND(6). var_num is
+    * REPORTED as the exact integer numerator (before /18): no float
+    * in the schema but z itself, the q_ks_test convention.
+    *
+    * Scale shape: theilSen's exact dataflow — corpus-sized work is
+    * ONE grouped daily count; the pairwise join is calendar-bounded
+    * (days²/2 per type; the theilSen CONTRACT note applies
+    * verbatim), the tie groups are value-bounded. */
+  val mannKendall: Q = Q(
+    "q_mann_kendall",
+    """WITH mn AS (SELECT MIN(ts::DATE) AS mn FROM events),
+      |daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', (SELECT mn FROM mn), ts::DATE) AS t,
+      |    COUNT(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n FROM daily GROUP BY 1),
+      |sstat AS (
+      |  SELECT a.event_type,
+      |    SUM(CASE WHEN b.c > a.c THEN 1
+      |      WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.t > a.t
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0)::BIGINT AS tt
+      |  FROM (SELECT event_type, c, COUNT(*)::BIGINT AS tg
+      |    FROM daily GROUP BY 1, 2) GROUP BY 1),
+      |v AS (
+      |  SELECT p.event_type, p.n, s.s,
+      |    p.n * (p.n - 1) * (2 * p.n + 5) - t.tt AS var_num
+      |  FROM pts p JOIN sstat s USING (event_type)
+      |    JOIN ties t USING (event_type))
+      |SELECT event_type, n AS n_pts, s, var_num,
+      |  ROUND(CASE WHEN var_num <= 0 OR s = 0 THEN 0.0
+      |    WHEN s > 0 THEN (s - 1) / SQRT(var_num / 18.0)
+      |    ELSE (s + 1) / SQRT(var_num / 18.0) END, 6) + 0 AS z
+      |FROM v ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val mn = e.agg(min(to_date(col("ts"))).as("mn"))
+    val daily = e.crossJoin(broadcast(mn))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), col("mn")).cast("long").as("t"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // feeds pts, pairs, AND ties (caller-owned cleanup)
+    val pts = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("t").as("t1"),
+      col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"),
+      col("c").as("c2"))
+    // calendar-bounded pairwise self-join: days²/2 rows per type
+    val sstat = a.join(b, Seq("event_type")).filter(col("t2") > col("t1"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(col("tg") * (col("tg") - 1)
+        * (col("tg") * 2 + 5)), lit(0L)).as("tt"))
+    val v = pts.join(sstat, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("s"),
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+          .as("var_num"))
+    v.select(col("event_type"), col("n").as("n_pts"), col("s"),
+        col("var_num"),
+        (round(when(col("var_num") <= 0 || col("s") === 0, 0.0)
+          .when(col("s") > 0,
+            (col("s") - 1) / sqrt(col("var_num") / 18.0))
+          .otherwise((col("s") + 1) / sqrt(col("var_num") / 18.0)), 6)
+          + 0).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------
+  // Welch's t-test (unequal variances)
+  // ---------------------------------------------------------------
+
+  /** Welch's unequal-variance t-test — does returned ('R') line-item
+    * quantity differ in MEAN from non-returned ('N')? The parametric
+    * twin of q_mann_whitney's rank test (the pairing every two-sample
+    * screen runs: Welch for means, MWU for distributions). All inputs
+    * are the six EXACT integer power sums (n, Σx, Σx² per group —
+    * quantity is integral so the sums are exact to ~10¹² rows, the
+    * q_moments rule); mean, variance, t, and the Welch-Satterthwaite
+    * df are ONE fixed double expression over them, identical IEEE
+    * evaluation on both engines, ROUND(6).
+    *
+    * Scale shape: one map-side-combining conditional aggregation over
+    * lineitem — the cheapest possible full-data pass; everything
+    * after is arithmetic on a 1-row frame. */
+  val welch: Q = Q(
+    "q_welch_ttest",
+    """WITH s AS (
+      |  SELECT
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT AS sx1,
+      |    SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      ELSE 0 END)::BIGINT AS sxx1,
+      |    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    SUM(CASE WHEN l_returnflag = 'N'
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT AS sx2,
+      |    SUM(CASE WHEN l_returnflag = 'N'
+      |      THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      ELSE 0 END)::BIGINT AS sxx2
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      |d AS (
+      |  SELECT n1, n2,
+      |    CAST(sx1 AS DOUBLE) / n1 AS m1, CAST(sx2 AS DOUBLE) / n2 AS m2,
+      |    (sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1) / n1 AS q1,
+      |    (sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2) / (n2 - 1) / n2 AS q2
+      |  FROM s)
+      |SELECT n1, n2, ROUND(m1, 6) + 0 AS mean1, ROUND(m2, 6) + 0 AS mean2,
+      |  ROUND((m1 - m2) / SQRT(q1 + q2), 6) + 0 AS t,
+      |  ROUND((q1 + q2) * (q1 + q2)
+      |    / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 6) + 0 AS df
+      |FROM d""".stripMargin) { (s, dir) =>
+    val q = col("l_quantity").cast("long")
+    def grp(f: String, e: Column): Column =
+      sum(when(col("l_returnflag") === f, e).otherwise(0L))
+    val st = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .agg(grp("R", lit(1L)).as("n1"), grp("R", q).as("sx1"),
+        grp("R", q * q).as("sxx1"),
+        grp("N", lit(1L)).as("n2"), grp("N", q).as("sx2"),
+        grp("N", q * q).as("sxx2"))
+    val d = st.select(col("n1"), col("n2"),
+      (col("sx1").cast("double") / col("n1")).as("m1"),
+      (col("sx2").cast("double") / col("n2")).as("m2"),
+      ((col("sxx1") - col("sx1").cast("double") * col("sx1") / col("n1"))
+        / (col("n1") - 1) / col("n1")).as("q1"),
+      ((col("sxx2") - col("sx2").cast("double") * col("sx2") / col("n2"))
+        / (col("n2") - 1) / col("n2")).as("q2"))
+    d.select(col("n1"), col("n2"),
+      (round(col("m1"), 6) + 0).as("mean1"),
+      (round(col("m2"), 6) + 0).as("mean2"),
+      (round((col("m1") - col("m2")) / sqrt(col("q1") + col("q2")), 6)
+        + 0).as("t"),
+      (round((col("q1") + col("q2")) * (col("q1") + col("q2"))
+        / (col("q1") * col("q1") / (col("n1") - 1)
+          + col("q2") * col("q2") / (col("n2") - 1)), 6) + 0).as("df"))
+  }
+
+  // ---------------------------------------------------------------
+  // Herfindahl-Hirschman concentration per region
+  // ---------------------------------------------------------------
+
+  /** Supplier-revenue concentration per region: the
+    * Herfindahl-Hirschman index HHI = Σᵢ shareᵢ² over each region's
+    * suppliers — the antitrust-standard concentration scalar next to
+    * q_gini's inequality coefficient (HHI weights the HEAD: one
+    * supplier at 50% contributes 0.25 alone). Revenue in exact
+    * cents; Σ revᵢ² accumulates as DECIMAL(38,0) (rev² wraps int64
+    * near ~3e9 cents per supplier — the q_gini s1 rule, internal
+    * only, never in the result schema), and HHI is ONE double
+    * division of exact values, ROUND(6).
+    *
+    * Scale shape: lineitem aggregates per supplier (map-side), dims
+    * broadcast (supplier/nation/region), then a 25-row region
+    * aggregate — no window anywhere. */
+  val hhi: Q = Q(
+    "q_hhi",
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, l.l_suppkey,
+      |    SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      ::BIGINT AS v
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT region, COUNT(*)::BIGINT AS n_suppliers,
+      |    SUM(v)::BIGINT AS tot_cents,
+      |    SUM(v::DECIMAL(19,0) * v::DECIMAL(19,0))::DECIMAL(38,0) AS s2
+      |  FROM rev GROUP BY 1)
+      |SELECT region, n_suppliers, tot_cents,
+      |  ROUND(CAST(s2 AS DOUBLE)
+      |    / (CAST(tot_cents AS DOUBLE) * tot_cents), 6) + 0 AS hhi
+      |FROM agg ORDER BY region""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("p"))
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("l_suppkey"))
+      .agg(sum(col("p")).as("v"))
+    rev.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("tot_cents"),
+        sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("s2"))
+      .select(col("region"), col("n_suppliers"), col("tot_cents"),
+        (round(col("s2").cast("double")
+          / (col("tot_cents").cast("double") * col("tot_cents")), 6) + 0)
+          .as("hhi"))
+      .orderBy(col("region"))
+  }
+
+  // ---------------------------------------------------------------
+  // Cramér's V over a region × priority contingency
+  // ---------------------------------------------------------------
+
+  /** Effect size for independence: Cramér's V over the region ×
+    * order-priority contingency table — q_chisq reports per-row χ²
+    * components; this completes the test with the normalized scalar
+    * V = √(χ²/(n·min(r−1,c−1))) an analyst actually compares across
+    * tables. Counts and margins are exact integers; each cell's χ²
+    * term is the q_chisq fixed expression ((o·n − r·c)²/(r·c·n),
+    * doubles from exact ints), summed over the BOUNDED 5×5 cell grid
+    * (the accepted ROUND-absorbed class), χ² and V ROUND(6).
+    *
+    * Scale shape: one orders pass with a broadcast customer→nation→
+    * region dim chain... except customer is NOT a broadcast dim (it
+    * grows with the data) — the join shuffles on custkey, then the
+    * contingency aggregate is map-side over 25 cells. */
+  val cramersV: Q = Q(
+    "q_cramers_v",
+    """WITH o AS (
+      |  SELECT r.r_name AS region, ord.o_orderpriority AS pri,
+      |    COUNT(*)::BIGINT AS o
+      |  FROM orders ord
+      |  JOIN customer c ON ord.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |rm AS (SELECT region, SUM(o)::BIGINT AS r FROM o GROUP BY 1),
+      |cm AS (SELECT pri, SUM(o)::BIGINT AS c FROM o GROUP BY 1),
+      |t AS (SELECT SUM(o)::BIGINT AS n,
+      |  COUNT(DISTINCT region)::BIGINT AS nr,
+      |  COUNT(DISTINCT pri)::BIGINT AS nc FROM o),
+      |chi AS (
+      |  SELECT SUM(
+      |    (CAST(o.o AS DOUBLE) * t.n - CAST(rm.r AS DOUBLE) * cm.c)
+      |    * (CAST(o.o AS DOUBLE) * t.n - CAST(rm.r AS DOUBLE) * cm.c)
+      |    / (CAST(rm.r AS DOUBLE) * cm.c * t.n)) AS chi2,
+      |    MAX(t.n) AS n, MAX(t.nr) AS nr, MAX(t.nc) AS nc
+      |  FROM o JOIN rm USING (region) JOIN cm USING (pri) CROSS JOIN t)
+      |SELECT n, nr AS r_levels, nc AS c_levels,
+      |  ROUND(chi2, 6) + 0 AS chi2,
+      |  ROUND(SQRT(chi2 / (n * LEAST(nr - 1, nc - 1))), 6) + 0 AS v
+      |FROM chi""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val o = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("pri"))
+      .agg(count(lit(1)).as("o"))
+      .cache() // feeds its own three margins (caller-owned cleanup)
+    val rm = o.groupBy(col("region")).agg(sum(col("o")).as("r"))
+    val cm = o.groupBy(col("pri")).agg(sum(col("o")).as("c"))
+    val t = o.agg(sum(col("o")).as("n"),
+      countDistinct(col("region")).as("nr"),
+      countDistinct(col("pri")).as("nc"))
+    val d = col("o").cast("double") * col("n") -
+      col("r").cast("double") * col("c")
+    val chi = o.join(broadcast(rm), Seq("region"))
+      .join(broadcast(cm), Seq("pri"))
+      .crossJoin(broadcast(t))
+      .agg(sum(d * d / (col("r").cast("double") * col("c") * col("n")))
+          .as("chi2"),
+        max(col("n")).as("n"), max(col("nr")).as("nr"),
+        max(col("nc")).as("nc"))
+    chi.select(col("n"), col("nr").as("r_levels"), col("nc").as("c_levels"),
+      (round(col("chi2"), 6) + 0).as("chi2"),
+      (round(sqrt(col("chi2")
+        / (col("n") * least(col("nr") - 1, col("nc") - 1))), 6) + 0)
+        .as("v"))
+  }
+
+  // ---------------------------------------------------------------
+  // Poisson-bootstrap confidence interval
+  // ---------------------------------------------------------------
+
+  /** Poisson-bootstrap 95% CI for the mean order value — THE
+    * at-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"): classic resampling needs n draws
+    * per replicate (a corpus-sized shuffle × B), but Poisson(1)
+    * weights approximate multinomial resampling with ONE pass —
+    * every row carries B=64 independent weights, the replicate means
+    * fall out of one map-side aggregation with 64-group state.
+    * Determinism (the q_dp_counts seeded-noise rule): the weight is
+    * the inverse Poisson(1) CDF over u = md5-slot(orderkey, b) —
+    * both engines compare the same u against the same 9 literal CDF
+    * thresholds (Σe⁻¹/j! to double precision; P(X>8)≈1.1e-6
+    * truncates to 8, disclosed), so a re-run or a different cluster
+    * publishes the SAME interval. Replicate means are exact-int
+    * ratios printed ROUND(6); the CI picks order statistics 2 and 63
+    * of the 64 means by rank (ties by replicate id) — a 64-row
+    * bounded frame (the established bounded-band window class).
+    *
+    * Scale shape: ONE orders pass fanned ×64 into a map-side combine
+    * (64 groups per task whatever the data), a 64-row rank, a 1-row
+    * output. No corpus-sized shuffle at any B. */
+  val bootstrapCi: Q = {
+    val cdf = Seq(
+      "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+      "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+      "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+    def wSql(u: String): String =
+      "CASE " + cdf.zipWithIndex
+        .map { case (c, i) => s"WHEN $u < $c THEN $i" }
+        .mkString(" ") + " ELSE 9 END"
+    Q(
+      "q_bootstrap_ci",
+      s"""WITH b AS (SELECT unnest(range(0, 64)) AS b),
+        |w AS (
+        |  SELECT b.b,
+        |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+        |    ${wSql(graft.functions.Slots.uniformSql(
+              "boot", "(o.o_orderkey || '_' || b.b)"))} AS w
+        |  FROM orders o CROSS JOIN b),
+        |reps AS (
+        |  SELECT b, SUM(w * x)::BIGINT AS swx, SUM(w)::BIGINT AS sw
+        |  FROM w GROUP BY 1 HAVING SUM(w) > 0),
+        |m AS (
+        |  SELECT b,
+        |    ROUND(CAST(swx AS DOUBLE) / sw, 6) + 0 AS mb
+        |  FROM reps),
+        |r AS (
+        |  SELECT mb, ROW_NUMBER() OVER (ORDER BY mb, b) AS rn,
+        |    COUNT(*) OVER ()::BIGINT AS nb
+        |  FROM m),
+        |full_m AS (
+        |  SELECT COUNT(*)::BIGINT AS n,
+        |    ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / COUNT(*), 6) + 0 AS mean_cents
+        |  FROM orders)
+        |SELECT f.n, f.mean_cents, MAX(r.nb) AS b_reps,
+        |  MAX(CASE WHEN r.rn = 2 THEN r.mb END) + 0 AS ci_lo,
+        |  MAX(CASE WHEN r.rn = 63 THEN r.mb END) + 0 AS ci_hi
+        |FROM r CROSS JOIN full_m f
+        |GROUP BY f.n, f.mean_cents""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
+      val fanned = o.select(col("o_orderkey"), col("x"),
+        explode(sequence(lit(0L), lit(63L))).as("b"))
+      val u = graft.functions.Slots.uniform("boot",
+        concat(col("o_orderkey").cast("string"), lit("_"),
+          col("b").cast("string")))
+      val cdfD = cdf.map(_.toDouble)
+      val w = cdfD.zipWithIndex.reverse
+        .foldLeft(lit(9): Column) { case (acc, (c, i)) =>
+          when(u < c, i.toLong).otherwise(acc)
+        }
+      val reps = fanned.select(col("b"), col("x"), w.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+      val m = reps.select(col("b"),
+        (round(col("swx").cast("double") / col("sw"), 6) + 0).as("mb"))
+      // bounded band: exactly B=64 rows rank here, whatever the corpus
+      val r = m.select(col("mb"),
+        row_number().over(Window.orderBy(col("mb"), col("b")))
+          .cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("nb"))
+      val fullM = o.agg(count(lit(1)).as("n"),
+        (round(sum(col("x")).cast("double") / count(lit(1)), 6) + 0)
+          .as("mean_cents"))
+      r.crossJoin(broadcast(fullM))
+        .groupBy(col("n"), col("mean_cents"))
+        .agg(max(col("nb")).as("b_reps"),
+          (max(when(col("rn") === 2, col("mb"))) + 0).as("ci_lo"),
+          (max(when(col("rn") === 63, col("mb"))) + 0).as("ci_hi"))
+        .select(col("n"), col("mean_cents"), col("b_reps"),
+          col("ci_lo"), col("ci_hi"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
-    quantileHist, psi, lorenz, cohortKm)
+    quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
+    cramersV, bootstrapCi)
 }

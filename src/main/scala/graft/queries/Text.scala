@@ -1926,10 +1926,74 @@ object Text {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------
+  // Zipf fit over the frequency head
+  // ---------------------------------------------------------------
+
+  /** Zipf's-law fit over the corpus frequency head: OLS of ln(freq)
+    * on ln(rank) over the top-100 terms — the one-number
+    * "does this corpus look like natural language?" screen (natural
+    * prose slopes ≈ −1; template/boilerplate corpora flatten, spam
+    * vocabularies steepen) next to text_entropy's character-level
+    * version. Head selection is EXACT and deterministic (freq desc,
+    * term asc — the q_topk_global tie discipline); ranks are the
+    * 1..100 positions of that head, so the regression runs over a
+    * FIXED 100-point frame whatever the corpus. Float discipline:
+    * ln sums over the bounded head print at 4dp (the bm25/jsd
+    * accepted class); slope/intercept are fixed expressions over
+    * those sums.
+    *
+    * Scale shape: ONE map-side-combining term count (the corpus-sized
+    * pass), a global top-100 (TakeOrderedAndProject — O(k) per
+    * partition, no global sort), then 100-row arithmetic. */
+  val zipf: Q = Q(
+    "text_zipf",
+    """WITH tokd AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT word, COUNT(*)::BIGINT AS f FROM tokd GROUP BY 1
+      |  ORDER BY f DESC, word LIMIT 100),
+      |rk AS (
+      |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS rn
+      |  FROM tf),
+      |pt AS (SELECT LN(CAST(rn AS DOUBLE)) AS x,
+      |  LN(CAST(f AS DOUBLE)) AS y FROM rk),
+      |s AS (
+      |  SELECT COUNT(*)::BIGINT AS k, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pt)
+      |SELECT k,
+      |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) + 0 AS slope,
+      |  ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+      |    4) + 0 AS intercept
+      |FROM s""".stripMargin) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word")).limit(100)
+    // bounded band: exactly the 100-term head ranks here
+    val rk = tf.select(col("f"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("word"))).cast("long").as("rn"))
+    val pt = rk.select(log(col("rn").cast("double")).as("x"),
+      log(col("f").cast("double")).as("y"))
+    val st = pt.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    st.select(col("k"),
+      (round(slope, 4) + 0).as("slope"),
+      (round((col("sy") - slope * col("sx")) / col("k"), 4) + 0)
+        .as("intercept"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
     unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk, keywords, spellCorrect, jsd)
+    langidCjk, keywords, spellCorrect, jsd, zipf)
 }

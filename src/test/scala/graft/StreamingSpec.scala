@@ -384,6 +384,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Snapshots.latestVersion(root).contains(2L))
   }
 
+  test("streaming quantile monitor: per-epoch emissions equal one-shot quantiles on the merged log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val width = 250000L
+    val all = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b1 = all.filter(_._1 % 2 == 0).map(_._2)
+    val b2 = all.filter(_._1 % 2 == 1).map(_._2)
+    val root = "/tmp/graft_histq_spec_idx"
+    val outDir = "/tmp/graft_histq_spec_out"
+    Seq(root, root + "_qckpt", outDir)
+      .foreach(graft.operators.LakeFs.rmTree)
+    val ps = Seq(50, 90, 99)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = StreamOps.histQuantileIngest(
+      spark, ms.toDS().toDF("v"), width, root, outDir, ps)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.read.parquet(outDir)
+    // two epochs emitted, ps rows each (partition-column inference
+    // types small epoch dirs as INT — normalize)
+    val epochs = emitted.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs.length == 2, s"expected 2 epochs, got ${epochs.toSeq}")
+    // the FINAL epoch's quantiles == the one-shot read over the
+    // merged log (the monitor's read path IS the batch read path)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long)] =
+      df.select(col("p"), col("bucket"), col("lo"), col("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val last = rows(emitted.filter(col("epoch") === epochs.max))
+    val oneShot = rows(
+      graft.operators.HistIndex.quantiles(spark, root, width, ps))
+    assert(last == oneShot, s"monitor diverged: $last vs $oneShot")
+    // epoch-0 emission covers only b1 — recompute the reference from
+    // the first committed version alone
+    val q1 = rows(emitted.filter(col("epoch") === epochs.min))
+    assert(q1.map(_._1) == ps.toSet && q1.forall(_._4 == b1.length.toLong),
+      s"epoch-0 emission wrong: $q1")
+  }
+
   test("streaming KS drift scoring: per-epoch score equals the exact grid reference") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
