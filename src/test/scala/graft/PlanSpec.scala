@@ -315,6 +315,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q_bootstrap_ci: replicate means are one partial-agg pass, no corpus-sized shuffle") {
+    val p = plan(graft.queries.Stats.bootstrapCi.run(spark, sf))
+    // the x64 fanout must combine map-side: partial + final aggregate
+    // layers around the 64-group exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only rank is the 64-row replicate frame (bounded band)
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n <= 2, s"$n single-partition exchanges:\n${p.take(3000)}")
+  }
+
+  test("text_zipf: head selection is TakeOrdered, never a global sort") {
+    val p = plan(graft.queries.Text.zipf.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_hhi: dims broadcast to the lineitem pass, no cartesian") {
+    val p = plan(graft.queries.Stats.hhi.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_mann_kendall: pairs ride the per-type equi-join, no windows, no cartesian") {
+    val p = plan(graft.queries.Stats.mannKendall.run(spark, sf))
+    // the only SinglePartition exchanges are 1-row global min(date)
+    // aggregates (benign scalar class); the trend statistics must
+    // never ride a window sort or a non-broadcast nested loop
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_gini ranks without per-segment or single-partition windows") {
     val p = plan(graft.queries.Stats.gini.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
