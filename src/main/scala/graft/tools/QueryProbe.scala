@@ -26,6 +26,13 @@ object QueryProbe {
   private def normalize(plan: String): String =
     plan.replaceAll("#\\d+[A-Z]*", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
+      // AQE stage numbers and whole-stage-codegen ids are SUBMISSION
+      // ORDER labels: two symmetric join sides legitimately swap them
+      // run-to-run (witnessed on q_triangles' wedge sides) — identical
+      // trees, different launch order
+      .replaceAll("(Shuffle|Broadcast|TableCache|Result)QueryStage \\d+",
+        "$1QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
       .replaceAll("\\[id=#x\\]", "")
       .replaceAll("InMemoryFileIndex\\([^)]*\\)[^,\\]]*", "InMemoryFileIndex(x)")
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
@@ -74,10 +81,13 @@ object QueryProbe {
               java.nio.file.Paths.get(s"$outDir/pass$i-$k.txt"),
               f"action $k: ${ns / 1e9}%.2f s\n$plan\n")
         }
-        actions.map(a => normalize(a._2)).toSet
+        // the witness is the SLOWEST action's tree: that is where a
+        // plan regression would live; first-pass-only sub-second
+        // actions (lazy init, cache bookkeeping) are not plan drift
+        actions.headOption.map(a => normalize(a._2))
       }
-      val stable = passPlans.tail.forall(_ == passPlans.head)
-      println(s"$name: normalized plan sets across 4 passes " +
+      val stable = passPlans.flatten.distinct.lengthIs <= 1
+      println(s"$name: normalized slowest-action plans across 4 passes " +
         (if (stable) "IDENTICAL — wall-time flap adjudicates to JVM state"
          else "DIVERGED — inspect /tmp/graft_query_probe/" + name))
     }
