@@ -1815,22 +1815,15 @@ object Stats {
     * (64 groups per task whatever the data), a 64-row rank, a 1-row
     * output. No corpus-sized shuffle at any B. */
   val bootstrapCi: Q = {
-    val cdf = Seq(
-      "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
-      "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
-      "0.999916758850712", "0.9999897508033253", "0.999998874797402")
-    def wSql(u: String): String =
-      "CASE " + cdf.zipWithIndex
-        .map { case (c, i) => s"WHEN $u < $c THEN $i" }
-        .mkString(" ") + " ELSE 9 END"
+    import graft.functions.PoissonBoot
     Q(
       "q_bootstrap_ci",
       s"""WITH b AS (SELECT unnest(range(0, 64)) AS b),
         |w AS (
         |  SELECT b.b,
         |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x,
-        |    ${wSql(graft.functions.Slots.uniformSql(
-              "boot", "(o.o_orderkey || '_' || b.b)"))} AS w
+        |    ${PoissonBoot.weightSql(
+              PoissonBoot.uniformSql("boot", "o.o_orderkey", "b.b"))} AS w
         |  FROM orders o CROSS JOIN b),
         |reps AS (
         |  SELECT b, SUM(w * x)::BIGINT AS swx, SUM(w)::BIGINT AS sw
@@ -1857,14 +1850,8 @@ object Stats {
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
       val fanned = o.select(col("o_orderkey"), col("x"),
         explode(sequence(lit(0L), lit(63L))).as("b"))
-      val u = graft.functions.Slots.uniform("boot",
-        concat(col("o_orderkey").cast("string"), lit("_"),
-          col("b").cast("string")))
-      val cdfD = cdf.map(_.toDouble)
-      val w = cdfD.zipWithIndex.reverse
-        .foldLeft(lit(9): Column) { case (acc, (c, i)) =>
-          when(u < c, i.toLong).otherwise(acc)
-        }
+      val w = PoissonBoot.weight(
+        PoissonBoot.uniform("boot", col("o_orderkey"), col("b")))
       val reps = fanned.select(col("b"), col("x"), w.as("w"))
         .groupBy(col("b"))
         .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))

@@ -631,6 +631,74 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming Poisson-bootstrap CI monitor — q_bootstrap_ci's
+    * uncertainty estimate maintained over an unbounded stream: the
+    * per-replicate partial sums (Σwx, Σw) are MERGEABLE (weights
+    * depend only on (row key, replicate), never on batch boundaries),
+    * so each micro-batch (1) appends its 64-row partial-sum frame
+    * under epochOnce and (2) emits the CI over the MERGED sums as of
+    * this epoch through the dynamic-overwrite emit — exactly-once
+    * both surfaces, and the emitted interval after any prefix of
+    * batches equals the one-shot batch computation over the same
+    * rows EXACTLY (StreamingSpec pins it). Index state is 64 rows ×
+    * versions (compactable like every snapshot log); per-epoch work
+    * is O(batch) + a 64-row read — the "how sure are we about this
+    * metric" panel that rides the same stream as the metric.
+    * Input contract: columns k (BIGINT row key) and v (BIGINT). */
+  def bootCiIngest(s: SparkSession, rows: DataFrame, salt: String,
+      root: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        import graft.functions.PoissonBoot
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val fanned = b.select(col("k"), col("v"),
+            explode(sequence(lit(0L), lit(PoissonBoot.B - 1L))).as("b"))
+          val w = PoissonBoot.weight(
+            PoissonBoot.uniform(salt, col("k"), col("b")))
+          val part = fanned.select(col("b"), col("v"), w.as("w"))
+            .groupBy(col("b"))
+            .agg(sum(col("w") * col("v")).as("swx"), sum(col("w")).as("sw"),
+              sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          graft.operators.IndexLifecycle.epochOnce(root, epoch) {
+            graft.operators.Snapshots.publishAppend(part, root)
+          }
+          // merged replicate sums (64 rows whatever the history) →
+          // the exact q_bootstrap_ci rank arithmetic
+          val merged = graft.operators.Snapshots.readLog(s, root)
+            .groupBy(col("b"))
+            .agg(sum(col("swx")).as("swx"), sum(col("sw")).as("sw"),
+              sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+            .cache()
+          val m = merged.filter(col("sw") > 0).select(col("b"),
+            (round(col("swx").cast("double") / col("sw"), 6) + 0).as("mb"))
+          val r = m.select(col("mb"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("mb"), col("b"))).cast("long").as("rn"),
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()).as("nb"))
+          val fullM = merged.agg(
+            (sum(col("n")) / lit(PoissonBoot.B.toLong)).cast("long").as("n"),
+            (round((sum(col("sv")) / lit(PoissonBoot.B.toLong))
+              .cast("double")
+              / (sum(col("n")) / lit(PoissonBoot.B.toLong)), 6) + 0)
+              .as("mean_v"))
+          val ci = r.crossJoin(broadcast(fullM))
+            .groupBy(col("n"), col("mean_v"))
+            .agg(max(col("nb")).as("b_reps"),
+              (max(when(col("rn") === 2, col("mb"))) + 0).as("ci_lo"),
+              (max(when(col("rn") === PoissonBoot.B - 1L, col("mb"))) + 0)
+                .as("ci_hi"))
+          emitEpoch(ci, epoch, outDir)
+          merged.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Fit the frozen baseline for [[ksDriftIngest]]: the reference
     * distribution's counts over a FIXED bucket grid (bucket =
     * value div width — binned-KS is the drift-monitoring standard:

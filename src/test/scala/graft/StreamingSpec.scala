@@ -431,6 +431,61 @@ class StreamingSpec extends AnyFunSuite {
       s"epoch-0 emission wrong: $q1")
   }
 
+  test("streaming bootstrap CI: merged-replicate interval equals the one-shot batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.PoissonBoot
+    val all = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b1 = all.filter(_._1 % 2 == 0)
+    val b2 = all.filter(_._1 % 2 == 1)
+    val root = "/tmp/graft_bootci_spec_idx"
+    val outDir = "/tmp/graft_bootci_spec_out"
+    Seq(root, root + "_ckpt", outDir)
+      .foreach(graft.operators.LakeFs.rmTree)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamOps.bootCiIngest(spark,
+      ms.toDS().toDF("k", "v"), "specboot", root, outDir)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.read.parquet(outDir)
+    val lastEpoch = emitted.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).max
+    val got = emitted.filter(col("epoch").cast("long") === lastEpoch)
+      .select(col("n"), col("mean_v"), col("b_reps"), col("ci_lo"),
+        col("ci_hi"))
+      .collect().head
+    // one-shot reference: the SAME weight expressions over all rows
+    // in one batch frame — the monitor's claim is stream == batch
+    val flat = all.toSeq.toDF("k", "v")
+      .select(col("k"), col("v"),
+        explode(sequence(lit(0L), lit(PoissonBoot.B - 1L))).as("b"))
+    val w = PoissonBoot.weight(
+      PoissonBoot.uniform("specboot", col("k"), col("b")))
+    val mbs = flat.select(col("b"), col("v"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("v")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"),
+        (round(col("swx").cast("double") / col("sw"), 6) + 0).as("mb"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0))).sorted
+    assert(got.getLong(2) == PoissonBoot.B.toLong)
+    assert(got.getLong(0) == all.length.toLong)
+    assert(got.getDouble(3) == mbs(1)._1,
+      s"ci_lo ${got.getDouble(3)} != ${mbs(1)._1}")
+    assert(got.getDouble(4) == mbs(PoissonBoot.B - 2)._1,
+      s"ci_hi ${got.getDouble(4)} != ${mbs(PoissonBoot.B - 2)._1}")
+    // replaying epoch 0 appends nothing (epochOnce)
+    graft.operators.IndexLifecycle.epochOnce(root, 0L) {
+      sys.error("replayed epoch must not re-append")
+    }
+  }
+
   test("streaming KS drift scoring: per-epoch score equals the exact grid reference") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
