@@ -1876,8 +1876,151 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Spearman rank correlation (daily volume vs daily revenue)
+  // ---------------------------------------------------------------
+
+  /** Spearman rank correlation between the daily ORDER COUNT and the
+    * daily REVENUE series — "do busy days bring proportionally more
+    * money?" measured on ranks (monotone association, insensitive to
+    * revenue's heavy tail where Pearson is not). Real tie handling:
+    * each series ranks by the q_mann_whitney DOUBLED-average-rank
+    * device (2·avgrank = 2·cb + g + 1 — exact integers, no float
+    * average), ρ is then the Pearson form over the doubled ranks:
+    * (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) — all five sums exact
+    * int64 (doubled ranks ≤ 2n+1 over a calendar-bounded n), ONE
+    * fixed double expression, ROUND(6); the doubling cancels.
+    *
+    * Scale shape: the corpus-sized pass is one grouped daily
+    * aggregate; the rank windows run over the ~calendar-bounded day
+    * frame (the theilSen bounded-band class). */
+  val spearman: Q = Q(
+    "q_spearman",
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d, COUNT(*)::BIGINT AS c,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+      |      AS v
+      |  FROM orders GROUP BY 1),
+      |rc AS (
+      |  SELECT d, c, v,
+      |    2 * (RANK() OVER (ORDER BY c) - 1)
+      |      + COUNT(*) OVER (PARTITION BY c) + 1 AS x2
+      |  FROM daily),
+      |rv AS (
+      |  SELECT d,
+      |    2 * (RANK() OVER (ORDER BY v) - 1)
+      |      + COUNT(*) OVER (PARTITION BY v) + 1 AS y2
+      |  FROM daily),
+      |s AS (
+      |  SELECT COUNT(*)::BIGINT AS n, SUM(x2)::BIGINT AS sx,
+      |    SUM(y2)::BIGINT AS sy, SUM(x2 * y2)::BIGINT AS sxy,
+      |    SUM(x2 * x2)::BIGINT AS sxx, SUM(y2 * y2)::BIGINT AS syy
+      |  FROM rc JOIN rv USING (d))
+      |SELECT n,
+      |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+      |    6) + 0 AS rho
+      |FROM s""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("c"), sum(cents(col("o_totalprice"))).as("v"))
+      .cache() // feeds both rank passes (caller-owned cleanup)
+    // bounded band: the calendar day frame. RANK()−1 = #days with a
+    // strictly smaller value (tie-order-independent, unlike a ROWS
+    // frame count); doubled avg rank = 2·(rank−1) + tiesize + 1.
+    def doubledRank(value: Column): Column =
+      (rank().over(Window.orderBy(value)).cast("long") - 1) * 2 +
+        count(lit(1)).over(Window.partitionBy(value)) + 1
+    val rc = daily.select(col("d"), doubledRank(col("c")).as("x2"))
+    val rv = daily.select(col("d"), doubledRank(col("v")).as("y2"))
+    val st = rc.join(rv, Seq("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x2")).as("sx"),
+        sum(col("y2")).as("sy"), sum(col("x2") * col("y2")).as("sxy"),
+        sum(col("x2") * col("x2")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"))
+    st.select(col("n"),
+      (round((col("n").cast("double") * col("sxy")
+        - col("sx").cast("double") * col("sy"))
+        / sqrt((col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx"))
+          * (col("n").cast("double") * col("syy")
+            - col("sy").cast("double") * col("sy"))), 6) + 0).as("rho"))
+  }
+
+  // ---------------------------------------------------------------
+  // Kendall tau-b (daily volume vs daily revenue)
+  // ---------------------------------------------------------------
+
+  /** Kendall τ-b between the same two daily series — the pair-based
+    * twin of q_spearman (τ counts concordant vs discordant pairs;
+    * more robust to a few wild days than rank-difference sums, and
+    * its pairwise form shares q_mann_kendall's dataflow): S =
+    * Σ_{i<j} sign(c_j−c_i)·sign(v_j−v_i) exact integer over the
+    * calendar-bounded day-pair join; τ_b = S/√((n0−n1)(n0−n2)) with
+    * n0 = n(n−1)/2 and n1/n2 the tie-pair counts Σt(t−1)/2 per
+    * series — every input exact int64, one double expression,
+    * ROUND(6). The theilSen pair-count CONTRACT applies. */
+  val kendallTau: Q = Q(
+    "q_kendall_tau",
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d, COUNT(*)::BIGINT AS c,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+      |      AS v
+      |  FROM orders GROUP BY 1),
+      |sstat AS (
+      |  SELECT SUM(
+      |    (CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+      |    * (CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0
+      |      END))::BIGINT AS s
+      |  FROM daily a JOIN daily b ON b.d > a.d),
+      |nn AS (SELECT COUNT(*)::BIGINT AS n FROM daily),
+      |t1 AS (
+      |  SELECT COALESCE(SUM((tg * (tg - 1)) // 2), 0)::BIGINT AS ties
+      |  FROM (SELECT COUNT(*)::BIGINT AS tg FROM daily GROUP BY c)),
+      |t2 AS (
+      |  SELECT COALESCE(SUM((tg * (tg - 1)) // 2), 0)::BIGINT AS ties
+      |  FROM (SELECT COUNT(*)::BIGINT AS tg FROM daily GROUP BY v))
+      |SELECT nn.n, sstat.s, t1.ties AS ties_c, t2.ties AS ties_v,
+      |  ROUND(CAST(sstat.s AS DOUBLE)
+      |    / SQRT((CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2 - t1.ties)
+      |      * (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2 - t2.ties)),
+      |    6) + 0 AS tau_b
+      |FROM sstat CROSS JOIN nn CROSS JOIN t1 CROSS JOIN t2""".stripMargin) {
+    (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("c"), sum(cents(col("o_totalprice"))).as("v"))
+      .cache() // feeds pairs + margins (caller-owned cleanup)
+    val a = daily.select(col("d").as("d1"), col("c").as("c1"),
+      col("v").as("v1"))
+    val b = daily.select(col("d").as("d2"), col("c").as("c2"),
+      col("v").as("v2"))
+    def sgn(x: Column, y: Column): Column =
+      when(y > x, 1L).when(y < x, -1L).otherwise(0L)
+    // calendar-bounded pairwise join: days²/2 rows total
+    val sstat = a.join(b, col("d2") > col("d1"))
+      .agg(sum(sgn(col("c1"), col("c2")) * sgn(col("v1"), col("v2")))
+        .as("s"))
+    val nn = daily.agg(count(lit(1)).as("n"))
+    def tiePairs: Column =
+      coalesce(sum(expr("(tg * (tg - 1)) div 2")), lit(0L)).cast("long")
+    val t1 = daily.groupBy(col("c")).agg(count(lit(1)).as("tg"))
+      .agg(tiePairs.as("ties"))
+    val t2 = daily.groupBy(col("v")).agg(count(lit(1)).as("tg"))
+      .agg(tiePairs.as("ties"))
+    val half = col("n").cast("double") * (col("n") - 1) / 2
+    sstat.crossJoin(broadcast(nn))
+      .crossJoin(broadcast(t1.select(col("ties").as("ties_c"))))
+      .crossJoin(broadcast(t2.select(col("ties").as("ties_v"))))
+      .select(col("n"), col("s"), col("ties_c"), col("ties_v"),
+        (round(col("s").cast("double")
+          / sqrt((half - col("ties_c")) * (half - col("ties_v"))), 6)
+          + 0).as("tau_b"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
-    cramersV, bootstrapCi)
+    cramersV, bootstrapCi, spearman, kendallTau)
 }
