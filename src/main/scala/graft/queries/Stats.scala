@@ -2019,8 +2019,97 @@ object Stats {
           + 0).as("tau_b"))
   }
 
+  // ---------------------------------------------------------------
+  // CUPED variance reduction (pre-period covariate adjustment)
+  // ---------------------------------------------------------------
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data — Deng
+    * et al. 2013, the experimentation-platform standard): how much
+    * of the experiment metric's variance does the pre-period
+    * covariate remove? Per customer, X = spend before the fixed
+    * split date, Y = spend after (zero-spend customers INCLUDED via
+    * the left join — the q_gini base discipline; CUPED's gain comes
+    * precisely from the stable mass of the base). θ = cov(X,Y)/var(X)
+    * and the variance-reduction ratio ρ² fall out of five power
+    * sums: ΣX, ΣY exact int64; ΣXY, ΣX², ΣY² accumulate as
+    * DECIMAL(38,0) INTERNAL-ONLY (cents² ~1e14/customer wraps int64
+    * near ~1e5 customers — the q_gini s1 rule; the result schema
+    * stays canonical-safe) — θ, ρ², and the adjusted variance are
+    * fixed double expressions, ROUND(6).
+    *
+    * Scale shape: orders aggregate per customer with a conditional
+    * split (map-side), one left join on the customer base, one global
+    * power-sum aggregate — no window, no pairwise anything. */
+  val cuped: Q = Q(
+    "q_cuped",
+    """WITH per AS (
+      |  SELECT c.c_custkey,
+      |    COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '1998-01-01'
+      |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+      |      ELSE 0 END), 0)::BIGINT AS x,
+      |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+      |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+      |      ELSE 0 END), 0)::BIGINT AS y
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+      |    SUM(y)::BIGINT AS sy,
+      |    SUM(x::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS sxy,
+      |    SUM(x::DECIMAL(19,0) * x::DECIMAL(19,0))::DECIMAL(38,0) AS sxx,
+      |    SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS syy
+      |  FROM per),
+      |d AS (
+      |  SELECT n, sx, sy,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sy AS cxy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sx AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * sy AS vy
+      |  FROM s)
+      |SELECT n, ROUND(cxy / vx, 6) + 0 AS theta,
+      |  ROUND(cxy * cxy / (vx * vy), 6) + 0 AS var_reduction,
+      |  ROUND((1.0 - cxy * cxy / (vx * vy)) * (vy
+      |    / (CAST(n AS DOUBLE) * n)), 6) + 0 AS adj_var
+      |FROM d""".stripMargin) { (s, dir) =>
+    val split = to_date(lit("1998-01-01"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+    val per = Tables.customer(s, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        coalesce(sum(when(col("o_orderdate") < split, col("p"))
+          .otherwise(0L)), lit(0L)).as("x"),
+        coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+          .otherwise(0L)), lit(0L)).as("y"))
+    def wide(a: Column, b: Column): Column =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val st = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), wide(col("x"), col("y")).as("sxy"),
+      wide(col("x"), col("x")).as("sxx"),
+      wide(col("y"), col("y")).as("syy"))
+    val d = st.select(col("n"), col("sx"), col("sy"),
+      (col("n").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy")).as("cxy"),
+      (col("n").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx")).as("vx"),
+      (col("n").cast("double") * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy")).as("vy"))
+    d.select(col("n"),
+      (round(col("cxy") / col("vx"), 6) + 0).as("theta"),
+      (round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6) + 0)
+        .as("var_reduction"),
+      (round((lit(1.0) - col("cxy") * col("cxy")
+        / (col("vx") * col("vy")))
+        * (col("vy") / (col("n").cast("double") * col("n"))), 6) + 0)
+        .as("adj_var"))
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
-    cramersV, bootstrapCi, spearman, kendallTau)
+    cramersV, bootstrapCi, spearman, kendallTau, cuped)
 }
