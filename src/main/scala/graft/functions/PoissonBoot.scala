@@ -37,10 +37,25 @@ object PoissonBoot {
       .mkString(" ") + " ELSE 9 END"
 
   /** Seeded uniform for replicate `b` of row key `k` (column + SQL —
-    * the Slots pairing). */
-  def uniform(salt: String, k: Column, b: Column): Column =
-    Slots.uniform(salt, concat(k.cast("string"), lit("_"), b.cast("string")))
+    * the Slots pairing). Hash-lane packing: one md5 digest holds 128
+    * bits and a draw needs 40, so replicates share digests three to a
+    * hash — replicate b reads the 40-bit window at lane b mod 3 of
+    * md5(salt : key _ b div 3). Cuts the dominant cost (B·n digests →
+    * B·n/3) with draws still independent (disjoint bit windows of a
+    * uniform digest) and still engine/cluster/replay-deterministic. */
+  def uniform(salt: String, k: Column, b: Column): Column = {
+    val digest = md5(concat(lit(salt + ":"), k.cast("string"), lit("_"),
+      (b.cast("long") - pmod(b.cast("long"), lit(3L))).cast("string")))
+    val lane = pmod(b.cast("long"), lit(3L))
+    conv(digest.substr((lit(1L) + lane * 10).cast("int"), lit(10)), 16, 10)
+      .cast("long") / Slots.Space
+  }
 
-  def uniformSql(salt: String, kExpr: String, bExpr: String): String =
-    Slots.uniformSql(salt, s"($kExpr || '_' || $bExpr)")
+  def uniformSql(salt: String, kExpr: String, bExpr: String): String = {
+    val grp = s"(($bExpr) - (($bExpr) % 3))"
+    val lane = s"(($bExpr) % 3)"
+    s"((('0x' || substr(md5('$salt:' || CAST($kExpr AS VARCHAR) || '_' " +
+      s"|| CAST($grp AS VARCHAR)), (1 + $lane * 10)::INT, 10))::BIGINT) " +
+      s"/ ${Slots.Space})"
+  }
 }

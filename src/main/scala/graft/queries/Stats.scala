@@ -1848,11 +1848,26 @@ object Stats {
         |GROUP BY f.n, f.mean_cents""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
+      // digest-sharing fanout: one md5 per (row, group of 3 replicates)
+      // — explode 22 groups, hash once, then explode the 3 lanes of
+      // each digest (b = 3g+lane; b ≥ 64 trimmed). Same draws as the
+      // per-b form (the oracle recomputes the shared digest per b —
+      // values identical), 3× fewer hashes on the corpus-sized side.
       val fanned = o.select(col("o_orderkey"), col("x"),
-        explode(sequence(lit(0L), lit(63L))).as("b"))
-      val w = PoissonBoot.weight(
-        PoissonBoot.uniform("boot", col("o_orderkey"), col("b")))
-      val reps = fanned.select(col("b"), col("x"), w.as("w"))
+        explode(sequence(lit(0L), lit(21L))).as("g"))
+      val digest = md5(concat(lit("boot:"),
+        col("o_orderkey").cast("string"), lit("_"),
+        (col("g") * 3).cast("string")))
+      val lanes = fanned
+        .select(col("x"), col("g"), digest.as("h"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("lane"))
+        .select(col("x"), (col("g") * 3 + col("lane")).as("b"),
+          (conv(col("h").substr((lit(1L) + col("lane") * 10).cast("int"),
+            lit(10)), 16, 10).cast("long")
+            / graft.functions.Slots.Space).as("u"))
+        .filter(col("b") < 64)
+      val w = PoissonBoot.weight(col("u"))
+      val reps = lanes.select(col("b"), col("x"), w.as("w"))
         .groupBy(col("b"))
         .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
         .filter(col("sw") > 0)
