@@ -2123,8 +2123,160 @@ object Stats {
         .as("adj_var"))
   }
 
+  // ---------------------------------------------------------------
+  // A/B readout: assignment → Welch t → CUPED-adjusted lift
+  // ---------------------------------------------------------------
+
+  /** The full A/B experiment readout an experimentation platform
+    * computes, end to end on the engine: (1) ASSIGNMENT — each
+    * customer lands in control/treatment by md5-slot parity (the
+    * corpus_shuffle seeded-determinism rule: any engine, any cluster,
+    * any rerun assigns identically; the salt is the experiment id);
+    * (2) the RAW readout — per-arm post-split spend means and the
+    * Welch t (q_welch_ttest's power-sum form); (3) the CUPED-ADJUSTED
+    * readout — θ fitted on the POOLED pre-split covariate (q_cuped's
+    * sums), per-arm adjusted moments from the SAME six sums
+    * (Σ(y−θx) = Σy − θΣx; Σ(y−θx)² = Σy² − 2θΣxy + θ²Σx²), and the
+    * adjusted Welch t that shows the variance reduction as a LARGER t
+    * on the same diff. Cross-products accumulate DECIMAL(38,0)
+    * internal-only (the q_cuped rule); every reported number is a
+    * fixed double expression over exact sums, ROUND(6).
+    *
+    * Scale shape: ONE conditional power-sum aggregation over the
+    * customer base (map-side, 2-arm state) — assignment is a pure
+    * projection, no join for the arm, no window, no pairs. */
+  val abReadout: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    Q(
+      "q_ab_readout",
+      s"""WITH per AS (
+        |  SELECT c.c_custkey, $armSql AS arm,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS x,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT arm, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+        |    SUM(y)::BIGINT AS sy,
+        |    SUM(x::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS sxy,
+        |    SUM(x::DECIMAL(19,0) * x::DECIMAL(19,0))::DECIMAL(38,0) AS sxx,
+        |    SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS syy
+        |  FROM per GROUP BY 1),
+        |p AS (
+        |  SELECT SUM(n)::BIGINT AS np, SUM(sx)::BIGINT AS sxp,
+        |    SUM(sy)::BIGINT AS syp,
+        |    CAST(SUM(sxy) AS DOUBLE) AS sxyp,
+        |    CAST(SUM(sxx) AS DOUBLE) AS sxxp
+        |  FROM s),
+        |th AS (
+        |  SELECT (CAST(np AS DOUBLE) * sxyp
+        |      - CAST(sxp AS DOUBLE) * syp)
+        |    / (CAST(np AS DOUBLE) * sxxp - CAST(sxp AS DOUBLE) * sxp)
+        |    AS theta
+        |  FROM p),
+        |arms AS (
+        |  SELECT arm, n,
+        |    CAST(sy AS DOUBLE) / n AS my,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+        |      / (n - 1) / n AS qy,
+        |    (CAST(sy AS DOUBLE) - th.theta * sx) / n AS ma,
+        |    (CAST(syy AS DOUBLE) - 2 * th.theta * CAST(sxy AS DOUBLE)
+        |        + th.theta * th.theta * CAST(sxx AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) - th.theta * sx)
+        |        * (CAST(sy AS DOUBLE) - th.theta * sx) / n)
+        |      / (n - 1) / n AS qa
+        |  FROM s CROSS JOIN th),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+        |    MAX(CASE WHEN arm = 0 THEN my END) AS my_c,
+        |    MAX(CASE WHEN arm = 1 THEN my END) AS my_t,
+        |    MAX(CASE WHEN arm = 0 THEN qy END) AS qy_c,
+        |    MAX(CASE WHEN arm = 1 THEN qy END) AS qy_t,
+        |    MAX(CASE WHEN arm = 0 THEN ma END) AS ma_c,
+        |    MAX(CASE WHEN arm = 1 THEN ma END) AS ma_t,
+        |    MAX(CASE WHEN arm = 0 THEN qa END) AS qa_c,
+        |    MAX(CASE WHEN arm = 1 THEN qa END) AS qa_t
+        |  FROM arms)
+        |SELECT n_c, n_t,
+        |  ROUND(my_t - my_c, 6) + 0 AS diff_raw,
+        |  ROUND((my_t - my_c) / SQRT(qy_t + qy_c), 6) + 0 AS t_raw,
+        |  ROUND((SELECT theta FROM th), 6) + 0 AS theta,
+        |  ROUND(ma_t - ma_c, 6) + 0 AS diff_cuped,
+        |  ROUND((ma_t - ma_c) / SQRT(qa_t + qa_c), 6) + 0 AS t_cuped
+        |FROM w""".stripMargin) { (s, dir) =>
+      val split = to_date(lit("1998-01-01"))
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+      val per = Tables.customer(s, dir)
+        .select(col("c_custkey"), arm.as("arm"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("arm"))
+        .agg(
+          coalesce(sum(when(col("o_orderdate") < split, col("p"))
+            .otherwise(0L)), lit(0L)).as("x"),
+          coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+            .otherwise(0L)), lit(0L)).as("y"))
+      def wide(a: Column, b: Column): Column =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")
+      val st = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), wide(col("x"), col("y")).as("sxy"),
+          wide(col("x"), col("x")).as("sxx"),
+          wide(col("y"), col("y")).as("syy"))
+        .cache() // feeds the pooled theta AND the per-arm moments
+      val p = st.agg(sum(col("n")).as("np"), sum(col("sx")).as("sxp"),
+        sum(col("sy")).as("syp"),
+        sum(col("sxy")).cast("double").as("sxyp"),
+        sum(col("sxx")).cast("double").as("sxxp"))
+      val th = p.select(
+        ((col("np").cast("double") * col("sxyp")
+          - col("sxp").cast("double") * col("syp"))
+          / (col("np").cast("double") * col("sxxp")
+            - col("sxp").cast("double") * col("sxp"))).as("theta"))
+      val syD = col("sy").cast("double")
+      val adjSum = syD - col("theta") * col("sx")
+      val arms = st.crossJoin(broadcast(th)).select(col("arm"), col("n"),
+        (syD / col("n")).as("my"),
+        ((col("syy").cast("double") - syD * col("sy") / col("n"))
+          / (col("n") - 1) / col("n")).as("qy"),
+        (adjSum / col("n")).as("ma"),
+        ((col("syy").cast("double")
+          - lit(2) * col("theta") * col("sxy").cast("double")
+          + col("theta") * col("theta") * col("sxx").cast("double")
+          - adjSum * adjSum / col("n"))
+          / (col("n") - 1) / col("n")).as("qa"),
+        col("theta"))
+      def pick(c: String, a: Int): Column =
+        max(when(col("arm") === a, col(c)))
+      val w = arms.agg(
+        pick("n", 0).as("n_c"), pick("n", 1).as("n_t"),
+        pick("my", 0).as("my_c"), pick("my", 1).as("my_t"),
+        pick("qy", 0).as("qy_c"), pick("qy", 1).as("qy_t"),
+        pick("ma", 0).as("ma_c"), pick("ma", 1).as("ma_t"),
+        pick("qa", 0).as("qa_c"), pick("qa", 1).as("qa_t"),
+        max(col("theta")).as("theta"))
+      w.select(col("n_c"), col("n_t"),
+        (round(col("my_t") - col("my_c"), 6) + 0).as("diff_raw"),
+        (round((col("my_t") - col("my_c"))
+          / sqrt(col("qy_t") + col("qy_c")), 6) + 0).as("t_raw"),
+        (round(col("theta"), 6) + 0).as("theta"),
+        (round(col("ma_t") - col("ma_c"), 6) + 0).as("diff_cuped"),
+        (round((col("ma_t") - col("ma_c"))
+          / sqrt(col("qa_t") + col("qa_c")), 6) + 0).as("t_cuped"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
-    cramersV, bootstrapCi, spearman, kendallTau, cuped)
+    cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout)
 }
