@@ -60,9 +60,12 @@ object Core {
       .orderBy(col("p_partkey"))
   }
 
-  /** TPC-H Q3 shape: shuffle join orders⋈lineitem with the filtered
-    * customer side broadcast; deterministic global top-10
-    * (TakeOrderedAndProject — no full sort at scale). */
+  /** TPC-H Q3 shape: shuffle join orders⋈lineitem; the filtered
+    * customer side is deliberately UNHINTED — customer scales with
+    * sf (~20% of it survives the segment filter), so AQE picks
+    * broadcast at bench scale and degrades to shuffle at 100×
+    * instead of OOMing a forced build side. Deterministic global
+    * top-10 (TakeOrderedAndProject — no full sort at scale). */
   val q3JoinTopk: Q = Q(
     "q3_join_topk",
     """SELECT l_orderkey,
@@ -79,7 +82,7 @@ object Core {
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")))
         .cast(DoubleType).as("revenue"))
@@ -87,8 +90,12 @@ object Core {
       .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
   }
 
-  /** TPC-H Q5 shape: fact-to-fact shuffle join with every dimension
-    * (region→nation→customer/supplier) broadcast. */
+  /** TPC-H Q5 shape: fact-to-fact shuffle join. Only the BOUNDED
+    * dimension (nation⋈region — 25 rows at every sf) carries an
+    * explicit broadcast hint; customer and supplier SCALE with sf,
+    * so those joins are unhinted — AQE still broadcasts them at
+    * bench scale but falls back to shuffle at 100× instead of
+    * OOMing a forced build side. */
   val q5MultiJoin: Q = Q(
     "q5_multijoin",
     """SELECT n_name,
@@ -110,8 +117,8 @@ object Core {
         col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
     Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(asiaNations,
         col("c_nationkey") === col("n_nationkey") &&
         col("s_nationkey") === col("n_nationkey"))
@@ -681,8 +688,10 @@ object Core {
     li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(th, Seq("l_partkey"))
       .filter(col("l_quantity") < col("thr"))
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_brand"))),
+      // part scales with sf (sf×200k rows) — unhinted so AQE picks
+      // broadcast at bench scale, shuffle at 100× (no forced OOM)
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand")),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand"))
       .agg((sumMoney(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),

@@ -978,8 +978,13 @@ object Retrieval {
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"))
       val ssz = src.groupBy(col("source")).agg(count(lit(1)).as("sn"))
-      val qsrc = src.select(col("doc_id").as("query_id"),
-        col("source").as("qsrc"))
+      // only the doc_id<5 query set can match on query_id, so the
+      // broadcast frame is 5 rows — broadcasting unfiltered src here
+      // would ship the WHOLE corpus to every executor (the r15
+      // scaling-side-broadcast class, caught by the PlanSpec sweep)
+      val qsrc = src.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          col("source").as("qsrc"))
       val idcg = expr("""aggregate(sequence(1,
         CAST(LEAST(MIN(n_rel), 10) AS INT)),
         0D, (a, i) -> a + 1.0 / log2(i + 1.0))""")

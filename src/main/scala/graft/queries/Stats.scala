@@ -149,10 +149,13 @@ object Stats {
     * ONE double division of the exact ints, ROUND(6). v_at_max is
     * the smallest value attaining the max (deterministic argmax).
     *
-    * Scale shape: one join + grouped counts per distinct cent value;
-    * the cumulative window rides the VALUE-BOUNDED price domain
-    * (o_totalprice spans a fixed range, so distinct cents ≤ ~6e7
-    * whatever the row count — the bounded-bands rule). */
+    * Scale shape: one UNHINTED join (customer scales with sf — AQE
+    * chooses the side) + grouped counts per distinct cent value;
+    * both cumulative counts ride ONE GlobalPrefix pass over the
+    * value order (range-partitioned, parallel) — the distinct-cent
+    * domain is value-bounded at ≤~6e7 but that is still too many
+    * rows to funnel through a single unpartitioned window task at
+    * saturation, so no task ever sorts more than its range slice. */
   val ksTest: Q = Q(
     "q_ks_test",
     """WITH j AS (
@@ -185,7 +188,7 @@ object Stats {
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
       .select(cents(col("o_totalprice")).as("v"),
         col("c_mktsegment").as("seg"))
     val g = j.groupBy(col("v")).agg(
@@ -193,11 +196,11 @@ object Stats {
       sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("b"))
       .cache()
     val tot = g.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
-    // bounded band: distinct price cents span a fixed value range
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = g.select(col("v"), sum(col("a")).over(w).as("ca"),
-      sum(col("b")).over(w).as("cb"))
+    // both cumulative counts in ONE GlobalPrefix pass (no
+    // single-partition window — the q_gini shape, two values)
+    val (cum0, _) = graft.operators.GlobalPrefix.withCumSums(
+      g, Seq(col("v")), Seq("ca" -> col("a"), "cb" -> col("b")))
+    val cum = cum0.select(col("v"), col("ca"), col("cb"))
     // 1-row stat frames ride broadcast cross joins (established idiom)
     val d = cum.crossJoin(broadcast(tot))
       .select(col("v"), col("na"), col("nb"),
@@ -526,7 +529,8 @@ object Stats {
       "MACHINERY")
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
-    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer scales with sf — unhinted join, AQE chooses the side
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         cents(col("o_totalprice")).as("x"))
     val aggs =
@@ -1201,7 +1205,8 @@ object Stats {
       |FROM cum GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
-    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer scales with sf — unhinted join, AQE chooses the side
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
           "div 250000").as("b"))
@@ -1696,7 +1701,9 @@ object Stats {
       .select(col("n_nationkey"), col("n_regionkey"))
     val reg = Tables.load(s, dir, "region")
       .select(col("r_regionkey"), col("r_name"))
-    val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    // supplier scales with sf (sf×10k rows) — unhinted; nation and
+    // region are fixed 25/5-row dims, the only legitimate hints here
+    val rev = li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("l_suppkey"))

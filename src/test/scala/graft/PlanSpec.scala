@@ -357,6 +357,70 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(seg"), p.take(2000))
   }
 
+  test("q_ks_test cumulative counts avoid a single-partition window") {
+    val p = plan(graft.queries.Stats.ksTest.run(spark, sf))
+    // both cumulative counts ride GlobalPrefix's per-__pid window;
+    // a windowspecdefinition keyed directly on v would be the r15
+    // finding (ORDER BY v with no PARTITION BY = one task sorting
+    // the whole ~6e7-value cent domain at saturation)
+    assert(!p.contains("windowspecdefinition(v#"), p.take(3000))
+    assert(p.contains("windowspecdefinition(__pid"), p.take(3000))
+  }
+
+  test("no explicit broadcast hint reaches an sf-scaling raw table scan") {
+    // the r15 scale-design finding: an explicit broadcast() on a
+    // table that GROWS with the data (customer/supplier/part/...)
+    // overrides AQE's size check and guarantees an OOM build side at
+    // 100×. Sweep every registered query's analyzed plan: a
+    // BROADCAST hint may cover a scaling table only THROUGH an
+    // aggregate / distinct / limit boundary (grouped, 1-row, top-k —
+    // bounded by construction); raw or merely-filtered scans of
+    // scaling tables must stay unhinted so AQE can degrade to
+    // shuffle. nation/region (fixed 25/5 rows) and literal frames
+    // are exempt by omission from the scaling set.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, BROADCAST, Deduplicate, GlobalLimit, LocalLimit,
+      LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val scaling = Set("customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+    def raw(p: LogicalPlan): Set[String] = p match {
+      case _: Aggregate | _: Deduplicate | _: GlobalLimit |
+           _: LocalLimit => Set.empty
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => scaling.filter(t =>
+          fs.location.rootPaths.exists(_.toString.endsWith(s"/$t.parquet")))
+        case _ => Set.empty[String]
+      }
+      case other => other.children.flatMap(raw).toSet
+    }
+    // probe/eval sides pinned to a LITERAL key range — vec_id < 50
+    // query vectors, doc_id < 5 QA/eval queries — are constant-size
+    // at every sf (the key range, not the table, bounds the rows);
+    // the aggregate-boundary walk cannot see key-range boundedness,
+    // so these (query, table) pairs are exempted BY NAME with the
+    // rationale here. Anything new that trips the sweep either gets
+    // its hint dropped or earns an entry in this list with a reason.
+    val exempt = Set(
+      "ann_eval" -> "embeddings", "ann_lsh" -> "embeddings",
+      "knn_bq" -> "embeddings", "knn_brute" -> "embeddings",
+      "knn_ivf" -> "embeddings", "knn_ivfpq" -> "embeddings",
+      "knn_pq" -> "embeddings",
+      "qa_pipeline" -> "documents", "retrieval_eval" -> "documents")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        spark.catalog.clearCache()
+        val df = q(spark, sf)
+        df.queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            raw(h.child).filterNot(t => exempt(name -> t))
+              .map(t => s"$name: broadcast() over raw $t")
+        }.flatten
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
   test("events_lorenz user rank avoids a single-partition window") {
     val p = plan(graft.queries.Stats.lorenz.run(spark, sf))
     // one Exchange SinglePartition is EXPECTED — the cumulative-share
