@@ -737,6 +737,23 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("triangle family probes ONE persisted sidecar, no per-query wedge re-enumeration") {
+    // the r15 efficiency finding: q_triangles and graph_clustering
+    // independently re-ran the identical degree-ordered wedge join
+    // (~24 s/pass combined). Both must now scan the SAME frozen
+    // triangle frame (graphIndexOf), and no graph query's timed plan
+    // may rebuild the lineitem self-join projection.
+    val pt = plan(Graph.triangles.run(spark, sf))
+    spark.catalog.clearCache()
+    val pc = plan(Graph.clustering.run(spark, sf))
+    for ((p, n) <- Seq(pt -> "q_triangles", pc -> "graph_clustering")) {
+      assert(p.contains("graft_graph"), s"$n does not scan the sidecar")
+      assert(!p.contains("lineitem.parquet"),
+        s"$n re-enumerates from lineitem:\n${p.take(2000)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("round-14b additions join on keys, never nested loops") {
     // graph family: wedge/closure joins are equi-joins; link
     // prediction's degree cap must not fall back to a nested loop
