@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * and the streaming CI monitor (StreamOps.bootCiIngest): w(key, b) =
   * inverse Poisson(1) CDF over u = md5-slot(key, b) — both engines
   * compare the same u against the same LITERAL CDF thresholds
-  * (Σ e⁻¹/j! as correctly-rounded doubles; P(X>8) ≈ 1.1e-6 truncates
-  * to 8, disclosed), so any engine, cluster size, or replay draws the
-  * SAME weight. Kept in one place for the Slots reason: the Column
+  * (Σ e⁻¹/j! as correctly-rounded doubles; the tail P(X>8) ≈ 1.1e-6
+  * maps to weight 9 — the distribution truncates AT 9, disclosed),
+  * so any engine, cluster size, or replay draws the SAME weight. Kept in one place for the Slots reason: the Column
   * and the SQL the oracle embeds must never drift apart. */
 object PoissonBoot {
 

@@ -297,9 +297,14 @@ object UnigramFit {
     * ties. Cross-engine contract: the ORACLE replays the identical
     * combined DP (tokenizer_unigram_apply's recursive CTE), so the
     * reported count is mod(−v, TieK) on BOTH sides — tie-invariant,
-    * unlike a backtrack-order count. Words ≥ TieK chars would wrap
-    * the mod identically on both engines (parity preserved); real
-    * words are orders of magnitude shorter. */
+    * unlike a backtrack-order count. Words ≥ TieK chars break the
+    * radix in TWO ways, both engine-identical (parity preserved):
+    * the reported count wraps mod TieK, and — since a piece-count
+    * difference ≥ TieK then outweighs one 1-micro-nat score step —
+    * the DP can prefer a marginally LOWER-score parse with far fewer
+    * pieces. Real words are orders of magnitude shorter than 1024
+    * chars; a corpus where they are not should clamp or pre-split
+    * tokens before segmentation. */
   val TieK: Long = 1024L
 
   /** Viterbi segmentation of one word against the fitted piece table

@@ -598,9 +598,12 @@ object StreamOps {
 
   /** Streaming QUANTILE monitor over the maintained grid-histogram
     * index — the READ-path twin [[histIngest]] lacked (r14 #8): each
-    * micro-batch (1) appends its bucket counts under epochOnce
-    * (identical to histIngest — one maintained index serves both),
-    * then (2) answers HistIndex.quantiles over the WHOLE merged log
+    * micro-batch (1) appends its bucket counts under a STREAM-SCOPED
+    * epoch marker (epochOnceFor "histq" — epoch ids are per-query
+    * counters, so sharing a root with histIngest's unscoped markers
+    * must not let one stream's epoch-N marker absorb the other's
+    * epoch-N append), then (2) answers HistIndex.quantiles over the
+    * WHOLE merged log
     * as of this epoch and emits one row per requested percentile
     * through the epoch-partitioned dynamic-overwrite emit (replayed
     * epoch ⇒ the append is absorbed AND the re-emitted quantiles
@@ -621,7 +624,8 @@ object StreamOps {
         val counts = graft.operators.HistIndex
           .bucketCounts(batch.toDF(), width)
         if (!counts.isEmpty) {
-          graft.operators.IndexLifecycle.epochOnce(root, epoch) {
+          graft.operators.IndexLifecycle.epochOnceFor(root, "histq",
+            epoch) {
             graft.operators.Snapshots.publishAppend(counts, root)
           }
           emitEpoch(

@@ -34,8 +34,13 @@ object SliceDocs {
     new java.io.File(out).mkdirs()
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "embeddings")) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"),
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      // Files.copy on a DIRECTORY source creates an empty dir without
+      // error and the slice would read empty tables — driver testdata
+      // is single-file parquet; fail loudly if that ever changes
+      require(java.nio.file.Files.isRegularFile(from),
+        s"$from is not a single-file parquet table")
+      java.nio.file.Files.copy(from,
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
