@@ -193,10 +193,93 @@ object UnigramFit {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     fitLocal(vocab, vocabTarget, emIters)
       .map { case (p, pr) =>
-        (p, math.floor(math.log(pr) * 1e6 + 0.5).toLong)
+        // p_micro: the probability itself on a 1e-9 integer grid
+        // (floored at 1), published NEXT TO the micro-nat log — the
+        // E-step oracle needs linear-space weights and reading the
+        // SAME integer from parquet on both engines removes exp()
+        // (whose last-ulp differs between libm and java.lang.Math)
+        // from the cross-engine contract entirely
+        (p, math.floor(math.log(pr) * 1e6 + 0.5).toLong,
+          math.max(1L, math.floor(pr * 1e9 + 0.5).toLong))
       }
-      .toSeq.toDF("piece", "logp_micro")
+      .toSeq.toDF("piece", "logp_micro", "p_micro")
       .orderBy(col("piece"))
+  }
+
+  /** Unknown-single-char weight on the E-step's 1e-9 probability
+    * grid: round(exp(UnkMicro/1e6)·1e9) = round(2.06e-9·1e9) = 2. */
+  val UnkPMicro9: Long = 2L
+
+  /** One E-step's expected piece counts over ONE word's lattice,
+    * against frozen 1e-9-grid probabilities `pm` (the published
+    * p_micro column): γ(edge) = α(e−l)·p·β(e)/Z, each edge posterior
+    * FLOORED onto the 1e-6 grid before any cross-row sum (the
+    * ranking-grid rule: both engines compute bit-identical doubles —
+    * integer inputs, fixed l=1..maxLen term order, strict IEEE — so
+    * the quantization is exact-equal too, and everything downstream
+    * is integer arithmetic). The DuckDB oracle replays the identical
+    * recursion as two independent carried-window linear CTEs
+    * (forward + backward) joined on the edge table — the
+    * tokenizer_unigram_apply construction, in probability space.
+    * Caller contract: words ≤ ~16 chars (the linear-space forward
+    * underflows past ~35 all-unknown chars; the registered query
+    * filters its capped-head domain to len ≤ 16 on both engines). */
+  def estepCounts(w: String, pm: collection.Map[String, Long],
+      maxLen: Int = MaxPieceLen): Seq[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    def pOf(piece: String): Option[Double] =
+      pm.get(piece) match {
+        case Some(m) => Some(m / 1e9)
+        case None =>
+          if (piece.length == 1) Some(UnkPMicro9 / 1e9) else None
+      }
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        pOf(w.substring(i - l, i)).foreach(p => s += p * alpha(i - l))
+        l += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var l = 1
+      while (l <= maxLen && i + l <= n) {
+        pOf(w.substring(i, i + l)).foreach(p => s += p * beta(i + l))
+        l += 1
+      }
+      beta(i) = s
+      i -= 1
+    }
+    val z = alpha(n)
+    val acc = scala.collection.mutable.TreeMap.empty[String, Long]
+    i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        val piece = w.substring(i - l, i)
+        pOf(piece).foreach { p =>
+          // identical association to the oracle's
+          //   FLOOR(a0 * p * b0 / z * 1e6 + 0.5):
+          // ((((α·p)·β)/Z)·1e6)+0.5, left-assoc on both engines
+          val gm = math.floor(
+            alpha(i - l) * p * beta(i) / z * 1e6 + 0.5).toLong
+          acc.update(piece, acc.getOrElse(piece, 0L) + gm)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    acc.toSeq
   }
 
   /** SUBWORD REGULARIZATION sampling (the unigram model's actual

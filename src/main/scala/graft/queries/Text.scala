@@ -937,6 +937,25 @@ object Text {
     * production fits target 32k-100k (still MB-scale driver state). */
   private val unigramVocab = 64
 
+  /** Persisted unigram model sidecar (piece, logp_micro, p_micro),
+    * one fit per documents source version — shared by the apply and
+    * E-step queries (the graphIndexOf/spellIndexOf discipline). Key
+    * suffix -p2 = the r16 format that publishes the 1e-9-grid
+    * probability column next to the micro-nat log. */
+  private[graft] def unigramModelOf(s: SparkSession, dir: String)
+      : String = {
+    val idx = Vectors.sidecarDir("unigram", dir)
+    graft.operators.IndexLifecycle.buildOnce(idx,
+      graft.operators.IndexLifecycle.sourceKey(
+        s"$dir/documents.parquet", s"unigram-v$unigramVocab-p2")) { tmp =>
+      graft.operators.UnigramFit
+        .fit(s, bpeCappedWords(s, dir), unigramVocab)
+        .coalesce(1).write.parquet(s"$tmp/model")
+      ()
+    }
+    idx
+  }
+
   /** FIT the unigram-LM tokenizer (Kudo 2018 — the SentencePiece
     * default, the probabilistic counterpart to tokenizer_bpe_fit):
     * word-frequency head capped exactly as the BPE fit (shared
@@ -1027,16 +1046,9 @@ object Text {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val idx = Vectors.sidecarDir("unigram", dir)
-      graft.operators.IndexLifecycle.buildOnce(idx,
-        graft.operators.IndexLifecycle.sourceKey(
-          s"$dir/documents.parquet", s"unigram-v$unigramVocab")) { tmp =>
-        graft.operators.UnigramFit
-          .fit(s, bpeCappedWords(s, dir), unigramVocab)
-          .coalesce(1).write.parquet(s"$tmp/model")
-        ()
-      }
+      val idx = unigramModelOf(s, dir)
       val model = s.read.parquet(s"$idx/model")
+        .select(col("piece"), col("logp_micro"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val bc = s.sparkContext.broadcast(model)
       val tokd = Tables.documents(s, dir)
@@ -1060,6 +1072,122 @@ object Text {
             .as("unigram_ratio"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** ONE EM E-STEP over the frozen unigram model — the sufficient
+    * statistic the next fit iteration consumes (expected piece
+    * counts, Kudo 2018 §4.2), upgraded from the fit's rows-only
+    * status to the HASH gate (r15 #5): per word of the capped fit
+    * head (len ≤ 16 — the linear-space forward's disclosed domain),
+    * forward-backward over the segmentation lattice gives each edge
+    * posterior γ = α·p·β/Z; γ is floored onto the 1e-6 grid BEFORE
+    * any cross-row sum, then weighted by word frequency — so every
+    * reported number is exact integer arithmetic over bit-identical
+    * doubles (integer p_micro inputs from the shared sidecar, fixed
+    * term order, no exp() anywhere — see UnigramFit.estepCounts).
+    * The oracle replays the recursion as two INDEPENDENT
+    * carried-window linear recursive CTEs (forward from 0, backward
+    * from n — each recurses only over base CTEs, the
+    * chunk_recursive/unigram_apply lesson) joined on the edge table.
+    *
+    * Scale shape: the domain is the fit's own bounded word head
+    * (≤ bpeVocabCap rows after ONE corpus pass), so the E-step is
+    * O(head·len·maxLen) however big the corpus — exactly the
+    * economics that let SentencePiece-style fits run on 100 TB:
+    * corpus → bounded sufficient statistics → driver-side M-step. */
+  val unigramEstep: Q = Q(
+    "tokenizer_unigram_estep",
+    s"""WITH RECURSIVE tokd AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |wf AS (
+      |  SELECT word, COUNT(*)::BIGINT freq FROM tokd GROUP BY word
+      |  ORDER BY freq DESC, word LIMIT $bpeVocabCap),
+      |uw AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+      |model AS (
+      |  SELECT piece, p_micro FROM read_parquet(
+      |    '/tmp/graft_unigram/${Vectors.SfToken}/model/*.parquet')),
+      |pl AS (
+      |  SELECT word, e, l FROM (
+      |    SELECT word, unnest(range(1, len(word) + 1)) AS e FROM uw),
+      |    (SELECT unnest([1, 2, 3, 4]) AS l)
+      |  WHERE l <= e),
+      |edge AS (
+      |  SELECT p.word, p.e, p.l,
+      |    COALESCE(m.p_micro,
+      |      CASE WHEN p.l = 1
+      |        THEN ${graft.operators.UnigramFit.UnkPMicro9} END)
+      |      / 1000000000.0 AS p,
+      |    substr(p.word, p.e - p.l + 1, p.l) AS piece
+      |  FROM pl p LEFT JOIN model m
+      |    ON m.piece = substr(p.word, p.e - p.l + 1, p.l)
+      |  WHERE m.piece IS NOT NULL OR p.l = 1),
+      |af(word, n, i, a0, a1, a2, a3) AS (
+      |  SELECT word, len(word), 0, 1.0::DOUBLE,
+      |    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+      |  FROM uw
+      |  UNION ALL
+      |  SELECT d.word, d.n, d.i + 1,
+      |    COALESCE(e1.p * d.a0, 0) + COALESCE(e2.p * d.a1, 0)
+      |      + COALESCE(e3.p * d.a2, 0) + COALESCE(e4.p * d.a3, 0),
+      |    d.a0, d.a1, d.a2
+      |  FROM af d
+      |  LEFT JOIN edge e1 ON e1.word = d.word AND e1.e = d.i + 1 AND e1.l = 1
+      |  LEFT JOIN edge e2 ON e2.word = d.word AND e2.e = d.i + 1 AND e2.l = 2
+      |  LEFT JOIN edge e3 ON e3.word = d.word AND e3.e = d.i + 1 AND e3.l = 3
+      |  LEFT JOIN edge e4 ON e4.word = d.word AND e4.e = d.i + 1 AND e4.l = 4
+      |  WHERE d.i < d.n),
+      |bt(word, n, i, b0, b1, b2, b3) AS (
+      |  SELECT word, len(word), len(word), 1.0::DOUBLE,
+      |    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+      |  FROM uw
+      |  UNION ALL
+      |  SELECT d.word, d.n, d.i - 1,
+      |    COALESCE(e1.p * d.b0, 0) + COALESCE(e2.p * d.b1, 0)
+      |      + COALESCE(e3.p * d.b2, 0) + COALESCE(e4.p * d.b3, 0),
+      |    d.b0, d.b1, d.b2
+      |  FROM bt d
+      |  LEFT JOIN edge e1 ON e1.word = d.word AND e1.e = d.i AND e1.l = 1
+      |  LEFT JOIN edge e2 ON e2.word = d.word AND e2.e = d.i + 1 AND e2.l = 2
+      |  LEFT JOIN edge e3 ON e3.word = d.word AND e3.e = d.i + 2 AND e3.l = 3
+      |  LEFT JOIN edge e4 ON e4.word = d.word AND e4.e = d.i + 3 AND e4.l = 4
+      |  WHERE d.i > 0),
+      |z AS (SELECT word, a0 AS z FROM af WHERE i = n),
+      |g AS (
+      |  SELECT e.word, e.piece,
+      |    CAST(FLOOR(a.a0 * e.p * b.b0 / z.z * 1000000 + 0.5) AS BIGINT)
+      |      AS gm
+      |  FROM edge e
+      |  JOIN af a ON a.word = e.word AND a.i = e.e - e.l
+      |  JOIN bt b ON b.word = e.word AND b.i = e.e
+      |  JOIN z ON z.word = e.word),
+      |wp AS (
+      |  SELECT word, piece, SUM(gm)::BIGINT s FROM g GROUP BY 1, 2)
+      |SELECT piece, SUM(uw.freq * wp.s)::BIGINT AS ec_micro
+      |FROM wp JOIN uw USING (word)
+      |GROUP BY piece
+      |ORDER BY piece""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val idx = unigramModelOf(s, dir)
+    val model = s.read.parquet(s"$idx/model")
+      .select(col("piece"), col("p_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = s.sparkContext.broadcast(model)
+    bpeCappedWords(s, dir)
+      .filter(length(col("word")) <= 16)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (w, f) =>
+          graft.operators.UnigramFit.estepCounts(w, m)
+            .map { case (p, gm) => (p, f * gm) }
+        }
+      }
+      .toDF("piece", "c")
+      .groupBy(col("piece"))
+      .agg(sum(col("c")).as("ec_micro"))
+      .orderBy(col("piece"))
   }
 
   /** SAMPLE a segmentation per word under subword regularization
@@ -1993,7 +2121,8 @@ object Text {
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
-    unigramFit, unigramApply, unigramSample, wordpieceFit, wordpieceApply,
+    unigramFit, unigramApply, unigramEstep, unigramSample,
+    wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
     langidCjk, keywords, spellCorrect, jsd, zipf)
 }

@@ -50,6 +50,32 @@ class UnigramSpec extends AnyFunSuite {
       s"${likelihood(p2)} -> ${likelihood(p3)}")
   }
 
+  test("estepCounts matches the hand-computed lattice posteriors") {
+    // the fixture from the EM test, on the 1e-9 probability grid:
+    // pieces {a: 2/7, ab: 2/7, b: 3/7}. Word "ab": Z = p(ab) +
+    // p(a)p(b); γ(ab) = 0.7, γ(a) = γ(b) = 0.3 → 1e-6-grid counts
+    val pm = Map(
+      "a" -> math.floor(2.0 / 7 * 1e9 + 0.5).toLong,
+      "ab" -> math.floor(2.0 / 7 * 1e9 + 0.5).toLong,
+      "b" -> math.floor(3.0 / 7 * 1e9 + 0.5).toLong)
+    val g = UnigramFit.estepCounts("ab", pm, maxLen = 2).toMap
+    assert(math.abs(g("ab") - 700000L) <= 1, g)
+    assert(math.abs(g("a") - 300000L) <= 1, g)
+    assert(math.abs(g("b") - 300000L) <= 1, g)
+    // single-piece word: all mass on its own parse
+    assert(UnigramFit.estepCounts("b", pm, maxLen = 2).toMap
+      .apply("b") == 1000000L)
+    // coverage law: expected char coverage Σ γ·len(piece) = n·1e6
+    // (± per-edge quantization), incl. unknown-char fallback edges
+    for (w <- Seq("ab", "abab", "xab", "bbb")) {
+      val total = UnigramFit.estepCounts(w, pm, maxLen = 2)
+        .map { case (p, gm) => p.length * gm }.sum
+      assert(math.abs(total - w.length * 1000000L) <= 8,
+        s"$w covers $total")
+    }
+    assert(UnigramFit.estepCounts("", pm).isEmpty)
+  }
+
   test("viterbi picks the max-probability parse, longest on ties") {
     // from the fixture's p1: ln(7/18) > ln(1/6) + ln(4/9)
     val m = Map("a" -> -1791759L, "ab" -> -944462L, "b" -> -810930L)
