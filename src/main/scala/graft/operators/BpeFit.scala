@@ -50,15 +50,64 @@ object BpeFit {
   def delimited(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit("||"), regexp_replace(word, "(.)", "$1||"), lit("</w>||"))
 
+  /** `||68||C3||A9||…||` hex-pair symbol string for a word column —
+    * the byte-level apply's delimited form (no end marker). */
+  def delimitedBytes(word: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("||"),
+      regexp_replace(hex(encode(word, "UTF-8")), "(..)", "$1||"))
+
   /** In-process merge loop over a bounded (word, freq) vocabulary —
     * exposed for property tests. Words split into single-char symbols
     * plus a `</w>` end marker. */
   private[graft] def fitLocal(words: Array[(String, Long)],
+      merges: Int): Seq[Merge] =
+    fitSeqs(words.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ "</w>", f)
+    }, merges)
+
+  /** UTF-8 bytes of a word as uppercase hex-pair symbols — the
+    * byte-level fit/apply alphabet. Hex pairs are engine-portable
+    * (Spark's hex(encode(..)) and DuckDB's hex(..) agree bytewise,
+    * both uppercase), collision-free with the `|` delimiters, and
+    * ASCII — so (left, right) tie-breaks order identically on both
+    * engines even when the underlying bytes are non-ASCII. */
+  private[graft] def hexPairs(w: String): Array[String] = {
+    val bs = w.getBytes("UTF-8")
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      out(i) = f"${bs(i) & 0xff}%02X"
+      i += 1
+    }
+    out
+  }
+
+  /** BYTE-LEVEL fit (Radford et al. 2019 — the GPT-2/tiktoken family
+    * member, the tokenizer most production LLMs actually train):
+    * identical decomposition and merge loop, but symbols are UTF-8
+    * BYTES (a 256-symbol base alphabet) and there is NO end-of-word
+    * marker — coverage is total on ANY input including non-ASCII by
+    * construction, the property word-level BPE's UNK handling only
+    * approximates. Caller caps the (word, freq) table as in [[fit]]. */
+  def fitBytes(spark: SparkSession, words: DataFrame,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = words.select(col("word"), col("freq").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    fitSeqs(vocab.map { case (w, f) => (hexPairs(w), f) }, merges)
+      .map(m => (m.step, m.left, m.right, m.left + m.right, m.cnt))
+      .toDF("step", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  /** The merge loop itself, over pre-built symbol sequences — shared
+    * by the char-level ([[fitLocal]]) and byte-level ([[fitBytes]])
+    * fits. */
+  private[graft] def fitSeqs(seqs0: Array[(Array[String], Long)],
       merges: Int): Seq[Merge] = {
     require(merges >= 1, s"merges=$merges must be >= 1")
-    var seqs: Array[(Array[String], Long)] = words.map { case (w, f) =>
-      (w.map(_.toString).toArray :+ "</w>", f)
-    }
+    var seqs: Array[(Array[String], Long)] = seqs0
     val out = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false

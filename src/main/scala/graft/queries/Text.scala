@@ -801,8 +801,11 @@ object Text {
     * `bpeMerges` unrolled (pair-count, argmax, replace) stages. The
     * fit query reads the m$i argmax CTEs; the apply query reuses them
     * as its merge rules. */
-  private def bpeFitCtes: String = {
-    val stages = (1 to bpeMerges).map { i =>
+  /** Unrolled merge stages shared by the char-level and byte-level
+    * fit oracles — symbol-agnostic (they only see the `||`-delimited
+    * `s` built by whichever w0 precedes them). */
+  private def bpeStageCtes(merges: Int): String =
+    (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (
         |  SELECT p[1] l, p[2] r, SUM(freq)::BIGINT cnt FROM (
@@ -817,6 +820,9 @@ object Text {
         |    '|' || m.l || m.r || '|') s, freq
         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeFitCtes: String = {
+    val stages = bpeStageCtes(bpeMerges)
     s"""tokd AS (
       |  SELECT doc_id,
       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -928,6 +934,150 @@ object Text {
           coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
           when(col("n_words") > 0, r4(col("n_bpe") / col("n_words")))
             .as("bpe_ratio"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Byte-level BPE knobs — same economics as the char-level fit
+    * (head-coverage cap + vocab-size merge count, both corpus-size
+    * independent). */
+  private val bbpeMerges = 8
+  private val bbpeVocabCap = 2000
+
+  /** Pre-tokens for the byte-level family: space-split with the
+    * leading space ATTACHED (the GPT-2 convention — ' the' and 'the'
+    * are distinct tokens, so merges learn the space prefix), RAW
+    * text — no lowercasing and no character-class filter, because
+    * byte-level BPE's whole point is total coverage of arbitrary
+    * bytes. The tie order rides the hex rendering (ASCII on both
+    * engines — raw VARCHAR order diverges between UTF-16 Spark and
+    * UTF-8-binary DuckDB on non-ASCII). */
+  private[graft] def bbpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(col("text"), lit(" ?[^ ]+"),
+        lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, hex(encode(col("word"), "UTF-8")))
+      .limit(bbpeVocabCap)
+
+  /** Oracle CTE chain for the byte-level fit: raw pre-tokens →
+    * (freq desc, hex asc) capped head → hex-pair symbol strings (NO
+    * end marker) → the shared unrolled merge stages. */
+  private def bbpeFitCtes: String = {
+    val stages = bpeStageCtes(bbpeMerges)
+    s"""btokd AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, ' ?[^ ]+')) AS word
+      |  FROM documents),
+      |bwf AS (
+      |  SELECT word, COUNT(*)::BIGINT freq FROM btokd GROUP BY word
+      |  ORDER BY freq DESC, hex(word) LIMIT $bbpeVocabCap),
+      |w0 AS (
+      |  SELECT '||' || regexp_replace(hex(word), '(..)', '\\1||', 'g')
+      |    AS s, freq FROM bwf),
+      |$stages""".stripMargin
+    // same double-stripMargin hazard as bpeFitCtes: no line above may
+    // START with '||'
+  }
+
+  /** FIT byte-level BPE (Radford et al. 2019 — the GPT-2/tiktoken
+    * family member most production LLMs actually train): BpeFit's
+    * exact decomposition (ONE corpus-scale pass for the capped
+    * pre-token head, bounded in-process merge loop) with a
+    * 256-symbol BYTE base alphabet and no `</w>` marker — coverage
+    * is total on any input, non-ASCII included, by construction
+    * (BbpeSpec pins the law). Symbols are uppercase hex pairs:
+    * engine-portable, delimiter-collision-free, and ASCII so the
+    * (cnt desc, left, right) argmax tie-break orders identically on
+    * both engines whatever the underlying bytes. */
+  val bbpeFit: Q = {
+    val union = (1 to bbpeMerges).map(i =>
+      s"SELECT $i::BIGINT step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL\n")
+    Q(
+      "tokenizer_bbpe_fit",
+      s"""WITH $bbpeFitCtes
+        |SELECT * FROM (
+        |$union
+        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.BpeFit.fitBytes(s, bbpeWords(s, dir), bbpeMerges)
+    }
+  }
+
+  /** APPLY the fitted byte-level tokenizer corpus-wide —
+    * tokenizer_bpe_apply's shape exactly (bounded collected merge
+    * table, segmentation once per DISTINCT pre-token via a chain of
+    * codegen'd string replaces over the hex-pair delimited form,
+    * occurrences join the small word→n_sub table), plus the byte
+    * accounting the byte-level report cares about: per doc, token
+    * count, UTF-8 byte count, BPE-symbol count, and the 4dp
+    * bytes-per-symbol compression (n_bbpe/n_bytes — 1.0 means no
+    * merge fired, smaller is better). */
+  val bbpeApply: Q = {
+    val applyStages = (1 to bbpeMerges).map { i =>
+      s"""a$i AS (
+        |  SELECT word, CASE WHEN m.l IS NULL THEN a${i - 1}.s
+        |    ELSE replace(a${i - 1}.s, '|' || m.l || '||' || m.r || '|',
+        |      '|' || m.l || m.r || '|') END s
+        |  FROM a${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "tokenizer_bbpe_apply",
+      s"""WITH $bbpeFitCtes,
+        |aw AS (SELECT DISTINCT word FROM btokd),
+        |a0 AS (
+        |  SELECT word,
+        |    '||' || regexp_replace(hex(word), '(..)', '\\1||', 'g') AS s
+        |  FROM aw),
+        |$applyStages,
+        |wn AS (
+        |  SELECT word, len(list_filter(string_split(s, '||'),
+        |    x -> x <> ''))::BIGINT n_sub,
+        |    octet_length(encode(word))::BIGINT n_b
+        |  FROM a$bbpeMerges),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT n_words,
+        |    SUM(n_b)::BIGINT n_bytes, SUM(n_sub)::BIGINT n_bbpe
+        |  FROM btokd JOIN wn USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_bytes, 0) AS n_bytes,
+        |  COALESCE(n_bbpe, 0) AS n_bbpe,
+        |  CASE WHEN n_bytes > 0
+        |    THEN FLOOR(n_bbpe / n_bytes * 10000 + 0.5) / 10000
+        |  END AS compression
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mergeRows = graft.operators.BpeFit
+        .fitBytes(s, bbpeWords(s, dir), bbpeMerges).collect()
+      val tokd = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit(" ?[^ ]+"),
+            lit(0))).as("word"))
+      val segmented = mergeRows.sortBy(_.getLong(0))
+        .foldLeft(graft.operators.BpeFit.delimitedBytes(col("word"))) {
+          (c, m) =>
+            val (l, r) = (m.getString(1), m.getString(2))
+            call_function("replace", c,
+              lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
+        }
+      val wn = tokd.select(col("word")).distinct()
+        .select(col("word"),
+          size(filter(split(segmented, "\\|\\|"), x => x =!= ""))
+            .cast("long").as("n_sub"),
+          length(encode(col("word"), "UTF-8")).cast("long").as("n_b"))
+      val agg = tokd.join(wn, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_b")).as("n_bytes"),
+          sum(col("n_sub")).as("n_bbpe"))
+      def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+          coalesce(col("n_bbpe"), lit(0L)).as("n_bbpe"),
+          when(col("n_bytes") > 0, r4(col("n_bbpe") / col("n_bytes")))
+            .as("compression"))
         .orderBy(col("doc_id"))
     }
   }
@@ -2121,6 +2271,7 @@ object Text {
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
+    bbpeFit, bbpeApply,
     unigramFit, unigramApply, unigramEstep, unigramSample,
     wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
