@@ -9,6 +9,12 @@ import graft.sources.Tables
   * prefix-sum-assigned shard. */
 case class PackIn(doc_id: Long, n_tokens: Long, shard_id: Long)
 
+case class E2eIn(doc_id: Long, n_words: Long, n_wp: Long, rank: Long,
+  shard_id: Long)
+
+case class E2eOut(doc_id: Long, n_words: Long, n_wp: Long, rank: Long,
+  shard_id: Long, seq_in_shard: Long, seq_offset: Long)
+
 /** One packed doc: which training sequence (within its shard) it
   * landed in and at what token offset. */
 case class PackOut(doc_id: Long, shard_id: Long, seq_in_shard: Long,
@@ -1088,8 +1094,110 @@ object Pipeline {
       .orderBy(col("rank"))
   }
 
+  /** THE END-TO-END CURATION CHAIN under ONE hash (r15 #8) — the
+    * query a 100 TB training-data run actually ships: clean
+    * (corpus_clean's six gates) → leakage-safe split (keep 'train')
+    * → tokenize (tokenizer_wordpiece_apply's per-doc counts) →
+    * seeded shuffle → pack into fixed 512-token sequences in
+    * SHUFFLED order. Every stage IS the registered operator's own
+    * dataflow (.run / its oracle SQL embedded verbatim), so a hash
+    * match proves the operators COMPOSE without semantic drift —
+    * the corpus_clean composition pattern extended downstream.
+    *
+    * Stage-boundary economics (PlanSpec pins the shape): the shuffle
+    * rank AND the packing prefix offsets come from ONE shared
+    * GlobalPrefix pass (withCumSums: rank = cum of 1, offset = cum
+    * of max(n_wp,1), both in (k, doc_id) order — no second range
+    * exchange, no single-partition window anywhere); packing is
+    * seq_pack's bounded next-fit fold per 4096-token shard, here in
+    * shuffled-rank order; upstream, each gate is one corpus pass of
+    * its own operator. Packing charges max(n_wp,1) for shard
+    * assignment and true n_wp for sequence fill — seq_pack's
+    * zero-token-doc discipline. */
+  val pipelineE2e: Q = Q(
+    "pipeline_e2e",
+    s"""WITH RECURSIVE clean AS (
+      |  SELECT doc_id FROM (${corpusClean.oracle.get}) WHERE keep),
+      |splt AS (
+      |  SELECT doc_id FROM (${Dedup.splitSafe.oracle.get})
+      |  WHERE split = 'train'),
+      |wp AS (
+      |  SELECT doc_id, n_words, n_wp
+      |  FROM (${Text.wordpieceApply.oracle.get})),
+      |kept AS (
+      |  SELECT w.doc_id, w.n_words, w.n_wp,
+      |    md5('42:' || CAST(w.doc_id AS VARCHAR)) AS k
+      |  FROM wp w JOIN clean USING (doc_id) JOIN splt USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, n_words, n_wp,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT)
+      |      AS rank,
+      |    CAST(SUM(greatest(n_wp, 1)) OVER (ORDER BY k, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM kept),
+      |d AS (
+      |  SELECT doc_id, n_words, n_wp, rank,
+      |    (cum - greatest(n_wp, 1)) // 4096 AS shard_id,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY (cum - greatest(n_wp, 1)) // 4096
+      |      ORDER BY rank) AS BIGINT) AS rk
+      |  FROM r),
+      |p AS (
+      |  SELECT shard_id, rk, doc_id, n_words, n_wp, rank,
+      |    CAST(0 AS BIGINT) AS seq, n_wp AS fill
+      |  FROM d WHERE rk = 1
+      |  UNION ALL
+      |  SELECT d.shard_id, d.rk, d.doc_id, d.n_words, d.n_wp, d.rank,
+      |    CASE WHEN p.fill + d.n_wp <= 512 THEN p.seq ELSE p.seq + 1 END,
+      |    CASE WHEN p.fill + d.n_wp <= 512 THEN p.fill + d.n_wp
+      |      ELSE d.n_wp END
+      |  FROM p JOIN d ON d.shard_id = p.shard_id AND d.rk = p.rk + 1)
+      |SELECT doc_id, n_words, n_wp, rank, shard_id,
+      |  seq AS seq_in_shard, fill - n_wp AS seq_offset
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val kept0 = corpusClean.run(s, dir).filter(col("keep"))
+      .select(col("doc_id"))
+    val train = Dedup.splitSafe.run(s, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val wp = Text.wordpieceApply.run(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_wp"))
+    val kept = wp.join(kept0, Seq("doc_id"), "left_semi")
+      .join(train, Seq("doc_id"), "left_semi")
+      .withColumn("k",
+        md5(concat(lit("42:"), col("doc_id").cast("string"))))
+    // ONE range-partitioned pass gives the shuffle rank AND the
+    // packing prefix offset (the withCumSums two-value form)
+    val (pref, _) = graft.operators.GlobalPrefix.withCumSums(
+      kept, Seq(col("k"), col("doc_id")),
+      Seq("rank" -> lit(1L), "cum" -> greatest(col("n_wp"), lit(1L))))
+    pref.select(col("doc_id"), col("n_words"), col("n_wp"), col("rank"),
+        expr("(cum - greatest(n_wp, 1)) div 4096").as("shard_id"))
+      .as[E2eIn]
+      .groupByKey(_.shard_id)
+      .flatMapGroups { (sid: Long, it: Iterator[E2eIn]) =>
+        // seq_pack's bounded next-fit fold, in SHUFFLED-rank order
+        val ds = it.toArray.sortBy(_.rank)
+        var seq = 0L
+        var fill = 0L
+        var first = true
+        ds.iterator.map { e =>
+          if (!first && fill + e.n_wp > 512L) { seq += 1; fill = 0L }
+          val off = fill
+          fill += e.n_wp
+          first = false
+          E2eOut(e.doc_id, e.n_words, e.n_wp, e.rank, sid, seq, off)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_words"), col("n_wp"), col("rank"),
+        col("shard_id"), col("seq_in_shard"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(seqPack, corpusClean, corpusMix,
     qualityNbFit, qualityNbApply, corpusShuffle, corpusInterleave,
     qualityDsir, corpusSplit, corpusTemperature, qualityTopPct,
-    corpusTriplets, qualityEnsemble, seqCurriculum, sampleWeighted)
+    corpusTriplets, qualityEnsemble, seqCurriculum, sampleWeighted,
+    pipelineE2e)
 }

@@ -737,6 +737,24 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pipeline_e2e: one shared GlobalPrefix pass, no corpus-sized window funnels") {
+    val p = plan(graft.queries.Pipeline.pipelineE2e.run(spark, sf))
+    // the shuffle rank and packing offset ride ONE range-partitioned
+    // __pid window (withCumSums two-value form) — a windowspec keyed
+    // on the md5 shuffle key directly would be the single-task global
+    // sort this composition exists to avoid
+    assert(p.contains("windowspecdefinition(__pid"), p.take(3000))
+    assert(!p.contains("windowspecdefinition(k#"), p.take(3000))
+    // exactly ONE range exchange on the shuffle key: the shared
+    // prefix pass. (doc_id range exchanges are the registered-query
+    // presentation-sort contract — wordpieceApply's tail and this
+    // query's own ORDER BY — and are not shuffle-key work.)
+    val kRanges = "Exchange rangepartitioning\\(k#".r.findAllIn(p).length
+    assert(kRanges == 1, s"$kRanges k-range exchanges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("triangle family probes ONE persisted sidecar, no per-query wedge re-enumeration") {
     // the r15 efficiency finding: q_triangles and graph_clustering
     // independently re-ran the identical degree-ordered wedge join
