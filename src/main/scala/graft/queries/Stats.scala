@@ -2282,8 +2282,109 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Power analysis / minimal detectable effect
+  // ---------------------------------------------------------------
+
+  /** Power analysis of the SAME experiment q_ab_readout reads out —
+    * the question every A/B readout gets next: "what effect could
+    * this experiment even see, and how many users would 2% take?"
+    * Per arm (the identical md5-slot parity assignment, salt 'ab1'),
+    * the post-period spend's exact power sums (n, Σy, Σy² — the
+    * q_welch_ttest discipline) give the per-unit variances; then
+    *   MDE   = (z₀.₉₇₅+z₀.₈₀)·√(v_c/n_c + v_t/n_t)  (abs and /mean_c)
+    *   n@2%  = ⌈z²·(v_c+v_t)/(0.02·mean_c)²⌉  per arm, 80% power
+    * with z = 2.801585 (the 6dp two-sided-5%/80%-power constant,
+    * declared — no inverse-normal evaluation anywhere). Every float
+    * is ONE fixed double expression over exact int64/DECIMAL sums,
+    * identical IEEE evaluation both engines, ROUND(6); the ceil is
+    * of a bit-identical double so the integer matches too.
+    *
+    * Scale shape: ONE conditional map-side aggregation over the
+    * customer×orders join (assignment is a pure projection);
+    * everything after is arithmetic on a 2-row frame. */
+  val powerMde: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    Q(
+      "q_power_mde",
+      s"""WITH per AS (
+        |  SELECT c.c_custkey, $armSql AS arm,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT arm, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy,
+        |    SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS syy
+        |  FROM per GROUP BY 1),
+        |a AS (
+        |  SELECT arm, n, CAST(sy AS DOUBLE) / n AS m,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+        |      AS v
+        |  FROM s),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+        |    MAX(CASE WHEN arm = 0 THEN m END) AS m_c,
+        |    MAX(CASE WHEN arm = 1 THEN m END) AS m_t,
+        |    MAX(CASE WHEN arm = 0 THEN v END) AS v_c,
+        |    MAX(CASE WHEN arm = 1 THEN v END) AS v_t
+        |  FROM a)
+        |SELECT n_c, n_t, ROUND(m_c, 6) + 0 AS mean_c,
+        |  ROUND(SQRT(v_c / n_c + v_t / n_t), 6) + 0 AS se,
+        |  ROUND(2.801585 * SQRT(v_c / n_c + v_t / n_t), 6) + 0
+        |    AS mde_abs,
+        |  ROUND(2.801585 * SQRT(v_c / n_c + v_t / n_t) / m_c, 6) + 0
+        |    AS mde_rel,
+        |  CAST(CEIL(2.801585 * 2.801585 * (v_c + v_t)
+        |    / (0.02 * m_c * 0.02 * m_c)) AS BIGINT) AS n_per_arm_2pct
+        |FROM w""".stripMargin) { (s, dir) =>
+      val split = to_date(lit("1998-01-01"))
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+      val per = Tables.customer(s, dir)
+        .select(col("c_custkey"), arm.as("arm"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("arm"))
+        .agg(coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+          .otherwise(0L)), lit(0L)).as("y"))
+      val st = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(19,0)")
+            * col("y").cast("decimal(19,0)")).cast("decimal(38,0)")
+            .as("syy"))
+      val a = st.select(col("arm"), col("n"),
+        (col("sy").cast("double") / col("n")).as("m"),
+        ((col("syy").cast("double") - col("sy").cast("double")
+          * col("sy") / col("n")) / (col("n") - 1)).as("v"))
+      def pick(c: Column, armv: Int): Column =
+        max(when(col("arm") === armv, c))
+      val w = a.agg(
+        pick(col("n"), 0).as("n_c"), pick(col("n"), 1).as("n_t"),
+        pick(col("m"), 0).as("m_c"), pick(col("m"), 1).as("m_t"),
+        pick(col("v"), 0).as("v_c"), pick(col("v"), 1).as("v_t"))
+      val z = lit(2.801585)
+      w.select(col("n_c"), col("n_t"),
+        (round(col("m_c"), 6) + 0).as("mean_c"),
+        (round(sqrt(col("v_c") / col("n_c") + col("v_t") / col("n_t")),
+          6) + 0).as("se"),
+        (round(z * sqrt(col("v_c") / col("n_c")
+          + col("v_t") / col("n_t")), 6) + 0).as("mde_abs"),
+        (round(z * sqrt(col("v_c") / col("n_c")
+          + col("v_t") / col("n_t")) / col("m_c"), 6) + 0).as("mde_rel"),
+        ceil(z * z * (col("v_c") + col("v_t"))
+          / (lit(0.02) * col("m_c") * lit(0.02) * col("m_c")))
+          .as("n_per_arm_2pct"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
-    cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout)
+    cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout,
+    powerMde)
 }

@@ -2268,6 +2268,59 @@ object Text {
         .as("intercept"))
   }
 
+  /** TOKENIZER SELECTION REPORT — the quartet (char-BPE, byte-BPE,
+    * WordPiece, unigram-LM) compared on the corpus they'd tokenize:
+    * total words, total pieces, and fertility (pieces per word, the
+    * number a tokenizer bake-off actually decides on — lower = fewer
+    * tokens per document = cheaper training). Each family's counts
+    * come from ITS OWN registered apply dataflow (.run on the Spark
+    * side, the apply oracle embedded verbatim on the DuckDB side —
+    * the pipeline_e2e composition discipline), so this row both
+    * publishes the comparison AND re-proves the four applies under
+    * one more hash. byte_bpe's word domain is its own space-attached
+    * pre-tokens (disclosed — its fertility is pieces per pre-token);
+    * the other three share the [a-z0-9]+ domain. Fertility is ONE
+    * grid division of exact int64 sums (floor 4dp).
+    *
+    * Scale shape: four independent apply passes (each one corpus
+    * pass against its bounded broadcast model) reduced by map-side
+    * global sums — the report costs no more than the applies it
+    * audits. */
+  val tokenizerEval: Q = Q(
+    "tokenizer_eval",
+    s"""WITH b AS (
+      |  SELECT SUM(n_words)::BIGINT w, SUM(n_bpe)::BIGINT p
+      |  FROM (${bpeApply.oracle.get})),
+      |bb AS (
+      |  SELECT SUM(n_words)::BIGINT w, SUM(n_bbpe)::BIGINT p
+      |  FROM (${bbpeApply.oracle.get})),
+      |wpx AS (
+      |  SELECT SUM(n_words)::BIGINT w, SUM(n_wp)::BIGINT p
+      |  FROM (${wordpieceApply.oracle.get})),
+      |ug AS (
+      |  SELECT SUM(n_words)::BIGINT w, SUM(n_pieces)::BIGINT p
+      |  FROM (${unigramApply.oracle.get})),
+      |u AS (
+      |  SELECT 'bpe' AS tokenizer, w, p FROM b
+      |  UNION ALL SELECT 'byte_bpe', w, p FROM bb
+      |  UNION ALL SELECT 'unigram', w, p FROM ug
+      |  UNION ALL SELECT 'wordpiece', w, p FROM wpx)
+      |SELECT tokenizer, w AS n_words, p AS n_pieces,
+      |  FLOOR(p / w * 10000 + 0.5) / 10000 AS fertility
+      |FROM u ORDER BY tokenizer""".stripMargin) { (s, dir) =>
+    def aggOf(df: DataFrame, name: String, pieces: String): DataFrame =
+      df.agg(sum(col("n_words")).as("w"), sum(col(pieces)).as("p"))
+        .select(lit(name).as("tokenizer"), col("w").as("n_words"),
+          col("p").as("n_pieces"),
+          (floor(col("p") / col("w") * 10000 + 0.5) / 10000)
+            .as("fertility"))
+    aggOf(bpeApply.run(s, dir), "bpe", "n_bpe")
+      .unionByName(aggOf(bbpeApply.run(s, dir), "byte_bpe", "n_bbpe"))
+      .unionByName(aggOf(wordpieceApply.run(s, dir), "wordpiece", "n_wp"))
+      .unionByName(aggOf(unigramApply.run(s, dir), "unigram", "n_pieces"))
+      .orderBy(col("tokenizer"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
@@ -2275,5 +2328,5 @@ object Text {
     unigramFit, unigramApply, unigramEstep, unigramSample,
     wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk, keywords, spellCorrect, jsd, zipf)
+    langidCjk, keywords, spellCorrect, jsd, zipf, tokenizerEval)
 }

@@ -36,6 +36,11 @@ object QueryProbe {
       .replaceAll("\\[id=#x\\]", "")
       .replaceAll("InMemoryFileIndex\\([^)]*\\)[^,\\]]*", "InMemoryFileIndex(x)")
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
+      // lambda variable names (x_1, x_2, …) come from a global
+      // per-session counter — run-varying by construction, same
+      // class as expression ids (witnessed r16 on the shingle
+      // family's transform(sequence(...)) lambdas)
+      .replaceAll("lambda x_\\d+", "lambda x_n")
       .replaceAll("InMemoryTableScan[^\\n]*", "InMemoryTableScan x")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
 
