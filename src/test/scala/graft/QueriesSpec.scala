@@ -28,6 +28,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_power_mde holds its internal identities") {
+    val r = graft.queries.Stats.powerMde.run(spark, TestSpark.sf)
+      .collect().head
+    val (nC, nT) = (r.getLong(0), r.getLong(1))
+    val meanC = r.getDouble(2)
+    val se = r.getDouble(3)
+    val mdeAbs = r.getDouble(4)
+    val mdeRel = r.getDouble(5)
+    val nReq = r.getLong(6)
+    assert(nC > 0 && nT > 0 && math.abs(nC - nT) < (nC + nT),
+      s"arms $nC/$nT")
+    assert(se > 0 && mdeAbs > 0 && nReq >= 1, r.toString)
+    // mde_abs = z·se and mde_rel = mde_abs/mean_c, to the 6dp grid
+    assert(math.abs(mdeAbs - 2.801585 * se) < 1e-5, s"$mdeAbs vs z*$se")
+    assert(math.abs(mdeRel - mdeAbs / meanC) < 1e-5, r.toString)
+  }
+
+  test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
+    val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet ==
+      Set("bpe", "byte_bpe", "wordpiece", "unigram"))
+    // bpe/wordpiece/unigram tokenize the SAME [a-z0-9]+ word stream —
+    // their word totals must agree exactly (byte_bpe's space-attached
+    // pre-token domain is its own, disclosed)
+    assert(rows("bpe")._1 == rows("wordpiece")._1, rows.toString)
+    assert(rows("bpe")._1 == rows("unigram")._1, rows.toString)
+    // a word is at least one piece under every scheme
+    rows.foreach { case (k, (w, p, f)) =>
+      assert(p >= w, s"$k: pieces $p < words $w")
+      assert(f >= 1.0, s"$k: fertility $f")
+    }
+  }
+
   test("count-min estimates are one-sided and tight on heavy hitters") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Text.freqSketch.run(spark, TestSpark.sf).collect()
