@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Core, Events, Graph, Retrieval, Text, Vectors}
+import graft.queries.{Core, Dedup, Events, Graph, Retrieval, Text, Vectors}
 
 /** Physical-plan audit: the properties that matter at 100 TB —
   * pushdown to the scan, broadcast of small sides, no full sort for
@@ -770,6 +770,39 @@ class PlanSpec extends AnyFunSuite {
         s"$n re-enumerates from lineitem:\n${p.take(2000)}")
     }
     spark.catalog.clearCache()
+  }
+
+  test("near-dup pair family probes ONE persisted sidecar, no per-query shingle re-enumeration") {
+    // the r16 extension of the triangle-sidecar discipline: the
+    // capped-blocking exact-Jaccard pair frame and its min-label
+    // clusters are deterministic functions of the documents source;
+    // dedup_ngram_jaccard / dedup_clusters / corpus_split_safe /
+    // corpus_triplets must all scan the SAME frozen pair/cluster
+    // frames (pairsIndexOf) — and the two pure probes must not touch
+    // documents.parquet at all in their timed plans. corpus_clean
+    // keeps its own enumeration (its pair domain is the gate
+    // survivors, not the corpus).
+    val probes = Seq(
+      Dedup.ngramJaccard -> "dedup_ngram_jaccard",
+      Dedup.clusters -> "dedup_clusters")
+    for ((q, n) <- probes) {
+      val p = plan(q.run(spark, sf))
+      assert(p.contains("graft_pairs"), s"$n does not scan the sidecar")
+      assert(!p.contains("documents.parquet"),
+        s"$n re-enumerates from documents:\n${p.take(2000)}")
+      spark.catalog.clearCache()
+    }
+    // split_safe/triplets join documents for doc-level columns but
+    // their cluster/pair inputs must come from the sidecar, with no
+    // shingle fan-out (posexplode) anywhere in the timed plan
+    for ((q, n) <- Seq(Dedup.splitSafe -> "corpus_split_safe",
+        graft.queries.Pipeline.corpusTriplets -> "corpus_triplets")) {
+      val p = plan(q.run(spark, sf))
+      assert(p.contains("graft_pairs"), s"$n does not scan the sidecar")
+      assert(!p.contains("Generate explode"),
+        s"$n re-shingles the corpus:\n${p.take(2000)}")
+      spark.catalog.clearCache()
+    }
   }
 
   test("round-14b additions join on keys, never nested loops") {
