@@ -2382,9 +2382,160 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Benjamini-Hochberg FDR over the per-nation test family
+  // ---------------------------------------------------------------
+
+  /** Multiple-testing correction — the step every experimentation
+    * platform runs between the per-segment readouts and the launch
+    * decision: the SAME md5-parity experiment ('ab1', q_ab_readout's
+    * assignment) tested per NATION (the fixed 25-member segment
+    * family, m = 25 at any sf), with Benjamini-Hochberg (1995) FDR
+    * control at α = 0.05 deciding which segments' effects survive.
+    *
+    * Float discipline: per-nation Welch z from exact power sums
+    * (n, Σy, Σy² — DECIMAL(38,0) internal), ONE fixed IEEE
+    * expression, ROUND(6); the BH comparison runs entirely in
+    * z-space — p_(k) ≤ kα/m  ⟺  |z|_(k) ≥ Φ⁻¹(1 − kα/(2m)) — against
+    * a DECLARED 25-row threshold table (6dp inverse-normal constants;
+    * no erf/quantile evaluation in either engine, the q_power_mde
+    * rule). Ranks order by |z| on the ROUNDED grid, ties by nation —
+    * total order, hash-exact. Underpowered cells (an arm with n < 2,
+    * or zero pooled variance) score z = 0 by contract: never
+    * rejected, but the family stays fixed at m = 25 so the declared
+    * thresholds apply at every sf.
+    *
+    * Scale shape: ONE conditional map-side power-sum aggregation
+    * over the customer base keyed by (nationkey, arm) — 50 output
+    * rows whatever the corpus; the rank window and the k* scan ride
+    * the bounded 25-row frame (the O(#nations) broadcast rule). */
+  val fdrBh: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    // Φ⁻¹(1 − 0.001·k) for k = 1..25 (α = 0.05, m = 25), 6dp
+    val zcrit = Seq(
+      3.090232, 2.878162, 2.747781, 2.65207, 2.575829, 2.512144,
+      2.457263, 2.408916, 2.365618, 2.326348, 2.290368, 2.257129,
+      2.226212, 2.197286, 2.17009, 2.144411, 2.120072, 2.096927,
+      2.074855, 2.053749, 2.03352, 2.014091, 1.995393, 1.977368,
+      1.959964)
+    val zcritValuesSql = zcrit.zipWithIndex
+      .map { case (z, i) => s"(${i + 1}, $z)" }.mkString(", ")
+    Q(
+      "q_fdr_bh",
+      s"""WITH per AS (
+        |  SELECT c.c_custkey, c.c_nationkey, $armSql AS arm,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT c_nationkey, arm, COUNT(*)::BIGINT AS n,
+        |    SUM(y)::BIGINT AS sy,
+        |    SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS syy
+        |  FROM per GROUP BY 1, 2),
+        |a AS (
+        |  SELECT c_nationkey, arm, n, CAST(sy AS DOUBLE) / n AS m,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+        |        / (n - 1) / n ELSE 0 END AS q
+        |  FROM s),
+        |w AS (
+        |  SELECT nn.n_nationkey, nn.n_name AS nation,
+        |    COALESCE(MAX(CASE WHEN a.arm = 0 THEN a.n END), 0) AS n_c,
+        |    COALESCE(MAX(CASE WHEN a.arm = 1 THEN a.n END), 0) AS n_t,
+        |    MAX(CASE WHEN a.arm = 0 THEN a.m END) AS m_c,
+        |    MAX(CASE WHEN a.arm = 1 THEN a.m END) AS m_t,
+        |    MAX(CASE WHEN a.arm = 0 THEN a.q END) AS q_c,
+        |    MAX(CASE WHEN a.arm = 1 THEN a.q END) AS q_t
+        |  FROM nation nn LEFT JOIN a ON nn.n_nationkey = a.c_nationkey
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT n_nationkey, nation, n_c, n_t,
+        |    CASE WHEN n_c >= 2 AND n_t >= 2 THEN
+        |      ROUND(m_t - m_c, 6) + 0 ELSE 0 END AS diff,
+        |    CASE WHEN n_c >= 2 AND n_t >= 2 AND q_c + q_t > 0 THEN
+        |      ROUND((m_t - m_c) / SQRT(q_c + q_t), 6) + 0
+        |      ELSE 0 END AS z
+        |  FROM w),
+        |r AS (
+        |  SELECT z.*, ROW_NUMBER() OVER
+        |    (ORDER BY ABS(z) DESC, nation ASC) AS k
+        |  FROM z),
+        |j AS (
+        |  SELECT r.*, zc.z_crit::DOUBLE AS z_crit
+        |  FROM r JOIN (VALUES $zcritValuesSql) AS zc(k, z_crit)
+        |    ON r.k = zc.k),
+        |ks AS (
+        |  SELECT COALESCE(MAX(CASE WHEN ABS(z) >= z_crit THEN k END), 0)
+        |    AS k_star FROM j)
+        |SELECT j.nation, j.n_c, j.n_t, j.diff, j.z, j.k, j.z_crit,
+        |  CASE WHEN j.k <= ks.k_star THEN 1 ELSE 0 END AS rejected
+        |FROM j CROSS JOIN ks ORDER BY j.k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val split = to_date(lit("1998-01-01"))
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+      val per = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), arm.as("arm"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_nationkey"), col("arm"))
+        .agg(coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+          .otherwise(0L)), lit(0L)).as("y"))
+      val st = per.groupBy(col("c_nationkey"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("syy"))
+      val a = st.select(col("c_nationkey"), col("arm"), col("n"),
+        (col("sy").cast("double") / col("n")).as("m"),
+        when(col("n") >= 2,
+          (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy") / col("n"))
+            / (col("n") - 1) / col("n")).otherwise(lit(0d)).as("q"))
+      // nation is the fixed 25-row dim — the one legitimate hint
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def pick(c: String, v: Int): Column =
+        max(when(col("arm") === v, col(c)))
+      val w = broadcast(nat)
+        .join(a, col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name").as("nation"))
+        .agg(coalesce(pick("n", 0), lit(0L)).as("n_c"),
+          coalesce(pick("n", 1), lit(0L)).as("n_t"),
+          pick("m", 0).as("m_c"), pick("m", 1).as("m_t"),
+          pick("q", 0).as("q_c"), pick("q", 1).as("q_t"))
+      val powered = col("n_c") >= 2 && col("n_t") >= 2
+      val zf = w.select(col("nation"), col("n_c"), col("n_t"),
+        when(powered, round(col("m_t") - col("m_c"), 6) + 0)
+          .otherwise(lit(0d)).as("diff"),
+        when(powered && col("q_c") + col("q_t") > 0,
+          round((col("m_t") - col("m_c"))
+            / sqrt(col("q_c") + col("q_t")), 6) + 0)
+          .otherwise(lit(0d)).as("z"))
+      // the rank window and everything after ride the bounded
+      // 25-row family frame
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(abs(col("z")).desc, col("nation").asc)
+      val r = zf.withColumn("k", row_number().over(win))
+      val zc = zcrit.zipWithIndex
+        .map { case (z, i) => (i + 1, z) }.toDF("k", "z_crit")
+      val j = r.join(broadcast(zc), "k")
+      val ks = j.agg(coalesce(max(when(abs(col("z")) >= col("z_crit"),
+        col("k"))), lit(0)).as("k_star"))
+      j.crossJoin(broadcast(ks))
+        .select(col("nation"), col("n_c"), col("n_t"), col("diff"),
+          col("z"), col("k"), col("z_crit"),
+          when(col("k") <= col("k_star"), lit(1)).otherwise(lit(0))
+            .as("rejected"))
+        .orderBy(col("k"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
     cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout,
-    powerMde)
+    powerMde, fdrBh)
 }

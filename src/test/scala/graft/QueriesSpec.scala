@@ -45,6 +45,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(mdeRel - mdeAbs / meanC) < 1e-5, r.toString)
   }
 
+  test("q_fdr_bh: BH step-up laws hold") {
+    val rows = graft.queries.Stats.fdrBh.run(spark, TestSpark.sf)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+          r.getInt(5), r.getDouble(6), r.getInt(7))
+      }
+    // the family is fixed at the 25 nations, ranks a permutation
+    assert(rows.length == 25)
+    assert(rows.map(_._5).sorted.toSeq == (1 to 25))
+    val byK = rows.sortBy(_._5)
+    // declared thresholds are strictly decreasing in k (BH step-up)
+    byK.map(_._6).toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a > b, s"z_crit not decreasing: $a -> $b")
+    }
+    // |z| is non-increasing in rank (ranked on the rounded grid)
+    byK.map(t => math.abs(t._4)).toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a >= b, s"|z| increases down the ranks: $a -> $b")
+    }
+    // the rejection set is exactly the prefix up to k* = max passing k
+    val kStar = byK.filter(t => math.abs(t._4) >= t._6)
+      .map(_._5).maxOption.getOrElse(0)
+    byK.foreach { t =>
+      assert((t._7 == 1) == (t._5 <= kStar),
+        s"rank ${t._5}: rejected=${t._7}, k*=$kStar")
+    }
+    // underpowered cells (an arm with n < 2) score z = 0 by contract
+    rows.filter(t => t._2 < 2 || t._3 < 2)
+      .foreach(t => assert(t._4 == 0d, t.toString))
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
