@@ -2533,9 +2533,167 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Winsorized / trimmed robust metrics per experiment arm
+  // ---------------------------------------------------------------
+
+  /** Robust-metric readout of the SAME 'ab1' experiment — the
+    * heavy-tail standard every large experimentation platform applies
+    * before trusting a spend metric (a single whale order moves the
+    * raw mean; the winsorized mean caps it): per arm, the EXACT p99
+    * of per-customer post-split spend, the winsorized mean/variance
+    * (spend capped at the arm's own p99), the 1%-trimmed mean, and
+    * the Welch z on the winsorized metric.
+    *
+    * Exactness: p99 is the true order statistic on integer cents —
+    * v99 = min{v : #(y ≤ v) ≥ ⌈0.99·n⌉} is tie-run-safe by
+    * definition (value-domain comparison, no rank-inside-ties
+    * ambiguity — the r13 sf1 lesson); winsorized power sums are exact
+    * int64/DECIMAL(38,0) over least(y, v99); every float is one
+    * fixed IEEE expression, ROUND(6). Degenerate arms (n < 2 or zero
+    * winsorized variance) score z = 0 by contract.
+    *
+    * Scale shape: the per-arm cumulative over the VALUE DOMAIN rides
+    * ONE GlobalPrefix pass sorted (arm, y) — range exchange +
+    * per-partition windows, no single-partition funnel (arm is the
+    * leading sort key, so per-arm cum = global cum − arm-0 total, an
+    * O(partitions) driver correction); the per-customer frame is
+    * cached for its two passes (percentile, then power sums — the
+    * unavoidable two-pass economics of any exact winsorization);
+    * the 2-row v99 frame broadcasts to the stats pass. */
+  val winsorMean: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    Q(
+      "q_winsor_mean",
+      s"""WITH per AS (
+        |  SELECT c.c_custkey, $armSql AS arm,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT arm, COUNT(*)::BIGINT AS n FROM per GROUP BY 1),
+        |g AS (SELECT arm, y, COUNT(*)::BIGINT AS cnt
+        |  FROM per GROUP BY 1, 2),
+        |cg AS (SELECT arm, y, cnt,
+        |    SUM(cnt) OVER (PARTITION BY arm ORDER BY y)::BIGINT AS cum
+        |  FROM g),
+        |v AS (SELECT cg.arm, MIN(cg.y)::BIGINT AS v99
+        |  FROM cg JOIN nn ON cg.arm = nn.arm
+        |  WHERE cg.cum >= (99 * nn.n + 99) // 100 GROUP BY 1),
+        |w AS (
+        |  SELECT per.arm, MAX(nn.n) AS n, MAX(v.v99) AS v99,
+        |    SUM(LEAST(per.y, v.v99))::BIGINT AS sw,
+        |    SUM(LEAST(per.y, v.v99)::DECIMAL(19,0)
+        |      * LEAST(per.y, v.v99)::DECIMAL(19,0))::DECIMAL(38,0) AS sww,
+        |    SUM(CASE WHEN per.y <= v.v99 THEN 1 ELSE 0 END)::BIGINT AS m,
+        |    SUM(CASE WHEN per.y <= v.v99 THEN per.y ELSE 0 END)
+        |      ::BIGINT AS st
+        |  FROM per JOIN v ON per.arm = v.arm JOIN nn ON per.arm = nn.arm
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT arm, n, v99, m,
+        |    CAST(sw AS DOUBLE) / n AS wm,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n)
+        |        / (n - 1) / n ELSE 0 END AS wq,
+        |    CAST(st AS DOUBLE) / m AS tm
+        |  FROM w),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+        |    MAX(CASE WHEN arm = 0 THEN v99 END) AS v99_c,
+        |    MAX(CASE WHEN arm = 1 THEN v99 END) AS v99_t,
+        |    MAX(CASE WHEN arm = 0 THEN wm END) AS wm_c,
+        |    MAX(CASE WHEN arm = 1 THEN wm END) AS wm_t,
+        |    MAX(CASE WHEN arm = 0 THEN wq END) AS wq_c,
+        |    MAX(CASE WHEN arm = 1 THEN wq END) AS wq_t,
+        |    MAX(CASE WHEN arm = 0 THEN tm END) AS tm_c,
+        |    MAX(CASE WHEN arm = 1 THEN tm END) AS tm_t
+        |  FROM a)
+        |SELECT n_c, n_t, v99_c, v99_t,
+        |  ROUND(wm_c, 6) + 0 AS win_mean_c, ROUND(wm_t, 6) + 0
+        |    AS win_mean_t,
+        |  ROUND(tm_c, 6) + 0 AS trim_mean_c, ROUND(tm_t, 6) + 0
+        |    AS trim_mean_t,
+        |  ROUND(wm_t - wm_c, 6) + 0 AS win_diff,
+        |  CASE WHEN wq_c + wq_t > 0 THEN
+        |    ROUND((wm_t - wm_c) / SQRT(wq_c + wq_t), 6) + 0
+        |    ELSE 0 END AS z_win
+        |FROM p""".stripMargin) { (s, dir) =>
+      val split = to_date(lit("1998-01-01"))
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+      // cached: the two-pass economics of exact winsorization
+      // (percentile pass, then power-sum pass) — recompute would
+      // re-run the customer×orders join
+      val per = Tables.customer(s, dir)
+        .select(col("c_custkey"), arm.as("arm"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("arm"))
+        .agg(coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+          .otherwise(0L)), lit(0L)).as("y"))
+        .cache()
+      val grouped = per.groupBy(col("arm"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val (cumDf, totals) = graft.operators.GlobalPrefix.withCumSums(
+        grouped, Seq(col("arm"), col("y")),
+        Seq("cum" -> col("cnt"),
+          "cum0" -> when(col("arm") === 0, col("cnt")).otherwise(lit(0L))))
+      val n0 = totals("cum0")
+      val n1 = totals("cum") - n0
+      def thrOf(n: Long): Long = (99L * n + 99L) / 100L
+      val armCum = when(col("arm") === 0, col("cum"))
+        .otherwise(col("cum") - lit(n0))
+      val thr = when(col("arm") === 0, lit(thrOf(n0)))
+        .otherwise(lit(thrOf(n1)))
+      val v99 = cumDf.filter(armCum >= thr)
+        .groupBy(col("arm")).agg(min(col("y")).as("v99"))
+      val yw = least(col("y"), col("v99"))
+      val st = per.join(broadcast(v99), "arm")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), max(col("v99")).as("v99x"),
+          sum(yw).as("sw"),
+          sum(yw.cast("decimal(19,0)") * yw.cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("sww"),
+          sum(when(col("y") <= col("v99"), 1L).otherwise(0L)).as("m"),
+          sum(when(col("y") <= col("v99"), col("y")).otherwise(0L))
+            .as("stt"))
+      val a = st.select(col("arm"), col("n"), col("v99x").as("v99"),
+        col("m"),
+        (col("sw").cast("double") / col("n")).as("wm"),
+        when(col("n") >= 2,
+          (col("sww").cast("double")
+            - col("sw").cast("double") * col("sw") / col("n"))
+            / (col("n") - 1) / col("n")).otherwise(lit(0d)).as("wq"),
+        (col("stt").cast("double") / col("m")).as("tm"))
+      def pick(c: String, v: Int): Column =
+        max(when(col("arm") === v, col(c)))
+      val p = a.agg(
+        pick("n", 0).as("n_c"), pick("n", 1).as("n_t"),
+        pick("v99", 0).as("v99_c"), pick("v99", 1).as("v99_t"),
+        pick("wm", 0).as("wm_c"), pick("wm", 1).as("wm_t"),
+        pick("wq", 0).as("wq_c"), pick("wq", 1).as("wq_t"),
+        pick("tm", 0).as("tm_c"), pick("tm", 1).as("tm_t"))
+      p.select(col("n_c"), col("n_t"), col("v99_c"), col("v99_t"),
+        (round(col("wm_c"), 6) + 0).as("win_mean_c"),
+        (round(col("wm_t"), 6) + 0).as("win_mean_t"),
+        (round(col("tm_c"), 6) + 0).as("trim_mean_c"),
+        (round(col("tm_t"), 6) + 0).as("trim_mean_t"),
+        (round(col("wm_t") - col("wm_c"), 6) + 0).as("win_diff"),
+        when(col("wq_c") + col("wq_t") > 0,
+          round((col("wm_t") - col("wm_c"))
+            / sqrt(col("wq_c") + col("wq_t")), 6) + 0)
+          .otherwise(lit(0d)).as("z_win"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
     cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout,
-    powerMde, fdrBh)
+    powerMde, fdrBh, winsorMean)
 }

@@ -805,6 +805,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_winsor_mean: per-arm percentile rides GlobalPrefix, no single-partition funnel") {
+    // the exact per-arm p99 must come from the range-partitioned
+    // prefix pass — a Window.partitionBy(arm).orderBy(y) would funnel
+    // each arm (half the customer base) through ONE task. The one
+    // allowed SinglePartition is the final readout reduction over the
+    // 2-row per-arm frame (bounded by construction, the q_skyline
+    // rule); a second would mean the corpus or the value domain
+    // funneled into one task.
+    val p = plan(graft.queries.Stats.winsorMean.run(spark, sf))
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n <= 1, s"$n single-partition exchanges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange rangepartitioning"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("round-14b additions join on keys, never nested loops") {
     // graph family: wedge/closure joins are equi-joins; link
     // prediction's degree cap must not fall back to a nested loop

@@ -76,6 +76,24 @@ class QueriesSpec extends AnyFunSuite {
       .foreach(t => assert(t._4 == 0d, t.toString))
   }
 
+  test("q_winsor_mean: robust-metric laws hold") {
+    val r = graft.queries.Stats.winsorMean.run(spark, TestSpark.sf)
+      .collect().head
+    val (nC, nT) = (r.getLong(0), r.getLong(1))
+    val (v99C, v99T) = (r.getLong(2), r.getLong(3))
+    val (wmC, wmT) = (r.getDouble(4), r.getDouble(5))
+    val (tmC, tmT) = (r.getDouble(6), r.getDouble(7))
+    val (wDiff, zWin) = (r.getDouble(8), r.getDouble(9))
+    assert(nC > 0 && nT > 0 && v99C >= 0 && v99T >= 0)
+    // trimming drops the tail entirely; winsorizing replaces it with
+    // v99 >= every kept value — so trim_mean <= win_mean <= v99
+    assert(tmC <= wmC + 1e-9 && wmC <= v99C + 1e-9, r.toString)
+    assert(tmT <= wmT + 1e-9 && wmT <= v99T + 1e-9, r.toString)
+    // the z statistic carries the diff's sign
+    assert(zWin * wDiff >= 0, r.toString)
+    assert(math.abs(wDiff - (wmT - wmC)) < 2e-6, r.toString)
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
