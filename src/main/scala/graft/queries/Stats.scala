@@ -2691,9 +2691,164 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Difference-in-differences with the pre-period placebo test
+  // ---------------------------------------------------------------
+
+  /** The causal-inference workhorse next to CUPED: a
+    * difference-in-differences readout of the SAME 'ab1' experiment
+    * over the pre/post spend panel (x = pre-split, y = post-split per
+    * customer — q_cuped's frame), published as the full DiD table an
+    * analyst expects: the PRE-period diff and z (the placebo /
+    * parallel-trends check — should be null under a valid
+    * assignment), the POST-period diff and z, and the DiD estimate
+    * Δ̄_t − Δ̄_c over per-customer deltas d = y − x with its Welch z.
+    *
+    * Exactness: everything derives from the six power sums q_ab_readout
+    * already established (n, Σx, Σy int64; Σx², Σy², Σxy
+    * DECIMAL(38,0) internal) — Σd = Σy−Σx and
+    * Σd² = (Σy²−Σxy)+(Σx²−Σxy) are EXACT integer/decimal identities,
+    * no second data pass and no per-customer delta materialization;
+    * every float is one fixed IEEE expression, ROUND(6); degenerate
+    * variances score z = 0 by contract.
+    *
+    * Scale shape: ONE conditional map-side power-sum aggregation over
+    * the customer base (assignment a pure projection); all arithmetic
+    * after runs on the 2-row arm frame. */
+  val did: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    Q(
+      "q_did",
+      s"""WITH per AS (
+        |  SELECT c.c_custkey, $armSql AS arm,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS x,
+        |    COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END), 0)::BIGINT AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT arm, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+        |    SUM(y)::BIGINT AS sy,
+        |    SUM(x::DECIMAL(19,0) * x::DECIMAL(19,0))::DECIMAL(38,0) AS sxx,
+        |    SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS syy,
+        |    SUM(x::DECIMAL(19,0) * y::DECIMAL(19,0))::DECIMAL(38,0) AS sxy
+        |  FROM per GROUP BY 1),
+        |a AS (
+        |  SELECT arm, n,
+        |    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+        |    CAST(sy - sx AS DOUBLE) / n AS md,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |        / (n - 1) / n ELSE 0 END AS qx,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+        |        / (n - 1) / n ELSE 0 END AS qy,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST((syy - sxy) + (sxx - sxy) AS DOUBLE)
+        |        - CAST(sy - sx AS DOUBLE) * (sy - sx) / n)
+        |        / (n - 1) / n ELSE 0 END AS qd
+        |  FROM s),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+        |    MAX(CASE WHEN arm = 0 THEN mx END) AS mx_c,
+        |    MAX(CASE WHEN arm = 1 THEN mx END) AS mx_t,
+        |    MAX(CASE WHEN arm = 0 THEN my END) AS my_c,
+        |    MAX(CASE WHEN arm = 1 THEN my END) AS my_t,
+        |    MAX(CASE WHEN arm = 0 THEN md END) AS md_c,
+        |    MAX(CASE WHEN arm = 1 THEN md END) AS md_t,
+        |    MAX(CASE WHEN arm = 0 THEN qx END) AS qx_c,
+        |    MAX(CASE WHEN arm = 1 THEN qx END) AS qx_t,
+        |    MAX(CASE WHEN arm = 0 THEN qy END) AS qy_c,
+        |    MAX(CASE WHEN arm = 1 THEN qy END) AS qy_t,
+        |    MAX(CASE WHEN arm = 0 THEN qd END) AS qd_c,
+        |    MAX(CASE WHEN arm = 1 THEN qd END) AS qd_t
+        |  FROM a)
+        |SELECT n_c, n_t,
+        |  ROUND(mx_t - mx_c, 6) + 0 AS pre_diff,
+        |  CASE WHEN qx_c + qx_t > 0 THEN
+        |    ROUND((mx_t - mx_c) / SQRT(qx_c + qx_t), 6) + 0
+        |    ELSE 0 END AS z_pre,
+        |  ROUND(my_t - my_c, 6) + 0 AS post_diff,
+        |  CASE WHEN qy_c + qy_t > 0 THEN
+        |    ROUND((my_t - my_c) / SQRT(qy_c + qy_t), 6) + 0
+        |    ELSE 0 END AS z_post,
+        |  ROUND(md_t - md_c, 6) + 0 AS did,
+        |  CASE WHEN qd_c + qd_t > 0 THEN
+        |    ROUND((md_t - md_c) / SQRT(qd_c + qd_t), 6) + 0
+        |    ELSE 0 END AS z_did
+        |FROM w""".stripMargin) { (s, dir) =>
+      val split = to_date(lit("1998-01-01"))
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("p"))
+      val per = Tables.customer(s, dir)
+        .select(col("c_custkey"), arm.as("arm"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("arm"))
+        .agg(
+          coalesce(sum(when(col("o_orderdate") < split, col("p"))
+            .otherwise(0L)), lit(0L)).as("x"),
+          coalesce(sum(when(col("o_orderdate") >= split, col("p"))
+            .otherwise(0L)), lit(0L)).as("y"))
+      def wide(a: Column, b: Column): Column =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")
+      val st = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), wide(col("x"), col("x")).as("sxx"),
+          wide(col("y"), col("y")).as("syy"),
+          wide(col("x"), col("y")).as("sxy"))
+      def q(ss: Column, sv: Column): Column =
+        when(col("n") >= 2,
+          (ss.cast("double") - sv.cast("double") * sv / col("n"))
+            / (col("n") - 1) / col("n")).otherwise(lit(0d))
+      val a = st.select(col("arm"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mx"),
+        (col("sy").cast("double") / col("n")).as("my"),
+        ((col("sy") - col("sx")).cast("double") / col("n")).as("md"),
+        q(col("sxx"), col("sx")).as("qx"),
+        q(col("syy"), col("sy")).as("qy"),
+        when(col("n") >= 2,
+          (((col("syy") - col("sxy")) + (col("sxx") - col("sxy")))
+            .cast("double")
+            - (col("sy") - col("sx")).cast("double")
+              * (col("sy") - col("sx")) / col("n"))
+            / (col("n") - 1) / col("n")).otherwise(lit(0d)).as("qd"))
+      def pick(c: String, v: Int): Column =
+        max(when(col("arm") === v, col(c)))
+      val w = a.agg(
+        pick("n", 0).as("n_c"), pick("n", 1).as("n_t"),
+        pick("mx", 0).as("mx_c"), pick("mx", 1).as("mx_t"),
+        pick("my", 0).as("my_c"), pick("my", 1).as("my_t"),
+        pick("md", 0).as("md_c"), pick("md", 1).as("md_t"),
+        pick("qx", 0).as("qx_c"), pick("qx", 1).as("qx_t"),
+        pick("qy", 0).as("qy_c"), pick("qy", 1).as("qy_t"),
+        pick("qd", 0).as("qd_c"), pick("qd", 1).as("qd_t"))
+      def zOf(m1: Column, m0: Column, q1: Column, q0: Column): Column =
+        when(q0 + q1 > 0,
+          round((m1 - m0) / sqrt(q0 + q1), 6) + 0).otherwise(lit(0d))
+      w.select(col("n_c"), col("n_t"),
+        (round(col("mx_t") - col("mx_c"), 6) + 0).as("pre_diff"),
+        zOf(col("mx_t"), col("mx_c"), col("qx_t"), col("qx_c"))
+          .as("z_pre"),
+        (round(col("my_t") - col("my_c"), 6) + 0).as("post_diff"),
+        zOf(col("my_t"), col("my_c"), col("qy_t"), col("qy_c"))
+          .as("z_post"),
+        (round(col("md_t") - col("md_c"), 6) + 0).as("did"),
+        zOf(col("md_t"), col("md_c"), col("qd_t"), col("qd_c"))
+          .as("z_did"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
     cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout,
-    powerMde, fdrBh, winsorMean)
+    powerMde, fdrBh, winsorMean, did)
 }

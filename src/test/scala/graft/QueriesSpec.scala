@@ -94,6 +94,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(wDiff - (wmT - wmC)) < 2e-6, r.toString)
   }
 
+  test("q_did: the DiD identity and sign laws hold") {
+    val r = graft.queries.Stats.did.run(spark, TestSpark.sf)
+      .collect().head
+    val (nC, nT) = (r.getLong(0), r.getLong(1))
+    val preDiff = r.getDouble(2); val zPre = r.getDouble(3)
+    val postDiff = r.getDouble(4); val zPost = r.getDouble(5)
+    val didV = r.getDouble(6); val zDid = r.getDouble(7)
+    assert(nC > 0 && nT > 0)
+    // DiD telescopes: did = post_diff - pre_diff (to the 6dp grid)
+    assert(math.abs(didV - (postDiff - preDiff)) < 3e-6, r.toString)
+    // each z carries its diff's sign
+    assert(zPre * preDiff >= 0 && zPost * postDiff >= 0
+      && zDid * didV >= 0, r.toString)
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
