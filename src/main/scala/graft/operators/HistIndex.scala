@@ -63,4 +63,57 @@ object HistIndex {
         (col(s"b_$p") * width).as("lo"), col("n")))
       .reduce(_.unionByName(_)).orderBy(col("p"))
   }
+
+  /** Per-(arm, bucket) batch stats for the winsorized-metric monitor:
+    * bucket counts AND the exact in-bucket value sums, keyed by the
+    * experiment arm. Input contract: columns arm (BIGINT), y (BIGINT,
+    * non-negative). Same mergeability as [[bucketCounts]]: (c, sy)
+    * sum across versions, so the log appends O(batch) and reads are
+    * (arms × grid)-bounded. */
+  def armBucketStats(rows: DataFrame, width: Long): DataFrame = {
+    require(width > 0, s"HistIndex: width must be > 0, got $width")
+    rows.select(col("arm"), expr(s"y div $width").as("bucket"), col("y"))
+      .groupBy(col("arm"), col("bucket"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("sy"))
+  }
+
+  /** GRID-winsorized per-arm means from the merged (arm, bucket,
+    * c, sy) log — q_winsor_mean's robust metric maintained as a
+    * sketch: per arm, b99 = the smallest bucket whose cumulative
+    * count covers rank ⌈pct·n/100⌉ (the same integer cross-compare
+    * as [[quantiles]]), and the winsorized mean caps every value in
+    * buckets ≥ b99 at the bucket's LOWER bound lo99 = b99·width —
+    * sub-bucket values keep their EXACT sums (sy), so the result is
+    * exact GIVEN the declared grid (the HistIndex contract: grid
+    * precision, zero interpolation, mergeable state). Returns one
+    * row per arm: (arm, n, b99, lo99, win_mean ROUND(6)). */
+  def winsorMeans(s: SparkSession, root: String, width: Long,
+      pct: Int = 99): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in 1..100, got $pct")
+    val m = Snapshots.readLog(s, root)
+      .groupBy(col("arm"), col("bucket"))
+      .agg(sum(col("c")).as("c"), sum(col("sy")).as("sy"))
+    // bounded band: arms × value-domain buckets
+    val w = Window.partitionBy(col("arm")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = m.select(col("arm"), col("bucket"), col("c"), col("sy"),
+      sum(col("c")).over(w).as("cum"))
+    val tot = m.groupBy(col("arm")).agg(sum(col("c")).as("n"))
+    val g = cum.join(broadcast(tot), "arm")
+    val b99 = g.filter(col("cum") * 100 >= col("n") * pct)
+      .groupBy(col("arm")).agg(min(col("bucket")).as("b99"))
+    g.join(broadcast(b99), "arm")
+      .groupBy(col("arm"))
+      .agg(max(col("n")).as("n"), max(col("b99")).as("b99"),
+        coalesce(sum(when(col("bucket") < col("b99"), col("sy"))),
+          lit(0L)).as("s_low"),
+        coalesce(sum(when(col("bucket") < col("b99"), col("c"))),
+          lit(0L)).as("c_low"))
+      .select(col("arm"), col("n"), col("b99"),
+        (col("b99") * width).as("lo99"),
+        (round((col("s_low")
+          + (col("n") - col("c_low")) * col("b99") * width)
+          .cast("double") / col("n"), 6) + 0).as("win_mean"))
+      .orderBy(col("arm"))
+  }
 }

@@ -635,6 +635,45 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming WINSORIZED-metric monitor — q_winsor_mean's robust
+    * mean maintained over an unbounded stream at HistIndex grid
+    * precision: per-(arm, bucket) state carries counts AND exact
+    * in-bucket value sums (both mergeable), so each micro-batch (1)
+    * appends its (arm, bucket, c, sy) stats under a stream-scoped
+    * epoch marker (epochOnceFor "winsor" — the histQuantileIngest
+    * shared-root rule) and (2) emits HistIndex.winsorMeans over the
+    * WHOLE merged log as of this epoch through the epoch-partitioned
+    * dynamic-overwrite emit — exactly-once on both surfaces. The
+    * winsorized mean is exact GIVEN the grid (values below the p99
+    * bucket keep exact sums; the tail caps at the bucket's lower
+    * bound — the disclosed HistIndex contract), and per-epoch work is
+    * O(batch + arms·grid) — the robust-metric dashboard panel that
+    * rides the same 100 TB stream as the raw-mean one. Input
+    * contract: columns arm (BIGINT), y (BIGINT ≥ 0). Spec gate: the
+    * final epoch's emission equals the one-shot winsorMeans read AND
+    * an independently computed grid-winsorization of the raw rows
+    * (StreamingSpec). */
+  def winsorIngest(s: SparkSession, rows: DataFrame, width: Long,
+      root: String, outDir: String, pct: Int = 99)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_wckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val stats = graft.operators.HistIndex
+          .armBucketStats(batch.toDF(), width)
+        if (!stats.isEmpty) {
+          graft.operators.IndexLifecycle.epochOnceFor(root, "winsor",
+            epoch) {
+            graft.operators.Snapshots.publishAppend(stats, root)
+          }
+          emitEpoch(
+            graft.operators.HistIndex.winsorMeans(s, root, width, pct),
+            epoch, outDir)
+        }
+      }
+      .start()
+
   /** Streaming Poisson-bootstrap CI monitor — q_bootstrap_ci's
     * uncertainty estimate maintained over an unbounded stream: the
     * per-replicate partial sums (Σwx, Σw) are MERGEABLE (weights

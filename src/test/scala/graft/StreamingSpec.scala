@@ -431,6 +431,69 @@ class StreamingSpec extends AnyFunSuite {
       s"epoch-0 emission wrong: $q1")
   }
 
+  test("streaming winsorized monitor: emissions equal one-shot read AND an independent grid winsorization") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val width = 250000L
+    val all = Tables.load(spark, sf, "orders")
+      .select((col("o_orderkey") % 2).as("arm"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"),
+        col("o_orderkey").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b1 = all.filter(_._3 % 2 == 0).map(t => (t._1, t._2))
+    val b2 = all.filter(_._3 % 2 == 1).map(t => (t._1, t._2))
+    val root = "/tmp/graft_winsor_spec_idx"
+    val outDir = "/tmp/graft_winsor_spec_out"
+    Seq(root, root + "_wckpt", outDir)
+      .foreach(graft.operators.LakeFs.rmTree)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamOps.winsorIngest(
+      spark, ms.toDS().toDF("arm", "y"), width, root, outDir)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.read.parquet(outDir)
+    val epochs = emitted.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs.length == 2, s"expected 2 epochs, got ${epochs.toSeq}")
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long, Long, Double)] =
+      df.select(col("arm"), col("n"), col("b99"), col("lo99"),
+          col("win_mean")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+    val last = rows(emitted.filter(col("epoch") === epochs.max))
+    // read-path parity: final emission == one-shot merged read
+    val oneShot = rows(
+      graft.operators.HistIndex.winsorMeans(spark, root, width))
+    assert(last == oneShot, s"monitor diverged: $last vs $oneShot")
+    // semantic parity: independent Scala grid-winsorization of the
+    // raw rows (cap at the p99 bucket's lower bound)
+    for (arm <- Seq(0L, 1L)) {
+      val ys = all.filter(_._1 == arm).map(_._2).sorted
+      val n = ys.length.toLong
+      val buckets = ys.map(_ / width)
+      val thr = (99L * n + 99L) / 100L
+      val b99 = buckets.sorted.apply((thr - 1).toInt)
+      val lo99 = b99 * width
+      val winSum = ys.map(y => if (y / width < b99) y else lo99).sum
+      val wm = BigDecimal(winSum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = last(arm)
+      assert(got._1 == n && got._2 == b99 && got._3 == lo99,
+        s"arm $arm: $got vs (n=$n b99=$b99 lo99=$lo99)")
+      assert(math.abs(got._4 - wm) < 1e-6, s"arm $arm: ${got._4} vs $wm")
+    }
+    // torn replay of the last epoch is a no-op
+    graft.operators.IndexLifecycle.epochOnceFor(root, "winsor",
+      epochs.max) {
+      sys.error("replayed epoch must not re-append")
+    }
+  }
+
   test("streaming bootstrap CI: merged-replicate interval equals the one-shot batch computation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
