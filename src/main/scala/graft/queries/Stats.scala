@@ -2846,9 +2846,86 @@ object Stats {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Sample-ratio-mismatch guardrail
+  // ---------------------------------------------------------------
+
+  /** SRM — the #1 guardrail every experimentation platform runs
+    * BEFORE reading any metric (Fabijan et al. 2019): is the observed
+    * arm split consistent with the designed 50/50? A mismatch means
+    * the assignment or logging is broken and every downstream readout
+    * is invalid. Per nation (the q_fdr_bh segment family) plus the
+    * GLOBAL row: the one-degree-of-freedom χ² = (n_c − n_t)²/(n_c +
+    * n_t) against the DECLARED 95% critical value 3.841459 (6dp, the
+    * q_power_mde no-quantile-evaluation rule). χ² is ONE double
+    * division of exact int64 counts, ROUND(6); empty segments flag 0
+    * by contract.
+    *
+    * Scale shape: ONE map-side count aggregation over the customer
+    * base alone (no orders join — assignment is a projection of the
+    * key); all arithmetic after on the bounded 26-row frame. */
+  val srm: Q = {
+    val armSql = s"(${graft.functions.Slots.slotSql("ab1", "c_custkey")} % 2)"
+    Q(
+      "q_srm",
+      s"""WITH per AS (
+        |  SELECT c_nationkey, $armSql AS arm FROM customer),
+        |s AS (
+        |  SELECT c_nationkey,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t
+        |  FROM per GROUP BY 1),
+        |n AS (
+        |  SELECT nn.n_name AS segment, COALESCE(s.n_c, 0) AS n_c,
+        |    COALESCE(s.n_t, 0) AS n_t
+        |  FROM nation nn LEFT JOIN s ON nn.n_nationkey = s.c_nationkey
+        |  UNION ALL
+        |  SELECT '_global', SUM(COALESCE(s.n_c, 0))::BIGINT,
+        |    SUM(COALESCE(s.n_t, 0))::BIGINT FROM s),
+        |x AS (
+        |  SELECT segment, n_c, n_t,
+        |    CASE WHEN n_c + n_t > 0 THEN
+        |      ROUND(CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE)
+        |        / (n_c + n_t), 6) + 0 ELSE 0 END AS chisq
+        |  FROM n)
+        |SELECT segment, n_c, n_t, chisq,
+        |  CASE WHEN chisq > 3.841459 THEN 1 ELSE 0 END AS srm_flag
+        |FROM x ORDER BY segment""".stripMargin) { (s, dir) =>
+      val arm = pmod(graft.functions.Slots.slot("ab1", col("c_custkey")),
+        lit(2L))
+      val per = Tables.customer(s, dir)
+        .select(col("c_nationkey"), arm.as("arm"))
+      val st = per.groupBy(col("c_nationkey"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"))
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      // nation is the fixed 25-row dim — the one legitimate hint
+      val seg = broadcast(nat)
+        .join(st, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_name").as("segment"),
+          coalesce(col("n_c"), lit(0L)).as("n_c"),
+          coalesce(col("n_t"), lit(0L)).as("n_t"))
+      val glob = st.agg(
+        coalesce(sum(col("n_c")), lit(0L)).as("n_c"),
+        coalesce(sum(col("n_t")), lit(0L)).as("n_t"))
+        .select(lit("_global").as("segment"), col("n_c"), col("n_t"))
+      val d = col("n_c") - col("n_t")
+      val x = seg.unionByName(glob).select(col("segment"), col("n_c"),
+        col("n_t"),
+        when(col("n_c") + col("n_t") > 0,
+          round((d * d).cast("double") / (col("n_c") + col("n_t")), 6)
+            + 0).otherwise(lit(0d)).as("chisq"))
+      x.select(col("segment"), col("n_c"), col("n_t"), col("chisq"),
+        when(col("chisq") > 3.841459, lit(1)).otherwise(lit(0))
+          .as("srm_flag"))
+        .orderBy(col("segment"))
+    }
+  }
+
   val all: Seq[Q] = Seq(survival, ksTest, mannWhitney, gini, theilSen,
     anova, kruskal, bursts, changepoint, woeIv, forecastEval,
     quantileHist, psi, lorenz, cohortKm, mannKendall, welch, hhi,
     cramersV, bootstrapCi, spearman, kendallTau, cuped, abReadout,
-    powerMde, fdrBh, winsorMean, did)
+    powerMde, fdrBh, winsorMean, did, srm)
 }

@@ -109,6 +109,28 @@ class QueriesSpec extends AnyFunSuite {
       && zDid * didV >= 0, r.toString)
   }
 
+  test("q_srm: guardrail identities hold") {
+    val rows = graft.queries.Stats.srm.run(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.length == 26)
+    val (glob, segs) = rows.partition(_._1 == "_global")
+    assert(glob.length == 1 && segs.length == 25)
+    // the global row is the exact segment sum
+    assert(glob.head._2 == segs.map(_._2).sum
+      && glob.head._3 == segs.map(_._3).sum)
+    rows.foreach { case (seg, nc, nt, chisq, flag) =>
+      val expect =
+        if (nc + nt == 0) 0d
+        else (nc - nt).toDouble * (nc - nt) / (nc + nt)
+      assert(math.abs(chisq - expect) < 1e-5, s"$seg: $chisq vs $expect")
+      assert((flag == 1) == (chisq > 3.841459), s"$seg flag")
+    }
+    // md5-parity assignment on a healthy corpus must not trip the
+    // global guardrail
+    assert(glob.head._5 == 0, s"global SRM flagged: ${glob.head}")
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
