@@ -966,7 +966,84 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-dimension recall curve — the Matryoshka question
+    * (Kusupati et al. 2022) every modern embedding deployment asks
+    * before picking a storage width: recall@5 of brute-force cosine
+    * over the FIRST d dims (d ∈ 8, 16, 32, 64) against the full-width
+    * truth (knn_brute's own dataflow/oracle — the ann_eval
+    * composition rule, so d = 64 reads 1.0 by construction and
+    * anchors the curve). Prefix dots/norms are the same left-fold
+    * arithmetic as the full-width path (slice + the codegen'd
+    * DotProduct ≡ DuckDB's range-bounded list_sum), ties pinned on
+    * neighbor_id, NaN prefix-cosines (zero prefix norms) dropped by
+    * the shared TopKAgg/isnan policy; recall is an exact int64 hit
+    * join with ONE division at output (4dp floor grid).
+    *
+    * Scale shape: the d-sweep multiplies the brute-force baseline's
+    * FLOPs by |dims|, not its shuffles — the query set stays
+    * broadcast, candidates never shuffle, and each d's top-5 rides
+    * the bounded map-side TopKAgg; the production reading is "store
+    * 16 of 64 dims and keep X% of recall at 1/4 the scan bytes". */
+  val annDimCurve: Q = Q(
+    "ann_dim_curve",
+    s"""WITH $oracleEmb,
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get})),
+      |ne AS (SELECT COUNT(*)::BIGINT n FROM truth),
+      |dd AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(d)),
+      |p AS (
+      |  SELECT dd.d, q.vec_id query_id, c.vec_id neighbor_id,
+      |    list_sum(list_transform(range(1, dd.d + 1),
+      |      i -> q.v[i] * c.v[i]))
+      |    / sqrt(list_sum(list_transform(range(1, dd.d + 1),
+      |        i -> q.v[i] * q.v[i]))
+      |      * list_sum(list_transform(range(1, dd.d + 1),
+      |        i -> c.v[i] * c.v[i]))) AS cos
+      |  FROM dd CROSS JOIN n q JOIN n c
+      |    ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY d, query_id
+      |    ORDER BY cos DESC, neighbor_id) rn
+      |  FROM p WHERE NOT isnan(cos)),
+      |h AS (
+      |  SELECT d AS dims, COUNT(*)::BIGINT hits
+      |  FROM r JOIN truth USING (query_id, neighbor_id)
+      |  WHERE rn <= 5 GROUP BY 1)
+      |SELECT dims, hits, ne.n AS n_expected,
+      |  FLOOR(hits / ne.n * 10000 + 0.5) / 10000 AS recall
+      |FROM h CROSS JOIN ne ORDER BY dims""".stripMargin) { (s, dir) =>
+    val dims = Seq(8, 16, 32, 64)
+    val e = emb(s, dir).cache() // both join sides × the d-sweep
+    val truth = knnBrute.run(s, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val ne = broadcast(truth.agg(count(lit(1)).as("n")))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"))
+    val per = dims.map { d =>
+      val vq = slice(col("vq"), 1, d)
+      val vc = slice(col("vc"), 1, d)
+      val cos = dot(vq, vc) /
+        sqrt(graft.functions.VectorExprs.norm2(vq)
+          * graft.functions.VectorExprs.norm2(vc))
+      graft.functions.TopK.ranked(
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", cos),
+        "query_id", col("cos"), col("neighbor_id"), 5,
+        "neighbor_id", "cos_sim")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dims"), col("hits"))
+    }.reduce(_.unionAll(_))
+    per.crossJoin(ne)
+      .select(col("dims"), col("hits"), col("n").as("n_expected"),
+        (floor(col("hits") / col("n") * 10000 + 0.5) / 10000)
+          .as("recall"))
+      .orderBy(col("dims"))
+  }
+
   val all: Seq[Q] = Seq(embeddingNearDup, embeddingIncremental, knnBrute,
     knnIvf, annLsh, quantizeInt8, knnPq, knnIvfPq, embedPca, semanticDedup,
-    annEval, knnBq)
+    annEval, knnBq, annDimCurve)
 }

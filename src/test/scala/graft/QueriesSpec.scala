@@ -131,6 +131,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(glob.head._5 == 0, s"global SRM flagged: ${glob.head}")
   }
 
+  test("ann_dim_curve: the full-width row anchors at recall 1.0") {
+    val rows = graft.queries.Vectors.annDimCurve.run(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    // same truth denominator on every row; recalls are proportions
+    assert(rows.map(_._3).distinct.length == 1)
+    rows.foreach { case (d, hits, n, rec) =>
+      assert(hits >= 0 && hits <= n && rec >= 0.0 && rec <= 1.0,
+        s"d=$d: $hits/$n -> $rec")
+    }
+    // d = 64 IS the truth ranking — recall exactly 1.0 by construction
+    assert(rows.last._4 == 1.0, rows.last.toString)
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
