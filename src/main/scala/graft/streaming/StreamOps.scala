@@ -674,6 +674,82 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming A/B experiment monitor — the LIVE dashboard twin of
+    * the q_srm + q_welch_ttest readout pair: per-arm power sums
+    * (n, Σy, Σy² — count/int64/DECIMAL(38,0)) are MERGEABLE, so each
+    * micro-batch (1) appends its 2-row partial-sum frame under a
+    * stream-scoped epoch marker and (2) emits, over the WHOLE merged
+    * log as of this epoch, the guardrail-first readout an experiment
+    * dashboard shows: n_c/n_t, the SRM χ² against the declared 95%
+    * critical value (metrics are INVALID while the flag is up —
+    * Fabijan et al. 2019), the raw mean diff and its Welch z — every
+    * float the same fixed IEEE expression as the batch queries,
+    * ROUND(6). Exactly-once on both surfaces (epochOnceFor +
+    * dynamic-overwrite emit); per-epoch work is O(batch) + a 2-row
+    * read, and the emitted row after ANY prefix of batches equals the
+    * one-shot batch computation over the same rows EXACTLY
+    * (StreamingSpec) — no sketch, no approximation, because power
+    * sums are the sufficient statistic. Input contract: columns
+    * arm (BIGINT ∈ {0,1}), y (BIGINT). */
+  def abMonitorIngest(s: SparkSession, rows: DataFrame,
+      root: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_abckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val part = b.groupBy(col("arm"))
+            .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+              sum(col("y").cast("decimal(19,0)")
+                * col("y").cast("decimal(19,0)"))
+                .cast("decimal(38,0)").as("syy"))
+          graft.operators.IndexLifecycle.epochOnceFor(root, "abmon",
+            epoch) {
+            graft.operators.Snapshots.publishAppend(part, root)
+          }
+          emitEpoch(abReadoutOf(
+            graft.operators.Snapshots.readLog(s, root)), epoch, outDir)
+        }
+      }
+      .start()
+
+  /** The monitor's read path: merged per-arm power sums → the
+    * guardrail-first readout row. Shared by the streaming emit and
+    * the spec's one-shot reference so the two can never drift. */
+  private[graft] def abReadoutOf(log: DataFrame): DataFrame = {
+    val merged = log.groupBy(col("arm"))
+      .agg(sum(col("n")).as("n"), sum(col("sy")).as("sy"),
+        sum(col("syy")).cast("decimal(38,0)").as("syy"))
+    val a = merged.select(col("arm"), col("n"),
+      (col("sy").cast("double") / col("n")).as("m"),
+      when(col("n") >= 2,
+        (col("syy").cast("double")
+          - col("sy").cast("double") * col("sy") / col("n"))
+          / (col("n") - 1) / col("n")).otherwise(lit(0d)).as("q"))
+    def pick(c: String, v: Int) = max(when(col("arm") === v, col(c)))
+    val w = a.agg(
+      coalesce(pick("n", 0), lit(0L)).as("n_c"),
+      coalesce(pick("n", 1), lit(0L)).as("n_t"),
+      pick("m", 0).as("m_c"), pick("m", 1).as("m_t"),
+      pick("q", 0).as("q_c"), pick("q", 1).as("q_t"))
+    val d = col("n_c") - col("n_t")
+    w.select(col("n_c"), col("n_t"),
+      when(col("n_c") + col("n_t") > 0,
+        round((d * d).cast("double") / (col("n_c") + col("n_t")), 6) + 0)
+        .otherwise(lit(0d)).as("srm_chisq"),
+      (round(col("m_t") - col("m_c"), 6) + 0).as("diff"),
+      when(col("q_c") + col("q_t") > 0,
+        round((col("m_t") - col("m_c"))
+          / sqrt(col("q_c") + col("q_t")), 6) + 0)
+        .otherwise(lit(0d)).as("z"))
+      .withColumn("srm_flag",
+        when(col("srm_chisq") > 3.841459, lit(1)).otherwise(lit(0)))
+      .select(col("n_c"), col("n_t"), col("srm_chisq"),
+        col("srm_flag"), col("diff"), col("z"))
+  }
+
   /** Streaming Poisson-bootstrap CI monitor — q_bootstrap_ci's
     * uncertainty estimate maintained over an unbounded stream: the
     * per-replicate partial sums (Σwx, Σw) are MERGEABLE (weights

@@ -494,6 +494,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming A/B monitor: merged power sums equal the one-shot batch readout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.load(spark, sf, "orders")
+      .select((col("o_orderkey") % 2).as("arm"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"),
+        col("o_orderkey").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b1 = all.filter(_._3 % 2 == 0).map(t => (t._1, t._2))
+    val b2 = all.filter(_._3 % 2 == 1).map(t => (t._1, t._2))
+    val root = "/tmp/graft_abmon_spec_idx"
+    val outDir = "/tmp/graft_abmon_spec_out"
+    Seq(root, root + "_abckpt", outDir)
+      .foreach(graft.operators.LakeFs.rmTree)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamOps.abMonitorIngest(
+      spark, ms.toDS().toDF("arm", "y"), root, outDir)
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.read.parquet(outDir)
+    val epochs = emitted.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs.length == 2, s"expected 2 epochs, got ${epochs.toSeq}")
+    def row(df: org.apache.spark.sql.DataFrame)
+        : (Long, Long, Double, Int, Double, Double) = {
+      val r = df.select(col("n_c"), col("n_t"), col("srm_chisq"),
+        col("srm_flag"), col("diff"), col("z")).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    val last = row(emitted.filter(col("epoch") === epochs.max))
+    // read-path parity: the final emission == the shared read over
+    // the merged log
+    val oneShot = row(StreamOps.abReadoutOf(
+      graft.operators.Snapshots.readLog(spark, root)))
+    assert(last == oneShot, s"monitor diverged: $last vs $oneShot")
+    // semantic parity: a direct single-shot computation over ALL
+    // rows through the same dataflow (power sums are the sufficient
+    // statistic — batch boundaries must not matter)
+    val direct = row(StreamOps.abReadoutOf(
+      all.map(t => (t._1, t._2)).toSeq.toDF("arm", "y")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(19,0)")
+            * col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("syy"))))
+    assert(last == direct, s"batch-boundary drift: $last vs $direct")
+    // counts reconcile with the raw rows
+    assert(last._1 == all.count(_._1 == 0L)
+      && last._2 == all.count(_._1 == 1L))
+    // torn replay no-op
+    graft.operators.IndexLifecycle.epochOnceFor(root, "abmon",
+      epochs.max) {
+      sys.error("replayed epoch must not re-append")
+    }
+  }
+
   test("streaming bootstrap CI: merged-replicate interval equals the one-shot batch computation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
