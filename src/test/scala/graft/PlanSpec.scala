@@ -404,6 +404,7 @@ class PlanSpec extends AnyFunSuite {
     // its hint dropped or earns an entry in this list with a reason.
     val exempt = Set(
       "ann_eval" -> "embeddings", "ann_lsh" -> "embeddings",
+      "ann_dim_curve" -> "embeddings",
       "knn_bq" -> "embeddings", "knn_brute" -> "embeddings",
       "knn_ivf" -> "embeddings", "knn_ivfpq" -> "embeddings",
       "knn_pq" -> "embeddings",
