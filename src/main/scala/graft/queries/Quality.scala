@@ -278,5 +278,94 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(gopher, c4)
+  // ---------------------------------------------------------------
+  // Inter-gate agreement (Cohen's kappa)
+  // ---------------------------------------------------------------
+
+  /** Cohen's κ (1960) between the two INDEPENDENT quality gates
+    * corpus_clean actually stacks — the learned NB classifier
+    * (quality_nb_apply's pred) and the heuristic quality screen
+    * (text_quality's score ≥ 0.35, corpus_clean's own threshold) —
+    * the label-quality question every curation stack asks before
+    * trusting either gate alone ("do my filters even agree, beyond
+    * chance?"). Both sides are the REGISTERED dataflows/oracles
+    * composed in (the ann_eval rule — the agreement can never drift
+    * from what the gates actually compute). The Gopher screen was
+    * deliberately NOT chosen as the second rater: on this synthetic
+    * corpus it keeps nothing (the salad text has no newlines and
+    * fails the word-count band uniformly — quality_gopher's planted
+    * fixtures exist for exactly that reason), and κ against a
+    * constant rater is 0 by definition — true but uninformative.
+    * The 2×2 contingency (both_keep/nb_only/heur_only/both_drop) is
+    * exact int64; po, pe, and κ = (n·(a+d) − E)/(n² − E) with
+    * E = (a+b)(a+c)+(c+d)(b+d) are each ONE fixed IEEE expression
+    * over the exact counts, ROUND(6); a degenerate table (pe = 1)
+    * scores κ = 0 by contract.
+    *
+    * Scale shape: the two gate passes (each one corpus scan — the NB
+    * side over the broadcast persisted model) plus ONE doc_id
+    * equi-join and a map-side 2×2 count; all arithmetic after on a
+    * 1-row frame. */
+  val agreement: Q = Q(
+    "quality_agreement",
+    s"""WITH nb AS (
+      |  SELECT doc_id, pred AS p_nb
+      |  FROM (${graft.queries.Pipeline.qualityNbApply.oracle.get})),
+      |gk AS (
+      |  SELECT doc_id,
+      |    CASE WHEN quality_score >= 0.35 THEN 1 ELSE 0 END AS p_go
+      |  FROM (${graft.queries.Text.quality.oracle.get})),
+      |ct AS (
+      |  SELECT COUNT(*)::BIGINT AS n,
+      |    SUM(CASE WHEN p_nb = 1 AND p_go = 1 THEN 1 ELSE 0 END)
+      |      ::BIGINT AS a,
+      |    SUM(CASE WHEN p_nb = 1 AND p_go = 0 THEN 1 ELSE 0 END)
+      |      ::BIGINT AS b,
+      |    SUM(CASE WHEN p_nb = 0 AND p_go = 1 THEN 1 ELSE 0 END)
+      |      ::BIGINT AS c,
+      |    SUM(CASE WHEN p_nb = 0 AND p_go = 0 THEN 1 ELSE 0 END)
+      |      ::BIGINT AS d
+      |  FROM nb JOIN gk USING (doc_id)),
+      |k AS (
+      |  SELECT n, a, b, c, d,
+      |    CAST(a + b AS DOUBLE) * (a + c)
+      |      + CAST(c + d AS DOUBLE) * (b + d) AS e
+      |  FROM ct)
+      |SELECT n, a AS both_keep, b AS nb_only, c AS heur_only,
+      |  d AS both_drop,
+      |  ROUND(CAST(a + d AS DOUBLE) / n, 6) + 0 AS po,
+      |  ROUND(e / n / n, 6) + 0 AS pe,
+      |  CASE WHEN CAST(n AS DOUBLE) * n - e <> 0 THEN
+      |    ROUND((CAST(a + d AS DOUBLE) * n - e)
+      |      / (CAST(n AS DOUBLE) * n - e), 6) + 0
+      |  ELSE 0 END AS kappa
+      |FROM k""".stripMargin) { (s, dir) =>
+    val nb = graft.queries.Pipeline.nbScored(s, dir)
+      .select(col("doc_id"),
+        when(col("score_micro") > 0L, 1L).otherwise(0L).as("p_nb"))
+    val gk = graft.queries.Text.quality.run(s, dir)
+      .select(col("doc_id"),
+        when(col("quality_score") >= 0.35, 1L).otherwise(0L)
+          .as("p_go"))
+    def cell(nv: Int, gv: Int): Column =
+      sum(when(col("p_nb") === nv && col("p_go") === gv, 1L)
+        .otherwise(0L))
+    val ct = nb.join(gk, "doc_id")
+      .agg(count(lit(1)).as("n"), cell(1, 1).as("a"), cell(1, 0).as("b"),
+        cell(0, 1).as("c"), cell(0, 0).as("d"))
+    val k = ct.withColumn("e",
+      (col("a") + col("b")).cast("double") * (col("a") + col("c"))
+        + (col("c") + col("d")).cast("double") * (col("b") + col("d")))
+    k.select(col("n"), col("a").as("both_keep"), col("b").as("nb_only"),
+      col("c").as("heur_only"), col("d").as("both_drop"),
+      (round((col("a") + col("d")).cast("double") / col("n"), 6) + 0)
+        .as("po"),
+      (round(col("e") / col("n") / col("n"), 6) + 0).as("pe"),
+      when(col("n").cast("double") * col("n") - col("e") =!= 0,
+        round(((col("a") + col("d")).cast("double") * col("n") - col("e"))
+          / (col("n").cast("double") * col("n") - col("e")), 6) + 0)
+        .otherwise(lit(0d)).as("kappa"))
+  }
+
+  val all: Seq[Q] = Seq(gopher, c4, agreement)
 }

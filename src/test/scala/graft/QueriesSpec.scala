@@ -146,6 +146,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.last._4 == 1.0, rows.last.toString)
   }
 
+  test("quality_agreement: the kappa identities hold and both raters vary") {
+    val r = graft.queries.Quality.agreement.run(spark, TestSpark.sf)
+      .collect().head
+    val n = r.getLong(0)
+    val (a, b, c, d) = (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+    val (po, pe, kappa) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(a + b + c + d == n, r.toString)
+    // both raters must vary on the corpus — a constant rater makes
+    // kappa 0 by definition and the comparison uninformative (the
+    // reason the Gopher screen was not chosen as the second rater)
+    assert(a + b > 0 && c + d > 0, s"NB rater constant: $r")
+    assert(a + c > 0 && b + d > 0, s"heuristic rater constant: $r")
+    val e = (a + b).toDouble * (a + c) + (c + d).toDouble * (b + d)
+    assert(math.abs(po - (a + d).toDouble / n) < 1e-5, r.toString)
+    assert(math.abs(pe - e / n / n) < 1e-5, r.toString)
+    // kappa = (po - pe)/(1 - pe) to grid precision
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4, r.toString)
+    assert(kappa >= -1.0 && kappa <= 1.0, r.toString)
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
