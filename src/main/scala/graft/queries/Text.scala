@@ -2321,6 +2321,59 @@ object Text {
       .orderBy(col("tokenizer"))
   }
 
+  // ---------------------------------------------------------------
+  // Good-Turing unseen mass + Chao1 vocabulary richness
+  // ---------------------------------------------------------------
+
+  /** "Is this corpus exhausted?" — the coverage diagnostic a
+    * data-scaling decision needs before buying more crawl: the
+    * Good-Turing estimate of unseen-word mass P₀ = n₁/N (Good 1953 —
+    * the probability the NEXT token is a word never seen) and the
+    * Chao1 vocabulary-richness estimate V̂ = V + n₁(n₁−1)/(2(n₂+1))
+    * (Chao 1984, bias-corrected form — finite even when no word
+    * occurs exactly twice), from the frequency-of-frequencies of the
+    * corpus vocabulary: N total tokens, V distinct words, n₁
+    * singletons, n₂ doubletons — all exact int64; P₀, the coverage
+    * complement, and V̂ are each ONE double division of exact counts,
+    * ROUND(6).
+    *
+    * Scale shape: explode → per-word counts (ONE shuffle on the word
+    * key, map-side combined) → the frequency histogram collapses to a
+    * conditional global aggregate — no second wide shuffle, no
+    * window; output is a 1-row frame at any corpus size. */
+  val goodTuring: Q = Q(
+    "text_good_turing",
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS w
+      |  FROM documents),
+      |wc AS (SELECT w, COUNT(*)::BIGINT AS c FROM tok GROUP BY w),
+      |s AS (
+      |  SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+      |  FROM wc)
+      |SELECT n AS n_tokens, v AS vocab, n1, n2,
+      |  ROUND(CAST(n1 AS DOUBLE) / n, 6) + 0 AS p_unseen,
+      |  ROUND(1 - CAST(n1 AS DOUBLE) / n, 6) + 0 AS coverage,
+      |  ROUND(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1)), 6)
+      |    + 0 AS chao1
+      |FROM s""".stripMargin) { (s, dir) =>
+    val wc = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val st = wc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+    st.select(col("n").as("n_tokens"), col("v").as("vocab"),
+      col("n1"), col("n2"),
+      (round(col("n1").cast("double") / col("n"), 6) + 0).as("p_unseen"),
+      (round(lit(1) - col("n1").cast("double") / col("n"), 6) + 0)
+        .as("coverage"),
+      (round(col("v") + col("n1").cast("double") * (col("n1") - 1)
+        / (lit(2) * (col("n2") + 1)), 6) + 0).as("chao1"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, chunkFixed, chunkRecursive,
     chunkSentence, docStats, fingerprint, tfidf, stem, repetition, tokenShards,
     freqSketch, piiScrub, bigramLm, perplexity, corpusStats, bpeFit, bpeApply,
@@ -2328,5 +2381,6 @@ object Text {
     unigramFit, unigramApply, unigramEstep, unigramSample,
     wordpieceFit, wordpieceApply,
     knTrigram, readability, tokensUnicode, entropy, oov, collocations,
-    langidCjk, keywords, spellCorrect, jsd, zipf, tokenizerEval)
+    langidCjk, keywords, spellCorrect, jsd, zipf, tokenizerEval,
+    goodTuring)
 }

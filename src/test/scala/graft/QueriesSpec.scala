@@ -167,6 +167,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(kappa >= -1.0 && kappa <= 1.0, r.toString)
   }
 
+  test("text_good_turing: coverage identities hold") {
+    val r = graft.queries.Text.goodTuring.run(spark, TestSpark.sf)
+      .collect().head
+    val (n, v, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val (p0, cov, chao1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(n > 0 && v > 0 && v <= n && n1 <= v && n2 <= v)
+    assert(math.abs(p0 - n1.toDouble / n) < 1e-5, r.toString)
+    assert(math.abs(p0 + cov - 1.0) < 1e-5, r.toString)
+    // Chao1 never estimates fewer species than observed
+    assert(chao1 >= v.toDouble, r.toString)
+    assert(math.abs(chao1
+      - (v + n1.toDouble * (n1 - 1) / (2.0 * (n2 + 1)))) < 1e-4,
+      r.toString)
+  }
+
   test("tokenizer_eval: shared word domain agrees, fertility >= 1") {
     val rows = graft.queries.Text.tokenizerEval.run(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) ->
