@@ -245,45 +245,8 @@ object Dedup {
     jaccardFrom(cappedInter(sh, sz.count()), sz)
   }
 
-  /** Persisted near-dup pair/cluster sidecar (the graphIndexOf
-    * discipline, r16): the capped-blocking exact-Jaccard pair frame
-    * over the FULL corpus and its min-label connected components are
-    * deterministic functions of the documents source, and FOUR
-    * registered queries re-derived them per query
-    * (dedup_ngram_jaccard, dedup_clusters, corpus_split_safe,
-    * corpus_triplets — ~24 s/pass combined at sf0.1, ~270 s at sf1).
-    * buildOnce freezes `pairs` (doc_a, doc_b, jaccard) and
-    * `clusters` (doc_id, cluster_id) keyed to the documents version;
-    * the queries probe the frozen frames — which is also the honest
-    * production shape: dedup_incremental and the cluster-maintenance
-    * ingest ALREADY maintain exactly this state; one-shot analytics
-    * reading the maintained state is the serving economics at
-    * 100 TB. corpus_clean keeps its own enumeration (its pair domain
-    * is the gate SURVIVORS, not the corpus). */
-  private[queries] def pairsIndexOf(s: SparkSession, dir: String)
-      : String = {
-    val idx = graft.queries.Vectors.sidecarDir("pairs", dir)
-    graft.operators.IndexLifecycle.buildOnce(idx,
-      graft.operators.IndexLifecycle.sourceKey(
-        s"$dir/documents.parquet", "ngram-pairs-v1")) { tmp =>
-      val sh = hashedShinglesOf(Tables.documents(s, dir)).cache()
-      val sz = docSizes(sh).cache()
-      val pj = jaccardFrom(cappedInter(sh, sz.count()), sz).cache()
-      pj.write.parquet(s"$tmp/pairs")
-      minLabelClusters(
-        pj.select(col("doc_a").as("da"), col("doc_b").as("db")))
-        .write.parquet(s"$tmp/clusters")
-      pj.unpersist()
-      sz.unpersist()
-      sh.unpersist()
-      ()
-    }
-    idx
-  }
-
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
-    s.read.parquet(s"${pairsIndexOf(s, dir)}/pairs")
-      .orderBy(col("doc_a"), col("doc_b"))
+    ngramPairsOf(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
   }
 
 
@@ -461,11 +424,11 @@ object Dedup {
       |  SELECT r.x, ed.y FROM reach r JOIN edges ed ON r.y = ed.x)
       |SELECT x AS doc_id, MIN(y) AS cluster_id
       |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // probe the persisted pair/cluster sidecar (pairsIndexOf) — the
-    // pair enumeration + label propagation run once per corpus
-    // version, not per query
-    s.read.parquet(s"${pairsIndexOf(s, dir)}/clusters")
-      .orderBy(col("doc_id"))
+    val sh = hashedShingles(s, dir).cache()
+    val sz = docSizes(sh).cache()
+    val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    minLabelClusters(pairs).orderBy(col("doc_id"))
   }
 
   /** Min-label propagation to fixpoint over a (da, db) pair frame —
@@ -1284,10 +1247,11 @@ object Dedup {
       |       WHEN slot * 20 // 4294967296 = 18 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM sl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // cluster labels probe the persisted sidecar (pairsIndexOf) —
-    // shared with dedup_clusters; the split decision stays a pure
-    // content-addressed map over them
-    val lab = s.read.parquet(s"${pairsIndexOf(s, dir)}/clusters")
+    val sh = hashedShingles(s, dir).cache()
+    val sz = docSizes(sh).cache()
+    val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val lab = minLabelClusters(pairs)
     val bucket = expr("(slot * 20) div 4294967296")
     Tables.documents(s, dir).select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")

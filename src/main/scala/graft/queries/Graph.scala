@@ -64,10 +64,46 @@ object Graph {
       |FROM members
       |ORDER BY n_tri DESC, part
       |LIMIT 10""".stripMargin) { (s, dir) =>
-    // probe path over the PERSISTED triangle sidecar (graphIndexOf);
-    // the wedge enumeration runs once per corpus version, not per
-    // query — cache still guards the 3-way members fan-out + total
-    val tri = s.read.parquet(s"${graphIndexOf(s, dir)}/tri").cache()
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .distinct()
+      .cache()
+    val deg = edges.select(col("x").as("n"))
+      .unionAll(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-(deg, id) -> high; carry the head's (deg, id) so the
+    // wedge join can order out-neighbors without re-joining degrees
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
+        "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
+        "y")
+      .select(
+        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .cache()
+    // wedges at the LOW vertex, closed by one oriented-edge probe
+    // (alias-qualified join keys: positional df("col") references on
+    // two projections of one cached frame trip Spark's ambiguous-
+    // self-join heuristic)
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .as("e1")
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+      .as("e2")
+    val tri = e1.join(e2,
+        col("e1.u") === col("e2.u") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("e1.u").as("a"), col("b"), col("c"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+      .cache()
     val total = tri.agg(count(lit(1)).as("total_tri"))
     tri.select(col("a").as("n"))
       .unionAll(tri.select(col("b").as("n")))
@@ -125,66 +161,6 @@ object Graph {
       .count()
     n.unpersist()
     noo + nno + nnn
-  }
-
-  /** Persisted co-purchase-graph sidecar (the spellIndexOf/nbModelOf
-    * discipline): `edges` (canonical x<y), `deg`, and the
-    * degree-ordered triangle list `tri`. Before r16, q_triangles and
-    * graph_clustering each re-ran the IDENTICAL wedge enumeration —
-    * the two most expensive rows in the registry (~24 s/pass
-    * combined at sf0.1) — and link-predict/khop re-built the edge
-    * projection. buildOnce freezes all three frames keyed to the
-    * lineitem source version; every graph query then times its PROBE
-    * path (parquet scan + aggregate), which is the serving economics
-    * a maintained graph index amortizes at 100 TB — the build runs
-    * once per corpus version, landing in the bench warm-up, exactly
-    * like the ANN/spell/NB sidecars. */
-  private[graft] def graphIndexOf(s: SparkSession, dir: String): String = {
-    val idx = graft.queries.Vectors.sidecarDir("graph", dir)
-    graft.operators.IndexLifecycle.buildOnce(idx,
-      graft.operators.IndexLifecycle.sourceKey(
-        s"$dir/lineitem.parquet", "graph-tri-v1")) { tmp =>
-      val (edges, deg0) = edgesAndDeg(s, dir)
-      val deg = deg0.cache()
-      edges.write.parquet(s"$tmp/edges")
-      deg.write.parquet(s"$tmp/deg")
-      // orient low-(deg, id) -> high; carry the head's (deg, id) so
-      // the wedge join can order out-neighbors without re-joining
-      // degrees
-      val lowFirst =
-        struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
-      val oriented = edges
-        .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
-          "x")
-        .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
-          "y")
-        .select(
-          when(lowFirst, col("x")).otherwise(col("y")).as("u"),
-          when(lowFirst, col("y")).otherwise(col("x")).as("v"),
-          when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
-        .cache()
-      // wedges at the LOW vertex, closed by one oriented-edge probe
-      // (alias-qualified join keys: positional df("col") references
-      // on two projections of one cached frame trip Spark's
-      // ambiguous-self-join heuristic)
-      val e1 = oriented
-        .select(col("u"), col("v").as("b"), col("dv").as("db")).as("e1")
-      val e2 = oriented
-        .select(col("u"), col("v").as("c"), col("dv").as("dc")).as("e2")
-      e1.join(e2,
-          col("e1.u") === col("e2.u") &&
-            struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-        .select(col("e1.u").as("a"), col("b"), col("c"))
-        .join(oriented.select(col("u").as("b"), col("v").as("c")),
-          Seq("b", "c"))
-        .select("a", "b", "c")
-        .write.parquet(s"$tmp/tri")
-      oriented.unpersist()
-      deg.unpersist()
-      edges.unpersist()
-      ()
-    }
-    idx
   }
 
   /** The co-purchase graph q_triangles defines, shared by the other
@@ -260,14 +236,34 @@ object Graph {
       |WHERE deg.d >= 2
       |ORDER BY coeff_ppm DESC, part
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    // SAME persisted sidecar as q_triangles — before r16 both
-    // queries re-ran the identical wedge enumeration (~24 s/pass
-    // combined); now each probes the frozen triangle list. cache
-    // still guards the 3-way members fan-out (the r14b lesson:
-    // uncached, each union branch re-ran the producing scan)
-    val idx = graphIndexOf(s, dir)
-    val tri = s.read.parquet(s"$idx/tri").cache()
-    val deg = s.read.parquet(s"$idx/deg")
+    val (edges, deg) = edgesAndDeg(s, dir)
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
+        "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
+        "y")
+      .select(
+        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .cache()
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .as("e1")
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+      .as("e2")
+    val tri = e1.join(e2,
+        col("e1.u") === col("e2.u") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("e1.u").as("a"), col("b"), col("c"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+      // q_triangles' rule, learned the hard way here: the members
+      // union fans tri out THREE times — uncached, each branch
+      // re-ran the whole wedge enumeration (bench read 150-470 s vs
+      // q_triangles' 17 s for the identical join)
+      .cache()
     val members = tri.select(col("a").as("n"))
       .unionAll(tri.select(col("b").as("n")))
       .unionAll(tri.select(col("c").as("n")))
@@ -319,12 +315,7 @@ object Graph {
       |JOIN deg db ON c.b = db.n
       |ORDER BY c.cn DESC, c.a, c.b
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    // edges/deg probe the persisted graph sidecar (shared with the
-    // triangle family) — parquet scans, not a per-query rebuild of
-    // the lineitem self-join projection
-    val idx = graphIndexOf(s, dir)
-    val edges = s.read.parquet(s"$idx/edges")
-    val deg = s.read.parquet(s"$idx/deg")
+    val (edges, deg) = edgesAndDeg(s, dir)
     val adj = edges.select(col("x").as("c"), col("y").as("m"))
       .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
     val small = adj.join(
@@ -381,7 +372,7 @@ object Graph {
       |SELECT depth, COUNT(*) AS n_nodes, MIN(node) AS min_node,
       |  MAX(node) AS max_node
       |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
-    val edges = s.read.parquet(s"${graphIndexOf(s, dir)}/edges")
+    val (edges, _) = edgesAndDeg(s, dir)
     val adj = edges.select(col("x").as("c"), col("y").as("m"))
       .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
       .localCheckpoint()

@@ -991,9 +991,7 @@ object Pipeline {
       |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    // the anchor/positive pair mining probes the persisted pair
-    // sidecar (Dedup.pairsIndexOf) — shared with the dedup family
-    val pj = s.read.parquet(s"${Dedup.pairsIndexOf(s, dir)}/pairs")
+    val pj = Dedup.ngramPairsOf(docs)
     val sym = pj.select(col("doc_a").as("a"), col("doc_b").as("p"),
         col("jaccard").as("j"))
       .unionAll(pj.select(col("doc_b").as("a"), col("doc_a").as("p"),

@@ -756,52 +756,39 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("triangle family probes ONE persisted sidecar, no per-query wedge re-enumeration") {
-    // the r15 efficiency finding: q_triangles and graph_clustering
-    // independently re-ran the identical degree-ordered wedge join
-    // (~24 s/pass combined). Both must now scan the SAME frozen
-    // triangle frame (graphIndexOf), and no graph query's timed plan
-    // may rebuild the lineitem self-join projection.
-    val pt = plan(Graph.triangles.run(spark, sf))
-    spark.catalog.clearCache()
-    val pc = plan(Graph.clustering.run(spark, sf))
-    for ((p, n) <- Seq(pt -> "q_triangles", pc -> "graph_clustering")) {
-      assert(p.contains("graft_graph"), s"$n does not scan the sidecar")
-      assert(!p.contains("lineitem.parquet"),
-        s"$n re-enumerates from lineitem:\n${p.take(2000)}")
-    }
-    spark.catalog.clearCache()
-  }
-
-  test("near-dup pair family probes ONE persisted sidecar, no per-query shingle re-enumeration") {
-    // the r16 extension of the triangle-sidecar discipline: the
-    // capped-blocking exact-Jaccard pair frame and its min-label
-    // clusters are deterministic functions of the documents source;
-    // dedup_ngram_jaccard / dedup_clusters / corpus_split_safe /
-    // corpus_triplets must all scan the SAME frozen pair/cluster
-    // frames (pairsIndexOf) — and the two pure probes must not touch
-    // documents.parquet at all in their timed plans. corpus_clean
-    // keeps its own enumeration (its pair domain is the gate
-    // survivors, not the corpus).
-    val probes = Seq(
-      Dedup.ngramJaccard -> "dedup_ngram_jaccard",
-      Dedup.clusters -> "dedup_clusters")
-    for ((q, n) <- probes) {
-      val p = plan(q.run(spark, sf))
-      assert(p.contains("graft_pairs"), s"$n does not scan the sidecar")
-      assert(!p.contains("documents.parquet"),
-        s"$n re-enumerates from documents:\n${p.take(2000)}")
-      spark.catalog.clearCache()
-    }
-    // split_safe/triplets join documents for doc-level columns but
-    // their cluster/pair inputs must come from the sidecar, with no
-    // shingle fan-out (posexplode) anywhere in the timed plan
-    for ((q, n) <- Seq(Dedup.splitSafe -> "corpus_split_safe",
-        graft.queries.Pipeline.corpusTriplets -> "corpus_triplets")) {
-      val p = plan(q.run(spark, sf))
-      assert(p.contains("graft_pairs"), s"$n does not scan the sidecar")
-      assert(!p.contains("Generate explode"),
-        s"$n re-shingles the corpus:\n${p.take(2000)}")
+  test("batch analytics compute from the parquet inputs, never a pre-built result sidecar") {
+    // r16 optimization-round rule: every bench/oracle invocation must
+    // compute its answer from the parquet inputs. A mid-build r16
+    // experiment persisted the near-dup pair frame and the triangle
+    // list to /tmp sidecars keyed on the testdata dir, so the timed
+    // queries scanned a precomputed copy of their own output built in
+    // a PREVIOUS run/pass — precomputation across runs, not
+    // optimization. Reverted; this pin keeps the class from
+    // recurring: the heavy-enumeration queries' timed plans must scan
+    // their true source tables and no graft_pairs/graft_graph
+    // sidecar. (Model/index sidecars — IVF/PQ/NB/spell/… — are
+    // declared engine features with their own lifecycle operators and
+    // stay; this guard is about a query's own answer frame.)
+    // dedup_clusters' positive source pin is empty: its min-label
+    // fixpoint ends in a localCheckpoint (Scan ExistingRDD), which
+    // legitimately truncates the lineage out of the final plan — the
+    // negative sidecar assertion still applies.
+    val cases = Seq(
+      (Graph.triangles.run(spark, sf), "q_triangles", "lineitem"),
+      (Graph.clustering.run(spark, sf), "graph_clustering", "lineitem"),
+      (Dedup.ngramJaccard.run(spark, sf), "dedup_ngram_jaccard",
+        "documents"),
+      (Dedup.clusters.run(spark, sf), "dedup_clusters", ""),
+      (Dedup.splitSafe.run(spark, sf), "corpus_split_safe", "documents"),
+      (graft.queries.Pipeline.corpusTriplets.run(spark, sf),
+        "corpus_triplets", "documents"))
+    for ((df, n, src) <- cases) {
+      val p = plan(df)
+      assert(!p.contains("graft_pairs") && !p.contains("graft_graph"),
+        s"$n reads a pre-built result sidecar:\n${p.take(2000)}")
+      if (src.nonEmpty)
+        assert(p.contains(s"$src.parquet"),
+          s"$n does not compute from $src:\n${p.take(2000)}")
       spark.catalog.clearCache()
     }
   }
