@@ -64,50 +64,10 @@ object Graph {
       |FROM members
       |ORDER BY n_tri DESC, part
       |LIMIT 10""".stripMargin) { (s, dir) =>
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items.as("a").join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y"))
-      .distinct()
-      .cache()
-    val deg = edges.select(col("x").as("n"))
-      .unionAll(edges.select(col("y").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient low-(deg, id) -> high; carry the head's (deg, id) so the
-    // wedge join can order out-neighbors without re-joining degrees
-    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
-    val oriented = edges
-      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
-        "x")
-      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
-        "y")
-      .select(
-        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
-        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
-        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
-      .cache()
-    // wedges at the LOW vertex, closed by one oriented-edge probe
-    // (alias-qualified join keys: positional df("col") references on
-    // two projections of one cached frame trip Spark's ambiguous-
-    // self-join heuristic)
-    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
-      .as("e1")
-    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
-      .as("e2")
-    val tri = e1.join(e2,
-        col("e1.u") === col("e2.u") &&
-          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("e1.u").as("a"), col("b"), col("c"))
-      .join(oriented.select(col("u").as("b"), col("v").as("c")),
-        Seq("b", "c"))
-      .select("a", "b", "c")
-      .cache()
+    val (tri, _) = triangleFrames(s, dir)
     val total = tri.agg(count(lit(1)).as("total_tri"))
-    tri.select(col("a").as("n"))
-      .unionAll(tri.select(col("b").as("n")))
-      .unionAll(tri.select(col("c").as("n")))
+    // one cached-tri pass for all three corners (was a 3-branch union)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_tri"))
       .crossJoin(broadcast(total))
       .select(col("n").as("part"), col("n_tri"), col("total_tri"))
@@ -164,21 +124,75 @@ object Graph {
   }
 
   /** The co-purchase graph q_triangles defines, shared by the other
-    * graph queries: canonical x<y edges + per-node degrees. */
+    * graph queries: canonical x<y edges + per-node degrees.
+    *
+    * r16 shape: per-order sorted part array → all x<y pairs inline.
+    * The old items-distinct + self-join paid one extra exchange AND a
+    * join for the same pair set; collect_set dedups (o, p) map-side
+    * inside the single groupBy-o exchange, and the per-order C(n, 2)
+    * fan-out is identical either way (TPC-H orders are ≤ 7 lines, and
+    * at any scale a giant order costs both shapes the same quadratic).
+    * Degrees come from ONE pass over the cached edges (explode of
+    * both endpoints) instead of a two-branch union. */
   private def edgesAndDeg(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val items = Tables.lineitem(s, dir)
+    val edges = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items.as("a").join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct()
       .cache()
-    val deg = edges.select(col("x").as("n"))
-      .unionAll(edges.select(col("y").as("n")))
+    // deg is consumed 2-3 times per query (both oriented sides, the
+    // final coefficient join) — cache the |V|-row frame rather than
+    // re-aggregating the edge cache per consumer
+    val deg = edges.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .cache()
     (edges, deg)
+  }
+
+  /** Degree-ordered oriented edges and their triangle list — the
+    * shared dataflow of q_triangles and graph_clustering, computed
+    * inside each query's own invocation (shared CODE, never shared
+    * state: the r16 optimization rules forbid cross-run sidecars).
+    * `tri` is cached: the members explode re-reads it, and uncached
+    * each consumer would re-run the whole wedge join (the r14b
+    * 150-470 s lesson). */
+  private def triangleFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (edges, deg) = edgesAndDeg(s, dir)
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
+        "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
+        "y")
+      .select(
+        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .cache()
+    // wedges at the LOW vertex, closed by one oriented-edge probe
+    // (alias-qualified join keys: positional df("col") references on
+    // two projections of one cached frame trip Spark's ambiguous-
+    // self-join heuristic)
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .as("e1")
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+      .as("e2")
+    val tri = e1.join(e2,
+        col("e1.u") === col("e2.u") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("e1.u").as("a"), col("b"), col("c"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+      .cache()
+    (tri, deg)
   }
 
   /** SQL fragment for the same edge/degree build (oracle side). */
@@ -236,37 +250,9 @@ object Graph {
       |WHERE deg.d >= 2
       |ORDER BY coeff_ppm DESC, part
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    val (edges, deg) = edgesAndDeg(s, dir)
-    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
-    val oriented = edges
-      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"),
-        "x")
-      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"),
-        "y")
-      .select(
-        when(lowFirst, col("x")).otherwise(col("y")).as("u"),
-        when(lowFirst, col("y")).otherwise(col("x")).as("v"),
-        when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
-      .cache()
-    val e1 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
-      .as("e1")
-    val e2 = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
-      .as("e2")
-    val tri = e1.join(e2,
-        col("e1.u") === col("e2.u") &&
-          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("e1.u").as("a"), col("b"), col("c"))
-      .join(oriented.select(col("u").as("b"), col("v").as("c")),
-        Seq("b", "c"))
-      .select("a", "b", "c")
-      // q_triangles' rule, learned the hard way here: the members
-      // union fans tri out THREE times — uncached, each branch
-      // re-ran the whole wedge enumeration (bench read 150-470 s vs
-      // q_triangles' 17 s for the identical join)
-      .cache()
-    val members = tri.select(col("a").as("n"))
-      .unionAll(tri.select(col("b").as("n")))
-      .unionAll(tri.select(col("c").as("n")))
+    val (tri, deg) = triangleFrames(s, dir)
+    val members = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_tri"))
     deg.filter(col("d") >= 2)
       .join(members, Seq("n"), "left")
@@ -378,16 +364,34 @@ object Graph {
       .localCheckpoint()
     val src = edges.agg(min(col("x")).as("node"))
       .select(col("node"), lit(0).as("depth")).localCheckpoint()
+    // visited is a LAZY union of the per-level checkpointed frontiers:
+    // every leaf is already an ExistingRDD, so the anti-join's right
+    // side never recomputes — and the per-level visited checkpoint
+    // job (8 extra materializations of an already-materialized union)
+    // is gone. Only the new frontier is checkpointed each round.
     var visited = src
     var frontier = src.select(col("node"))
-    for (d <- 1 to 8) {
+    var d = 1
+    var exhausted = false
+    // the 8-hop BOUND is the declared semantics; an empty frontier
+    // provably contributes nothing at every later depth, so stopping
+    // early is result-identical (every remaining round would join an
+    // empty build side against the full adj scan — at bench scale the
+    // walk saturates by depth 3 and the empty rounds were pure adj
+    // re-scans). The emptiness probe reads one partition of the
+    // ALREADY-materialized checkpoint, not a new computation.
+    while (d <= 8 && !exhausted) {
       val next = frontier.join(adj, col("node") === col("c"))
         .select(col("m").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionByName(
-        next.select(col("node"), lit(d).as("depth"))).localCheckpoint()
-      frontier = next
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = visited.unionByName(
+          next.select(col("node"), lit(d).as("depth")))
+        frontier = next
+      }
+      d += 1
     }
     visited.groupBy(col("depth"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
