@@ -19,23 +19,27 @@ object Dedup {
   private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
   /** 3-gram word shingles (functions.TextExprs.gramsN — the shared
-    * guarded n-gram builder). Deduplication must be the
-    * DataFrame-level distinct() below, not array_distinct() inside
-    * the explode path (quadratic-interpreted — 25x at sf0.1). */
+    * guarded n-gram builder). Deduplication must happen on the HASHED
+    * array, never on the string array: array_distinct over strings is
+    * quadratic-interpreted (measured 25x at sf0.1), over longs it
+    * rides the primitive-specialized open hash set. */
   private def gramsN(ts: Column, n: Int): Column =
     graft.functions.TextExprs.gramsN(ts, n)
 
   private def gramsOf(ts: Column): Column = gramsN(ts, 3)
 
-  /** (doc_id, shingle-hash) distinct shingles — xxhash64 BEFORE the
-    * distinct, so the shuffle moves 16-byte (long, long) rows instead
-    * of ~30-char shingle strings; the string never leaves the map
-    * side. */
+  /** (doc_id, shingle-hash) distinct shingles. r16 shape: hash the
+    * gram array in place (transform + xxhash64) and dedup WITHIN the
+    * row (array_distinct on longs) before the explode — "distinct
+    * (doc_id, s)" is per-doc dedup, so no exchange is needed at all.
+    * The old explode-then-DataFrame-distinct shape paid a full
+    * (long, long) shuffle of the corpus shingle multiset for the same
+    * rows (measured 7.2 s vs 2.5 s to the noop sink at sf0.1/32).
+    * The shingle string still never leaves the map side. */
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), toks(col("text")).as("ts"))
-      .select(col("doc_id"), explode(gramsOf(col("ts"))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("s"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(array_distinct(
+        transform(gramsOf(toks(col("text"))), g => xxhash64(g)))).as("s"))
 
   private def hashedDistinctShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesOf(Tables.documents(s, dir))
