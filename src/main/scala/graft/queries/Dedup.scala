@@ -243,8 +243,16 @@ object Dedup {
     * dedup_ngram_jaccard (full corpus) and corpus_clean (gate
     * survivors only: at scale you near-dedup what survived the cheap
     * filters, not the raw crawl). */
-  private[queries] def ngramPairsOf(docs: DataFrame): DataFrame = {
-    val sh = hashedShinglesOf(docs).cache()
+  private[queries] def ngramPairsOf(docs: DataFrame): DataFrame =
+    ngramPairsFrom(hashedShinglesOf(docs))
+
+  /** Same contract over a PRE-BUILT (doc_id, s) shingle frame — the
+    * composition hook pipeline_e2e uses to tokenize the corpus once
+    * and serve both its clean (survivor-domain) and split-safe
+    * (full-corpus) stages from one cached frame, all inside the same
+    * timed invocation. */
+  private[queries] def ngramPairsFrom(sh0: DataFrame): DataFrame = {
+    val sh = sh0.cache()
     val sz = docSizes(sh).cache()
     jaccardFrom(cappedInter(sh, sz.count()), sz)
   }
@@ -1251,9 +1259,15 @@ object Dedup {
       |       WHEN slot * 20 // 4294967296 = 18 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM sl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val sh = hashedShingles(s, dir).cache()
-    val sz = docSizes(sh).cache()
-    val pairs = jaccardFrom(cappedInter(sh, sz.count()), sz)
+    splitSafeFrom(s, dir, hashedShingles(s, dir))
+  }
+
+  /** corpus_split_safe's dataflow over a caller-supplied shingle
+    * frame — pipeline_e2e passes its shared cached corpus shingles so
+    * the composition tokenizes the corpus once. */
+  private[queries] def splitSafeFrom(
+      s: SparkSession, dir: String, sh0: DataFrame): DataFrame = {
+    val pairs = ngramPairsFrom(sh0)
       .select(col("doc_a").as("da"), col("doc_b").as("db"))
     val lab = minLabelClusters(pairs)
     val bucket = expr("(slot * 20) div 4294967296")

@@ -181,6 +181,18 @@ object Pipeline {
       |JOIN nbq b USING (doc_id)
       |LEFT JOIN nd USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    corpusCleanFrom(s, dir, None)
+  }
+
+  /** corpus_clean's dataflow, optionally over a caller-supplied
+    * FULL-corpus shingle frame: the survivor-domain near-dup gate
+    * then derives its shingles by one semi-join on the shared cache
+    * instead of re-tokenizing the survivors — pipeline_e2e's
+    * composition hook (its split stage needs the full-corpus
+    * shingles anyway). */
+  private[queries] def corpusCleanFrom(s: SparkSession, dir: String,
+      shFull: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     val lang = Text.langid.run(s, dir)
       .select(col("doc_id"), (col("predicted_lang") === "en").as("lang_ok"))
     val qual = Text.quality.run(s, dir)
@@ -194,12 +206,15 @@ object Pipeline {
     // flags feed both the gate filter and the final projection
     val flags = lang.join(qual, "doc_id").join(rep, "doc_id")
       .join(ex, "doc_id").join(nbq, "doc_id").cache()
-    val gatedDocs = Tables.documents(s, dir).join(
-      flags.filter(col("lang_ok") && col("quality_ok")
-        && col("repetition_ok") && col("nb_ok") && col("not_exact_dup"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val nd = Dedup.ngramPairsOf(gatedDocs)
+    val gatedIds = flags.filter(col("lang_ok") && col("quality_ok")
+      && col("repetition_ok") && col("nb_ok") && col("not_exact_dup"))
+      .select(col("doc_id"))
+    val survSh = shFull match {
+      case Some(sh) => sh.join(gatedIds, Seq("doc_id"), "left_semi")
+      case None => Dedup.hashedShinglesOf(
+        Tables.documents(s, dir).join(gatedIds, Seq("doc_id"), "left_semi"))
+    }
+    val nd = Dedup.ngramPairsFrom(survSh)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup_drop", lit(true))
     flags.join(nd, Seq("doc_id"), "left")
@@ -1156,9 +1171,14 @@ object Pipeline {
       |  seq AS seq_in_shard, fill - n_wp AS seq_offset
       |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val kept0 = corpusClean.run(s, dir).filter(col("keep"))
+    // ONE corpus tokenize/shingle pass serves both the clean stage's
+    // survivor-domain near-dup gate and the split stage's full-corpus
+    // enumeration — shared via this invocation's cache, never
+    // persisted (r16 rule: every invocation computes from parquet)
+    val shFull = Dedup.hashedShinglesOf(Tables.documents(s, dir)).cache()
+    val kept0 = corpusCleanFrom(s, dir, Some(shFull)).filter(col("keep"))
       .select(col("doc_id"))
-    val train = Dedup.splitSafe.run(s, dir)
+    val train = Dedup.splitSafeFrom(s, dir, shFull)
       .filter(col("split") === "train").select(col("doc_id"))
     val wp = Text.wordpieceApply.run(s, dir)
       .select(col("doc_id"), col("n_words"), col("n_wp"))

@@ -99,8 +99,16 @@ object Retrieval {
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val termScore = idf * col("tf") * 2.2 /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    // df pruned to the BOUNDED query-term set before the broadcast:
+    // the full-vocabulary df scales with the corpus and must never be
+    // a forced build side (the q5_multijoin scaling-side-hint lesson,
+    // applied to derived frames). The semi join rides df's existing
+    // t-grouping — no extra exchange — and the pruned frame is bounded
+    // by the query vocabulary at ANY corpus size.
+    val dfQ = df.join(broadcast(qt.select(col("t")).distinct()),
+      Seq("t"), "left_semi")
     val scored = broadcast(qt).join(tf, "t")
-      .join(broadcast(df), "t")
+      .join(broadcast(dfQ), "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .filter(col("doc_id") =!= col("query_id"))
@@ -201,7 +209,11 @@ object Retrieval {
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val ct = ch.select(col("doc_id"), col("chunk_id"),
       explode(array_distinct(toks(col("chunk")))).as("t"))
-    val rare = ct.join(broadcast(df), "t")
+    // no broadcast hint on df: it is the full corpus vocabulary (the
+    // chunk terms span the whole corpus, so no bounded pruning set
+    // exists) — AQE broadcasts while it is small and degrades to a
+    // shuffle join at scale instead of an OOM build side
+    val rare = ct.join(df, "t")
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("n") / 10)
       .groupBy(col("doc_id"), col("chunk_id"))
@@ -1080,8 +1092,11 @@ object Retrieval {
     val fb = bm25Ranked(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("doc_id"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    // no broadcast hint on df (full vocabulary — sf-scaling); the
+    // feedback-doc term set is bounded but only materializes inside
+    // this very join, so AQE's runtime choice is the right form
     val w = broadcast(fb).join(tf, "doc_id")
-      .join(broadcast(df), "t")
+      .join(df, "t")
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("t"))
       .agg(sum(col("tf") * idf).as("w"))
@@ -1161,8 +1176,13 @@ object Retrieval {
       .groupBy(col("doc_id").as("query_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("qtf"))
     val ql = qt.groupBy(col("query_id")).agg(sum(col("qtf")).as("qlen"))
+    // ctf pruned to the bounded query-term set before the broadcast
+    // (the bm25RankedFor rule: full-vocabulary term stats are never a
+    // forced build side)
+    val ctfQ = ctf.join(broadcast(qt.select(col("t")).distinct()),
+      Seq("t"), "left_semi")
     val scored = broadcast(qt).join(tf, "t")
-      .join(broadcast(ctf), "t")
+      .join(broadcast(ctfQ), "t")
       .join(dl, "doc_id")
       .join(broadcast(ql), "query_id")
       .crossJoin(broadcast(tot))

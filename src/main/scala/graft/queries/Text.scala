@@ -360,7 +360,9 @@ object Text {
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val nd = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
-    tf.join(broadcast(df), "t")
+    // no broadcast hint on df: full corpus vocabulary (sf-scaling) —
+    // AQE broadcasts while small, shuffle-joins at scale
+    tf.join(df, "t")
       .crossJoin(broadcast(nd))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
       .withColumn("rn", row_number().over(w))
