@@ -230,7 +230,12 @@ object Dedup {
   private def cappedInter(sh: DataFrame, nd: Long): DataFrame = {
     val hotK = broadcast(hotShingleKeys(sh, nd))
     // cached: cr feeds both the correction's pair restriction and the
-    // final left join — uncached, the 1M-pair self-join would run twice
+    // final left join — uncached, the 1M-pair self-join would run twice.
+    // (r16 measured: a driver-side "hot set empty → skip the anti/semi
+    // correction subtree" fast path wins NOTHING here — AQE's
+    // empty-relation propagation already collapses the empty-build
+    // joins at runtime — so the extra data-dependent action was
+    // reverted.)
     val cr = commonRare(sh, hotK).cache()
     addHotCorrection(cr, sh, hotK)
   }

@@ -302,8 +302,11 @@ object Graph {
       |ORDER BY c.cn DESC, c.a, c.b
       |LIMIT 20""".stripMargin) { (s, dir) =>
     val (edges, deg) = edgesAndDeg(s, dir)
-    val adj = edges.select(col("x").as("c"), col("y").as("m"))
-      .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
+    // one cached-edges pass for both directions (explode, not union)
+    val adj = edges.select(explode(array(
+        struct(col("x").as("c"), col("y").as("m")),
+        struct(col("y").as("c"), col("x").as("m")))).as("e"))
+      .select(col("e.c").as("c"), col("e.m").as("m"))
     val small = adj.join(
       deg.filter(col("d") <= 64).select(col("n").as("c")), "c")
     val wedge = small.select(col("c"), col("m").as("a")).as("w1")
@@ -359,8 +362,11 @@ object Graph {
       |  MAX(node) AS max_node
       |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
     val (edges, _) = edgesAndDeg(s, dir)
-    val adj = edges.select(col("x").as("c"), col("y").as("m"))
-      .unionAll(edges.select(col("y").as("c"), col("x").as("m")))
+    // one cached-edges pass for both directions (explode, not union)
+    val adj = edges.select(explode(array(
+        struct(col("x").as("c"), col("y").as("m")),
+        struct(col("y").as("c"), col("x").as("m")))).as("e"))
+      .select(col("e.c").as("c"), col("e.m").as("m"))
       .localCheckpoint()
     val src = edges.agg(min(col("x")).as("node"))
       .select(col("node"), lit(0).as("depth")).localCheckpoint()
