@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway stage-decomposition probe for the r16 optimization
   * round — times sub-frames of a dataflow with the noop sink.
-  * Not part of any query path; deleted when the measurement is done. */
+  * Not part of any query path; kept for the optimization rounds' A/B reruns. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
