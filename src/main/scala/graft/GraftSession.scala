@@ -38,10 +38,18 @@ object GraftSession {
       // when the build side fits, and let AQE rewrite sort-merge to
       // shuffled-hash when every post-shuffle partition is small —
       // measured 5-25% on the join-heavy families at sf0.1/32 with no
-      // regressions. NOT a local-mode constant: the hash join skips
-      // the sort at any scale; the per-partition threshold is the
-      // memory guard and is env-overridable for cluster profiles
-      // (spill-prone workloads set SPARK_GRAFT_PREFER_SMJ=true).
+      // regressions; re-adjudicated r17 with driver-protocol pairs
+      // (BENCH.md): SHJ-allowed won 13 of 14 rows, up to 1.9x
+      // (dedup_minhash_lsh 1.93 vs 3.20 s). NOT a local-mode
+      // constant: the hash join skips the sort at any scale; the
+      // per-partition threshold is the memory guard and is
+      // env-overridable for cluster profiles. Exposure note (ADVICE
+      // r16): preferSortMergeJoin=false also affects STATIC planning
+      // — a statically-selected SHJ can OOM a skewed build partition
+      // where sort-merge would spill; the 64m threshold only guards
+      // the AQE rewrite path. Spill-prone/skewed cluster profiles set
+      // SPARK_GRAFT_PREFER_SMJ=true (static selection back to SMJ)
+      // and keep the AQE threshold as the safe opt-in.
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

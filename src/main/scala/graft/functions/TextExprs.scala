@@ -279,6 +279,97 @@ object PolyWindowHashes {
   }
 }
 
+/** Distinct xxhash64 values of the space-joined word n-grams of a
+  * token array, in ONE compiled pass — bit-identical to
+  * `array_distinct(transform(gramsN(ts, n), g -> xxhash64(g)))` (and
+  * to the r15 explode→xxhash64→distinct shape) but with no
+  * interpreted HOF lambda in the hot path: `transform` is
+  * CodegenFallback, so the r16 in-row form evaluated concat_ws +
+  * element_at + xxhash64 per gram on the interpreted expression path
+  * (the PolyWindowHashes lesson, VERDICT r16 #1). Here the gram bytes
+  * are assembled into one reusable buffer and hashed with the same
+  * XXH64(seed=42) kernel the xxhash64 built-in uses, and first-seen
+  * order dedup matches array_distinct. Emits n−w+1 hashes before
+  * dedup; empty when the input is shorter than n.
+  *
+  * Precondition (shared with every consumer of hashedShinglesOf):
+  * the token array must be non-null-elemented — AsciiTokens
+  * (containsNull=false) is the only producer. */
+case class HashedGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram width $n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(StringType, false) ||
+        child.dataType == ArrayType(StringType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_grams expects ARRAY<STRING>, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hashed_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashedGrams.hash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashedGrams.hash($c, $n));")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedGrams = copy(child = newChild)
+}
+
+object HashedGrams {
+  /** shared by interpreted eval and generated code */
+  def hash(ts: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Array[Long] = {
+    val cnt = ts.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val t = ts.getUTF8String(i)
+      if (t == null) throw new IllegalArgumentException(
+        s"hashed_grams: null token at index $i — grams over nullable " +
+          "token arrays are undefined; tokenize with graft_tokens first")
+      toks(i) = t
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      // bytes of "t[i] t[i+1] ... t[i+n-1]" — concat_ws(" ", ...)
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += toks(i + j).numBytes(); j += 1 }
+      if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val t = toks(i + j)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        j += 1
+      }
+      // the exact kernel the xxhash64 built-in applies to STRING input
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    if (k == m) out else java.util.Arrays.copyOf(out, k)
+  }
+}
+
 object TextExprs {
   /** tokens(c) — the codegen'd twin of
     * regexp_extract_all(lower(c), '[a-z0-9]+'). */
@@ -311,4 +402,11 @@ object TextExprs {
       concat_ws(" ", (1 to n).map(o => element_at(ts, i + o)): _*))
     when(size(ts) >= n, grams).otherwise(array())
   }
+
+  /** Distinct xxhash64 hashes of the word n-grams of a token array —
+    * the one-pass compiled twin of
+    * `array_distinct(transform(gramsN(ts, n), g -> xxhash64(g)))`
+    * (see HashedGrams). */
+  def hashedGramsN(ts: org.apache.spark.sql.Column, n: Int): Column =
+    GraftBridge.column(HashedGrams(GraftBridge.expression(ts), n))
 }

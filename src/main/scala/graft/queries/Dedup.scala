@@ -18,28 +18,37 @@ object Dedup {
   // codegen'd one-pass twin of regexp_extract_all(lower(c),'[a-z0-9]+')
   private def toks(c: Column): Column = graft.functions.TextExprs.tokens(c)
 
-  /** 3-gram word shingles (functions.TextExprs.gramsN — the shared
-    * guarded n-gram builder). Deduplication must happen on the HASHED
-    * array, never on the string array: array_distinct over strings is
-    * quadratic-interpreted (measured 25x at sf0.1), over longs it
-    * rides the primitive-specialized open hash set. */
+  /** String n-grams (functions.TextExprs.gramsN — the shared guarded
+    * builder), used only where the gram STRING is the join key
+    * (decontaminate's eval-set match). The shingle pipelines never
+    * touch it anymore: hashedShinglesOf goes token array → distinct
+    * hashes in one compiled pass (functions.HashedGrams). */
   private def gramsN(ts: Column, n: Int): Column =
     graft.functions.TextExprs.gramsN(ts, n)
 
-  private def gramsOf(ts: Column): Column = gramsN(ts, 3)
-
-  /** (doc_id, shingle-hash) distinct shingles. r16 shape: hash the
-    * gram array in place (transform + xxhash64) and dedup WITHIN the
-    * row (array_distinct on longs) before the explode — "distinct
-    * (doc_id, s)" is per-doc dedup, so no exchange is needed at all.
-    * The old explode-then-DataFrame-distinct shape paid a full
-    * (long, long) shuffle of the corpus shingle multiset for the same
-    * rows (measured 7.2 s vs 2.5 s to the noop sink at sf0.1/32).
-    * The shingle string still never leaves the map side. */
+  /** (doc_id, shingle-hash) distinct shingles, hashed and deduped
+    * WITHIN the row before the explode — "distinct (doc_id, s)" is
+    * per-doc dedup, so no exchange is needed at all (the r15
+    * explode-then-DataFrame-distinct shape paid a full (long, long)
+    * shuffle of the corpus shingle multiset for the same rows). r17
+    * shape: the r16 in-row form built the gram strings and hashed
+    * them through TWO nested CodegenFallback HOF lambdas
+    * (transform(gramsN(...), g -> xxhash64(g))) — interpreted
+    * per-element evaluation in the hottest loop of the family, the
+    * driver-measured +25-60% of VERDICT r16 #1. hashedGramsN is the
+    * compiled one-pass twin (same xxhash64 values, same first-seen
+    * dedup order, see functions.HashedGrams); the shingle string
+    * never materializes at all now.
+    *
+    * Precondition (ADVICE r16): the input frame must carry at most
+    * one row per doc_id — per-row dedup equals per-doc dedup only
+    * then; a build+append union with repeated doc_ids would
+    * double-count docSizes and corrupt Jaccard denominators. Every
+    * caller passes a (doc_id, text) document frame. */
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(
-        transform(gramsOf(toks(col("text"))), g => xxhash64(g)))).as("s"))
+      explode(graft.functions.TextExprs.hashedGramsN(
+        toks(col("text")), 3)).as("s"))
 
   private def hashedDistinctShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesOf(Tables.documents(s, dir))

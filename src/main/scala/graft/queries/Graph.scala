@@ -129,9 +129,20 @@ object Graph {
     * r16 shape: per-order sorted part array → all x<y pairs inline.
     * The old items-distinct + self-join paid one extra exchange AND a
     * join for the same pair set; collect_set dedups (o, p) map-side
-    * inside the single groupBy-o exchange, and the per-order C(n, 2)
-    * fan-out is identical either way (TPC-H orders are ≤ 7 lines, and
-    * at any scale a giant order costs both shapes the same quadratic).
+    * inside the single groupBy-o exchange.
+    *
+    * Per-group size assumption (ADVICE r16): this shape buffers one
+    * order's ENTIRE item set — and its C(n, 2) pair explosion — in a
+    * single aggregate row, where the old self-join spread the same
+    * quadratic fan-out across shuffle rows. Total work is identical
+    * (TPC-H orders are ≤ 7 lines), but on data with a pathological
+    * hot group (one basket containing a large fraction of the
+    * catalog) a single row would hold C(n, 2) structs and can OOM a
+    * task that the self-join shape merely made slow. On such corpora
+    * cap the group first (filter orders by item count, or fall back
+    * to the items-distinct + self-join shape above the cap) — the
+    * skew-killer cap is the same move the dedup family's hot-shingle
+    * gate makes.
     * Degrees come from ONE pass over the cached edges (explode of
     * both endpoints) instead of a two-branch union. */
   private def edgesAndDeg(s: SparkSession, dir: String)

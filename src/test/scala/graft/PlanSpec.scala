@@ -793,6 +793,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry sweep: every file scan reads the testdata inputs or a declared model/index sidecar") {
+    // ADVICE r16 #4 / VERDICT r16 #9: the graft_pairs/graft_graph pin
+    // above is name-based — a result sidecar under a NEW name would
+    // sail past it. This sweep inverts the guard into a whitelist:
+    // every FileSourceScan location in every registered query's plan
+    // must sit under the parquet inputs, the row-group mirror of
+    // them, a lifecycle lake root a sink query writes INSIDE its own
+    // invocation, or one of the ten declared frozen-model/index
+    // sidecar kinds. A new answer-frame sidecar (any /tmp/graft_*
+    // path outside this list) fails the sweep by construction.
+    val allowedRoots = Seq(
+      "/root/testdata/",        // the parquet inputs
+      "/root/reference/",       // doc_load_files' declared demo corpus
+      "/tmp/graft_mirror/",     // sources.Tables row-group mirror
+      "/tmp/graft_sinks/",      // sink lifecycle lake roots
+      "/tmp/graft_sqlcat_lake", // SQL-catalog lifecycle lake
+      "/tmp/graft_warehouse",   // managed-table demos (bucketing)
+      // declared frozen-model/index sidecars (build-once serving
+      // state with lifecycle operators; oracles replay the model)
+      "/tmp/graft_clusters/", "/tmp/graft_ivf/", "/tmp/graft_ivfpq/",
+      "/tmp/graft_nbq/", "/tmp/graft_pca/", "/tmp/graft_pq/",
+      "/tmp/graft_shidx/", "/tmp/graft_spell/", "/tmp/graft_subidx/",
+      "/tmp/graft_unigram/")
+    val loc = "Location: [A-Za-z]+\\(\\d+ paths?\\)\\[([^\\]]*)\\]".r
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      spark.catalog.clearCache()
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      for (m <- loc.findAllMatchIn(p); raw <- m.group(1).split(",\\s*")) {
+        val path = raw.trim.stripPrefix("file:")
+        // Plan lines are width-truncated by Spark's simpleString: a
+        // long location list can lose its closing bracket, so the
+        // capture may carry debris from the NEXT plan attribute, and
+        // a long path prints as "/tmp/...". Police only entries that
+        // look like whole paths (start with "/", no "..." marker) —
+        // every root also appears untruncated in short-path scans of
+        // the same query family, so the sweep still has teeth.
+        if (path.startsWith("/") && !path.contains("...") &&
+            !allowedRoots.exists(path.startsWith))
+          offenders += s"$name -> $path"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"undeclared scan locations:\n${offenders.distinct.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("q_winsor_mean: per-arm percentile rides GlobalPrefix, no single-partition funnel") {
     // the exact per-arm p99 must come from the range-partitioned
     // prefix pass — a Window.partitionBy(arm).orderBy(y) would funnel

@@ -43,6 +43,42 @@ class TokenizeSpec extends AnyFunSuite {
     assert(got(8) == List("unicode", "split", "points"))
   }
 
+  test("hashed_grams is bit-equal to the HOF hash+dedup it replaces") {
+    // the r17 compiled shingle kernel (functions.HashedGrams) must be
+    // value- AND order-identical to
+    // array_distinct(transform(gramsN(ts,3), g -> xxhash64(g))) —
+    // every shingle consumer (dedup/corpus/pipeline/streaming ingest)
+    // rides on this identity
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ts = TextExprs.tokens(col("text"))
+    val slow = array_distinct(transform(TextExprs.gramsN(col("ts"), 3),
+      g => xxhash64(g)))
+    val diff = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        TextExprs.hashedGramsN(col("ts"), 3).as("fast"), slow.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+    // edge cases: short docs (0/1/2 tokens -> empty), exact 3 tokens,
+    // repeated grams (dedup), null text. On NULL input the two forms
+    // differ at the array level BY DESIGN — the HOF guard emits [],
+    // hashed_grams propagates null — and both explode to ZERO rows,
+    // which is the only contract hashedShinglesOf consumes; the
+    // comparison below states the guard explicitly.
+    import spark.implicits._
+    val cases = Seq("", "one", "one two", "one two three",
+      "a b c a b c a b c", null).toDF("text")
+    val got = cases
+      .select(TextExprs.tokens(col("text")).as("ts"))
+      .select(TextExprs.hashedGramsN(col("ts"), 3).as("fast"),
+        when(col("ts").isNotNull, slow).as("slow"))
+    assert(got.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    val rows = got.collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)
+    assert(rows(3).getSeq[Long](0).size == 1)
+    assert(rows(4).getSeq[Long](0).size == 3) // 7 grams, 3 distinct
+    assert(rows(5).isNullAt(0))
+  }
+
   test("graft_tokens is callable from SQL via the extension") {
     val r = spark.sql("SELECT graft_tokens('Hello World 42!') AS t")
       .collect().head.getSeq[String](0)
