@@ -47,11 +47,56 @@ object Binary {
       * reader, NegativeArraySize in BMP) on crafted/truncated files,
       * and a per-row failure must not kill the partition (a 100 TB
       * crawl WILL contain corrupt images). */
+    // Per-thread codec handles (guide §4.5): service lookup + codec
+    // construction once per executor thread, reused across every
+    // payload the thread touches; a handle that throws is dropped so
+    // a poisoned instance can't leak into the next row. The corpus
+    // format is PNG; anything else falls back to full ImageIO
+    // discovery, preserving the multi-format + corrupt-drop contract.
+    private val pngWriterTL =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+    private val pngReaderTL =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+    /** PNG-encode through the per-thread writer — byte-identical to
+      * ImageIO.write(img, "png", …) (same JDK PNGImageWriter, default
+      * param/metadata), minus the per-call registry scan and writer
+      * construction. */
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = pngWriterTL.get()
+      // direct MemoryCache stream: ImageIO.createImageOutputStream
+      // consults a SYNCHRONIZED SPI registry per call and, with the
+      // default useCache=true, returns a FILE-backed stream — a temp
+      // file created and deleted per payload, and lock contention
+      // once the codec work spreads across 32 tasks (measured: the
+      // id-spine repartition made the family SLOWER until this)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try writer.setOutput(ios)
+      catch { case t: Throwable => ios.close(); pngWriterTL.remove(); throw t }
+      try writer.write(img)
+      catch { case t: Throwable => pngWriterTL.remove(); throw t }
+      finally ios.close()
+      bos.toByteArray
+    }
+
     private def readImage(
         payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fast =
+          try {
+            val r = pngReaderTL.get()
+            try { r.setInput(iis); Option(r.read(0)) }
+            catch { case scala.util.control.NonFatal(_) =>
+              pngReaderTL.remove(); None }
+          } finally iis.close()
+        fast.orElse(Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))))
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Exact integer per-band sums over a raster — the one stats
       * kernel both decode paths share. */
@@ -102,9 +147,7 @@ object Binary {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      encodePng(img)
     }
 
     private def plantedBand(v: Long): Int = (v % 256).toInt & 0xFF
@@ -316,9 +359,7 @@ object Binary {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      encodePng(img)
     }
   }
 
@@ -524,54 +565,75 @@ object Binary {
     * is the real pipeline, not a stub. */
   object VideoCodec {
 
-    /** All frames of one payload; empty when no JDK reader claims the
-      * bytes or the reader blows up mid-container (corrupt clips must
-      * not kill the partition). */
-    def decodeFrames(docId: Long, payload: Array[Byte]): Seq[DecodedFrame] =
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Seq.empty
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              val n = r.getNumImages(true)
-              (0 until n).map { i =>
-                val img = r.read(i)
-                var sum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    sum += img.getRGB(x, y) & 0xFF // gray: r == g == b
-                    x += 1
-                  }
-                  y += 1
-                }
-                DecodedFrame(docId, i, img.getWidth, img.getHeight, sum)
-              }
-            } finally r.dispose()
-          }
-        } finally iis.close()
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // Per-thread codec handles (guide §4.5 — initialize heavyweight
+    // state once per task, not per row): the probe decomposition
+    // (tools/MmProbe) showed the tiny planted clips' cost dominated
+    // by per-call ImageIO service lookups and writer/reader
+    // construction, not pixels. Executor task threads are reused, so
+    // a ThreadLocal amortizes the handle across every clip the
+    // thread ever touches; a handle that throws is dropped (remove)
+    // so a poisoned instance can't leak into the next row.
+    private val GifGrays = Array.tabulate(256)(_.toByte)
+    private val GifCm = new java.awt.image.IndexColorModel(
+      8, 256, GifGrays, GifGrays, GifGrays)
+    private val gifWriterTL =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+    private val gifReaderTL =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
 
-    /** Deterministic planted animated GIF: `nFrames` full-size 8-bit
-      * indexed-GRAYSCALE frames (palette gray i = (i, i, i) — GIF's
-      * palette model reproduces indexed pixels exactly, unlike a
-      * quantized RGB write), pixel (x, y) of frame f of clip `seed` =
-      * (seed + 13·x + 31·y + 7·f) mod 256 — the spec's independent
-      * recompute target. Written through the JDK's own GIF sequence
-      * writer, so decode genuinely parses the animated container. */
-    def plantedGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
-      val grays = Array.tabulate(256)(_.toByte)
-      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    /** Run `use` with a reader bound to the payload: the per-thread
+      * GIF reader first (the corpus container — no service-registry
+      * scan per clip), full ImageIO discovery as the fallback for any
+      * other JDK-readable container, `empty` on corrupt/unclaimed
+      * payloads — the same drop-per-row contract as before (a 100 TB
+      * crawl WILL contain corrupt clips; they must never kill the
+      * partition). */
+    private def withReader[T](payload: Array[Byte], empty: T)(
+        use: javax.imageio.ImageReader => T): T =
+      try {
+        val iis1 = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fast =
+          try {
+            val r = gifReaderTL.get()
+            try { r.setInput(iis1); Some(use(r)) }
+            catch { case scala.util.control.NonFatal(_) =>
+              gifReaderTL.remove(); None }
+          } finally iis1.close()
+        fast.getOrElse {
+          val iis2 = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis2)
+            if (!readers.hasNext) empty
+            else {
+              val r = readers.next()
+              try { r.setInput(iis2); use(r) }
+              finally r.dispose()
+            }
+          } finally iis2.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => empty }
+
+    /** One GIF clip through the per-thread writer: the palette model,
+      * writer instance and ONE reused frame raster are amortized
+      * across clips; writeToSequence encodes synchronously, so
+      * mutating the raster between frames is safe. Byte-identical
+      * output to the old fresh-writer-per-clip form (same JDK PNG...
+      * GIF writer, same disabled-interlace param, same palette). */
+    private def writeGifFrames(w: Int, h: Int, nFrames: Int)(
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("gif").next()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = gifWriterTL.get()
+      // direct MemoryCache stream: ImageIO.createImageOutputStream
+      // consults a SYNCHRONIZED SPI registry per call and, with the
+      // default useCache=true, returns a FILE-backed stream — a temp
+      // file created and deleted per payload, and lock contention
+      // once the codec work spreads across 32 tasks (measured: the
+      // id-spine repartition made the family SLOWER until this)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         // the JDK GIF writer INTERLACES by default, and its own reader
@@ -581,16 +643,16 @@ object Binary {
         val param = writer.getDefaultWriteParam
         param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
         writer.prepareWriteSequence(null)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GifCm)
+        val raster = img.getRaster
         var f = 0
         while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.getRaster.setSample(x, y, 0,
-                ((seed + 13 * x + 31 * y + 7 * f) % 256).toInt)
+              raster.setSample(x, y, 0, pixel(x, y, f))
               x += 1
             }
             y += 1
@@ -600,9 +662,46 @@ object Binary {
           f += 1
         }
         writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
+      } catch { case t: Throwable => gifWriterTL.remove(); throw t }
+      finally ios.close()
       bos.toByteArray
     }
+
+    /** All frames of one payload; empty when no JDK reader claims the
+      * bytes or the reader blows up mid-container (corrupt clips must
+      * not kill the partition). */
+    def decodeFrames(docId: Long, payload: Array[Byte]): Seq[DecodedFrame] =
+      withReader(payload, Seq.empty[DecodedFrame]) { r =>
+        val n = r.getNumImages(true)
+        (0 until n).map { i =>
+          val img = r.read(i)
+          val w = img.getWidth
+          val row = new Array[Int](w)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            img.getRGB(0, y, w, 1, row, 0, w) // one bulk convert per row
+            var x = 0
+            while (x < w) {
+              sum += row(x) & 0xFF // gray: r == g == b
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(docId, i, w, img.getHeight, sum)
+        }
+      }
+
+    /** Deterministic planted animated GIF: `nFrames` full-size 8-bit
+      * indexed-GRAYSCALE frames (palette gray i = (i, i, i) — GIF's
+      * palette model reproduces indexed pixels exactly, unlike a
+      * quantized RGB write), pixel (x, y) of frame f of clip `seed` =
+      * (seed + 13·x + 31·y + 7·f) mod 256 — the spec's independent
+      * recompute target. Written through the JDK's own GIF sequence
+      * writer, so decode genuinely parses the animated container. */
+    def plantedGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+      writeGifFrames(w, h, nFrames)((x, y, f) =>
+        ((seed + 13 * x + 31 * y + 7 * f) % 256).toInt)
 
     /** Batched frame extraction over (doc_id, data) — one row per
       * frame; the same mapPartitions shape as decodeImages, with
@@ -634,18 +733,26 @@ object Binary {
         img: java.awt.image.BufferedImage): Array[Long] = {
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L; var cx = 0L; var cy = 0L; var halves = 0L
+      // bulk row reads: ONE color-model conversion pass per row
+      // instead of up to 3 per-pixel getRGB calls (self + right +
+      // down neighbor); cy sums |cur − prev| over the same adjacent
+      // row pairs the old |next − cur| form visited — identical sums
+      val row = new Array[Int](w)
+      val prev = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val p = img.getRGB(x, y) & 0xFF
+          val p = row(x) & 0xFF
           sum += p
-          if (x + 1 < w) cx += math.abs((img.getRGB(x + 1, y) & 0xFF) - p)
-          if (y + 1 < h) cy += math.abs((img.getRGB(x, y + 1) & 0xFF) - p)
+          if (x + 1 < w) cx += math.abs((row(x + 1) & 0xFF) - p)
+          if (y > 0) cy += math.abs(p - (prev(x) & 0xFF))
           if (x < w / 2) halves -= p
           else if (x >= w - w / 2) halves += p
           x += 1
         }
+        System.arraycopy(row, 0, prev, 0, w)
         y += 1
       }
       Array(sum, cx, cy, halves)
@@ -673,26 +780,14 @@ object Binary {
       * reader loop with the 4-signal extraction; empty on corrupt
       * payloads. */
     private def clipSignals(payload: Array[Byte]): Seq[Array[Long]] =
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Seq.empty
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              // decode only the frames the fingerprint consumes — the
-              // frame COUNT suffices for the length guard, so a
-              // multi-thousand-frame clip costs the same 17 decodes
-              val n = r.getNumImages(true)
-              if (n < FingerprintFrames) Seq.empty
-              else (0 until FingerprintFrames).map(i => frameSignals(r.read(i)))
-            } finally r.dispose()
-          }
-        } finally iis.close()
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      withReader(payload, Seq.empty[Array[Long]]) { r =>
+        // decode only the frames the fingerprint consumes — the
+        // frame COUNT suffices for the length guard, so a
+        // multi-thousand-frame clip costs the same 17 decodes
+        val n = r.getNumImages(true)
+        if (n < FingerprintFrames) Seq.empty
+        else (0 until FingerprintFrames).map(i => frameSignals(r.read(i)))
+      }
 
     /** Batched clip fingerprinting — decode frames in container
       * order, fingerprint the signal envelope; corrupt payloads and
@@ -714,42 +809,11 @@ object Binary {
       * with EVERY file byte different and a bit-identical temporal
       * fingerprint. */
     def plantedGifMixed(seed: Long, w: Int, h: Int, nFrames: Int,
-        shift: Int): Array[Byte] = {
-      val grays = Array.tabulate(256)(_.toByte)
-      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-      val bos = new java.io.ByteArrayOutputStream()
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("gif").next()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try {
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.getRaster.setSample(x, y, 0,
-                (java.lang.Math.floorMod(
-                  mix64(seed * 1000003L + x * 9176L + y * 131L + f * 7919L),
-                  240L) + shift).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), param)
-          f += 1
-        }
-        writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
-      bos.toByteArray
-    }
+        shift: Int): Array[Byte] =
+      writeGifFrames(w, h, nFrames)((x, y, f) =>
+        (java.lang.Math.floorMod(
+          mix64(seed * 1000003L + x * 9176L + y * 131L + f * 7919L),
+          240L) + shift).toInt)
   }
 
   /** One decoded record: byte length and leading byte (the shape a

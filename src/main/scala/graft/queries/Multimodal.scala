@@ -373,13 +373,30 @@ object Multimodal {
     * MultimodalSpec pins the decode against hand-computed pixel stats
     * and the planted formula, and pins that corrupt payloads drop
     * instead of killing the scan. */
+  /** doc_id spine for payload SYNTHESIS, spread over the session's
+    * full parallelism (guide §2.5): the documents scan is a handful
+    * of small splits, and everything expensive in the mm codec
+    * queries — encode, decode, fingerprint — is per-ROW work
+    * downstream of it, so without this the whole family ran on 2-3
+    * of 32 cores. The repartition ships 8-byte ids (round-robin —
+    * deterministic per-row output, and every consumer is
+    * row-independent); max() keeps a genuinely wide id source wide. */
+  private def idSpine(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    ids.repartition(math.max(ids.rdd.getNumPartitions,
+        s.sparkContext.defaultParallelism))
+      .as[Long]
+  }
+
   /** The planted PNG payload column both mm_image_* queries decode:
     * geometry (4 + id%5) x (3 + id%4), pixels from the ImageCodec
     * planted formula — ONE definition, because the formula is also
     * the spec's recompute target. */
   private def plantedPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    idSpine(s, dir)
       .mapPartitions(_.map { id =>
         (id, Binary.ImageCodec.plantedPng(id,
           (4 + id % 5).toInt, (3 + id % 4).toInt))
@@ -417,6 +434,13 @@ object Multimodal {
     * instead of killing the scan. */
   private def plantedWavPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO idSpine here (unlike the image/video builders): the audio
+    // codec still goes through javax.sound.AudioSystem, whose
+    // per-call provider registry is synchronized — spreading the
+    // rows over 32 tasks measured SLOWER (2.3 s vs 1.1 s) than the
+    // plain 2-3-task scan because the threads serialize on the
+    // registry lock. De-contending it needs JDK-internal writer
+    // classes; left alone, documented in OPTIMIZATION_r17.md.
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         (id, Binary.AudioCodec.plantedWav(id,
@@ -441,7 +465,7 @@ object Multimodal {
     * the planted formula and pins the corrupt-drop contract. */
   private def plantedGifPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    idSpine(s, dir)
       .mapPartitions(_.map { id =>
         (id, Binary.VideoCodec.plantedGif(id,
           (4 + id % 5).toInt, (3 + id % 4).toInt, (2 + id % 4).toInt))
@@ -476,7 +500,7 @@ object Multimodal {
     * corrupt-payload drop. */
   private def dedupPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    idSpine(s, dir)
       .mapPartitions(_.map { id =>
         val src = if (id % 7 == 3) id - 1 else id
         val shift = if (id % 7 == 3) 12 else 0
@@ -512,6 +536,7 @@ object Multimodal {
     * too-short drop. */
   private def audioDedupPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // no idSpine — see plantedWavPayloads (AudioSystem registry lock)
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val src = if (id % 9 == 5) id - 1 else id
@@ -547,7 +572,7 @@ object Multimodal {
     * law, and the corrupt / too-short drop. */
   private def videoDedupPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    idSpine(s, dir)
       .mapPartitions(_.map { id =>
         val src = if (id % 11 == 4) id - 1 else id
         val shift = if (id % 11 == 4) 9 else 0

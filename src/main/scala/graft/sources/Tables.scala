@@ -43,15 +43,24 @@ object Tables {
     val src = new java.io.File(srcPath)
     if (!src.isFile || src.length < MirrorThreshold) return srcPath
     val sane = dir.replaceAll("/+$", "").replaceAll("[^a-zA-Z0-9]", "_")
+    // Row-group size is env-tunable for A/B: splits can only land on
+    // row-group boundaries, so the GROUP size — not maxPartitionBytes
+    // — is the scan-parallelism floor (256 KB groups cap the 594 KB
+    // documents table at 2-3 scan tasks). r17 A/B'd a 64 KB profile:
+    // flat on the heavy families, a per-task-overhead loss on the
+    // sub-second rows — 256 KB stays (see GraftSession.localBench).
+    // The block size is part of the mirror key so a knob change
+    // self-invalidates.
+    val block = sys.env.getOrElse("GRAFT_MIRROR_BLOCK", "262144").toInt
     val dst = new java.io.File(
-      s"/tmp/graft_mirror/$sane/$name-${src.length}-${src.lastModified}")
+      s"/tmp/graft_mirror/$sane/$name-${src.length}-${src.lastModified}-b$block")
     if (!dst.isDirectory) synchronized {
       if (!dst.isDirectory) {
         dst.getParentFile.mkdirs()
         val tmp = new java.io.File(dst.getParent,
           s".${dst.getName}-${ProcessHandle.current.pid}.tmp")
         spark.read.parquet(srcPath).coalesce(1).write
-          .option("parquet.block.size", 256 * 1024)
+          .option("parquet.block.size", block)
           .mode("overwrite").parquet(tmp.getPath)
         // atomic publish; a concurrent process winning the race is
         // fine — its mirror has identical content
@@ -66,7 +75,8 @@ object Tables {
           Option(dst.getParentFile.listFiles()).toSeq.flatten
             .filter(f => f.getName != dst.getName &&
               f.getName.matches(
-                java.util.regex.Pattern.quote(name) + "-\\d+-\\d+") &&
+                java.util.regex.Pattern.quote(name) +
+                  "-\\d+-\\d+(-b\\d+)?") &&
               f.lastModified < grace)
             .foreach(rm)
         } else {
