@@ -1182,10 +1182,21 @@ object Pipeline {
       .filter(col("split") === "train").select(col("doc_id"))
     val wp = Text.wordpieceApply.run(s, dir)
       .select(col("doc_id"), col("n_words"), col("n_wp"))
+    // Eager localCheckpoint of the SURVIVOR SPINE (doc_id, n_words,
+    // n_wp, k — one small row per kept doc): GlobalPrefix's two-value
+    // cum pass and the packer each re-embed their input subtree, and
+    // `kept` embeds the whole clean+split+wordpiece upstream, so the
+    // uncheckpointed final plan multiplied it out to 1073 shuffle
+    // stages / 2118 scans with near-zero runtime stage reuse
+    // (final-plan probe). The checkpoint runs the upstream exactly once inside
+    // this timed invocation (nothing persists across runs — the
+    // minLabelClusters/retrieval_prf precedent) and the final plan
+    // collapses to checkpoint → GlobalPrefix → pack → sort.
     val kept = wp.join(kept0, Seq("doc_id"), "left_semi")
       .join(train, Seq("doc_id"), "left_semi")
       .withColumn("k",
         md5(concat(lit("42:"), col("doc_id").cast("string"))))
+      .localCheckpoint()
     // ONE range-partitioned pass gives the shuffle rank AND the
     // packing prefix offset (the withCumSums two-value form)
     val (pref, _) = graft.operators.GlobalPrefix.withCumSums(
